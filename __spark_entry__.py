@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship query at sf0.001 (smoke check).
+- ``queries()``      — name → (spark, sf_dir) → DataFrame, one per
+  implemented operator/query from SURVEY.md §2.
+- ``oracle_sql()``   — matching DuckDB SQL per query name (identical
+  column aliases; driver hash-compares values order-insensitively).
 """
 
 from __future__ import annotations
@@ -13,26 +13,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gravity_books_datalakehouse_spark.plans.star import (
+    q1_monthly_sales,
+    star_queries,
+    star_oracle_sql,
+)
+
+_REGISTRY: list[tuple[dict, dict]] = []
+
+
+def _registry() -> tuple[dict, dict]:
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    qs.update(star_queries())
+    oracles.update(star_oracle_sql())
+
+    from gravity_books_datalakehouse_spark.plans import operator_queries
+
+    qs.update(operator_queries.queries())
+    oracles.update(operator_queries.oracle_sql())
+    return qs, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_monthly_sales(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

@@ -1,0 +1,308 @@
+"""Kimball star schema over the testdata, mirroring the reference gold layer.
+
+Role mapping (FIXTURES.md §3): the reference's gold star
+(etl_script_dlh/etl_lakehouse.py:84-134 — dim_customer, dim_book,
+dim_shipping, dim_date + fact_book_sales) is re-expressed over the
+driver's TPC-H-ish tables:
+
+- dim_customer  ← customer ⋈ nation ⋈ region   (reference J1–J4 chain)
+- dim_part      ← part                          (dim_book role)
+- dim_priority  ← DISTINCT orders.o_orderpriority (dim_shipping role, A3)
+- dim_date      ← sequence(min..max o_orderdate) (F1–F4)
+- fact_sales    ← lineitem ⋈ orders + SK lookups (J9, J11–J14, P3–P5)
+
+Surrogate keys are dense row_number over the natural key (P6) — exactly
+replayable by the DuckDB oracle (``row_number() OVER (ORDER BY k)``).
+Scale note: row_number windows are fine for dims (small); the *fact* never
+gets a global SK — it carries dim SKs only, as in the reference.
+
+Physical shape at 100 TB: fact-side joins to every dim are broadcast
+(dims ≤ millions of rows); the only large shuffle in the whole star build
+is lineitem ⋈ orders on orderkey, which AQE handles (and bucketing both
+tables by orderkey would eliminate — see plans/medallion.py).
+
+Money math: measures are cast DECIMAL(18,2) before SUM and the final
+aggregate cast back to DOUBLE, making Spark and DuckDB produce bit-equal
+results (double summation order would otherwise differ cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.functions.datekit import date_dim_from_bounds
+from gravity_books_datalakehouse_spark.operators.joins import equi_join
+from gravity_books_datalakehouse_spark.operators.surrogate_keys import add_surrogate_key
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+
+def _money(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build the five star tables as lazy DataFrames."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    # dim_customer — J1..J4 analog; nation/region broadcast (25 / 5 rows).
+    cust_enriched = equi_join(
+        equi_join(
+            customer,
+            nation.select("n_nationkey", F.col("n_name").alias("nation_name"), "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            broadcast_right=True,
+        ).drop("n_nationkey"),
+        region.select("r_regionkey", F.col("r_name").alias("region_name")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+        broadcast_right=True,
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "nation_name", "region_name")
+    dim_customer = add_surrogate_key(cust_enriched, "c_custkey", "customer_sk")
+
+    # dim_part — dim_book role (P1 projection + P6 SK).
+    dim_part = add_surrogate_key(
+        part.select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+        "p_partkey",
+        "part_sk",
+    )
+
+    # dim_priority — dim_shipping role: DISTINCT from the fact feed (A3).
+    dim_priority = add_surrogate_key(
+        orders.select(F.col("o_orderpriority").alias("order_priority")).distinct(),
+        "order_priority",
+        "priority_sk",
+    )
+
+    # dim_date — F1..F4 from order-date bounds.
+    dim_date = date_dim_from_bounds(orders, "o_orderdate")
+
+    # fact_sales — J9 (lineitem ⋈ orders) then SK lookups J11..J14,
+    # dropna → int casts (P3 before P4, reference order).
+    base = equi_join(
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        ),
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    fact = (
+        base
+        .join(
+            F.broadcast(dim_customer.select("customer_sk", "c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"), "left",
+        )
+        .join(
+            F.broadcast(dim_part.select("part_sk", "p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"), "left",
+        )
+        .join(
+            F.broadcast(dim_priority),
+            F.col("o_orderpriority") == F.col("order_priority"), "left",
+        )
+        .join(
+            F.broadcast(dim_date.select("date_sk", "full_date")),
+            F.col("order_date") == F.col("full_date"), "left",
+        )
+        .select(
+            "customer_sk", "part_sk", "priority_sk", "date_sk",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+        .na.drop(subset=["customer_sk", "part_sk", "priority_sk", "date_sk"])
+        .withColumns({c: F.col(c).cast("int") for c in ["customer_sk", "part_sk", "priority_sk", "date_sk"]})
+    )
+
+    return {
+        "dim_customer": dim_customer,
+        "dim_part": dim_part,
+        "dim_priority": dim_priority,
+        "dim_date": dim_date,
+        "fact_sales": fact,
+    }
+
+
+#: DuckDB oracle prefix reconstructing the identical star (prepended to
+#: each star query's oracle SQL). Deterministic: SKs are row_number over
+#: unique natural keys on both engines.
+STAR_CTE_SQL = """
+WITH dim_customer AS (
+  SELECT row_number() OVER (ORDER BY c_custkey) AS customer_sk,
+         c_custkey, c_name, c_mktsegment, c_acctbal,
+         n_name AS nation_name, r_name AS region_name
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+dim_part AS (
+  SELECT row_number() OVER (ORDER BY p_partkey) AS part_sk,
+         p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+  FROM part
+),
+dim_priority AS (
+  SELECT row_number() OVER (ORDER BY order_priority) AS priority_sk, order_priority
+  FROM (SELECT DISTINCT o_orderpriority AS order_priority FROM orders)
+),
+dim_date AS (
+  SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_sk,
+         CAST(d AS DATE) AS full_date,
+         day(d) AS day_val, month(d) AS month_val, year(d) AS year_val,
+         quarter(d) AS quarter_val, dayname(d) AS day_name, monthname(d) AS month_name
+  FROM (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+    FROM (SELECT CAST(MIN(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS lo,
+                 CAST(MAX(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS hi
+          FROM orders)
+  )
+),
+fact_sales AS (
+  SELECT dc.customer_sk, dp.part_sk, dpr.priority_sk, dd.date_sk,
+         l.l_quantity AS quantity, l.l_extendedprice AS extendedprice,
+         l.l_discount AS discount, l.l_tax AS tax
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN dim_customer dc ON o.o_custkey = dc.c_custkey
+  LEFT JOIN dim_part dp ON l.l_partkey = dp.p_partkey
+  LEFT JOIN dim_priority dpr ON o.o_orderpriority = dpr.order_priority
+  LEFT JOIN dim_date dd ON CAST(o.o_orderdate AS DATE) = dd.full_date
+  WHERE dc.customer_sk IS NOT NULL AND dp.part_sk IS NOT NULL
+    AND dpr.priority_sk IS NOT NULL AND dd.date_sk IS NOT NULL
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# The five reference validation queries (test_queries/test_queries.py:15-68)
+# re-expressed over the star. Aliases match the oracle SQL exactly.
+# ---------------------------------------------------------------------------
+
+def q1_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference q1 (test_queries.py:16-26): units + revenue per year/month."""
+    s = build_star(spark, sf_dir)
+    return (
+        s["fact_sales"]
+        .join(F.broadcast(s["dim_date"]), "date_sk")
+        .groupBy("year_val", "month_val", "month_name")
+        .agg(
+            F.count("part_sk").alias("num_sold"),
+            F.sum(_money("extendedprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("year_val", "month_val")
+    )
+
+
+def q2_top10_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference q2 (test_queries.py:27-37): top-10 best sellers + tiebreak."""
+    s = build_star(spark, sf_dir)
+    return (
+        s["fact_sales"]
+        .join(F.broadcast(s["dim_part"]), "part_sk")
+        .groupBy("part_sk", "p_name", "p_brand")
+        .agg(F.count("part_sk").alias("units_sold"))
+        .orderBy(F.desc("units_sold"), F.asc("p_name"), F.asc("part_sk"))
+        .limit(10)
+    )
+
+
+def q3_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference q3 (test_queries.py:38-49): top-5 spenders, SUM of an
+    arithmetic expression (A6/F6: price net of discount)."""
+    s = build_star(spark, sf_dir)
+    net = F.sum(
+        _money("extendedprice") * (F.lit(1).cast("decimal(18,2)") - _money("discount"))
+    ).cast("double")
+    return (
+        s["fact_sales"]
+        .join(F.broadcast(s["dim_customer"]), "customer_sk")
+        .groupBy("customer_sk", "c_name", "nation_name")
+        .agg(net.alias("total_spend"))
+        .orderBy(F.desc("total_spend"), F.asc("customer_sk"))
+        .limit(5)
+    )
+
+
+def q4_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference q4 (test_queries.py:50-58): revenue by customer country."""
+    s = build_star(spark, sf_dir)
+    return (
+        s["fact_sales"]
+        .join(F.broadcast(s["dim_customer"]), "customer_sk")
+        .groupBy("nation_name")
+        .agg(F.sum(_money("extendedprice")).cast("double").alias("total_sales"))
+        .orderBy(F.desc("total_sales"), F.asc("nation_name"))
+    )
+
+
+def q5_priority_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference q5 (test_queries.py:59-67): COUNT(*) by shipping-method role."""
+    s = build_star(spark, sf_dir)
+    return (
+        s["fact_sales"]
+        .join(F.broadcast(s["dim_priority"]), "priority_sk")
+        .groupBy("order_priority")
+        .agg(F.count(F.lit(1)).alias("num_uses"))
+        .orderBy(F.desc("num_uses"), F.asc("order_priority"))
+    )
+
+
+def star_queries() -> dict:
+    """name → (spark, sf_dir) → DataFrame, for __spark_entry__.queries()."""
+    return {
+        "star_q1_monthly_sales": q1_monthly_sales,
+        "star_q2_top10_parts": q2_top10_parts,
+        "star_q3_top5_customers": q3_top5_customers,
+        "star_q4_sales_by_nation": q4_sales_by_nation,
+        "star_q5_priority_popularity": q5_priority_popularity,
+    }
+
+
+def star_oracle_sql() -> dict[str, str]:
+    """Matching DuckDB SQL (column names aliased identically)."""
+    return {
+        "star_q1_monthly_sales": STAR_CTE_SQL + """
+            SELECT dd.year_val, dd.month_val, dd.month_name,
+                   COUNT(f.part_sk) AS num_sold,
+                   CAST(SUM(CAST(f.extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM fact_sales f JOIN dim_date dd ON f.date_sk = dd.date_sk
+            GROUP BY dd.year_val, dd.month_val, dd.month_name
+            ORDER BY dd.year_val, dd.month_val
+        """,
+        "star_q2_top10_parts": STAR_CTE_SQL + """
+            SELECT f.part_sk, p.p_name, p.p_brand, COUNT(f.part_sk) AS units_sold
+            FROM fact_sales f JOIN dim_part p ON f.part_sk = p.part_sk
+            GROUP BY f.part_sk, p.p_name, p.p_brand
+            ORDER BY units_sold DESC, p.p_name ASC, f.part_sk ASC
+            LIMIT 10
+        """,
+        "star_q3_top5_customers": STAR_CTE_SQL + """
+            SELECT f.customer_sk, c.c_name, c.nation_name,
+                   CAST(SUM(CAST(f.extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(f.discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_spend
+            FROM fact_sales f JOIN dim_customer c ON f.customer_sk = c.customer_sk
+            GROUP BY f.customer_sk, c.c_name, c.nation_name
+            ORDER BY total_spend DESC, f.customer_sk ASC
+            LIMIT 5
+        """,
+        "star_q4_sales_by_nation": STAR_CTE_SQL + """
+            SELECT c.nation_name,
+                   CAST(SUM(CAST(f.extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+            FROM fact_sales f JOIN dim_customer c ON f.customer_sk = c.customer_sk
+            GROUP BY c.nation_name
+            ORDER BY total_sales DESC, c.nation_name ASC
+        """,
+        "star_q5_priority_popularity": STAR_CTE_SQL + """
+            SELECT p.order_priority, COUNT(*) AS num_uses
+            FROM fact_sales f JOIN dim_priority p ON f.priority_sk = p.priority_sk
+            GROUP BY p.order_priority
+            ORDER BY num_uses DESC, p.order_priority ASC
+        """,
+    }

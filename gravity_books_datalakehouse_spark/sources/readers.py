@@ -1,0 +1,55 @@
+"""Readers: JDBC full-table scan (S1) and Parquet scan (S3).
+
+Reference: ``pd.read_sql_table(table, engine)`` eagerly pulls whole MySQL
+tables through a single connection (etl_script_dwh/etl_dwh.py:42,
+etl_script_dlh/etl_lakehouse.py:42) and ``pd.read_parquet`` pulls whole
+objects (etl_lakehouse.py:51,80-82). Both are single-threaded and read all
+columns. Spark-first replacements are lazy and parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Lazy, pruning/pushdown-capable Parquet scan (S3)."""
+    return spark.read.parquet(path)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+) -> DataFrame:
+    """Parallel JDBC scan (S1).
+
+    Unlike the reference's single-connection full read, passing
+    ``partition_column`` + bounds splits the table into ``num_partitions``
+    concurrent range reads — the only way a 100 TB-adjacent OLTP extract
+    finishes. Left unset, it degrades to one connection (fine for the
+    tiny lookup tables).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetchsize))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    return reader.load()

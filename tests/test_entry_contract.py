@@ -1,0 +1,46 @@
+"""Differential gate mirror: every queries() entry vs its oracle_sql()
+via DuckDB on the same parquet — this is the driver's t2 check, run
+locally so regressions surface before the round boundary."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+import pytest
+
+from tests.conftest import SF_CORRECT, assert_matches_oracle
+
+entry_mod = importlib.import_module("__spark_entry__")
+
+
+def _names():
+    return sorted(entry_mod.queries().keys())
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) > 0
+
+
+def test_every_query_has_callable_and_oracle_alignment():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    # every oracle key must have a query; queries without oracle are the
+    # declared non-SQL-expressible ops
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, duck, name):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    df = qs[name](spark, SF_CORRECT)
+    if name not in oracles:
+        # rows-only check (driver's weaker gate for non-SQL ops)
+        assert df.count() >= 0
+        return
+    assert_matches_oracle(df, duck, oracles[name])
