@@ -1,24 +1,39 @@
 """Per-operator query/oracle pairs covering SURVEY.md §2 row by row.
 
 Each entry exercises one inventory operator over the driver's testdata
-and has a DuckDB oracle with identical column aliases. Populated
-incrementally as operators land.
+and carries a DuckDB oracle with identical column aliases (the driver
+hash-compares values order-insensitively, so aliases must line up —
+computed columns are aliased on BOTH sides).
+
+Cross-engine numeric discipline: sums of doubles are decimal-cast before
+aggregation and double-cast after (bit-equal across engines); genuinely
+floating results (stddev) are rounded to 4 dp inside the query on both
+sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
 
-def register(name: str, fn: Callable, sql: str | None) -> None:
-    _QUERIES[name] = fn
-    if sql is not None:
-        _ORACLES[name] = sql
+def register(name: str, sql: str | None = None):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query + oracle."""
+
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -35,8 +50,451 @@ _LOADED = False
 
 
 def _ensure_loaded() -> None:
-    """Import all modules that self-register query/oracle pairs."""
+    """Import side-effect modules that register additional pairs."""
     global _LOADED
     if _LOADED:
         return
     _LOADED = True
+    from gravity_books_datalakehouse_spark.operators import (  # noqa: F401
+        dedup,
+        similarity,
+        text,
+        multimodal,
+    )
+    from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
+        event_queries,
+    )
+
+
+def _money(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# S-class: scans / SQL surface (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_s1_scan_projection",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def op_s1_scan_projection(spark, sf_dir):
+    """S3+P1 — Parquet scan with column projection (pruned ReadSchema).
+
+    Reference: pd.read_parquet + df[[cols]] (etl_lakehouse.py:51, etl_dwh.py:72).
+    """
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "op_s6_sql_over_views",
+    """SELECT l_returnflag, COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def op_s6_sql_over_views(spark, sf_dir):
+    """S6/S7 — temp-view registration + spark.sql execution.
+
+    Reference: DuckDB views over gold parquet (test_queries.py:91-97).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM v_lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-class: projections / renames / casts / null handling (§2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_p2_rename",
+    """SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+              s_acctbal AS account_balance
+       FROM supplier""",
+)
+def op_p2_rename(spark, sf_dir):
+    """P2 — bulk rename (reference df.rename, etl_dwh.py:73)."""
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .withColumnsRenamed(
+            {"s_suppkey": "supplier_id", "s_name": "supplier_name",
+             "s_acctbal": "account_balance"}
+        )
+    )
+
+
+@register(
+    "op_p4_p5_casts",
+    """SELECT l_orderkey, CAST(l_quantity AS INT) AS qty_int,
+              CAST(l_shipdate AS DATE) AS ship_date
+       FROM lineitem""",
+)
+def op_p4_p5_casts(spark, sf_dir):
+    """P4/P5 — int cast + timestamp→date truncation (etl_dwh.py:138-148)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@register(
+    "op_p3_dropna_after_left_join",
+    """SELECT p.p_partkey, s.n_sold
+       FROM part p
+       LEFT JOIN (SELECT l_partkey, COUNT(*) AS n_sold FROM lineitem GROUP BY l_partkey) s
+         ON p.p_partkey = s.l_partkey
+       WHERE s.n_sold IS NOT NULL""",
+)
+def op_p3_dropna_after_left_join(spark, sf_dir):
+    """P3 — left join introduces nulls, dropna removes them BEFORE casts
+    (reference fact dropna, etl_dwh.py:145, etl_lakehouse.py:130)."""
+    part = load_table(spark, sf_dir, "part")
+    sold = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_sold"))
+    )
+    return (
+        part.join(sold, part.p_partkey == sold.l_partkey, "left")
+        .select("p_partkey", "n_sold")
+        .na.drop(subset=["n_sold"])
+    )
+
+
+@register(
+    "op_where_filter_pushdown",
+    """SELECT l_orderkey, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_quantity > 30 AND l_returnflag = 'R'""",
+)
+def op_where_filter_pushdown(spark, sf_dir):
+    """WHERE predicates (absent from the reference ETL but table stakes;
+    SURVEY.md §2.2 note). Both predicates reach the Parquet scan as
+    PushedFilters."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-class: joins (§2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_j_inner_chain",
+    """SELECT c.c_mktsegment, r.r_name AS region_name, COUNT(*) AS n_orders
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY c.c_mktsegment, r.r_name
+       ORDER BY c.c_mktsegment, region_name""",
+)
+def op_j_inner_chain(spark, sf_dir):
+    """J1–J4 — inner equi-join chain through lookup dims (etl_dwh.py:68-71);
+    nation/region broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("c_mktsegment", F.col("r_name").alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("c_mktsegment", "region_name")
+    )
+
+
+@register(
+    "op_j_left_nulls_kept",
+    """SELECT p.p_partkey, p.p_name, s.n_sold
+       FROM part p
+       LEFT JOIN (SELECT l_partkey, COUNT(*) AS n_sold FROM lineitem GROUP BY l_partkey) s
+         ON p.p_partkey = s.l_partkey""",
+)
+def op_j_left_nulls_kept(spark, sf_dir):
+    """J5/J6 — left join preserving unmatched rows as nulls (etl_dwh.py:84-85)."""
+    part = load_table(spark, sf_dir, "part")
+    sold = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_sold"))
+    )
+    return part.join(sold, part.p_partkey == sold.l_partkey, "left").select(
+        "p_partkey", "p_name", "n_sold"
+    )
+
+
+@register(
+    "op_j10_differing_key_names",
+    """SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name
+       FROM supplier s
+       LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey""",
+)
+def op_j10_differing_key_names(spark, sf_dir):
+    """J10 — left join on differently-named keys
+    (left_on='shipping_method_id', right_on='method_id', etl_dwh.py:129)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey, "left"
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+
+
+@register(
+    "op_j_semi",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def op_j_semi(spark, sf_dir):
+    """Left-semi join (beyond reference; engine completeness). Planned as a
+    semi hash join — no row duplication, no payload columns moved."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "op_j_anti",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def op_j_anti(spark, sf_dir):
+    """Left-anti join (beyond reference): customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-class: aggregations (§2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_a1_group_concat_sorted",
+    """SELECT n_regionkey, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+       FROM nation GROUP BY n_regionkey""",
+)
+def op_a1_group_concat_sorted(spark, sf_dir):
+    """A1 — the reference's only UDAF-shaped op: per-group ', '.join
+    (etl_dwh.py:86). Native collect_list→array_sort→concat_ws; defined
+    order replaces pandas' accidental merge order (SURVEY.md §7)."""
+    from gravity_books_datalakehouse_spark.operators.aggregates import (
+        group_concat_sorted,
+    )
+
+    return group_concat_sorted(
+        load_table(spark, sf_dir, "nation"),
+        ["n_regionkey"],
+        "n_name",
+        alias="nations",
+    )
+
+
+@register(
+    "op_a2_global_minmax",
+    """SELECT CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS first_day,
+              CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_day,
+              COUNT(*) AS n_orders
+       FROM orders""",
+)
+def op_a2_global_minmax(spark, sf_dir):
+    """A2 — global min/max bounding the calendar (etl_dwh.py:53-54)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.agg(
+        F.min(d).alias("first_day"),
+        F.max(d).alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "op_a3_distinct",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+)
+def op_a3_distinct(spark, sf_dir):
+    """A3 — distinct over a projection (dim_shipping feed, etl_lakehouse.py:95)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+@register(
+    "op_a_stats_kit",
+    """SELECT l_returnflag,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+              COUNT(DISTINCT l_partkey) AS n_parts
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def op_a_stats_kit(spark, sf_dir):
+    """A4–A8 — count / sum / avg / count-distinct group-by (TPC-H q1 shape;
+    reference q1/q4/q5 shapes, test_queries.py:16-26,50-67). Partial
+    aggregation before the shuffle is automatic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sum_qty = F.sum(_money("l_quantity")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_qty.alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_price"),
+            F.round(sum_qty / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-class: sorts / top-k (§2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_o_topk_desc_tiebreak",
+    """SELECT o_custkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY o_custkey
+       ORDER BY total DESC, o_custkey ASC LIMIT 7""",
+)
+def op_o_topk_desc_tiebreak(spark, sf_dir):
+    """O2/O3 — top-k with desc + deterministic tiebreak
+    (test_queries.py:35-36,47-48). Planned as TakeOrderedAndProject:
+    per-partition local top-k, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_money("o_totalprice")).cast("double").alias("total"))
+        .orderBy(F.desc("total"), F.asc("o_custkey"))
+        .limit(7)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-class: date kit (§2.6) — the dim itself, standalone
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_f_date_dim_kit",
+    """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_sk,
+              CAST(d AS DATE) AS full_date,
+              day(d) AS day_val, month(d) AS month_val, year(d) AS year_val,
+              quarter(d) AS quarter_val, dayname(d) AS day_name,
+              monthname(d) AS month_name
+       FROM (
+         SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+         FROM (SELECT CAST(MIN(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS lo,
+                      CAST(MAX(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS hi
+               FROM orders)
+       )""",
+)
+def op_f_date_dim_kit(spark, sf_dir):
+    """F1–F4 — calendar generation: sequence+explode, yyyymmdd key,
+    day/month/year/quarter, English day/month names
+    (etl_dwh.py:52-64, etl_lakehouse.py:100-110)."""
+    from gravity_books_datalakehouse_spark.functions.datekit import (
+        date_dim_from_bounds,
+    )
+
+    return date_dim_from_bounds(load_table(spark, sf_dir, "orders"), "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7 — absent in reference, built-in here)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_set_union_intersect_except",
+    """SELECT 'active' AS src, c_custkey AS custkey FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders)
+       UNION ALL
+       SELECT 'dormant' AS src, c_custkey AS custkey FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def op_set_union_intersect_except(spark, sf_dir):
+    """Set ops: unionByName of disjoint semi/anti splits (engine
+    completeness; SURVEY.md §2.7 marks them ABSENT in the reference)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    active = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("active").alias("src"), F.col("c_custkey").alias("custkey")
+    )
+    dormant = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("dormant").alias("src"), F.col("c_custkey").alias("custkey")
+    )
+    return active.unionByName(dormant)
+
+
+# ---------------------------------------------------------------------------
+# W-class: window functions (§2.7 — introduced by this engine)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_w_topn_per_group",
+    """SELECT c_custkey, c_name, nation, rank_in_nation FROM (
+         SELECT c_custkey, c_name, n_name AS nation,
+                row_number() OVER (PARTITION BY n_name
+                                   ORDER BY c_acctbal DESC, c_custkey ASC)
+                  AS rank_in_nation
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+       ) WHERE rank_in_nation <= 3""",
+)
+def op_w_topn_per_group(spark, sf_dir):
+    """row_number window — top-3 customers per nation by balance. The
+    PARTITION BY distributes the window (contrast the single-partition
+    dim-SK window, operators/surrogate_keys.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("c_custkey", "c_name", "nation", "rank_in_nation")
+    )
+
+
+@register(
+    "op_w_running_total",
+    """SELECT ym,
+              CAST(month_rev AS DOUBLE) AS month_rev,
+              CAST(SUM(month_rev) OVER (ORDER BY ym
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS cumulative_rev
+       FROM (
+         SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_rev
+         FROM orders GROUP BY 1
+       ) ORDER BY ym""",
+)
+def op_w_running_total(spark, sf_dir):
+    """Running (cumulative) monthly revenue — ordered window aggregate.
+    Decimal accumulation keeps it bit-equal with the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyyMM").cast("int").alias("ym")
+        ).agg(F.sum(_money("o_totalprice")).alias("month_rev"))
+    )
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "ym",
+        F.col("month_rev").cast("double").alias("month_rev"),
+        F.sum("month_rev").over(w).cast("double").alias("cumulative_rev"),
+    ).orderBy("ym")
