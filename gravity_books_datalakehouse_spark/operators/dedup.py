@@ -1,1 +1,238 @@
-"""Placeholder — populated in this round."""
+"""Deduplication for training-data pipelines (beyond-reference, §2.8).
+
+Five strategies over the ``documents`` table, all shuffle-frugal and
+oracle-verifiable:
+
+- **exact**       — hash-groupBy on normalized-content md5; one shuffle on
+  the 16-byte digest, never on the document text.
+- **minhash+LSH** — word-3-gram shingles → per-permutation min-md5
+  signatures → banded bucket self-join. Candidate generation never
+  compares documents pairwise: cost is O(docs × perms) + a join on tiny
+  band keys. This is the scale path for near-dedup at 100 TB.
+- **jaccard verify** — exact n-gram Jaccard, computed ONLY on LSH
+  candidate pairs (the classic generate-then-verify split).
+- **simhash**     — 16-bit charge-accumulation signature per doc;
+  identical-signature buckets as near-dup groups. Pure column math.
+- **embedding near-dup** — cosine-threshold pairs (operators/similarity.py).
+
+Everything is built-in expressions (md5 / windows / group-bys): no Python
+UDFs, so the JVM streams it. Portability of every hash comes from md5
+(functions/hashing.py): DuckDB reproduces signatures bit-for-bit, which is
+what makes the LSH pipeline *testable* — rare for LSH implementations.
+
+MinHash theory note: ``min(md5(seed || ':' || shingle))`` is a valid
+min-wise permutation family because fixed-width lowercase hex orders
+identically to the underlying 128-bit integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+from gravity_books_datalakehouse_spark.operators.text import (
+    NORM_SQL,
+    SHINGLES_SQL,
+    shingles,
+)
+
+#: MinHash parameters: 8 permutations, bands of 1 row (maximum recall —
+#: any shared minimum ⇒ candidate). At production scale raise perms and
+#: band size (e.g. 128 perms, b=32, r=4) to target a Jaccard threshold.
+NUM_PERM = 8
+BAND_SIZE = 1
+
+
+@register(
+    "dedup_exact",
+    f"""SELECT md5({NORM_SQL}) AS content_fp,
+              MIN(doc_id) AS rep_doc_id,
+              COUNT(*) AS n_copies
+       FROM documents
+       GROUP BY md5({NORM_SQL})""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: group by content fingerprint, keep the smallest doc_id
+    as representative. The shuffle key is the 16-byte digest — at 100 TB
+    the text itself never crosses the network."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.md5(norm).alias("content_fp"), "doc_id")
+        .groupBy("content_fp")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, p, sig): per-permutation minhash over distinct 3-shingles."""
+    sh = shingles(docs)
+    perms = F.explode(F.array(*[F.lit(i) for i in range(num_perm)])).alias("p")
+    return (
+        sh.select("doc_id", "shingle", perms)
+        .groupBy("doc_id", "p")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("sig")
+        )
+    )
+
+
+_MINHASH_SQL = f"""WITH {SHINGLES_SQL},
+  sig AS (
+    SELECT doc_id, p,
+           MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS sig
+    FROM shd
+    CROSS JOIN (SELECT unnest(generate_series(0, {NUM_PERM - 1})) AS p) perms
+    GROUP BY doc_id, p
+  ),
+  bands AS (SELECT doc_id, p AS band_idx, sig AS band_key FROM sig),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+  )"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _MINHASH_SQL + "\nSELECT doc_a, doc_b FROM pairs",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs: docs sharing any banded signature.
+
+    Plan shape: shingle (windowed, partitioned by doc) → minhash groupBy
+    (doc, p) → self-join on (band_idx, band_key). The self-join key is a
+    16-byte digest with ~uniform distribution — no skew, broadcast-free,
+    scales linearly in corpus size.
+    """
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    bands = sigs.select(
+        "doc_id", F.col("p").alias("band_idx"), F.col("sig").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_jaccard_verify",
+    _MINHASH_SQL + """,
+  counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_int
+    FROM pairs p
+    JOIN shd a ON a.doc_id = p.doc_a
+    JOIN shd b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY p.doc_a, p.doc_b
+  )
+  SELECT i.doc_a, i.doc_b,
+         ROUND(CAST(i.n_int AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_int), 6) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b""",
+)
+def dedup_jaccard_verify(spark, sf_dir):
+    """Exact n-gram Jaccard on LSH candidates only (generate-then-verify):
+    the quadratic step touches |candidates| pairs, not |docs|²."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_int").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_int")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+
+_SIMHASH_SQL = f"""WITH {SHINGLES_SQL},
+  dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
+  bits AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN
+                 ((strpos('0123456789abcdef',
+                          substr(md5(tok), 1 + (j // 4), 1)) - 1)
+                  >> (3 - (j % 4))) & 1 = 1
+               THEN 1 ELSE -1 END) AS charge
+    FROM dtoks
+    CROSS JOIN (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS j) bj
+    GROUP BY doc_id, j
+  )
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN charge > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    """SimHash: 16-bit charge-accumulation signature over distinct tokens.
+    Bit j of each token's md5 votes ±1; signature bit = sign of the sum.
+    Docs sharing a signature (or within small Hamming distance via
+    rotations) are near-dup candidates. All integer column math."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = (
+        docs.select("doc_id", F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")).distinct()
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(_SIMHASH_BITS)])).alias("j")
+    nibble = F.conv(
+        F.substring(F.md5("tok"), (F.col("j") / 4).cast("int") + 1, F.lit(1)), 16, 10
+    ).cast("int")
+    # bit j of the nibble via exact integer math (shift amounts must be
+    # literals in the pyspark API, so divide by 2^(3 - j%4) instead).
+    shift_div = F.pow(F.lit(2.0), (F.lit(3) - F.col("j") % 4)).cast("int")
+    bit = (nibble / shift_div).cast("int") % 2
+    charged = (
+        dtoks.select("doc_id", "tok", js)
+        .withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("charge"))
+    )
+    weight = F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+    return (
+        charged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("charge") > 0, weight).otherwise(0))
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )

@@ -1,1 +1,147 @@
-"""Placeholder — populated in this round."""
+"""Multimodal column plumbing (beyond-reference, SURVEY.md §2.8).
+
+Pattern: media lives as opaque ``binary`` payloads with typed metadata
+columns; decode / feature-extraction / frame-sampling run as Arrow-batched
+``mapInPandas`` stages. The image/audio codecs are NOT in this container,
+so the decode kernel is STUBBED deterministically (documented below) —
+but everything Spark-cares-about is real and tested: the binary column
+handling, the Arrow batch shapes, the output schema contract, and the
+partition-parallel execution.
+
+The testdata has no binary table, so payloads are derived by encoding
+``documents.text`` to UTF-8 bytes — the plumbing is identical for real
+JPEG/WAV bytes.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python
+overhead); media payloads stay columnar and are never shuffled — decode
+happens map-side straight off the scan, and only the (small) extracted
+features move on. For 100 TB of media, size
+``spark.sql.files.maxPartitionBytes`` so a batch of payloads fits
+executor memory, and write features back partitioned by media_type.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+#: Output contract of the decode stage.
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, "
+    "n_frames int, checksum string"
+)
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + media-type metadata column."""
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        media.alias("media_type"),
+    )
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode kernel (deterministic fake).
+
+    A real deployment replaces the body with PIL/librosa/ffmpeg calls —
+    the signature, Arrow batch flow, and output schema stay identical.
+    The fake derives 'dimensions' from payload bytes so results are
+    stable and assertable. Raises NotImplementedError for real codec
+    requests to make the stub boundary explicit.
+    """
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload, media_type in zip(
+            pdf["doc_id"], pdf["payload"], pdf["media_type"]
+        ):
+            b = bytes(payload)
+            n = len(b)
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "media_type": media_type,
+                    "n_bytes": n,
+                    "width": 64 + b[0] % 64 if n else 0,
+                    "height": 64 + b[-1] % 64 if n else 0,
+                    "n_frames": 1 if media_type == "image" else 1 + n % 48,
+                    "checksum": hashlib.md5(b).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(out)
+
+
+def decode_media(docs_with_payload: DataFrame) -> DataFrame:
+    """Partition-parallel decode via mapInPandas (Arrow-batched)."""
+    return docs_with_payload.mapInPandas(decode_media_batch, schema=DECODE_SCHEMA)
+
+
+@register(
+    "mm_payload_metadata",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+              octet_length(encode(text)) AS n_bytes,
+              md5(text) AS checksum
+       FROM documents""",
+)
+def mm_payload_metadata(spark, sf_dir):
+    """Typed metadata over binary payloads — pure column ops (byte length,
+    content checksum) that never leave the JVM. SQL-expressible, so this
+    leg of the multimodal suite is oracle-verified; n_bytes counts UTF-8
+    bytes, not characters."""
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+@register("mm_decode_features", None)  # rows-only: mapInPandas stage
+def mm_decode_features(spark, sf_dir):
+    """Decode/feature-extract stage through real mapInPandas plumbing with
+    the stubbed kernel. No SQL oracle (Python stage) — driver records the
+    rows-only check; tests/test_multimodal.py asserts the deterministic
+    fake features instead."""
+    return decode_media(with_payload(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "mm_frame_sample",
+    """SELECT doc_id,
+              unnest(generate_series(0, (1 + octet_length(encode(text)) % 48) - 1, 8))
+                AS frame_idx
+       FROM documents
+       WHERE doc_id % 3 = 2""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling for video payloads: every 8th frame index via
+    sequence+explode — the row-expansion side of multimodal processing
+    (decode of the sampled frames would then run through decode_media)."""
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    videos = docs.filter(F.col("media_type") == "video").select(
+        "doc_id", (1 + F.octet_length("payload") % 48).alias("n_frames")
+    )
+    return videos.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(8))
+        ).alias("frame_idx"),
+    )

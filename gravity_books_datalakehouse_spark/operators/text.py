@@ -1,1 +1,216 @@
-"""Placeholder — populated in this round."""
+"""Text analysis for training-data pipelines (beyond-reference, SURVEY.md §2.8).
+
+Operators over the ``documents`` table: token stats, quality scoring,
+heuristic language ID, content fingerprinting. All pure built-in column
+expressions — JVM-side, whole-stage-codegen'd, no Python UDFs — so they
+stream through 100 TB of text at scan speed. Every operator has a DuckDB
+oracle; hashing is md5-based so both engines agree bit-for-bit
+(functions/hashing.py rationale).
+
+Shared kit: ``tokens()`` / ``shingles()`` are reused by operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+#: Tiny deterministic marker sets for heuristic language ID.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "una", "por"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+PUNCT_RE = "[.,!?;:]"
+
+#: DuckDB twin of the Spark-side text normalization.
+NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def tokens_col() -> F.Column:
+    """Whitespace tokenization of lowercased text (BPE-ish splits are a
+    regex swap away; whitespace matches the oracle exactly)."""
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def token_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) — positional explode for shingling."""
+    return docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "tok")
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per doc via windowed lead (k=3).
+
+    ``concat`` (not concat_ws) so a shingle that runs off the document end
+    becomes NULL and is filtered — the DuckDB twin's ``||`` has identical
+    NULL semantics. The window is partitioned by doc_id: fully parallel.
+    """
+    t = token_rows(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts: list[F.Column] = [F.col("tok")]
+    for i in range(1, k):
+        parts += [F.lit(" "), F.lead("tok", i).over(w)]
+    return (
+        t.select("doc_id", F.concat(*parts).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+#: DuckDB twin of shingles() for k=3 — reused by dedup oracles.
+SHINGLES_SQL = f"""
+  toks AS (
+    SELECT doc_id,
+           unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS pos
+    FROM documents
+  ),
+  sh_raw AS (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ),
+  shd AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle IS NOT NULL)
+"""
+
+
+@register(
+    "text_token_stats",
+    f"""SELECT doc_id,
+              len({TOKS_SQL}) AS n_tokens,
+              length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS n_nonspace_chars,
+              ROUND(CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+                    / len({TOKS_SQL}), 6) AS avg_token_len
+       FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + char totals + mean token length.
+    Exact-integer inputs → double division is bit-equal cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    nonspace = F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        nonspace.alias("n_nonspace_chars"),
+        F.round(nonspace.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    f"""SELECT doc_id, n_chars,
+              ROUND(CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE)
+                    / length(text), 6) AS punct_ratio,
+              ROUND(CAST(len(list_filter({TOKS_SQL}, x -> list_contains({list(STOPWORDS)}, x))) AS DOUBLE)
+                    / len({TOKS_SQL}), 6) AS stopword_ratio,
+              CASE WHEN length(text) < 100 THEN 'short'
+                   WHEN len(list_filter({TOKS_SQL}, x -> list_contains({list(STOPWORDS)}, x))) = 0 THEN 'no_stopwords'
+                   ELSE 'ok' END AS quality_bucket
+       FROM documents""",
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring: punctuation ratio, stopword ratio, length bucket —
+    the classic pre-training filters (C4-style heuristics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    punct = F.length("text") - F.length(F.regexp_replace("text", PUNCT_RE, ""))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        F.when(F.length("text") < 100, "short")
+        .when(n_stop == 0, "no_stopwords")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+def _marker_count_sql(lang: str) -> str:
+    return (
+        f"len(list_filter({TOKS_SQL}, x -> list_contains({list(LANG_MARKERS[lang])}, x)))"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""SELECT doc_id, lang,
+              {_marker_count_sql('en')} AS s_en,
+              {_marker_count_sql('de')} AS s_de,
+              {_marker_count_sql('fr')} AS s_fr,
+              {_marker_count_sql('es')} AS s_es,
+              CASE WHEN {_marker_count_sql('en')} >= greatest({_marker_count_sql('de')}, {_marker_count_sql('fr')}, {_marker_count_sql('es')}) THEN 'en'
+                   WHEN {_marker_count_sql('de')} >= greatest({_marker_count_sql('fr')}, {_marker_count_sql('es')}) THEN 'de'
+                   WHEN {_marker_count_sql('fr')} >= {_marker_count_sql('es')} THEN 'fr'
+                   ELSE 'es' END AS predicted_lang
+       FROM documents""",
+)
+def text_lang_id(spark, sf_dir):
+    """Heuristic language ID: marker-token counts per language, argmax with
+    a fixed precedence order (en > de > fr > es on ties) so prediction is
+    deterministic. A real n-gram model drops in by swapping marker sets
+    for n-gram log-probs — the plan shape (scan + map, no shuffle) holds."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def score(lang: str) -> F.Column:
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    s_en, s_de, s_fr, s_es = (score(lang) for lang in ("en", "de", "fr", "es"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_fr.alias("s_fr"),
+        s_es.alias("s_es"),
+        F.when(s_en >= F.greatest(s_de, s_fr, s_es), "en")
+        .when(s_de >= F.greatest(s_fr, s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""WITH {SHINGLES_SQL}
+       SELECT d.doc_id,
+              md5({NORM_SQL}) AS fp_md5,
+              s.fp_shingle
+       FROM documents d
+       LEFT JOIN (SELECT doc_id, MIN(md5(shingle)) AS fp_shingle
+                  FROM shd GROUP BY doc_id) s
+         ON d.doc_id = s.doc_id""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: whole-content md5 of normalized text plus a
+    winnowing-style shingle fingerprint (min hash over rolling word
+    3-grams) that survives small edits. Both portable (md5-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp_shingle = (
+        shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fp_shingle"))
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp_md5"))
+        .join(fp_shingle, "doc_id", "left")
+        .select("doc_id", "fp_md5", "fp_shingle")
+    )

@@ -1,1 +1,123 @@
-"""Placeholder — populated in this round."""
+"""Batch analytics over the ``events`` stream table (+ oracles).
+
+These are the *batch-equivalent* semantics of the streaming jobs in
+streaming/events.py — tumbling-window aggregation and sessionization.
+Structured Streaming runs the identical expressions incrementally with
+watermarks; running them here as batch gives the DuckDB-verifiable
+correctness gate (the reference has no streaming at all — SURVEY.md §2.7
+marks it ABSENT; the ``events`` table is the driver's extension surface).
+
+Parquet note: the events file stores TIMESTAMP(NANOS), which Spark's
+vectorized reader rejects; we read it via
+``spark.sql.legacy.parquet.nanosAsLong`` and convert ns→µs explicitly
+(the data carries no sub-µs components, verified). DuckDB reads ns
+natively and is cast to µs in the oracle so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as TIMESTAMP (µs): nanos-as-long read + convert."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer division: float division of epoch-nanos (≈1.7e18) exceeds
+    # double precision and lands ±1 µs off.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "ev_tumbling_hourly",
+    """SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
+              event_type,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events
+       GROUP BY 1, 2""",
+)
+def ev_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1-hour window counts/sums per event type — the canonical
+    streaming aggregation, here in batch form. The streaming twin
+    (streaming/events.py) uses the same ``window()`` expression with a
+    watermark; state per (window, type) is bounded and evicted on close."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "ev_sessionize",
+    """WITH flagged AS (
+         SELECT user_id, ts::TIMESTAMP AS ts,
+                CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                       OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ),
+       numbered AS (
+         SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM flagged
+       )
+       SELECT user_id,
+              MIN(ts) AS session_start,
+              MAX(ts) AS last_event,
+              COUNT(*) AS n_events
+       FROM numbered
+       GROUP BY user_id, sess_id""",
+)
+def ev_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user via
+    ``session_window`` — Spark's native stateful session operator (in
+    streaming it maintains open sessions as state; in batch it compiles
+    to the same gaps-and-islands the oracle spells out manually).
+    Output is (start, last event, count); session_window.end = last+gap
+    is deliberately not emitted (engine-specific convention)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_event"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "last_event",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "ev_type_value_stats",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              COUNT(DISTINCT user_id) AS n_users,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+       FROM events GROUP BY event_type""",
+)
+def ev_type_value_stats(spark, sf_dir):
+    """Per-type rollup over the full stream history (count, distinct
+    users, exact-decimal value sums)."""
+    e = load_events(spark, sf_dir)
+    sv = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        sv.alias("sum_value"),
+        F.round(sv / F.count(F.lit(1)), 6).alias("avg_value"),
+    )

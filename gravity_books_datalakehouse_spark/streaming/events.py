@@ -1,0 +1,90 @@
+"""Structured Streaming ingest of the events stream (SURVEY.md §2.7 ext).
+
+The reference is purely batch (full-refresh pandas ETL); this module is
+the streaming-native counterpart the brief asks for: file-source ingest →
+event-time tumbling windows with watermarked late-data handling → append
+sink. The aggregation expressions are shared with the batch twins in
+streaming/event_queries.py, so the DuckDB oracle validates the semantics
+and the streaming test (tests/test_streaming.py) validates incremental
+execution equals batch execution.
+
+Scale notes: file/Kafka sources shard across executors; the window
+aggregation's state store is keyed by (window, event_type) — bounded
+cardinality — and the 1-hour watermark bounds state retention. At
+production rates swap the file source for Kafka and enable RocksDB state
+store; the query shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Schema for streamed event batches (ts already µs — the streaming path
+#: takes normalized parquet written by the ingest tooling, not the raw
+#: nanos file; see tests/test_streaming.py).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour per-type aggregation with late-data watermark.
+
+    Identical expression to the batch ev_tumbling_hourly; under streaming
+    the watermark lets Spark finalize + evict window state once event time
+    passes window_end + watermark.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, source_dir: str, query_name: str = "ev_hourly"
+) -> "StreamingQuery":  # noqa: F821
+    """Start the windowed aggregation into an in-memory sink (complete
+    mode) and return the StreamingQuery; caller awaits termination or
+    processes availableNow. Used by tests; a production job would write
+    ``.format("delta"/"parquet").option("checkpointLocation", …)``."""
+    events = read_event_stream(spark, source_dir)
+    return (
+        windowed_counts(events)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

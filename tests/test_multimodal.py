@@ -1,0 +1,45 @@
+"""Multimodal plumbing: binary payloads + Arrow-batched decode stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.operators.multimodal import (
+    decode_media,
+    with_payload,
+)
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_payload_is_binary_with_media_type(spark):
+    docs = with_payload(load_table(spark, SF_SMOKE, "documents"))
+    assert dict(docs.dtypes)["payload"] == "binary"
+    types = {r.media_type for r in docs.select("media_type").distinct().collect()}
+    assert types == {"image", "audio", "video"}
+
+
+def test_decode_stub_deterministic_features(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = decode_media(with_payload(docs))
+    rows = {r.doc_id: r for r in feats.collect()}
+    src = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert rows.keys() == src.keys()
+    # spot-check the deterministic fake against a local recomputation
+    for doc_id in list(src)[:20]:
+        b = src[doc_id].encode("utf-8")
+        r = rows[doc_id]
+        assert r.n_bytes == len(b)
+        assert r.width == 64 + b[0] % 64
+        assert r.height == 64 + b[-1] % 64
+        assert r.checksum == hashlib.md5(b).hexdigest()
+        if r.media_type == "image":
+            assert r.n_frames == 1
+
+
+def test_decode_runs_partition_parallel(spark):
+    """mapInPandas must not collapse partitioning."""
+    docs = with_payload(load_table(spark, SF_SMOKE, "documents")).repartition(4)
+    assert decode_media(docs).rdd.getNumPartitions() == 4

@@ -1,0 +1,49 @@
+"""Structured Streaming: incremental execution must equal batch execution.
+
+Writes the events table as several parquet chunks into a temp source dir,
+streams them with availableNow + memory sink, and asserts the windowed
+aggregation equals the batch twin (ev_tumbling_hourly shape)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+from gravity_books_datalakehouse_spark.streaming.events import (
+    run_stream_to_memory,
+    windowed_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture
+def event_source_dir(spark, tmp_path):
+    """Chunked parquet copies of events (ts normalized to µs)."""
+    src = str(tmp_path / "events_stream")
+    (
+        load_events(spark, SF_SMOKE)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    yield src
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_equals_batch(spark, event_source_dir):
+    q = run_stream_to_memory(spark, event_source_dir, query_name="ev_test")
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "SELECT * FROM ev_test ORDER BY window_start, event_type"
+    ).collect()
+    batch = (
+        windowed_counts(load_events(spark, SF_SMOKE).withWatermark("ts", "1 hour"))
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert len(streamed) > 0
+    assert streamed == batch
