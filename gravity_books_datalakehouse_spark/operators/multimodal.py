@@ -65,24 +65,19 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     import hashlib
 
     for pdf in batches:
-        out = []
-        for doc_id, payload, media_type in zip(
-            pdf["doc_id"], pdf["payload"], pdf["media_type"]
-        ):
-            b = bytes(payload)
-            n = len(b)
-            out.append(
-                {
-                    "doc_id": doc_id,
-                    "media_type": media_type,
-                    "n_bytes": n,
-                    "width": 64 + b[0] % 64 if n else 0,
-                    "height": 64 + b[-1] % 64 if n else 0,
-                    "n_frames": 1 if media_type == "image" else 1 + n % 48,
-                    "checksum": hashlib.md5(b).hexdigest(),
-                }
-            )
-        yield pd.DataFrame(out)
+        payloads = pdf["payload"].map(bytes)
+        n = payloads.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": n,
+                "width": payloads.map(lambda b: 64 + b[0] % 64 if b else 0),
+                "height": payloads.map(lambda b: 64 + b[-1] % 64 if b else 0),
+                "n_frames": (1 + n % 48).where(pdf["media_type"] != "image", 1),
+                "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
 
 
 def decode_media(docs_with_payload: DataFrame) -> DataFrame:

@@ -38,6 +38,21 @@ _DIM_OFF = 32
 _TOPK_QUERIES = 10
 _TOPK = 5
 
+#: (session id, sf_dir) → persisted (vec_id, embedding, sig) frame reused
+#: by every bucketed operator (signature computed once per session/scale).
+_SIG_CACHE: dict[tuple[int, str], "DataFrame"] = {}
+
+
+def _signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SIG_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        _SIG_CACHE[key] = e.select(
+            "vec_id", "embedding", "label",
+            _signature_spark("embedding").alias("sig"),
+        ).persist()
+    return _SIG_CACHE[key]
+
 
 def _dot(a: str, b: str) -> Column:
     """Σ aᵢ·bᵢ as an in-order double fold (matches DuckDB list_dot_product
@@ -140,9 +155,9 @@ def sim_lsh_bucket_stats(spark, sf_dir):
     """LSH bucket histogram — the partitioning the scale path relies on.
     At billions of vectors, widen _SIG_BITS and repartition by bucket so
     candidate generation is a per-bucket local problem."""
-    e = load_table(spark, sf_dir, "embeddings").alias("a")
     return (
-        e.select("vec_id", "label", _signature_spark("embedding").alias("bucket"))
+        _signed_embeddings(spark, sf_dir)
+        .select("vec_id", "label", F.col("sig").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -170,13 +185,14 @@ def sim_lsh_bucketed_topk(spark, sf_dir):
     The join is keyed on the signature — a shuffle of ids+vectors by
     bucket, never an N×N cross join. Recall < 1 by design; raise recall
     with multi-probe (flip one signature bit) or more tables."""
-    e = load_table(spark, sf_dir, "embeddings")
-    sig = _signature_spark("embedding")
+    e = _signed_embeddings(spark, sf_dir)
     a = e.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("va"), sig.alias("sig_a")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("va"),
+        F.col("sig").alias("sig_a"),
     ).filter(F.col("qid") < 50)
     b = e.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"), sig.alias("sig_b")
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"),
+        F.col("sig").alias("sig_b"),
     )
     cos = cosine("va", "vb")
     w = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("nid"))
@@ -207,13 +223,14 @@ def dedup_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup suite, semantic leg):
     cosine ≥ τ among same-LSH-bucket pairs. The threshold filter is applied
     to the 6-dp-rounded score so both engines cut identically."""
-    e = load_table(spark, sf_dir, "embeddings")
-    sig = _signature_spark("embedding")
+    e = _signed_embeddings(spark, sf_dir)
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), sig.alias("sig_a")
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("sig").alias("sig_a"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), sig.alias("sig_b")
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("sig").alias("sig_b"),
     )
     cos = cosine("va", "vb")
     return (

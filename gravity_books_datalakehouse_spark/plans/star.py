@@ -41,8 +41,30 @@ def _money(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
 
 
-def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Build the five star tables as lazy DataFrames."""
+#: (session id, sf_dir) → persisted star tables. The five reference
+#: queries (and any user session) share one materialization of the star —
+#: the reference gets the same effect from its gold-layer Parquet
+#: round-trip; here persist() keeps it columnar in executor memory/disk.
+_STAR_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def build_star(
+    spark: SparkSession, sf_dir: str, *, cache: bool = True
+) -> dict[str, DataFrame]:
+    """Build the five star tables as lazy DataFrames (memoized+persisted
+    per session/scale; pass cache=False for a fresh un-persisted plan)."""
+    key = (id(spark), sf_dir)
+    if cache and key in _STAR_CACHE:
+        return _STAR_CACHE[key]
+    tables = _build_star_plans(spark, sf_dir)
+    if cache:
+        for df in tables.values():
+            df.persist()
+        _STAR_CACHE[key] = tables
+    return tables
+
+
+def _build_star_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")

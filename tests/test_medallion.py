@@ -1,0 +1,67 @@
+"""Medallion pipeline: layer materialization + gold ≡ in-memory star."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.medallion import (
+    register_gold_views,
+    run_medallion,
+)
+from gravity_books_datalakehouse_spark.plans.star import build_star, q1_monthly_sales
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    lake_dir = str(tmp_path_factory.mktemp("lake"))
+    paths = run_medallion(spark, SF_SMOKE, lake_dir)
+    return lake_dir, paths
+
+
+def test_all_layers_written(spark, lake):
+    lake_dir, paths = lake
+    assert len([k for k in paths if k.startswith("bronze/")]) == 10
+    assert len([k for k in paths if k.startswith("silver/")]) == 5
+    assert len([k for k in paths if k.startswith("gold/")]) == 5
+
+
+def test_gold_fact_matches_star(spark, lake):
+    lake_dir, _ = lake
+    star_fact = build_star(spark, SF_SMOKE)["fact_sales"]
+    gold_fact = spark.read.parquet(f"{lake_dir}/gold/fact_sales")
+    assert gold_fact.count() == star_fact.count()
+    # partition column materialized and consistent with date_sk
+    bad = gold_fact.filter(
+        F.col("month_sk") != (F.col("date_sk") / 100).cast("int")
+    ).count()
+    assert bad == 0
+
+
+def test_gold_views_answer_q1(spark, lake):
+    lake_dir, _ = lake
+    register_gold_views(spark, lake_dir)
+    via_views = spark.sql(
+        """SELECT d.year_val, d.month_val, d.month_name,
+                  COUNT(f.part_sk) AS num_sold,
+                  CAST(SUM(CAST(f.extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM fact_sales f JOIN dim_date d ON f.date_sk = d.date_sk
+           GROUP BY d.year_val, d.month_val, d.month_name
+           ORDER BY d.year_val, d.month_val"""
+    ).collect()
+    via_star = q1_monthly_sales(spark, SF_SMOKE).collect()
+    assert via_views == via_star
+
+
+def test_partition_pruning_on_gold_fact(spark, lake):
+    """A month predicate must prune partitions at the scan."""
+    lake_dir, _ = lake
+    fact = spark.read.parquet(f"{lake_dir}/gold/fact_sales")
+    one_month = fact.filter(F.col("month_sk") == 199501)
+    plan = one_month._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    partition_filters = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "month_sk" in partition_filters
+    assert one_month.count() > 0
