@@ -498,3 +498,51 @@ def op_w_running_total(spark, sf_dir):
         F.col("month_rev").cast("double").alias("month_rev"),
         F.sum("month_rev").over(w).cast("double").alias("cumulative_rev"),
     ).orderBy("ym")
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation: rollup / cube (engine completeness; the
+# reference has no grouping sets — SURVEY.md §2.4 notes their absence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_a_rollup",
+    """SELECT o_orderstatus, o_orderpriority,
+              GROUPING(o_orderstatus, o_orderpriority) AS gid,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+)
+def op_a_rollup(spark, sf_dir):
+    """ROLLUP with grouping_id — subtotal hierarchy (status → priority →
+    grand total) in one pass; Spark expands grouping sets before the hash
+    aggregate, so it is still a single shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money("o_totalprice")).cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "op_a_cube",
+    """SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag, l_linestatus) AS gid,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def op_a_cube(spark, sf_dir):
+    """CUBE over two low-cardinality flags — all 2² grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )

@@ -1,0 +1,96 @@
+"""Unit tests for the operator library over tiny local frames
+(SURVEY.md §5: per-operator unit tests alongside the differential gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.operators import (
+    add_surrogate_key,
+    cast_columns,
+    distinct_rows,
+    drop_null_rows,
+    equi_join,
+    group_concat_sorted,
+    project,
+    rename,
+    top_k,
+)
+from gravity_books_datalakehouse_spark.operators.skew import salted_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_project_rename_cast(spark):
+    df = _df(spark, [(1, "a", "2.5")], "id int, name string, amt string")
+    out = cast_columns(rename(project(df, ["id", "amt"]), {"amt": "amount"}),
+                       {"amount": "double"})
+    assert out.columns == ["id", "amount"]
+    assert out.first().amount == 2.5
+
+
+def test_drop_null_rows_subset(spark):
+    df = _df(spark, [(1, None), (2, 3)], "a int, b int")
+    assert drop_null_rows(df, ["b"]).count() == 1
+    assert drop_null_rows(df).count() == 1
+
+
+def test_equi_join_differing_keys_left(spark):
+    left = _df(spark, [(1, 10), (2, 99)], "id int, method_id int")
+    right = _df(spark, [(10, "std")], "mid int, name string")
+    out = equi_join(left, right, left.method_id == right.mid, "left",
+                    broadcast_right=True)
+    rows = {r.id: r.name for r in out.collect()}
+    assert rows == {1: "std", 2: None}
+
+
+def test_group_concat_sorted_defined_order(spark):
+    df = _df(spark, [(1, "b"), (1, "a"), (2, "z")], "k int, v string")
+    out = {r.k: r.names for r in
+           group_concat_sorted(df, ["k"], "v", alias="names").collect()}
+    assert out == {1: "a, b", 2: "z"}
+
+
+def test_distinct_rows_projection(spark):
+    df = _df(spark, [(1, "x", 9), (1, "x", 8)], "a int, b string, c int")
+    assert distinct_rows(df, ["a", "b"]).count() == 1
+
+
+def test_top_k_tiebreak(spark):
+    df = _df(spark, [(1, 5), (2, 5), (3, 1)], "id int, score int")
+    rows = top_k(df, [F.desc("score"), F.asc("id")], 2).collect()
+    assert [r.id for r in rows] == [1, 2]
+
+
+def test_surrogate_key_row_number_dense(spark):
+    df = _df(spark, [("c",), ("a",), ("b",)], "k string")
+    out = add_surrogate_key(df, "k", "sk")
+    rows = {r.k: r.sk for r in out.collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}
+    assert out.columns[0] == "sk"
+
+
+def test_surrogate_key_zip_index_matches_row_number(spark):
+    df = _df(spark, [(x,) for x in "fedcba"], "k string")
+    rn = {r.k: r.sk for r in add_surrogate_key(df, "k", "sk").collect()}
+    zi = {r.k: r.sk for r in
+          add_surrogate_key(df, "k", "sk", method="zip_index").collect()}
+    assert rn == zi
+
+
+def test_surrogate_key_hash_stable_not_dense(spark):
+    df = _df(spark, [("a",), ("b",)], "k string")
+    h1 = {r.k: r.sk for r in add_surrogate_key(df, "k", "sk", method="hash").collect()}
+    h2 = {r.k: r.sk for r in add_surrogate_key(df, "k", "sk", method="hash").collect()}
+    assert h1 == h2
+    assert len(set(h1.values())) == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = _df(spark, [(1, i) for i in range(50)] + [(2, 0)], "k int, v int")
+    dim = _df(spark, [(1, "hot"), (2, "cold"), (3, "unused")], "k int, label string")
+    plain = fact.join(dim, "k").groupBy("label").count().collect()
+    salted = salted_join(fact, dim, "k").groupBy("label").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))

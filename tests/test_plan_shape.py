@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the plans we want at 100 TB, asserted.
+
+Correctness says what a query returns; these tests pin HOW it runs —
+broadcast dims (no fact shuffle to meet a lookup table), pruned Parquet
+scans, pushed-down predicates, top-k as TakeOrderedAndProject. A change
+that silently degrades any of these fails here, not in a 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.star import build_star, q1_monthly_sales
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_star_q1_all_dim_joins_broadcast(spark):
+    plan = _executed_plan(q1_monthly_sales(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_projection_prunes_parquet_scan(spark):
+    df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _executed_plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey")
+    )
+    plan = _executed_plan(df)
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "GreaterThan(l_quantity,30" in pushed
+    # the toString rendering truncates long filter lists — accept a prefix
+    assert "EqualTo(l_returnfl" in pushed
+
+
+def test_topk_plans_as_take_ordered(spark):
+    df = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(5)
+    )
+    assert "TakeOrderedAndProject" in _executed_plan(df)
+
+
+def test_fact_build_has_no_fact_side_sort_merge(spark):
+    fact = build_star(spark, SF_SMOKE, cache=False)["fact_sales"]
+    plan = _executed_plan(fact)
+    # every dim lookup must broadcast; the only allowed shuffle-heavy join
+    # is lineitem ⋈ orders, and at this size it broadcasts too
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_group_concat_is_native_no_python_udf(spark):
+    from gravity_books_datalakehouse_spark.operators.aggregates import (
+        group_concat_sorted,
+    )
+
+    df = group_concat_sorted(
+        load_table(spark, SF_SMOKE, "nation"), ["n_regionkey"], "n_name"
+    )
+    plan = _executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    df = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = _optimized_plan(df)
+    # physical: two HashAggregates (partial + final) around the exchange
+    phys = _executed_plan(df)
+    assert phys.count("HashAggregate") >= 2

@@ -47,3 +47,48 @@ def test_stream_equals_batch(spark, event_source_dir):
     )
     assert len(streamed) > 0
     assert streamed == batch
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches."""
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        running_type_totals,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    base = load_events(spark, SF_SMOKE)
+    base.limit(400).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_type_totals(stream)
+        .writeStream.format("memory")
+        .queryName("type_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per type must equal the batch totals over the same input
+    got = {
+        r.event_type: r.n_events
+        for r in spark.sql(
+            """SELECT event_type, n_events FROM (
+                 SELECT *, row_number() OVER (PARTITION BY event_type
+                                              ORDER BY n_events DESC) rn
+                 FROM type_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.event_type: r.cnt
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
