@@ -49,20 +49,28 @@ def token_rows(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per doc via windowed lead (k=3).
+    """Distinct word k-shingles per doc, built array-side (k=3).
 
-    ``concat`` (not concat_ws) so a shingle that runs off the document end
-    becomes NULL and is filtered — the DuckDB twin's ``||`` has identical
-    NULL semantics. The window is partitioned by doc_id: fully parallel.
+    Implemented as a ``transform`` over the token array (sliding window by
+    index) rather than posexplode + windowed lead: no per-doc sort, no
+    window exchange — the whole shingle construction stays inside
+    whole-stage codegen and the only shuffle is the final distinct.
+    The DuckDB oracle builds the same sets with window lead(); the
+    *outputs* are identical (distinct (doc_id, shingle) sets), which is
+    what the contract compares.
     """
-    t = token_rows(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts: list[F.Column] = [F.col("tok")]
-    for i in range(1, k):
-        parts += [F.lit(" "), F.lead("tok", i).over(w)]
+    toks = tokens_col()
+    n_windows = F.size(toks) - (k - 1)
+    idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + off) for off in range(k)]
+    )
     return (
-        t.select("doc_id", F.concat(*parts).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
+        docs.select(
+            "doc_id", F.explode(F.transform(idx, shingle_at)).alias("shingle")
+        )
         .distinct()
     )
 
