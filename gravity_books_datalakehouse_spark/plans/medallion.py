@@ -156,3 +156,27 @@ def register_gold_views(spark: SparkSession, lake_dir: str) -> None:
     """S6 — gold tables as SQL views (test_queries.py:91-95 analog)."""
     for name in ("dim_customer", "dim_part", "dim_priority", "dim_date", "fact_sales"):
         spark.read.parquet(_path(lake_dir, "gold", name)).createOrReplaceTempView(name)
+
+
+def append_fact_increment(
+    spark: SparkSession, lake_dir: str, new_fact: DataFrame
+) -> None:
+    """Incremental gold maintenance: upsert new fact rows by month partition.
+
+    The reference full-refreshes every run (etl_lakehouse.py:21-35
+    truncates all layers). At 100 TB a daily load must touch only the
+    partitions that changed: dynamic partition overwrite replaces exactly
+    the month partitions present in ``new_fact`` and leaves the rest of
+    the table untouched (no Delta/Iceberg dependency; with those formats
+    this becomes MERGE INTO).
+
+    ``new_fact`` must carry the fact schema incl. date_sk; month_sk is
+    (re)derived here to guarantee partition consistency.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    incr = new_fact.withColumn("month_sk", (F.col("date_sk") / 100).cast("int"))
+    (
+        incr.write.mode("overwrite")
+        .partitionBy("month_sk")
+        .parquet(_path(lake_dir, "gold", "fact_sales"))
+    )

@@ -65,3 +65,32 @@ def test_partition_pruning_on_gold_fact(spark, lake):
     partition_filters = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "month_sk" in partition_filters
     assert one_month.count() > 0
+
+
+def test_incremental_append_touches_only_target_partition(spark, lake):
+    from gravity_books_datalakehouse_spark.plans.medallion import (
+        append_fact_increment,
+    )
+
+    lake_dir, _ = lake
+    fact_path = f"{lake_dir}/gold/fact_sales"
+    before = spark.read.parquet(fact_path)
+    months = sorted(
+        r.month_sk for r in before.select("month_sk").distinct().collect()
+    )
+    target, untouched = months[0], months[1]
+    n_target_before = before.filter(F.col("month_sk") == target).count()
+    n_untouched_before = before.filter(F.col("month_sk") == untouched).count()
+
+    # replacement increment for the target month: single synthetic row
+    incr = spark.createDataFrame(
+        [(1, 1, 1, target * 100 + 1, 1.0, 10.0, 0.0, 0.0)],
+        "customer_sk int, part_sk int, priority_sk int, date_sk int, "
+        "quantity double, extendedprice double, discount double, tax double",
+    )
+    append_fact_increment(spark, lake_dir, incr)
+
+    after = spark.read.parquet(fact_path)
+    assert after.filter(F.col("month_sk") == target).count() == 1
+    assert after.filter(F.col("month_sk") == untouched).count() == n_untouched_before
+    assert n_target_before > 1  # it really replaced a populated partition
