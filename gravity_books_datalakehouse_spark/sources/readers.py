@@ -53,3 +53,34 @@ def read_jdbc_table(
             .option("numPartitions", str(num_partitions or 32))
         )
     return reader.load()
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV scan with declared schema (never inferSchema at scale — schema
+    inference is an extra full pass over 100 TB). ``mode`` PERMISSIVE
+    nulls malformed columns; DROPMALFORMED / FAILFAST for stricter loads.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSON-lines scan with declared schema (same no-inference rule)."""
+    return spark.read.schema(schema).option("mode", mode).json(path)

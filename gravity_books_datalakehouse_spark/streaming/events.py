@@ -88,3 +88,46 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_gold(
+    spark: SparkSession,
+    source_dir: str,
+    gold_path: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821
+    """Continuously maintain a gold hourly-aggregate table from the event
+    stream: watermarked windowed aggregation → foreachBatch upsert into a
+    date-partitioned Parquet table (dynamic partition overwrite — the
+    Delta-less MERGE used across this repo, plans/medallion.py).
+
+    foreachBatch gives exactly-once-per-epoch batch semantics against the
+    checkpoint: each micro-batch rewrites only the day partitions it
+    touches. This is the streaming leg of the medallion architecture —
+    bronze events in, gold aggregates continuously fresh.
+    """
+    from pyspark.sql import functions as F
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn(
+                "day_sk",
+                F.date_format("window_start", "yyyyMMdd").cast("int"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("day_sk")
+            .parquet(gold_path)
+        )
+
+    events = read_event_stream(spark, source_dir)
+    return (
+        windowed_counts(events)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -92,3 +92,24 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_to_gold_materializes_partitioned_aggregates(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.streaming.events import stream_to_gold
+
+    src = str(tmp_path / "gold_src")
+    load_events(spark, SF_SMOKE).coalesce(2).write.mode("overwrite").parquet(src)
+    gold = str(tmp_path / "gold_hourly")
+    q = stream_to_gold(spark, src, gold, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(gold)
+    assert "day_sk" in out.columns
+    # totals must equal the batch aggregation over the same input
+    want = (
+        windowed_counts(load_events(spark, SF_SMOKE).withWatermark("ts", "1 hour"))
+        .agg(F.sum("n_events").alias("s"))
+        .first().s
+    )
+    got = out.agg(F.sum("n_events").alias("s")).first().s
+    assert got == want
