@@ -546,3 +546,100 @@ def op_a_cube(spark, sf_dir):
         .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
         .select("l_returnflag", "l_linestatus", "gid", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Richer analytics shapes (TPC-H-style; beyond the reference's 5 queries)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_revenue_range_filter",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+         AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+         AND l_discount BETWEEN 0.02 AND 0.09
+         AND l_quantity < 24""",
+)
+def q_revenue_range_filter(spark, sf_dir):
+    """TPC-H q6 shape: pure scan + range predicates + global agg. Every
+    predicate reaches the Parquet scan; zero joins, one partial+final agg
+    — the cheapest possible plan for a 100 TB revenue probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_money("l_extendedprice") * _money("l_discount"))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_top_urgent_orders",
+    """SELECT o.o_orderkey, c.c_mktsegment,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS order_value
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O'
+       GROUP BY o.o_orderkey, c.c_mktsegment
+       ORDER BY order_value DESC, o.o_orderkey ASC
+       LIMIT 10""",
+)
+def q_top_urgent_orders(spark, sf_dir):
+    """TPC-H q3 shape: selective dim filters, 3-way join, grouped revenue,
+    top-k. Order/status predicates prune the orders scan before the join;
+    customer joins broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.sum(
+        _money("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(value.alias("order_value"))
+        .orderBy(F.desc("order_value"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "op_profile_columns",
+    """SELECT 'o_totalprice' AS column_name,
+              COUNT(*) AS n_rows,
+              COUNT(o_totalprice) AS n_non_null,
+              CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+              CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_val,
+              COUNT(DISTINCT o_custkey) AS n_distinct_custkey
+       FROM orders""",
+)
+def op_profile_columns(spark, sf_dir):
+    """Data-quality profiling (Deequ-lite): row/null/min/max/distinct in a
+    single scan — the validation pass a lakehouse runs after every load.
+    One pass, one partial+final agg, no matter the table size."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.lit("o_totalprice").alias("column_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_non_null"),
+        F.min(_money("o_totalprice")).cast("double").alias("min_val"),
+        F.max(_money("o_totalprice")).cast("double").alias("max_val"),
+        F.countDistinct("o_custkey").alias("n_distinct_custkey"),
+    )
