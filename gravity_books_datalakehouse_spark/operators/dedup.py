@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gravity_books_datalakehouse_spark.plans._cache import session_key
 from gravity_books_datalakehouse_spark.plans.operator_queries import register
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 from gravity_books_datalakehouse_spark.operators.text import (
@@ -44,7 +45,7 @@ from gravity_books_datalakehouse_spark.operators.text import (
 NUM_PERM = 8
 BAND_SIZE = 1
 
-#: (session id, sf_dir) → persisted shingle / candidate-pair frames.
+#: (applicationId, sf_dir) → persisted shingle / candidate-pair frames.
 #: The generate-then-verify split runs the expensive shingle+minhash
 #: pipeline once per session/scale; verify stages reuse the persisted
 #: intermediates (the 100 TB equivalent is a checkpointed silver table).
@@ -53,7 +54,7 @@ _PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = session_key(spark, sf_dir)
     if key not in _SHINGLE_CACHE:
         _SHINGLE_CACHE[key] = shingles(
             load_table(spark, sf_dir, "documents")
@@ -129,7 +130,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     16-byte digest with ~uniform distribution — no skew, broadcast-free,
     scales linearly in corpus size.
     """
-    key = (id(spark), sf_dir)
+    key = session_key(spark, sf_dir)
     if key in _PAIR_CACHE:
         return _PAIR_CACHE[key]
     sigs = minhash_signatures(_cached_shingles(spark, sf_dir))
@@ -255,5 +256,38 @@ def dedup_simhash(spark, sf_dir):
             F.sum(F.when(F.col("charge") > 0, weight).otherwise(0))
             .cast("bigint")
             .alias("simhash")
+        )
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    _MINHASH_SQL + """
+  SELECT d.source,
+         COUNT(DISTINCT d.doc_id) AS n_docs,
+         COUNT(DISTINCT p.doc_a) AS n_docs_with_near_dup
+  FROM documents d
+  LEFT JOIN (SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs) p
+    ON d.doc_id = p.doc_a
+  GROUP BY d.source""",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Pipeline rollup: per ingestion source, how many docs have at least
+    one near-dup candidate — the dashboard number a data-curation team
+    watches. Joins the LSH candidate set back to document metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumnRenamed("doc_id", "doc_a")
+    )
+    return (
+        docs.join(dup_docs, docs.doc_id == dup_docs.doc_a, "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("doc_a").alias("n_docs_with_near_dup"),
         )
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gravity_books_datalakehouse_spark.plans._cache import session_key
 from gravity_books_datalakehouse_spark.plans.operator_queries import register
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
@@ -38,13 +39,13 @@ _DIM_OFF = 32
 _TOPK_QUERIES = 10
 _TOPK = 5
 
-#: (session id, sf_dir) → persisted (vec_id, embedding, sig) frame reused
+#: (applicationId, sf_dir) → persisted (vec_id, embedding, sig) frame reused
 #: by every bucketed operator (signature computed once per session/scale).
 _SIG_CACHE: dict[tuple[int, str], "DataFrame"] = {}
 
 
 def _signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = session_key(spark, sf_dir)
     if key not in _SIG_CACHE:
         e = load_table(spark, sf_dir, "embeddings")
         _SIG_CACHE[key] = e.select(

@@ -222,3 +222,41 @@ def text_fingerprint(spark, sf_dir):
         .join(fp_shingle, "doc_id", "left")
         .select("doc_id", "fp_md5", "fp_shingle")
     )
+
+
+@register(
+    "text_top_bigrams",
+    f"""SELECT bigram, COUNT(*) AS n_docs
+       FROM (
+         SELECT DISTINCT doc_id, bigram FROM (
+           SELECT doc_id,
+                  unnest([toks[i] || ' ' || toks[i+1]
+                          for i in generate_series(1, len(toks)-1)]) AS bigram
+           FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+         )
+       )
+       GROUP BY bigram
+       ORDER BY n_docs DESC, bigram ASC
+       LIMIT 20""",
+)
+def text_top_bigrams(spark, sf_dir):
+    """Top-20 bigrams by document frequency — n-gram extraction as a
+    corpus-statistics pass (the vocabulary-building step of a tokenizer
+    pipeline). Array-side construction; one distinct + one count shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks) - 1
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    )
+    return (
+        docs.select("doc_id", F.explode(F.transform(idx, bigram_at)).alias("bigram"))
+        .distinct()
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -60,6 +60,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         multimodal,
+        grouped_map,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,

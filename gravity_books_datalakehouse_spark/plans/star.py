@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gravity_books_datalakehouse_spark.plans._cache import session_key
 from gravity_books_datalakehouse_spark.functions.datekit import date_dim_from_bounds
 from gravity_books_datalakehouse_spark.operators.joins import equi_join
 from gravity_books_datalakehouse_spark.operators.surrogate_keys import add_surrogate_key
@@ -41,7 +42,7 @@ def _money(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
 
 
-#: (session id, sf_dir) → persisted star tables. The five reference
+#: (applicationId, sf_dir) → persisted star tables. The five reference
 #: queries (and any user session) share one materialization of the star —
 #: the reference gets the same effect from its gold-layer Parquet
 #: round-trip; here persist() keeps it columnar in executor memory/disk.
@@ -53,7 +54,7 @@ def build_star(
 ) -> dict[str, DataFrame]:
     """Build the five star tables as lazy DataFrames (memoized+persisted
     per session/scale; pass cache=False for a fresh un-persisted plan)."""
-    key = (id(spark), sf_dir)
+    key = session_key(spark, sf_dir)
     if cache and key in _STAR_CACHE:
         return _STAR_CACHE[key]
     tables = _build_star_plans(spark, sf_dir)

@@ -1,0 +1,48 @@
+"""AQE skew-join: a hot key must be split at runtime (skew=true in the
+final adaptive plan) — the zero-code answer to fact-side skew that
+operators/skew.py's salting complements."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture
+def skew_session_confs(spark):
+    """Aggressive AQE thresholds so a local-scale skew triggers the
+    optimization (production defaults target multi-GB partitions)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is not None:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark, skew_session_confs):
+    # ~95% of left rows on ONE key: that key's shuffle partition is ~100x
+    # the median and must be split
+    left = spark.range(60_000).select(
+        F.when(F.col("id") < 57_000, 0).otherwise(F.col("id") % 200).alias("k"),
+        F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+    )
+    right = spark.range(200).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+    # no aggregation downstream: a skew split duplicates partitions, so AQE
+    # only applies it when nothing downstream requires the hash distribution
+    joined = left.join(right, "k")
+    # execute THIS dataframe's own query execution so AQE finalizes it
+    rows = joined.collect()
+    assert len(rows) == 60_000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, f"AQE did not mark skew:\n{plan[:1500]}"
