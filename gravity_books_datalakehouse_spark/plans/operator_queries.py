@@ -61,6 +61,7 @@ def _ensure_loaded() -> None:
         text,
         multimodal,
         grouped_map,
+        asof,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,
@@ -643,4 +644,57 @@ def op_profile_columns(spark, sf_dir):
         F.min(_money("o_totalprice")).cast("double").alias("min_val"),
         F.max(_money("o_totalprice")).cast("double").alias("max_val"),
         F.countDistinct("o_custkey").alias("n_distinct_custkey"),
+    )
+
+
+@register(
+    "op_pivot_event_counts",
+    """SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+       FROM events GROUP BY user_id""",
+)
+def op_pivot_event_counts(spark, sf_dir):
+    """Pivot (long→wide): per-user event-type counts. The explicit value
+    list keeps the output schema static — mandatory at scale (a dynamic
+    pivot needs an extra distinct pass and breaks schema stability)."""
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@register(
+    "op_percentiles_exact",
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.25), 6) AS p25,
+              ROUND(quantile_cont(value, 0.50), 6) AS p50,
+              ROUND(quantile_cont(value, 0.90), 6) AS p90
+       FROM events GROUP BY event_type""",
+)
+def op_percentiles_exact(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group — Spark
+    ``percentile`` vs DuckDB ``quantile_cont``, two independent
+    implementations of the same estimator. At 100 TB swap for
+    ``percentile_approx`` (t-digest sketch, single pass, bounded memory) —
+    same call shape, sketch-accuracy trade documented here."""
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
     )
