@@ -131,3 +131,15 @@ def stream_to_gold(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def deduped_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup on event_id within the watermark horizon —
+    the at-least-once → effectively-once repair for sources that redeliver
+    (Kafka producer retries, file re-drops). State holds one key per
+    event_id seen within the watermark and is evicted as event time
+    advances; without the watermark bound the state would grow forever.
+    Batch twin: dropDuplicates (operators/dedup.py exact dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

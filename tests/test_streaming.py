@@ -113,3 +113,43 @@ def test_stream_to_gold_materializes_partitioned_aggregates(spark, tmp_path):
     )
     got = out.agg(F.sum("n_events").alias("s")).first().s
     assert got == want
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Duplicate event_ids redelivered in a later micro-batch (within the
+    watermark) must be dropped."""
+    import datetime as dt
+    from gravity_books_datalakehouse_spark.streaming.events import (
+        EVENT_SCHEMA,
+        deduped_event_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "dedup_src")
+    rows1 = [(i, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+             for i in range(10)]
+    # batch 2 redelivers ids 5..9 and adds 10..12
+    rows2 = [(i, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+             for i in range(5, 13)]
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/d1")
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/d2")
+
+    import glob as g, shutil, time, os
+    merged = str(tmp_path / "dedup_merged")
+    os.makedirs(merged)
+    f1 = shutil.copy(g.glob(src + "/d1/part-*.parquet")[0], merged + "/01.parquet")
+    f2 = shutil.copy(g.glob(src + "/d2/part-*.parquet")[0], merged + "/02.parquet")
+    now = time.time()
+    os.utime(f1, (now - 100, now - 100)); os.utime(f2, (now, now))
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(merged))
+    q = (deduped_event_stream(stream)
+         .writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_stream").collect()]
+    assert sorted(ids) == list(range(13))  # 13 unique, no redelivered dupes
+    assert len(ids) == len(set(ids))
