@@ -59,7 +59,11 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     *outputs* are identical (distinct (doc_id, shingle) sets), which is
     what the contract compares.
     """
-    toks = tokens_col()
+    # materialize the token array ONCE per row behind a projection
+    # boundary — referencing tokens_col() inside the transform lambda
+    # would re-run the regex split for every element (O(tokens²)/doc)
+    tokenized = docs.select("doc_id", tokens_col().alias("toks"))
+    toks = F.col("toks")
     n_windows = F.size(toks) - (k - 1)
     idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
         F.array().cast("array<int>")
@@ -68,7 +72,7 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
         " ", *[F.element_at(toks, i + off) for off in range(k)]
     )
     return (
-        docs.select(
+        tokenized.select(
             "doc_id", F.explode(F.transform(idx, shingle_at)).alias("shingle")
         )
         .distinct()
@@ -243,8 +247,13 @@ def text_top_bigrams(spark, sf_dir):
     """Top-20 bigrams by document frequency — n-gram extraction as a
     corpus-statistics pass (the vocabulary-building step of a tokenizer
     pipeline). Array-side construction; one distinct + one count shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
+    # token array materialized once per row (projection boundary — see
+    # shingles()); per-doc dedup happens ARRAY-side (array_distinct, no
+    # shuffle); the only exchange is the final doc-frequency groupBy
+    tokenized = load_table(spark, sf_dir, "documents").select(
+        tokens_col().alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks) - 1
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
@@ -253,8 +262,9 @@ def text_top_bigrams(spark, sf_dir):
         " ", F.element_at(toks, i), F.element_at(toks, i + 1)
     )
     return (
-        docs.select("doc_id", F.explode(F.transform(idx, bigram_at)).alias("bigram"))
-        .distinct()
+        tokenized.select(
+            F.explode(F.array_distinct(F.transform(idx, bigram_at))).alias("bigram")
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("bigram"))

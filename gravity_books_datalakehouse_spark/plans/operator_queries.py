@@ -62,6 +62,7 @@ def _ensure_loaded() -> None:
         multimodal,
         grouped_map,
         asof,
+        sketches,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,
