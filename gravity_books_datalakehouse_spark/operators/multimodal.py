@@ -140,3 +140,43 @@ def mm_frame_sample(spark, sf_dir):
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(8))
         ).alias("frame_idx"),
     )
+
+
+def decode_media_arrow_batch(batches):
+    """mapInArrow variant of the decode kernel: consumes/produces raw
+    pyarrow RecordBatches — no pandas materialization at all, the lowest
+    overhead Python batch path (useful when the real codec consumes
+    buffers directly, e.g. libjpeg/ffmpeg bindings over Arrow memory)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    for batch in batches:
+        payloads = batch.column("payload").to_pylist()
+        media = batch.column("media_type").to_pylist()
+        n = [len(b) for b in payloads]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_type": batch.column("media_type"),
+                "n_bytes": pa.array(n, pa.int32()),
+                "width": pa.array(
+                    [64 + b[0] % 64 if b else 0 for b in payloads], pa.int32()
+                ),
+                "height": pa.array(
+                    [64 + b[-1] % 64 if b else 0 for b in payloads], pa.int32()
+                ),
+                "n_frames": pa.array(
+                    [1 if m == "image" else 1 + k % 48 for m, k in zip(media, n)],
+                    pa.int32(),
+                ),
+                "checksum": pa.array(
+                    [hashlib.md5(b).hexdigest() for b in payloads], pa.string()
+                ),
+            }
+        )
+
+
+def decode_media_arrow(docs_with_payload: DataFrame) -> DataFrame:
+    """decode_media, but through mapInArrow (same output contract)."""
+    return docs_with_payload.mapInArrow(decode_media_arrow_batch, schema=DECODE_SCHEMA)

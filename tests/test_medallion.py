@@ -94,3 +94,62 @@ def test_incremental_append_touches_only_target_partition(spark, lake):
     assert after.filter(F.col("month_sk") == target).count() == 1
     assert after.filter(F.col("month_sk") == untouched).count() == n_untouched_before
     assert n_target_before > 1  # it really replaced a populated partition
+
+
+GOLD_QUERIES_SQL = {
+    # the 5 reference-shape queries over gold views — executable verbatim
+    # by Spark (temp views) AND DuckDB (views over the same parquet files),
+    # mirroring test_queries/test_queries.py:70-101 in the reference
+    "g1": """SELECT d.year_val, d.month_val, d.month_name,
+                    COUNT(f.part_sk) AS num_sold,
+                    CAST(SUM(CAST(f.extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             FROM fact_sales f JOIN dim_date d ON f.date_sk = d.date_sk
+             GROUP BY d.year_val, d.month_val, d.month_name
+             ORDER BY d.year_val, d.month_val""",
+    "g2": """SELECT f.part_sk, p.p_name, p.p_brand, COUNT(f.part_sk) AS units_sold
+             FROM fact_sales f JOIN dim_part p ON f.part_sk = p.part_sk
+             GROUP BY f.part_sk, p.p_name, p.p_brand
+             ORDER BY units_sold DESC, p.p_name ASC, f.part_sk ASC LIMIT 10""",
+    "g3": """SELECT f.customer_sk, c.c_name, c.nation_name,
+                    CAST(SUM(CAST(f.extendedprice AS DECIMAL(18,2)) *
+                             (1 - CAST(f.discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_spend
+             FROM fact_sales f JOIN dim_customer c ON f.customer_sk = c.customer_sk
+             GROUP BY f.customer_sk, c.c_name, c.nation_name
+             ORDER BY total_spend DESC, f.customer_sk ASC LIMIT 5""",
+    "g4": """SELECT c.nation_name,
+                    CAST(SUM(CAST(f.extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+             FROM fact_sales f JOIN dim_customer c ON f.customer_sk = c.customer_sk
+             GROUP BY c.nation_name
+             ORDER BY total_sales DESC, c.nation_name ASC""",
+    "g5": """SELECT p.order_priority, COUNT(*) AS num_uses
+             FROM fact_sales f JOIN dim_priority p ON f.priority_sk = p.priority_sk
+             GROUP BY p.order_priority
+             ORDER BY num_uses DESC, p.order_priority ASC""",
+}
+
+
+def test_all_five_reference_queries_on_gold_vs_duckdb(spark, lake):
+    """The reference harness architecture end-to-end (test_queries.py):
+    identical SQL strings run by two engines over the SAME materialized
+    gold parquet, compared cell-by-cell."""
+    import duckdb
+    import glob as g
+
+    lake_dir, _ = lake
+    register_gold_views(spark, lake_dir)
+    con = duckdb.connect()
+    for t in ("dim_customer", "dim_part", "dim_priority", "dim_date", "fact_sales"):
+        files = sorted(g.glob(f"{lake_dir}/gold/{t}/**/*.parquet", recursive=True))
+        assert files, t
+        # hive_partitioning restores month_sk from the fact's directory layout
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet({files!r}, hive_partitioning=true)"
+        )
+    from tests.conftest import normalize
+
+    for name, sql in GOLD_QUERIES_SQL.items():
+        got = normalize(spark.sql(sql).toPandas())
+        want = normalize(con.execute(sql).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        assert got.equals(want), f"{name} differs"
+    con.close()

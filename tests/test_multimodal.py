@@ -43,3 +43,14 @@ def test_decode_runs_partition_parallel(spark):
     """mapInPandas must not collapse partitioning."""
     docs = with_payload(load_table(spark, SF_SMOKE, "documents")).repartition(4)
     assert decode_media(docs).rdd.getNumPartitions() == 4
+
+
+def test_arrow_decode_matches_pandas_decode(spark):
+    from gravity_books_datalakehouse_spark.operators.multimodal import (
+        decode_media_arrow,
+    )
+
+    docs = with_payload(load_table(spark, SF_SMOKE, "documents"))
+    via_pandas = sorted(map(tuple, decode_media(docs).collect()))
+    via_arrow = sorted(map(tuple, decode_media_arrow(docs).collect()))
+    assert via_pandas == via_arrow
