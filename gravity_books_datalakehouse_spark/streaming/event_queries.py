@@ -121,3 +121,67 @@ def ev_type_value_stats(spark, sf_dir):
         sv.alias("sum_value"),
         F.round(sv / F.count(F.lit(1)), 6).alias("avg_value"),
     )
+
+
+@register(
+    "ev_funnel_signup_click_purchase",
+    """WITH s AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END) AS signup_ts
+         FROM events GROUP BY user_id
+       ),
+       c AS (
+         SELECT e.user_id,
+                MIN(e.ts::TIMESTAMP) AS click_ts
+         FROM events e JOIN s ON e.user_id = s.user_id
+         WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s.signup_ts
+         GROUP BY e.user_id
+       ),
+       p AS (
+         SELECT e.user_id,
+                MIN(e.ts::TIMESTAMP) AS purchase_ts
+         FROM events e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.click_ts
+         GROUP BY e.user_id
+       )
+       SELECT COUNT(s.signup_ts) AS n_signup,
+              COUNT(c.click_ts) AS n_click_after_signup,
+              COUNT(p.purchase_ts) AS n_purchase_after_click
+       FROM s
+       LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+       WHERE s.signup_ts IS NOT NULL""",
+)
+def ev_funnel_signup_click_purchase(spark, sf_dir):
+    """Funnel analytics: users progressing signup → first click after
+    signup → first purchase after that click. Three staged conditional
+    aggregations, each joined back — the standard ordered-event funnel
+    without a row-pattern engine. Each stage is one groupBy on user_id;
+    at scale all three reuse a single user_id-partitioned shuffle."""
+    e = load_events(spark, sf_dir)
+    s = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"))
+        .filter(F.col("signup_ts").isNotNull())
+    )
+    c = (
+        e.join(s, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("signup_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("signup_ts").alias("n_signup"),
+            F.count("click_ts").alias("n_click_after_signup"),
+            F.count("purchase_ts").alias("n_purchase_after_click"),
+        )
+    )
