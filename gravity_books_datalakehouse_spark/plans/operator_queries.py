@@ -699,3 +699,86 @@ def op_percentiles_exact(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
     )
+
+
+@register(
+    "q_nation_pair_flows",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              COUNT(*) AS n_lines,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM lineitem l
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       WHERE sn.n_name != cn.n_name
+       GROUP BY sn.n_name, cn.n_name
+       ORDER BY revenue DESC, supp_nation ASC, cust_nation ASC
+       LIMIT 25""",
+)
+def q_nation_pair_flows(spark, sf_dir):
+    """TPC-H q7 shape: cross-border revenue flows between (supplier
+    nation, customer nation) pairs — two independent dimension chains
+    hanging off the fact, all broadcast; the fact is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    revenue = F.sum(
+        _money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.count(F.lit(1)).alias("n_lines"), revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("supp_nation"), F.asc("cust_nation"))
+        .limit(25)
+    )
+
+
+@register(
+    "q_heavy_suppliers_semi",
+    """SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE s.s_suppkey IN (
+         SELECT l_suppkey FROM lineitem
+         GROUP BY l_suppkey
+         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >
+                (SELECT 0.5 * SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        / COUNT(DISTINCT l_suppkey) FROM lineitem)
+       )""",
+)
+def q_heavy_suppliers_semi(spark, sf_dir):
+    """TPC-H q20 shape: semi-join against an aggregated subquery with a
+    scalar-subquery threshold (suppliers moving > 50% of the mean
+    per-supplier volume). The threshold is one tiny scalar plan; the
+    HAVING filter reduces the semi-join build side before it broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    totals = li.groupBy("l_suppkey").agg(
+        F.sum(_money("l_quantity")).alias("vol")
+    )
+    thr = li.agg(
+        (F.lit(0.5) * F.sum(_money("l_quantity")).cast("double")
+         / F.countDistinct("l_suppkey")).alias("thr")
+    )
+    heavy = totals.crossJoin(F.broadcast(thr)).filter(
+        F.col("vol").cast("double") > F.col("thr")
+    ).select("l_suppkey")
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+    )
