@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         grouped_map,
         asof,
         sketches,
+        components,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,

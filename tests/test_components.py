@@ -1,0 +1,56 @@
+"""Connected components: known graphs + union-find oracle on real pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_components_on_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11} (pair), 20 isolated-by-self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_components_long_chain_converges(spark):
+    n = 40  # diameter 40 chain: exercises multi-round propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = {r.id: r.component for r in connected_components(edges, max_iter=50).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_dedup_clusters_match_union_find(spark):
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    pairs_df = dedup_minhash_lsh_pairs(spark, SF_SMOKE)
+    pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs_df).collect()}
+
+    # local union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
