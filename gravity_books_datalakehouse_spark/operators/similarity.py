@@ -239,3 +239,64 @@ def dedup_embedding_near_dup(spark, sf_dir):
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
     )
+
+
+def _probe_sigs_spark() -> F.Column:
+    """The query vector's probe set: its own signature + every 1-bit flip
+    (Hamming-1 multi-probe). Exploded query-side so the candidate join
+    stays a plain equi-join on the signature — never a nested-loop IN."""
+    sig = F.col("sig")
+    return F.array(sig, *[sig.bitwiseXOR(F.lit(1 << j)) for j in range(_SIG_BITS)])
+
+
+_PROBE_SQL = "[{}]".format(
+    ", ".join(["s"] + [f"xor(s, {1 << j})" for j in range(_SIG_BITS)])
+)
+
+
+@register(
+    "sim_lsh_multiprobe_topk",
+    f"""SELECT qid, nid, rank, cos_sim FROM (
+         SELECT a.vec_id AS qid, b.vec_id AS nid,
+                ROUND({_COS_SQL}, 6) AS cos_sim,
+                row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+         FROM (
+           SELECT vec_id, embedding,
+                  unnest({_PROBE_SQL.replace('s', 'sig')}) AS probe
+           FROM (SELECT e.vec_id, e.embedding, {_signature_sql('e')} AS sig
+                 FROM embeddings e WHERE e.vec_id < 50)
+         ) a
+         JOIN (SELECT e.vec_id, e.embedding, {_signature_sql('e')} AS sig
+               FROM embeddings e) b
+           ON a.probe = b.sig AND a.vec_id != b.vec_id
+       ) WHERE rank <= 3""",
+)
+def sim_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe ANN: each query additionally probes all Hamming-1
+    neighbor buckets (9 probes for 8 bits) — recall rises sharply for a
+    9x bounded candidate cost, with NO extra hash tables. Candidate
+    generation stays one equi-join on the signature."""
+    e = _signed_embeddings(spark, sf_dir)
+    a = (
+        e.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("va"),
+            F.explode(_probe_sigs_spark()).alias("probe"),
+        )
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"),
+        F.col("sig").alias("sig_b"),
+    )
+    cos = cosine("va", "vb")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("nid"))
+    return (
+        a.join(b, (F.col("probe") == F.col("sig_b")) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", cos.alias("cos_full"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", F.round("cos_full", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,36 @@
+"""ANN quality: multi-probe LSH recall must beat single-probe recall,
+measured against brute-force ground truth."""
+
+from __future__ import annotations
+
+import importlib
+
+from tests.conftest import SF_SMOKE
+
+entry_mod = importlib.import_module("__spark_entry__")
+
+
+def _topk_pairs(spark, name):
+    df = entry_mod.queries()[name](spark, SF_SMOKE)
+    return {(r.qid, r.nid) for r in df.collect() if r.qid < 50 and r.rank <= 3}
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    # ground truth: brute force computes exact top-5; take its top-3 pairs
+    truth = {
+        (r.qid, r.nid)
+        for r in entry_mod.queries()["sim_topk_cosine_bruteforce"](
+            spark, SF_SMOKE
+        ).collect()
+        if r.rank <= 3
+    }
+    single = _topk_pairs(spark, "sim_lsh_bucketed_topk")
+    multi = _topk_pairs(spark, "sim_lsh_multiprobe_topk")
+    # brute force covers qid<10 only; restrict comparison to those queries
+    truth_q = {q for q, _ in truth}
+    single = {(q, n) for q, n in single if q in truth_q}
+    multi = {(q, n) for q, n in multi if q in truth_q}
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single
+    assert recall_multi > 0
