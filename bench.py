@@ -43,22 +43,32 @@ def main() -> None:
     warm = spark.createDataFrame([(1,)], "x int")
     warm.mapInPandas(lambda it: it, schema="x int").collect()
 
+    from gravity_books_datalakehouse_spark.metrics import plan_metric_sum
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     total = 0.0
+    total_shuffle = 0
     for name in sorted(qs):
-        best, n = None, -1
+        best, n, df = None, -1, None
         # best-of-2: first run pays scan/materialization, second measures
         # the engine; reporting the min damps host-contention noise.
+        # toPandas() (not count()) so projections are actually evaluated
+        # and results fetched Arrow-batched — the end-to-end cost a user
+        # pays, and exactly how the driver harness consumes results.
         for _ in range(2):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
-            n = df.count()
+            n = len(df.toPandas())
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        sb = plan_metric_sum(df, "shuffleBytesWritten")
+        shuffle_bytes[name] = sb
+        total_shuffle += sb
         total += best
-        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s rows={n} shuffle={sb}B", file=sys.stderr)
 
     print(
         json.dumps(
@@ -68,6 +78,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "shuffle_bytes": shuffle_bytes,
+                "total_shuffle_bytes": total_shuffle,
             }
         )
     )

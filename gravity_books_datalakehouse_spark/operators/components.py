@@ -49,13 +49,17 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # convergence check: labels are monotonically non-increasing per
+    # vertex, so sum(label) is strictly decreasing until the fixpoint —
+    # one cheap aggregate per round instead of a join + isEmpty.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.b == labels.id)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
@@ -65,14 +69,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             return labels.select("id", F.col("label").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
