@@ -291,3 +291,62 @@ def dedup_rate_by_source(spark, sf_dir):
             F.countDistinct("doc_a").alias("n_docs_with_near_dup"),
         )
     )
+
+
+@register(
+    "pipeline_curation_verdict",
+    f"""WITH {SHINGLES_SQL},
+  sig AS (
+    SELECT doc_id, p,
+           MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS sig
+    FROM shd
+    CROSS JOIN (SELECT unnest(generate_series(0, {NUM_PERM - 1})) AS p) perms
+    GROUP BY doc_id, p
+  ),
+  bands AS (SELECT doc_id, p AS band_idx, sig AS band_key FROM sig),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+  ),
+  dup_losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+  quality AS (
+    SELECT doc_id,
+           CASE WHEN length(text) < 100 THEN 'short' ELSE 'ok' END AS qbucket
+    FROM documents
+  )
+  SELECT d.doc_id,
+         q.qbucket AS quality_bucket,
+         (l.doc_id IS NOT NULL) AS is_dup_loser,
+         CASE WHEN q.qbucket != 'ok' THEN 'drop_quality'
+              WHEN l.doc_id IS NOT NULL THEN 'drop_duplicate'
+              ELSE 'keep' END AS verdict
+  FROM documents d
+  JOIN quality q ON d.doc_id = q.doc_id
+  LEFT JOIN dup_losers l ON d.doc_id = l.doc_id""",
+)
+def pipeline_curation_verdict(spark, sf_dir):
+    """The end-to-end curation decision — what a training-data pipeline
+    actually emits per document: drop for quality, drop as a near-dup
+    loser (any doc that appears as the larger id in a candidate pair;
+    the smaller id survives as representative), else keep. Composes the
+    quality filter and the MinHash+LSH candidate graph in one plan —
+    every stage reuses the persisted shingle/pair intermediates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    losers = pairs.select(F.col("doc_b").alias("loser_id")).distinct()
+    qbucket = F.when(F.length("text") < 100, "short").otherwise("ok")
+    return (
+        docs.select("doc_id", qbucket.alias("quality_bucket"))
+        .join(losers, F.col("doc_id") == F.col("loser_id"), "left")
+        .select(
+            "doc_id",
+            "quality_bucket",
+            F.col("loser_id").isNotNull().alias("is_dup_loser"),
+            F.when(F.col("quality_bucket") != "ok", "drop_quality")
+            .when(F.col("loser_id").isNotNull(), "drop_duplicate")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )

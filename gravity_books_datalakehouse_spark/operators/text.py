@@ -270,3 +270,24 @@ def text_top_bigrams(spark, sf_dir):
         .orderBy(F.desc("n_docs"), F.asc("bigram"))
         .limit(20)
     )
+
+
+def char_shingles(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct character n-grams per doc (default 5) — the shingle basis
+    that works for unsegmented scripts (CJK) where whitespace
+    tokenization fails. Same array-side sliding-window construction as
+    word shingles; drop-in replacement feeding the same minhash pipeline
+    (operators/dedup.py accepts any (doc_id, shingle) frame)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    prepared = docs.select("doc_id", norm.alias("norm"))
+    length = F.length("norm")
+    idx = F.when(length >= n, F.sequence(F.lit(1), length - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_at = lambda i: F.substring(F.col("norm"), i, F.lit(n))  # noqa: E731
+    return (
+        prepared.select(
+            "doc_id", F.explode(F.transform(idx, gram_at)).alias("shingle")
+        )
+        .distinct()
+    )

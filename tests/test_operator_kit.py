@@ -94,3 +94,33 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "k").groupBy("label").count().collect()
     salted = salted_join(fact, dim, "k").groupBy("label").count().collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_char_shingles_sliding_window(spark):
+    from gravity_books_datalakehouse_spark.operators.text import char_shingles
+
+    df = _df(spark, [(1, "abcdefg"), (2, "xy")], "doc_id int, text string")
+    got = {}
+    for r in char_shingles(df, n=5).collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    assert got[1] == {"abcde", "bcdef", "cdefg"}
+    assert 2 not in got  # shorter than n → no shingles
+
+
+def test_char_shingles_feed_minhash(spark):
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from gravity_books_datalakehouse_spark.operators.text import char_shingles
+
+    df = _df(
+        spark,
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz completely different qqq")],
+        "doc_id int, text string",
+    )
+    sigs = minhash_signatures(char_shingles(df), num_perm=4)
+    by_doc = {}
+    for r in sigs.collect():
+        by_doc.setdefault(r.doc_id, {})[r.p] = r.sig
+    assert by_doc[1] == by_doc[2]          # identical text → identical signature
+    assert by_doc[1] != by_doc[3]
