@@ -783,3 +783,44 @@ def q_heavy_suppliers_semi(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
     )
+
+
+@register(
+    "q_market_share_by_year",
+    """SELECT year(o.o_orderdate) AS order_year,
+              CAST(SUM(CASE WHEN r.r_name = 'EUROPE'
+                            THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS europe_share,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY year(o.o_orderdate)
+       ORDER BY order_year""",
+)
+def q_market_share_by_year(spark, sf_dir):
+    """TPC-H q8 shape: one region's revenue share per year — conditional
+    aggregation ratio (numerator CASE inside SUM) computed in the same
+    single pass as the denominator; no self-join, no second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    price = _money("l_extendedprice")
+    zero = F.lit(0).cast("decimal(18,2)")
+    europe = F.sum(F.when(F.col("r_name") == "EUROPE", price).otherwise(zero)).cast("double")
+    total = F.sum(price).cast("double")
+    return (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg((europe / total).alias("europe_share"), total.alias("total_rev"))
+        .orderBy("order_year")
+    )

@@ -185,3 +185,28 @@ def ev_funnel_signup_click_purchase(spark, sf_dir):
             F.count("purchase_ts").alias("n_purchase_after_click"),
         )
     )
+
+
+@register(
+    "ev_json_props_extract",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+              CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+       FROM events GROUP BY event_type""",
+)
+def ev_json_props_extract(spark, sf_dir):
+    """Semi-structured JSON handling: extract a typed field from the
+    ``props`` JSON payload and aggregate it — the schema-on-read path for
+    event property bags. ``get_json_object`` runs JVM-side; for hot paths
+    with a stable schema, promote to ``from_json`` with an explicit
+    StructType at the silver layer so the parse happens once."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+    )
