@@ -13,3 +13,29 @@ from pyspark.sql import SparkSession
 
 def session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return (spark.sparkContext.applicationId, sf_dir)
+
+
+def clear_session_caches() -> None:
+    """Unpersist and forget every memoized intermediate (star tables,
+    shingles, candidate pairs, signed embeddings) across all sessions.
+
+    For long-lived sessions that sweep many scale factors: each
+    (applicationId, sf_dir) memo pins executor storage until cleared.
+    Safe to call between workloads — the next query simply rebuilds."""
+    from gravity_books_datalakehouse_spark.operators import dedup, similarity
+    from gravity_books_datalakehouse_spark.plans import star
+
+    for registry in (
+        star._STAR_CACHE,
+        dedup._SHINGLE_CACHE,
+        dedup._PAIR_CACHE,
+        similarity._SIG_CACHE,
+    ):
+        for value in registry.values():
+            frames = value.values() if isinstance(value, dict) else [value]
+            for df in frames:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped
+        registry.clear()

@@ -824,3 +824,108 @@ def q_market_share_by_year(spark, sf_dir):
         .agg((europe / total).alias("europe_share"), total.alias("total_rev"))
         .orderBy("order_year")
     )
+
+
+@register(
+    "op_w_ntile_deciles",
+    """SELECT decile,
+              COUNT(*) AS n_customers,
+              CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+              CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+       FROM (SELECT c_acctbal,
+                    ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS decile
+             FROM customer)
+       GROUP BY decile""",
+)
+def op_w_ntile_deciles(spark, sf_dir):
+    """ntile window: customers bucketed into balance deciles, then
+    per-decile stats — the segmentation pattern (cohorting, A/B splits)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min(_money("c_acctbal")).cast("double").alias("min_bal"),
+            F.max(_money("c_acctbal")).cast("double").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "op_w_mom_growth",
+    """SELECT ym,
+              CAST(month_rev AS DOUBLE) AS month_rev,
+              CAST(month_rev - lag(month_rev) OVER (ORDER BY ym) AS DOUBLE) AS mom_delta
+       FROM (
+         SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_rev
+         FROM orders GROUP BY 1
+       ) ORDER BY ym""",
+)
+def op_w_mom_growth(spark, sf_dir):
+    """lag window: month-over-month revenue delta (decimal-exact, so the
+    subtraction is bit-equal cross-engine; NULL for the first month)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyyMM").cast("int").alias("ym")
+    ).agg(F.sum(_money("o_totalprice")).alias("month_rev"))
+    w = Window.orderBy("ym")
+    return monthly.select(
+        "ym",
+        F.col("month_rev").cast("double").alias("month_rev"),
+        (F.col("month_rev") - F.lag("month_rev").over(w)).cast("double").alias("mom_delta"),
+    ).orderBy("ym")
+
+
+@register(
+    "op_f_string_kit",
+    """SELECT p_partkey,
+              upper(p_brand) AS brand_upper,
+              substr(p_name, 1, 10) AS name_prefix,
+              replace(p_type, ' ', '_') AS type_snake,
+              length(p_name) AS name_len,
+              levenshtein(p_brand, 'Brand#11') AS brand_dist
+       FROM part""",
+)
+def op_f_string_kit(spark, sf_dir):
+    """String function surface: case, substring, replace, length, edit
+    distance — all JVM built-ins with exact DuckDB twins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("brand_dist"),
+    )
+
+
+@register(
+    "op_f_array_kit",
+    """SELECT vec_id,
+              len(embedding) AS dim,
+              ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+              ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+              ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+              ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val
+       FROM embeddings""",
+)
+def op_f_array_kit(spark, sf_dir):
+    """Array function surface over the embedding column: size, min/max,
+    positional access — the building blocks under the similarity ops."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at("embedding", -1).cast("double"), 6).alias("last_val"),
+    )

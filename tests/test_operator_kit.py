@@ -124,3 +124,15 @@ def test_char_shingles_feed_minhash(spark):
         by_doc.setdefault(r.doc_id, {})[r.p] = r.sig
     assert by_doc[1] == by_doc[2]          # identical text → identical signature
     assert by_doc[1] != by_doc[3]
+
+
+def test_clear_session_caches_rebuilds_cleanly(spark):
+    from gravity_books_datalakehouse_spark.plans._cache import clear_session_caches
+    from gravity_books_datalakehouse_spark.plans.star import build_star, _STAR_CACHE
+    from tests.conftest import SF_SMOKE
+
+    n1 = build_star(spark, SF_SMOKE)["fact_sales"].count()
+    assert _STAR_CACHE
+    clear_session_caches()
+    assert not _STAR_CACHE
+    assert build_star(spark, SF_SMOKE)["fact_sales"].count() == n1
