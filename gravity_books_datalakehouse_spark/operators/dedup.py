@@ -203,6 +203,128 @@ def dedup_jaccard_verify(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Threshold-targeted banded LSH (ROADMAP #4): instead of hard-coding band
+# geometry, derive (bands, rows) from the Jaccard threshold you actually
+# want. With b bands of r rows the probability two docs with Jaccard s
+# share at least one band is 1 - (1 - s^r)^b, an S-curve whose midpoint
+# sits near (1/b)^(1/r) — pick the divisor pair that lands closest.
+
+
+def lsh_collision_probability(jaccard: float, bands: int, rows: int) -> float:
+    """P(candidate | Jaccard=j) for b bands of r rows: 1 - (1 - j^r)^b."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def derive_lsh_params(num_perm: int, target_jaccard: float) -> tuple[int, int]:
+    """Pick ``(bands, rows)`` with ``bands * rows == num_perm`` whose
+    S-curve threshold ``(1/b)^(1/r)`` is closest to ``target_jaccard``.
+
+    Deterministic and pure — call it once at plan-build time; at 100 TB the
+    choice changes only the band-key width, never the shuffle structure.
+    """
+    if not 0.0 < target_jaccard <= 1.0:
+        raise ValueError("target_jaccard must be in (0, 1]")
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, num_perm + 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        thr = (1.0 / bands) ** (1.0 / rows)
+        err = abs(thr - target_jaccard)
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    assert best is not None
+    return best[1], best[2]
+
+
+def banded_pairs(sh: DataFrame, num_perm: int, rows: int) -> DataFrame:
+    """Candidate pairs under b = num_perm/rows bands of ``rows`` rows.
+
+    Band key = md5 over the band's signatures concatenated in permutation
+    order. r > 1 makes a band match require r simultaneous minhash
+    agreements — the knob that suppresses low-Jaccard false positives, at
+    the price of recall below the S-curve threshold.
+
+    Plan shape: the signature matrix is computed WIDE — num_perm ``min()``
+    columns in a single groupBy(doc_id) — so the whole matrix costs ONE
+    shuffle of one row per doc, instead of the explode-then-regroup form
+    (16 rows/doc through two exchanges plus a collect_list
+    ObjectHashAggregate). Band keys are then plain column md5s and the
+    explode to (doc_id, band_idx, band_key) happens after aggregation,
+    on b rows per doc.
+    """
+    n_bands = num_perm // rows
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"s{p}")
+            for p in range(num_perm)
+        ]
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"s{bi * rows + j}") for j in range(rows)]
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = wide.select("doc_id", F.explode(band_entries).alias("bk")).select(
+        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_BANDED_PERM = 16
+_BANDED_TARGET = 0.5
+_BANDED_B, _BANDED_R = derive_lsh_params(_BANDED_PERM, _BANDED_TARGET)  # (8, 2)
+
+
+@register(
+    "dedup_lsh_banded_pairs",
+    f"""WITH {SHINGLES_SQL},
+  sig AS (
+    SELECT doc_id, p,
+           MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS sig
+    FROM shd
+    CROSS JOIN (SELECT unnest(generate_series(0, {_BANDED_PERM - 1})) AS p) perms
+    GROUP BY doc_id, p
+  ),
+  banded AS (
+    SELECT doc_id, p // {_BANDED_R} AS band_idx,
+           md5(string_agg(sig, '|' ORDER BY p)) AS band_key
+    FROM sig GROUP BY doc_id, p // {_BANDED_R}
+  )
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id""",
+)
+def dedup_lsh_banded_pairs(spark, sf_dir):
+    """Threshold-targeted LSH: 16 permutations grouped into the (b=8, r=2)
+    geometry that derive_lsh_params picks for a 0.5 Jaccard target —
+    each band needs two simultaneous minhash agreements, so low-overlap
+    pairs that slip through single-row bands are filtered at generation
+    time rather than at the (more expensive) verify stage."""
+    return banded_pairs(_cached_shingles(spark, sf_dir), _BANDED_PERM, _BANDED_R)
+
+
 _SIMHASH_BITS = 16
 
 _SIMHASH_SQL = f"""WITH {SHINGLES_SQL},
