@@ -86,18 +86,35 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+def _wide_signatures(sh: DataFrame, num_perm: int) -> DataFrame:
+    """(doc_id, s0..s{n-1}): the whole minhash signature matrix in ONE
+    groupBy(doc_id) pass — num_perm ``min()`` columns, so the matrix costs
+    a single shuffle of one row per doc. The explode-then-regroup
+    alternative pushes num_perm× the rows through the exchange and (since
+    min(string) falls back to SortAggregate) sorts num_perm× the rows."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"s{p}")
+            for p in range(num_perm)
+        ]
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, p, sig): per-permutation minhash over distinct 3-shingles
-    (``sh`` as produced by operators.text.shingles)."""
-    perms = F.explode(F.array(*[F.lit(i) for i in range(num_perm)])).alias("p")
+    (``sh`` as produced by operators.text.shingles). Computed wide
+    (_wide_signatures) and melted after aggregation, so the long format
+    keeps the one-shuffle plan."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.col(f"s{p}").alias("sig"))
+            for p in range(num_perm)
+        ]
+    )
     return (
-        sh.select("doc_id", "shingle", perms)
-        .groupBy("doc_id", "p")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("sig")
-        )
+        _wide_signatures(sh, num_perm)
+        .select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.p").alias("p"), F.col("e.sig").alias("sig"))
     )
 
 
@@ -255,12 +272,7 @@ def banded_pairs(sh: DataFrame, num_perm: int, rows: int) -> DataFrame:
     on b rows per doc.
     """
     n_bands = num_perm // rows
-    wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"s{p}")
-            for p in range(num_perm)
-        ]
-    )
+    wide = _wide_signatures(sh, num_perm)
     band_entries = F.array(
         *[
             F.struct(
