@@ -241,6 +241,156 @@ def dedup_embedding_near_dup(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: a coarse quantizer partitions the corpus into
+# k cluster lists; a query probes only the nprobe nearest clusters. The
+# complement to LSH bucketing: data-adaptive partitions instead of fixed
+# hyperplanes. Centroids here are the k lowest-vec_id vectors taken
+# verbatim (exact floats — no averaging, so both engines agree bit-for-bit
+# and no RNG is needed); swap in k-means centroids at production scale
+# without touching the assignment/search plans.
+
+_IVF_K = 16
+_IVF_NPROBE = 2
+_IVF_QUERIES = 50
+_IVF_TOPK = 3
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] expressions (bit-equal twin of
+    the Spark zip_with/aggregate fold)."""
+    dot = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
+def _ivf_assign(e: DataFrame) -> DataFrame:
+    """(vec_id, nvec, cluster_id): every vector → its nearest centroid.
+
+    Plan: broadcast the k centroids against the corpus scan (map-side
+    cross join, k rows per vector), then ONE groupBy(vec_id) with
+    ``max_by(cid, struct(cos, -cid))`` — partial aggregation collapses the
+    k candidates to 1 before the exchange, so the shuffle carries one row
+    per vector regardless of k. No window, no k× shuffle inflation. The
+    struct tiebreak (highest cosine, then lowest cid) is what the oracle's
+    QUALIFY row_number() expresses — same result, different plan idiom.
+    """
+    scored = e.crossJoin(F.broadcast(_centroids(e))).select(
+        "vec_id", "embedding", "cid", cosine("embedding", "cvec").alias("cos_c")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("nvec"),
+        F.max_by("cid", F.struct(F.col("cos_c"), -F.col("cid"))).alias("cluster_id"),
+    )
+
+
+_IVF_ASSIGN_SQL = f"""cent AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}
+  ),
+  assign AS (
+    SELECT e.vec_id, e.label, c.cid AS cluster_id
+    FROM embeddings e CROSS JOIN cent c
+    QUALIFY row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC) = 1
+  )"""
+
+
+@register(
+    "sim_ivf_cluster_stats",
+    f"""WITH {_IVF_ASSIGN_SQL}
+  SELECT cluster_id, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
+  FROM assign GROUP BY cluster_id""",
+)
+def sim_ivf_cluster_stats(spark, sf_dir):
+    """IVF inverted-list histogram — the partition-balance dashboard for
+    the coarse quantizer (a skewed list means a hot probe partition)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    return (
+        _ivf_assign(e)
+        .join(F.broadcast(labels), "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    f"""WITH {_IVF_ASSIGN_SQL},
+  probes AS (
+    SELECT vec_id AS qid, cid FROM (
+      SELECT q.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid ASC) AS pr
+      FROM embeddings q CROSS JOIN cent c
+      WHERE q.vec_id < {_IVF_QUERIES}
+    ) WHERE pr <= {_IVF_NPROBE}
+  ),
+  cand AS (
+    SELECT p.qid, a.vec_id AS nid
+    FROM probes p JOIN assign a ON a.cluster_id = p.cid AND a.vec_id != p.qid
+  )
+  SELECT qid, nid, rank, cos_sim FROM (
+    SELECT cd.qid, cd.nid,
+           ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6) AS cos_sim,
+           row_number() OVER (
+             PARTITION BY cd.qid
+             ORDER BY {_cos_sql('q.embedding', 'n.embedding')} DESC, cd.nid ASC) AS rank
+    FROM cand cd
+    JOIN embeddings q ON q.vec_id = cd.qid
+    JOIN embeddings n ON n.vec_id = cd.nid
+  ) WHERE rank <= {_IVF_TOPK}""",
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN search: each query scores only the vectors whose inverted
+    list is among its nprobe nearest centroids — expected candidate work
+    N·nprobe/k per query instead of N.
+
+    Plan: probe selection is a tiny |Q|×k window; the candidate join keys
+    the corpus on cluster_id (probes broadcast); exact cosine + per-query
+    top-k window finishes. At billions of vectors, pre-partition the
+    corpus by cluster_id so each probe reads only its lists."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = _ivf_assign(e)
+    q = e.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pw = Window.partitionBy("qid").orderBy(F.desc("cos_qc"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(_centroids(e)))
+        .select("qid", "qvec", "cid", cosine("qvec", "cvec").alias("cos_qc"))
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qvec", "cid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("nid"))
+    return (
+        F.broadcast(probes)
+        .join(assign, probes.cid == assign.cluster_id)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cosine("qvec", "nvec").alias("cos_full"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("qid", "nid", "rank", F.round("cos_full", 6).alias("cos_sim"))
+    )
+
+
 def _probe_sigs_spark() -> F.Column:
     """The query vector's probe set: its own signature + every 1-bit flip
     (Hamming-1 multi-probe). Exploded query-side so the candidate join

@@ -34,3 +34,21 @@ def test_multiprobe_recall_beats_single_probe(spark):
     recall_multi = len(multi & truth) / len(truth)
     assert recall_multi >= recall_single
     assert recall_multi > 0
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    truth = {
+        (r.qid, r.nid)
+        for r in entry_mod.queries()["sim_topk_cosine_bruteforce"](
+            spark, SF_SMOKE
+        ).collect()
+        if r.rank <= 3
+    }
+    truth_q = {q for q, _ in truth}
+    ivf = {
+        (r.qid, r.nid)
+        for r in entry_mod.queries()["sim_ivf_topk"](spark, SF_SMOKE).collect()
+        if r.qid in truth_q
+    }
+    # measured 0.967 at this SF with k=16/nprobe=2; 0.5 is the alarm line
+    assert len(ivf & truth) / len(truth) >= 0.5
