@@ -450,3 +450,41 @@ def sim_lsh_multiprobe_topk(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("qid", "nid", "rank", F.round("cos_full", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "sim_label_centroids",
+    """SELECT label, idx, n_vectors,
+              ROUND(mean_val, 6) AS mean_val
+       FROM (
+         SELECT label, idx,
+                COUNT(*) AS n_vectors,
+                AVG(CAST(val AS DOUBLE)) AS mean_val
+         FROM (
+           SELECT label,
+                  unnest(embedding) AS val,
+                  generate_subscripts(embedding, 1) AS idx
+           FROM embeddings
+         )
+         GROUP BY label, idx
+       )""",
+)
+def sim_label_centroids(spark, sf_dir):
+    """Per-label centroid, long format (label, idx, mean component):
+    the class-prototype computation under clustering quality checks and
+    the k-means refinement step for the IVF quantizer.
+
+    Plan: posexplode (dim rows per vector) then ONE groupBy(label, idx)
+    with partial aggregation — shuffle carries labels × dim rows, not
+    vectors. Output rounded to 6 dp: float summation order differs across
+    partitions/engines in the last ulp, and rounding absorbs it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select("label", (F.col("pos") + 1).alias("idx"), F.col("val").cast("double").alias("val"))
+        .groupBy("label", "idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+        )
+    )

@@ -291,3 +291,60 @@ def char_shingles(docs: DataFrame, n: int = 5) -> DataFrame:
         )
         .distinct()
     )
+
+
+_TFIDF_TOPK = 3
+_TFIDF_MIN_LEN = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""WITH ft AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
+    WHERE length(tok) >= {_TFIDF_MIN_LEN}
+  ),
+  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ft GROUP BY doc_id, tok),
+  dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ft GROUP BY tok),
+  n AS (SELECT COUNT(*) AS n_docs FROM documents)
+  SELECT doc_id, term, rank, score FROM (
+    SELECT tf.doc_id, tf.tok AS term,
+           ROUND(tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score,
+           row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+                      tf.tok ASC) AS rank
+    FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+  ) WHERE rank <= {_TFIDF_TOPK}""",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf.
+
+    Uses the LINEAR idf variant (N/df, no log): IEEE division and
+    multiplication are exactly rounded, so scores — and therefore ranks —
+    are bit-equal across engines, which log() cannot guarantee (libm vs
+    JVM may differ in the last ulp). Swap in F.log for production ranking
+    where cross-engine parity isn't a requirement; the plan is identical.
+
+    Plan: one token explode feeds both the per-doc tf groupBy and the
+    per-term df groupBy; the corpus count joins in as a broadcast scalar;
+    per-doc top-k finishes via WindowGroupLimit (map-side rank pruning).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ft = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("tok")
+    ).filter(F.length("tok") >= _TFIDF_MIN_LEN)
+    tf = ft.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ft.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_full"), F.asc("term"))
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", F.col("tok").alias("term"), score.alias("score_full")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "rank", F.round("score_full", 6).alias("score"))
+    )

@@ -929,3 +929,51 @@ def op_f_array_kit(spark, sf_dir):
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(F.element_at("embedding", -1).cast("double"), 6).alias("last_val"),
     )
+
+
+@register(
+    "op_f_date_kit",
+    """SELECT o_orderkey,
+              datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+              CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+              last_day(CAST(o_orderdate AS DATE)) AS month_end,
+              CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+              isodow(CAST(o_orderdate AS DATE)) - 1 AS weekday_idx
+       FROM orders""",
+)
+def op_f_date_kit(spark, sf_dir):
+    """Date arithmetic surface: day diffs, month offsets (end-of-month
+    clamped identically in both engines), month/quarter boundaries, and
+    ISO weekday index — all JVM built-ins, no shuffle (pure projection)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.weekday(d).alias("weekday_idx"),
+    )
+
+
+@register(
+    "op_f_regex_kit",
+    """SELECT o_orderkey,
+              regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS prio_num,
+              split_part(o_orderpriority, '-', 2) AS prio_word,
+              len(regexp_extract_all(o_orderstatus, '[OF]')) AS of_flags,
+              regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_rush
+       FROM orders""",
+)
+def op_f_regex_kit(spark, sf_dir):
+    """Regex function surface: capture-group extract, delimiter split,
+    match counting, boolean match — projection-only, codegen'd."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1).alias("prio_num"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).alias("prio_word"),
+        F.regexp_count(F.col("o_orderstatus"), F.lit("[OF]")).alias("of_flags"),
+        (F.regexp_count(F.col("o_orderpriority"), F.lit("URGENT|HIGH")) > 0).alias("is_rush"),
+    )
