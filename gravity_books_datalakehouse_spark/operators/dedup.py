@@ -56,9 +56,18 @@ _PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = session_key(spark, sf_dir)
     if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = shingles(
-            load_table(spark, sf_dir, "documents")
-        ).persist()
+        # Persist partitioned by doc_id: the distinct() leaves the frame
+        # hash-partitioned on (doc_id, shingle), under which every
+        # downstream per-doc aggregation (signature matrices, shingle
+        # counts) pays a partial-agg row per (doc × partition) plus an
+        # exchange. Repartitioning once at cache-build time makes all of
+        # them exchange-free — the 100 TB equivalent of bucketing the
+        # silver shingle table by doc_id.
+        _SHINGLE_CACHE[key] = (
+            shingles(load_table(spark, sf_dir, "documents"))
+            .repartition("doc_id")
+            .persist()
+        )
     return _SHINGLE_CACHE[key]
 
 
