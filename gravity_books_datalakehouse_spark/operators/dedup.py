@@ -371,36 +371,36 @@ def dedup_simhash(spark, sf_dir):
     """SimHash: 16-bit charge-accumulation signature over distinct tokens.
     Bit j of each token's md5 votes ±1; signature bit = sign of the sum.
     Docs sharing a signature (or within small Hamming distance via
-    rotations) are near-dup candidates. All integer column math."""
+    rotations) are near-dup candidates. All integer column math.
+
+    Plan shape: all 16 bit-charges are conditional-sum columns in ONE
+    groupBy(doc_id) pass (md5 projected once per token, bits extracted as
+    literal-shift integer math), and the signature assembles from the 16
+    charge columns in a final projection. No bit-index explode, no second
+    aggregation — one shuffle of one row per doc."""
     docs = load_table(spark, sf_dir, "documents")
-    dtoks = (
-        docs.select("doc_id", F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        ).alias("tok")).distinct()
+    # per-doc distinct is an array op (array_distinct), not a shuffle:
+    # the only exchange left is the one-row-per-doc charge aggregation
+    dtoks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    ).select("doc_id", F.md5("tok").alias("h"))
+
+    def vote(j: int) -> F.Column:
+        nibble = F.conv(F.substring("h", j // 4 + 1, 1), 16, 10).cast("int")
+        bit = (nibble / (1 << (3 - j % 4))).cast("int") % 2
+        return F.when(bit == 1, 1).otherwise(-1)
+
+    charges = dtoks.groupBy("doc_id").agg(
+        *[F.sum(vote(j)).alias(f"c{j}") for j in range(_SIMHASH_BITS)]
     )
-    js = F.explode(F.array(*[F.lit(j) for j in range(_SIMHASH_BITS)])).alias("j")
-    nibble = F.conv(
-        F.substring(F.md5("tok"), (F.col("j") / 4).cast("int") + 1, F.lit(1)), 16, 10
-    ).cast("int")
-    # bit j of the nibble via exact integer math (shift amounts must be
-    # literals in the pyspark API, so divide by 2^(3 - j%4) instead).
-    shift_div = F.pow(F.lit(2.0), (F.lit(3) - F.col("j") % 4)).cast("int")
-    bit = (nibble / shift_div).cast("int") % 2
-    charged = (
-        dtoks.select("doc_id", "tok", js)
-        .withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("charge"))
+    sig = sum(
+        (F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(_SIMHASH_BITS)),
+        start=F.lit(0),
     )
-    weight = F.pow(F.lit(2.0), F.col("j")).cast("bigint")
-    return (
-        charged.groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("charge") > 0, weight).otherwise(0))
-            .cast("bigint")
-            .alias("simhash")
-        )
-    )
+    return charges.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
 @register(

@@ -272,7 +272,9 @@ def _centroids(e: DataFrame) -> DataFrame:
 
 
 def _ivf_assign(e: DataFrame) -> DataFrame:
-    """(vec_id, nvec, cluster_id): every vector → its nearest centroid.
+    """(vec_id, nvec, label, cluster_id): every vector → its nearest
+    centroid, label carried through the aggregation (no post-hoc join
+    against a vec→label map, which would broadcast O(N) rows).
 
     Plan: broadcast the k centroids against the corpus scan (map-side
     cross join, k rows per vector), then ONE groupBy(vec_id) with
@@ -283,10 +285,12 @@ def _ivf_assign(e: DataFrame) -> DataFrame:
     QUALIFY row_number() expresses — same result, different plan idiom.
     """
     scored = e.crossJoin(F.broadcast(_centroids(e))).select(
-        "vec_id", "embedding", "cid", cosine("embedding", "cvec").alias("cos_c")
+        "vec_id", "embedding", "label", "cid",
+        cosine("embedding", "cvec").alias("cos_c"),
     )
     return scored.groupBy("vec_id").agg(
         F.first("embedding").alias("nvec"),
+        F.first("label").alias("label"),
         F.max_by("cid", F.struct(F.col("cos_c"), -F.col("cid"))).alias("cluster_id"),
     )
 
@@ -313,10 +317,8 @@ def sim_ivf_cluster_stats(spark, sf_dir):
     """IVF inverted-list histogram — the partition-balance dashboard for
     the coarse quantizer (a skewed list means a hot probe partition)."""
     e = load_table(spark, sf_dir, "embeddings")
-    labels = e.select("vec_id", "label")
     return (
         _ivf_assign(e)
-        .join(F.broadcast(labels), "vec_id")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

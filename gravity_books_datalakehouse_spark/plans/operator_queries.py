@@ -603,8 +603,10 @@ def q_revenue_range_filter(spark, sf_dir):
 )
 def q_top_urgent_orders(spark, sf_dir):
     """TPC-H q3 shape: selective dim filters, 3-way join, grouped revenue,
-    top-k. Order/status predicates prune the orders scan before the join;
-    customer joins broadcast."""
+    top-k. Order/status predicates prune the orders scan before the join.
+    orders/customer grow with SF, so broadcasting is AQE's runtime call
+    (it will at small SF, and falls back to shuffle join at 100 TB where
+    a forced broadcast would OOM the driver)."""
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
     )
@@ -615,8 +617,8 @@ def q_top_urgent_orders(spark, sf_dir):
         * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
     ).cast("double")
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "c_mktsegment")
         .agg(value.alias("order_value"))
         .orderBy(F.desc("order_value"), F.asc("o_orderkey"))
@@ -722,7 +724,10 @@ def op_percentiles_exact(spark, sf_dir):
 def q_nation_pair_flows(spark, sf_dir):
     """TPC-H q7 shape: cross-border revenue flows between (supplier
     nation, customer nation) pairs — two independent dimension chains
-    hanging off the fact, all broadcast; the fact is scanned once."""
+    hanging off the fact, scanned once. The 25-row nation splits are
+    forced broadcasts; supplier/orders/customer grow with SF, so their
+    join strategy is left to AQE (broadcast at small SF, shuffle at
+    cluster scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
@@ -734,10 +739,10 @@ def q_nation_pair_flows(spark, sf_dir):
         _money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
     ).cast("double")
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation")
@@ -764,7 +769,8 @@ def q_heavy_suppliers_semi(spark, sf_dir):
     """TPC-H q20 shape: semi-join against an aggregated subquery with a
     scalar-subquery threshold (suppliers moving > 50% of the mean
     per-supplier volume). The threshold is one tiny scalar plan; the
-    HAVING filter reduces the semi-join build side before it broadcasts."""
+    HAVING filter shrinks the semi-join build side, whose size is
+    data-dependent — AQE picks broadcast when it actually fits."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -779,7 +785,7 @@ def q_heavy_suppliers_semi(spark, sf_dir):
         F.col("vol").cast("double") > F.col("thr")
     ).select("l_suppkey")
     return (
-        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
     )
@@ -816,8 +822,8 @@ def q_market_share_by_year(spark, sf_dir):
     europe = F.sum(F.when(F.col("r_name") == "EUROPE", price).otherwise(zero)).cast("double")
     total = F.sum(price).cast("double")
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))

@@ -228,7 +228,7 @@ def q2_top10_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = build_star(spark, sf_dir)
     return (
         s["fact_sales"]
-        .join(F.broadcast(s["dim_part"]), "part_sk")
+        .join(s["dim_part"], "part_sk")
         .groupBy("part_sk", "p_name", "p_brand")
         .agg(F.count("part_sk").alias("units_sold"))
         .orderBy(F.desc("units_sold"), F.asc("p_name"), F.asc("part_sk"))
@@ -245,7 +245,7 @@ def q3_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return (
         s["fact_sales"]
-        .join(F.broadcast(s["dim_customer"]), "customer_sk")
+        .join(s["dim_customer"], "customer_sk")
         .groupBy("customer_sk", "c_name", "nation_name")
         .agg(net.alias("total_spend"))
         .orderBy(F.desc("total_spend"), F.asc("customer_sk"))
@@ -258,7 +258,7 @@ def q4_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = build_star(spark, sf_dir)
     return (
         s["fact_sales"]
-        .join(F.broadcast(s["dim_customer"]), "customer_sk")
+        .join(s["dim_customer"], "customer_sk")
         .groupBy("nation_name")
         .agg(F.sum(_money("extendedprice")).cast("double").alias("total_sales"))
         .orderBy(F.desc("total_sales"), F.asc("nation_name"))
