@@ -48,22 +48,14 @@ def token_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per doc, built array-side (k=3).
+def shingle_array_col(toks: F.Column, k: int = 3) -> F.Column:
+    """Array of word k-shingles from a token-array column — a sliding
+    window by index via ``transform``, entirely inside whole-stage
+    codegen (no posexplode, no per-doc sort, no window exchange).
 
-    Implemented as a ``transform`` over the token array (sliding window by
-    index) rather than posexplode + windowed lead: no per-doc sort, no
-    window exchange — the whole shingle construction stays inside
-    whole-stage codegen and the only shuffle is the final distinct.
-    The DuckDB oracle builds the same sets with window lead(); the
-    *outputs* are identical (distinct (doc_id, shingle) sets), which is
-    what the contract compares.
-    """
-    # materialize the token array ONCE per row behind a projection
-    # boundary — referencing tokens_col() inside the transform lambda
-    # would re-run the regex split for every element (O(tokens²)/doc)
-    tokenized = docs.select("doc_id", tokens_col().alias("toks"))
-    toks = F.col("toks")
+    The column passed in must be a *materialized* array reference (bind
+    it behind a projection boundary first) — inlining the regex split
+    here would re-run it per element (O(tokens²)/doc)."""
     n_windows = F.size(toks) - (k - 1)
     idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
         F.array().cast("array<int>")
@@ -71,9 +63,20 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + off) for off in range(k)]
     )
+    return F.transform(idx, shingle_at)
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per doc, built array-side (k=3).
+    The DuckDB oracle builds the same sets with window lead(); the
+    *outputs* are identical (distinct (doc_id, shingle) sets), which is
+    what the contract compares.
+    """
+    tokenized = docs.select("doc_id", tokens_col().alias("toks"))
     return (
         tokenized.select(
-            "doc_id", F.explode(F.transform(idx, shingle_at)).alias("shingle")
+            "doc_id",
+            F.explode(shingle_array_col(F.col("toks"), k)).alias("shingle"),
         )
         .distinct()
     )
@@ -213,18 +216,24 @@ def text_lang_id(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Document fingerprinting: whole-content md5 of normalized text plus a
     winnowing-style shingle fingerprint (min hash over rolling word
-    3-grams) that survives small edits. Both portable (md5-based)."""
+    3-grams) that survives small edits. Both portable (md5-based).
+
+    The min-shingle is per-row math — array_min over the md5-mapped
+    shingle array — so the whole query is a shuffle-free projection (the
+    min over duplicates equals the min over the distinct set; docs
+    shorter than 3 tokens yield an empty array → NULL, matching the
+    oracle's left join)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    fp_shingle = (
-        shingles(docs)
-        .groupBy("doc_id")
-        .agg(F.min(F.md5("shingle")).alias("fp_shingle"))
+    tokenized = docs.select(
+        "doc_id", F.md5(norm).alias("fp_md5"), tokens_col().alias("toks")
     )
-    return (
-        docs.select("doc_id", F.md5(norm).alias("fp_md5"))
-        .join(fp_shingle, "doc_id", "left")
-        .select("doc_id", "fp_md5", "fp_shingle")
+    return tokenized.select(
+        "doc_id",
+        "fp_md5",
+        F.array_min(
+            F.transform(shingle_array_col(F.col("toks")), F.md5)
+        ).alias("fp_shingle"),
     )
 
 

@@ -84,3 +84,24 @@ def read_json(
 ) -> DataFrame:
     """JSON-lines scan with declared schema (same no-inference rule)."""
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative to Parquet, with the
+    same pruning/pushdown behavior (vectorized reader, predicate pushdown
+    via ORC stripe statistics). Useful when upstream systems (Hive, some
+    CDC sinks) land ORC instead of Parquet."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    whole_file: bool = False,
+) -> DataFrame:
+    """Raw-text scan: one row per line (column ``value``), or one row per
+    file with ``whole_file=True`` — the ingestion shape for unstructured
+    training corpora before parsing into the documents schema. Lines
+    split on newline JVM-side; no Python in the read path."""
+    return spark.read.text(path, wholetext=whole_file)

@@ -45,3 +45,21 @@ def append_jdbc(
     """Chunked JDBC append (S4); ``batchsize`` replaces pandas chunksize."""
     props = {"batchsize": str(batchsize), **(properties or {})}
     df.write.mode("append").options(**props).jdbc(url, table, properties=props)
+
+
+def overwrite_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """Full-refresh ORC write — same contract as overwrite_parquet for
+    pipelines whose downstream consumers (Hive, Presto/Trino legacy
+    catalogs) expect ORC."""
+    if coalesce is not None:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -27,3 +27,36 @@ def test_read_json_lines(spark, tmp_path):
     df = read_json(spark, str(p), "id int, tags array<string>")
     rows = {r.id: r.tags for r in df.collect()}
     assert rows == {1: ["a", "b"], 2: []}
+
+
+def test_orc_round_trip_with_partitioning(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.sources.readers import read_orc
+    from gravity_books_datalakehouse_spark.sources.writers import overwrite_orc
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id int, grp string, v double"
+    )
+    path = str(tmp_path / "t.orc")
+    overwrite_orc(src, path, partition_by=["grp"], coalesce=1)
+    back = read_orc(spark, path)
+    assert {(r.id, r.grp, r.v) for r in back.collect()} == {
+        (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)
+    }
+    # partition pruning: filtering on grp must not scan the other partition
+    plan = back.filter(back.grp == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(grp" in plan or "grp#" in plan
+
+
+def test_read_text_lines_and_whole_file(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.sources.readers import read_text
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(p))
+    assert lines.columns == ["value"]
+    assert lines.count() == 3
+    whole = read_text(spark, str(p), whole_file=True)
+    texts = sorted(r.value for r in whole.collect())
+    assert texts == ["line one\nline two\n", "solo\n"]
