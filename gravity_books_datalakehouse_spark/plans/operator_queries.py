@@ -68,6 +68,9 @@ def _ensure_loaded() -> None:
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,
     )
+    from gravity_books_datalakehouse_spark.plans import (  # noqa: F401
+        tpch_queries,
+    )
 
 
 def _money(col: str) -> F.Column:

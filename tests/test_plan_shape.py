@@ -92,3 +92,50 @@ def test_partial_aggregation_before_shuffle(spark):
     # physical: two HashAggregates (partial + final) around the exchange
     phys = _executed_plan(df)
     assert phys.count("HashAggregate") >= 2
+
+
+def test_tpch_pricing_summary_scan_shape(spark):
+    """q1 shape: pruned ReadSchema (7 of 11 cols), pushed date predicate,
+    partial+final aggregation — scan-bandwidth-bound at any SF."""
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import q_pricing_summary
+
+    plan = _executed_plan(q_pricing_summary(spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "LessThan(l_shipdate" in pushed
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_local_supplier_composite_join_stays_hash(spark):
+    """q5 shape: the extra c_nationkey = s_nationkey equality must ride the
+    hash join on l_suppkey, never degrade to a nested-loop join."""
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_local_supplier_volume,
+    )
+
+    plan = _executed_plan(q_local_supplier_volume(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_topk_queries_avoid_global_sort(spark):
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_large_volume_customers,
+        q_returned_item_customers,
+    )
+
+    for q in (q_returned_item_customers, q_large_volume_customers):
+        assert "TakeOrderedAndProject" in _executed_plan(q(spark, SF_SMOKE))
+
+
+def test_tpch_exists_decorrelates_to_semi_join(spark):
+    """q4/q18 shapes: EXISTS / IN-aggregate filters must run as left-semi
+    hash joins (probe stops at first match; no match-row materialization)."""
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_large_volume_customers,
+        q_priority_with_returns,
+    )
+
+    for q in (q_priority_with_returns, q_large_volume_customers):
+        assert "LeftSemi" in _executed_plan(q(spark, SF_SMOKE))
