@@ -490,3 +490,93 @@ def sim_label_centroids(spark, sf_dir):
             F.round(F.avg("val"), 6).alias("mean_val"),
         )
     )
+
+
+_QUANT_SQL = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+      FROM embeddings
+    ), qv AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * (127.0 / s) + 0.5) AS BIGINT)) AS q
+      FROM base
+    ), pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) /
+             (sqrt(list_dot_product(a.q::DOUBLE[], a.q::DOUBLE[])) *
+              sqrt(list_dot_product(b.q::DOUBLE[], b.q::DOUBLE[]))) AS cos_q
+      FROM qv a, qv b
+      WHERE a.vec_id < 10 AND a.vec_id != b.vec_id
+    )
+    SELECT qid, nid, rank, ROUND(cos_q, 6) AS cos_sim_q FROM (
+      SELECT qid, nid, cos_q,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_q DESC, nid ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+"""
+
+
+@register("sim_quantized_topk", _QUANT_SQL)
+def sim_quantized_topk(spark, sf_dir):
+    """Top-k cosine over int8-scalar-quantized vectors — the memory-side
+    half of an ANN system (IVF/LSH shrink the candidate set; quantization
+    shrinks the BYTES: 64 floats → 64 int8 lanes + 1 scale = 4× less to
+    scan, broadcast, and cache, and at billions of vectors the index
+    fits in executor memory where floats would spill).
+
+    Per-vector symmetric quantization q_i = round(x_i * 127 / max|x|);
+    cosine needs NO dequantization — the two scale factors cancel, so
+    scoring is pure integer dot products (exact in int64, exact in
+    DuckDB's double fold since |Σ| < 2^53) with one double division at
+    the end: bit-equal across engines with no rounding discipline beyond
+    the cosmetic 6 dp on output. round() is floor(x+0.5) in both engines
+    by construction.
+
+    The scale max|x| is materialized behind a projection before the
+    per-element lambda references it — inlining array_max into the
+    transform would recompute it per element (O(d²) per vector)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("s"),
+    )
+    qv = base.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * (F.lit(127.0) / F.col("s")) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("q"),
+    )
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    a = qv.select(F.col("vec_id").alias("qid"), F.col("q").alias("qa")).filter(
+        F.col("qid") < 10
+    )
+    b = qv.select(F.col("vec_id").alias("nid"), F.col("q").alias("qb"))
+    cos_q = (
+        int_dot("qa", "qb").cast("double")
+        / (
+            F.sqrt(int_dot("qa", "qa").cast("double"))
+            * F.sqrt(int_dot("qb", "qb").cast("double"))
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_q"), F.asc("nid"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cos_q.alias("cos_q"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "rank", F.round("cos_q", 6).alias("cos_sim_q"))
+    )

@@ -1,0 +1,141 @@
+"""Advanced relational shapes: grouping sets, histograms, range joins.
+
+Extends the proven aggregate/join surface (operator_queries) with three
+shapes the reference lacks entirely (SURVEY.md §2.4/§2.7 mark grouping
+variants and non-equi joins ABSENT) but that any warehouse user expects:
+
+- GROUPING SETS — the general form of the already-covered ROLLUP/CUBE.
+- fixed-width histogram — the profiling companion to op_profile_columns.
+- time-range self-join — bucketized into an equi-join, the ONLY way a
+  range join survives 100 TB (a raw non-equi join is a nested-loop /
+  IEJoin that cannot hash-partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import (
+    _money,
+    register,
+)
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+
+@register(
+    "op_a_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              GROUPING(o_orderstatus, o_orderpriority) AS gid,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+)
+def op_a_grouping_sets(spark, sf_dir):
+    """GROUPING SETS — arbitrary aggregation lattices beyond the ROLLUP/
+    CUBE hierarchies (op_a_rollup/op_a_cube): per-status totals,
+    per-priority totals, and the grand total, with NO (status, priority)
+    cross cells. Spark expands the sets before a single partial+final
+    hash aggregate — one fact scan, one shuffle, however many sets.
+    grouping_id bit order matches DuckDB's GROUPING(a, b)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  grouping_id(o_orderstatus, o_orderpriority) AS gid,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM v_orders_gs
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+@register(
+    "op_f_histogram",
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_bucket,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS bucket_total
+       FROM orders
+       GROUP BY 1
+       ORDER BY price_bucket""",
+)
+def op_f_histogram(spark, sf_dir):
+    """Fixed-width histogram (50 k buckets over order value, ~10 bins at
+    this data's [1 k, 500 k] range) — the distribution half of data
+    profiling. floor of an IEEE double division is bit-identical across
+    engines, so the bucket edges need no rounding discipline. Single
+    scan, partial+final agg; bucket count is data-range-bound, not
+    row-count-bound, so the plan is SF-invariant."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0))
+            .cast("bigint")
+            .alias("price_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money("o_totalprice")).cast("double").alias("bucket_total"),
+        )
+        .orderBy("price_bucket")
+    )
+
+
+#: Range-join window: events within the preceding 10 minutes.
+_RANGE_US = 600_000_000
+
+
+@register(
+    "op_j_range_bucketed",
+    """SELECT p.event_id, COUNT(e.ts) AS n_recent
+       FROM events p
+       LEFT JOIN events e
+         ON e.user_id = p.user_id
+        AND e.ts::TIMESTAMP < p.ts::TIMESTAMP
+        AND e.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL '10 minutes'
+       WHERE p.event_type = 'purchase'
+       GROUP BY p.event_id""",
+)
+def op_j_range_bucketed(spark, sf_dir):
+    """Time-range self-join, bucketized: for every purchase, how many
+    same-user events landed in the preceding 10 minutes.
+
+    The oracle states it as a non-equi join (DuckDB runs an IEJoin). A
+    non-equi join cannot hash-partition, so at 100 TB Spark would fall
+    back to a broadcast-nested-loop over the whole events table — the
+    classic scale cliff. The Spark plan here converts it to an EQUI-join:
+    both sides bucket ts into 10-minute epochs; probe events announce
+    themselves to their own bucket and the next one (a purchase in bucket
+    k can only see events from buckets k-1 and k), so every qualifying
+    pair meets on exactly one (user_id, bucket) key, the residual range
+    predicate filters within the 2× candidate fan-out, and the join
+    shuffles/hashes on (user_id, bucket) like any other equi-join. The
+    left join keeps zero-activity purchases (COUNT over the probe ts
+    ignores nulls in both engines)."""
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    bucket = lambda c: (F.unix_micros(F.col(c)) / F.lit(_RANGE_US)).cast("bigint")  # noqa: E731
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        bucket("ts").alias("p_bucket"),
+    )
+    probes = ev.select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+        F.explode(
+            F.array(bucket("ts"), bucket("ts") + F.lit(1))
+        ).alias("e_bucket"),
+    )
+    joined = purchases.join(
+        probes,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("p_bucket") == F.col("e_bucket"))
+        & (F.col("e_ts") < F.col("p_ts"))
+        & (
+            F.unix_micros(F.col("e_ts"))
+            >= F.unix_micros(F.col("p_ts")) - F.lit(_RANGE_US)
+        ),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("e_ts").alias("n_recent"))

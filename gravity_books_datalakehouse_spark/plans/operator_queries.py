@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         event_queries,
     )
     from gravity_books_datalakehouse_spark.plans import (  # noqa: F401
+        advanced_queries,
         tpch_queries,
     )
 

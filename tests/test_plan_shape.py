@@ -139,3 +139,27 @@ def test_tpch_exists_decorrelates_to_semi_join(spark):
 
     for q in (q_priority_with_returns, q_large_volume_customers):
         assert "LeftSemi" in _executed_plan(q(spark, SF_SMOKE))
+
+
+def test_range_join_bucketized_stays_equi_join(spark):
+    """The 10-minute range self-join must run as a hash equi-join on
+    (user, bucket) — a BroadcastNestedLoopJoin here is the 100 TB cliff
+    this operator exists to avoid."""
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_j_range_bucketed,
+    )
+
+    plan = _executed_plan(op_j_range_bucketed(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_aggregate_pass(spark):
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_a_grouping_sets,
+    )
+
+    plan = _executed_plan(op_a_grouping_sets(spark, SF_SMOKE))
+    # expand + partial/final hash agg; one scan of orders
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2

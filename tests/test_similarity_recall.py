@@ -52,3 +52,28 @@ def test_ivf_recall_against_bruteforce(spark):
     }
     # measured 0.967 at this SF with k=16/nprobe=2; 0.5 is the alarm line
     assert len(ivf & truth) / len(truth) >= 0.5
+
+
+def test_quantized_cosine_tracks_full_precision(spark):
+    """int8 quantization must preserve neighbor structure: quantized
+    cosine within 0.02 of full-precision cosine for every reported pair
+    (64-dim vectors; max quantization error per lane is 1/254)."""
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        cosine,
+        sim_quantized_topk,
+    )
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    topq = sim_quantized_topk(spark, SF_SMOKE)
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
+    joined = (
+        topq.join(a, "qid").join(b, "nid")
+        .select("qid", "nid", "cos_sim_q", cosine("va", "vb").alias("cos_full"))
+    )
+    rows = joined.collect()
+    assert len(rows) == 50
+    assert all(abs(r.cos_sim_q - r.cos_full) < 0.02 for r in rows)
