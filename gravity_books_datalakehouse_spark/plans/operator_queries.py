@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
     )
     from gravity_books_datalakehouse_spark.plans import (  # noqa: F401
         advanced_queries,
+        sampling_queries,
         tpch_queries,
     )
 

@@ -1,0 +1,138 @@
+"""Deterministic sampling & dataset splitting for training pipelines.
+
+RNG-based sampling (``df.sample``, Bernoulli with a seed) is reproducible
+only for a fixed partitioning — repartition the input and the sample
+changes, and no external oracle can re-derive it. These operators instead
+assign every row by a *content hash*: ``md5(key)`` hex, compared against a
+fixed-width hex threshold. Properties that matter in production:
+
+- **stable**: the same doc lands in the same split on every run, every
+  engine, every partitioning — immune to shuffles, AQE re-plans, SF.
+- **uniform**: md5 output is uniform, so a threshold of the first 4
+  nibbles < floor(rate·16⁴) samples within 2⁻¹⁶ of the target rate.
+- **oracle-verifiable**: lexicographic order on fixed-width lowercase hex
+  IS numeric order, so the whole thing is portable string comparison —
+  no hex→int conversion on either engine.
+- **shuffle-free**: assignment is a per-row projection; the only shuffle
+  in these queries is the final reporting aggregation.
+
+The reference has no sampling at all; this is §2.8 territory (the
+train/eval split every 100 TB corpus needs before any dedup/curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+
+def hash_fraction_hex(key: F.Column, nibbles: int = 4) -> F.Column:
+    """First ``nibbles`` hex chars of md5(key) — a uniform draw in
+    [0, 16^nibbles) encoded as a fixed-width string whose lexicographic
+    order is numeric order. DuckDB twin:
+    ``substring(md5(CAST(key AS VARCHAR)), 1, nibbles)``."""
+    return F.substring(F.md5(key.cast("string")), 1, nibbles)
+
+
+def rate_threshold_hex(rate: float, nibbles: int = 4) -> str:
+    """Hex threshold string for a sampling rate: rows with
+    hash_fraction_hex < threshold are kept (compile-time constant)."""
+    return format(int(rate * (16**nibbles)), f"0{nibbles}x")
+
+
+_T10 = rate_threshold_hex(0.10)   # '1999'
+_T80 = rate_threshold_hex(0.80)   # 'cccc'
+_T90 = rate_threshold_hex(0.90)   # 'e666'
+_T50 = rate_threshold_hex(0.50)   # '8000'
+
+
+@register(
+    "op_sample_hash_bernoulli",
+    f"""SELECT source, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T10}'
+        GROUP BY source
+        ORDER BY source""",
+)
+def op_sample_hash_bernoulli(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample of the corpus by content-hash
+    threshold, reported per source. The WHERE is a pure projection-side
+    predicate — at 100 TB the sample never shuffles, and re-running on a
+    re-partitioned / re-compacted copy of the data selects the SAME
+    documents (unlike ``df.sample(seed=…)``, which is partition-layout-
+    dependent)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(hash_fraction_hex(F.col("doc_id")) < _T10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "op_split_train_eval",
+    f"""SELECT CASE
+                 WHEN h < '{_T80}' THEN 'train'
+                 WHEN h < '{_T90}' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (SELECT lang, n_chars,
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+              FROM documents)
+        GROUP BY 1, 2
+        ORDER BY split, lang""",
+)
+def op_split_train_eval(spark, sf_dir):
+    """80/10/10 train/val/test assignment by hash band — the split is a
+    function of doc_id alone, so adding new data later never moves an
+    existing document between splits (the leakage guarantee retraining
+    pipelines rely on). Reported as split × lang counts."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash_fraction_hex(F.col("doc_id"))
+    split = (
+        F.when(h < _T80, "train").when(h < _T90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "op_sample_rebalance_langs",
+    f"""SELECT lang, COUNT(*) AS n_kept
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE WHEN lang = 'en' THEN '{_T10}' ELSE '{_T50}' END
+        GROUP BY lang
+        ORDER BY lang""",
+)
+def op_sample_rebalance_langs(spark, sf_dir):
+    """Stratified downsampling with per-stratum rates: keep 10% of the
+    dominant language (en) and 50% of everything else — the standard
+    rebalancing move before pretraining. Per-stratum thresholds are
+    compile-time hex constants riding the same row-local hash, so the
+    stratification adds zero cost over the uniform sample."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", F.lit(_T10)).otherwise(F.lit(_T50))
+    return (
+        d.filter(hash_fraction_hex(F.col("doc_id")) < thr)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
