@@ -143,3 +143,53 @@ def deduped_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def purchase_click_interval_join(
+    events: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join: each purchase paired with the same user's
+    clicks from the preceding ``lookback`` window (click-to-purchase
+    attribution, incrementally).
+
+    The batch twin is the bucketized range join
+    (plans/advanced_queries.py:op_j_range_bucketed); here the SAME
+    interval semantics run incrementally: both sides carry watermarks and
+    the join condition bounds click event-time relative to purchase
+    event-time, which lets Spark (a) buffer each side's rows in the state
+    store only until the other side's watermark passes the interval, and
+    (b) emit matches exactly once. Without the time bound the state would
+    grow without limit — Spark rejects an unbounded stream-stream inner
+    join with watermarks for this reason.
+
+    State is keyed by user_id; at production rates the state store shards
+    across executors on that key (RocksDB backend recommended beyond
+    memory-sized state)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts"
+    )

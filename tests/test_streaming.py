@@ -153,3 +153,31 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     ids = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_stream").collect()]
     assert sorted(ids) == list(range(13))  # 13 unique, no redelivered dupes
     assert len(ids) == len(set(ids))
+
+
+def test_stream_stream_interval_join_equals_batch(spark, event_source_dir):
+    """The watermarked stream-stream purchase⋈click join must emit exactly
+    the pairs the equivalent batch join produces."""
+    from gravity_books_datalakehouse_spark.streaming.events import (
+        purchase_click_interval_join,
+        read_event_stream,
+    )
+
+    streamed_q = (
+        purchase_click_interval_join(read_event_stream(spark, event_source_dir))
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    streamed_q.awaitTermination(180)
+    streamed = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+
+    batch = purchase_click_interval_join(load_events(spark, SF_SMOKE))
+    expected = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert len(expected) > 0
+    assert streamed == expected
