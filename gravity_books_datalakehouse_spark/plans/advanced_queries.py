@@ -139,3 +139,62 @@ def op_j_range_bucketed(spark, sf_dir):
         "left",
     )
     return joined.groupBy("event_id").agg(F.count("e_ts").alias("n_recent"))
+
+
+@register(
+    "op_w_trailing_range_frame",
+    """SELECT nation_name, day_int,
+              CAST(day_rev AS DOUBLE) AS day_rev,
+              CAST(SUM(day_rev) OVER (
+                     PARTITION BY nation_name ORDER BY day_int
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS trailing_7d_rev
+       FROM (
+         SELECT n.n_name AS nation_name,
+                CAST(date_diff('day', DATE '1970-01-01',
+                               CAST(o.o_orderdate AS DATE)) AS BIGINT) AS day_int,
+                SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS day_rev
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2
+       )""",
+)
+def op_w_trailing_range_frame(spark, sf_dir):
+    """RANGE-frame window: per-nation trailing 7-DAY revenue — a frame
+    defined by the ORDER-BY *value* (calendar distance), not row count,
+    so gaps in the date sequence are handled correctly (a ROWS frame
+    would silently span more than a week across missing days).
+
+    Two-level plan: daily pre-aggregation first (shuffle carries one row
+    per nation×day, not per order), then the window over the compacted
+    frame — the shuffle-minimizing decomposition for windowed rollups at
+    any scale. The inner sums stay exact decimal; doubles appear only in
+    the output casts, so the trailing sums are bit-equal cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_int"),
+        )
+        .agg(F.sum(_money("o_totalprice")).alias("day_rev"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("nation_name")
+        .orderBy("day_int")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "nation_name",
+        "day_int",
+        F.col("day_rev").cast("double").alias("day_rev"),
+        F.sum("day_rev").over(w).cast("double").alias("trailing_7d_rev"),
+    )
