@@ -51,3 +51,48 @@ def test_clustered_data_roundtrips(spark, tmp_path):
     path = str(tmp_path / "c2")
     cluster_write(li, path, "l_orderkey")
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """Z-order: per-file footer ranges must be materially narrower than
+    the domain on BOTH clustered columns — single-column range clustering
+    can't do that for the second key."""
+    from gravity_books_datalakehouse_spark.sources.clustering import zorder_write
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    dom = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    span_o, span_p = dom[1] - dom[0], dom[3] - dom[2]
+
+    zpath = str(tmp_path / "zorder")
+    zorder_write(li, zpath, "l_orderkey", "l_partkey", num_files=16)
+    ranges_o = _file_ranges(zpath, "l_orderkey")
+    ranges_p = _file_ranges(zpath, "l_partkey")
+    assert len(ranges_o) >= 8
+    avg_o = sum(hi - lo for lo, hi in ranges_o) / len(ranges_o)
+    avg_p = sum(hi - lo for lo, hi in ranges_p) / len(ranges_p)
+    # each dimension's average per-file span is a fraction of the domain
+    assert avg_o <= span_o * 0.6
+    assert avg_p <= span_p * 0.6
+
+    # contrast: range clustering on orderkey leaves partkey unclustered
+    cpath = str(tmp_path / "single")
+    cluster_write(li, cpath, "l_orderkey", num_files=16)
+    wide_p = _file_ranges(cpath, "l_partkey")
+    avg_wide_p = sum(hi - lo for lo, hi in wide_p) / len(wide_p)
+    assert avg_wide_p > span_p * 0.8
+    # and z-order beats it on the second column by a wide margin
+    assert avg_p < avg_wide_p / 2
+
+
+def test_zorder_roundtrips_all_rows(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.sources.clustering import zorder_write
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    path = str(tmp_path / "z2")
+    zorder_write(li, path, "l_orderkey", "l_partkey")
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)

@@ -163,3 +163,17 @@ def test_grouping_sets_single_aggregate_pass(spark):
     # expand + partial/final hash agg; one scan of orders
     assert plan.count("FileScan") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_trailing_range_frame_preaggregates_before_window(spark):
+    """The 7-day trailing window must run over the nation×day pre-aggregate
+    (one row per group), never over raw orders — the window exchange
+    carries the compacted frame only."""
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_w_trailing_range_frame,
+    )
+
+    plan = _executed_plan(op_w_trailing_range_frame(spark, SF_SMOKE))
+    # aggregation (partial+final) appears below the single Window node
+    assert plan.count("Window") == 1
+    assert plan.count("HashAggregate") >= 2
