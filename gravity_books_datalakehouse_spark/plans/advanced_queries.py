@@ -198,3 +198,41 @@ def op_w_trailing_range_frame(spark, sf_dir):
         F.col("day_rev").cast("double").alias("day_rev"),
         F.sum("day_rev").over(w).cast("double").alias("trailing_7d_rev"),
     )
+
+
+@register(
+    "op_w_value_functions",
+    """SELECT c_mktsegment, c_custkey,
+              ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
+              first_value(c_custkey) OVER w2 AS richest_custkey,
+              last_value(c_custkey) OVER w2 AS poorest_custkey
+       FROM customer
+       WINDOW w  AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey ASC),
+              w2 AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)""",
+)
+def op_w_value_functions(spark, sf_dir):
+    """Window value functions: percent_rank (relative standing) plus
+    first/last_value over an explicitly unbounded frame — last_value
+    with the DEFAULT frame (… AND CURRENT ROW) is the classic silent
+    bug, returning each row's own value; both engines share that
+    default, so the explicit frame is the portable spelling. The
+    tie-broken ORDER BY makes percent_rank's rank (and thus the whole
+    output) deterministic. One shuffle on the partition key serves all
+    three functions (same window spec family)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.first("c_custkey").over(w2).alias("richest_custkey"),
+        F.last("c_custkey").over(w2).alias("poorest_custkey"),
+    )

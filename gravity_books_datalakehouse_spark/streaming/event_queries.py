@@ -210,3 +210,31 @@ def ev_json_props_extract(spark, sf_dir):
         F.max(k).cast("int").alias("max_k"),
         F.sum(k).cast("bigint").alias("sum_k"),
     )
+
+
+@register(
+    "ev_sliding_windows",
+    """SELECT window_start, COUNT(*) AS n_events
+       FROM (
+         SELECT time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP)
+                - k.k * INTERVAL '15 minutes' AS window_start
+         FROM events
+         CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+       )
+       GROUP BY window_start""",
+)
+def ev_sliding_windows(spark, sf_dir):
+    """Sliding (hopping) 1-hour windows every 15 minutes — each event
+    belongs to exactly 4 overlapping windows, the shape behind trending /
+    rate-over-rolling-hour metrics. Spark's ``window(ts, '1 hour',
+    '15 minutes')`` expands the 4 assignments before the aggregate, so
+    it is one groupBy pass with 4× row fan-out and low-cardinality
+    output; under streaming the identical expression runs incrementally
+    with watermark-evicted per-window state. The oracle derives the same
+    window set arithmetically (floor-to-15-min minus k·15 min)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
