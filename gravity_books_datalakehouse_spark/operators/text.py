@@ -357,3 +357,41 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= _TFIDF_TOPK)
         .select("doc_id", "term", "rank", F.round("score_full", 6).alias("score"))
     )
+
+
+@register(
+    "text_chunk_documents",
+    """SELECT doc_id,
+              CAST((start_pos - 1) / 192 AS BIGINT) AS chunk_idx,
+              CAST(length(substring(text, start_pos, 256)) AS INT) AS chunk_len,
+              md5(substring(text, start_pos, 256)) AS chunk_md5
+       FROM (SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text), 1), 192))
+                      AS start_pos
+             FROM documents)""",
+)
+def text_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-width chunking (256-char windows, 192 stride →
+    64-char overlap): the pre-tokenization split that turns documents
+    into training-context-sized pieces without losing cross-boundary
+    text. Entirely JVM-side — ``sequence`` generates the start offsets,
+    ``posexplode`` fans out one row per chunk, ``substring`` slices —
+    so chunking a 100 TB corpus is a narrow map stage with zero
+    shuffle, and downstream dedup/quality filters run per-chunk.
+    Chunks are emitted by md5 (content-addressed), matching how a
+    dedup-then-pack pipeline consumes them; both engines share 1-based
+    substring semantics, so the hashes are bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(192)
+    )
+    chunk = F.expr("substring(text, start_pos, 256)")
+    return (
+        docs.select("doc_id", "text", F.posexplode(starts).alias("pos", "start_pos"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("chunk_idx"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

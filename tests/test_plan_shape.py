@@ -177,3 +177,48 @@ def test_trailing_range_frame_preaggregates_before_window(spark):
     # aggregation (partial+final) appears below the single Window node
     assert plan.count("Window") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """When a selective dim filter feeds a shuffle join, Spark can inject a
+    runtime bloom filter on the fact side — rows that can't match are
+    dropped BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice; this
+    test pins that the engine's session supports the injection."""
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _executed_plan(j)
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+        # and the result is unaffected by the pruning
+        assert j.count() >= 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
