@@ -236,3 +236,45 @@ def op_w_value_functions(spark, sf_dir):
         F.first("c_custkey").over(w2).alias("richest_custkey"),
         F.last("c_custkey").over(w2).alias("poorest_custkey"),
     )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "op_unpivot_roundtrip",
+    """SELECT t.event_type,
+              CAST(SUM(COALESCE(c.n, 0)) AS BIGINT) AS total_events,
+              CAST(SUM(CASE WHEN COALESCE(c.n, 0) = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_users_zero
+       FROM (SELECT DISTINCT user_id FROM events) u
+       CROSS JOIN (SELECT unnest(['click','view','purchase','signup','error'])
+                     AS event_type) t
+       LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS n
+                  FROM events GROUP BY 1, 2) c
+         ON c.user_id = u.user_id AND c.event_type = t.event_type
+       GROUP BY t.event_type""",
+)
+def op_unpivot_roundtrip(spark, sf_dir):
+    """UNPIVOT (wide→long), the inverse of op_pivot_event_counts: per-user
+    counts are pivoted wide (zero-filled), unpivoted back to long, and
+    summarized per type — including how many users have ZERO of each
+    type, a row that exists only because the wide form densifies the
+    (user × type) matrix. Spark's ``unpivot`` is a zero-shuffle expand
+    (each wide row emits |value columns| long rows in place); the oracle
+    reconstructs the densified matrix relationally with a cross join."""
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    wide = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES],
+    )
+    long = wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
+    return long.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_zero"),
+    )

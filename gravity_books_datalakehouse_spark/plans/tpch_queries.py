@@ -304,3 +304,103 @@ def q_large_volume_customers(spark, sf_dir):
         .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q_top_supplier_revenue",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS total_rev
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1996-07-01'
+         GROUP BY l_suppkey
+       )
+       SELECT s.s_suppkey, s.s_name,
+              CAST(r.total_rev AS DOUBLE) AS total_rev
+       FROM supplier s
+       JOIN rev r ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+       ORDER BY s.s_suppkey""",
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H q15 shape: supplier(s) achieving the maximum half-year
+    revenue — an aggregate reused twice (per-supplier totals AND their
+    max) plus an equality against a scalar subquery. The rev aggregate
+    is computed once and self-referenced; the max is one broadcast
+    scalar, so the filter is map-side. Equality on exact decimals is
+    safe cross-engine (no double epsilon games); ties → multiple rows,
+    handled identically by both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-07-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("total_rev"))
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_disjunctive_predicates",
+    """SELECT CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                          (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_lines
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+              AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+              AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def q_disjunctive_predicates(spark, sf_dir):
+    """TPC-H q19 shape: OR-of-ANDs across both join sides. Catalyst
+    splits the disjunction: the part-only disjuncts (brand OR brand OR
+    brand) and the lineitem-only bounds (quantity ∈ [1,30]) are each
+    implied by the full predicate, so both get derived, pushed to their
+    scans as residual-OR filters, and the exact mixed predicate is
+    evaluated after the join — scan output shrinks on BOTH sides even
+    though no single conjunct spans the whole WHERE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
