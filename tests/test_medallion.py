@@ -153,3 +153,23 @@ def test_all_five_reference_queries_on_gold_vs_duckdb(spark, lake):
         assert list(got.columns) == list(want.columns), name
         assert got.equals(want), f"{name} differs"
     con.close()
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, lake):
+    """A dim-side filter must prune gold fact partitions at RUNTIME via
+    dynamic partition pruning — the fact scan carries a dynamicpruning
+    subquery on month_sk, so a year's query reads a year's partitions
+    even though the months are only known after filtering dim_date."""
+    lake_dir, _ = lake
+    fact = spark.read.parquet(f"{lake_dir}/gold/fact_sales")
+    dim = (
+        spark.read.parquet(f"{lake_dir}/gold/dim_date")
+        .filter(F.col("year_val") == 1996)
+        .withColumn("month_sk", (F.col("date_sk") / 100).cast("int"))
+        .select("month_sk")
+        .distinct()
+    )
+    j = fact.join(dim, "month_sk").agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.first().n > 0

@@ -222,3 +222,18 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_disjunctive_predicate_derives_per_side_pushdowns(spark):
+    """q19 shape: from the OR-of-ANDs spanning both join sides, Catalyst
+    must derive the single-side implications (quantity bounds →
+    lineitem scan, size/brand bounds → part scan) and push them down."""
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_disjunctive_predicates,
+    )
+
+    plan = _executed_plan(q_disjunctive_predicates(spark, SF_SMOKE))
+    li_scan = [l for l in plan.splitlines() if "FileScan" in l and "l_quantity" in l]
+    p_scan = [l for l in plan.splitlines() if "FileScan" in l and "p_size" in l]
+    assert li_scan and "l_quantity" in li_scan[0].split("DataFilters:", 1)[-1]
+    assert p_scan and "p_size" in p_scan[0].split("DataFilters:", 1)[-1]
