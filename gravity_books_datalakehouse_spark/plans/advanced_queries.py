@@ -278,3 +278,45 @@ def op_unpivot_roundtrip(spark, sf_dir):
         .cast("bigint")
         .alias("n_users_zero"),
     )
+
+
+@register(
+    "op_fk_orphan_audit",
+    """SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_orphans
+       FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+       UNION ALL
+       SELECT 'orders.o_custkey->customer' AS fk, COUNT(*) AS n_orphans
+       FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+       UNION ALL
+       SELECT 'customer.c_nationkey->nation' AS fk, COUNT(*) AS n_orphans
+       FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+       ORDER BY fk""",
+)
+def op_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the star, as one unioned report — the post-load data-quality gate a
+    lakehouse runs where an RDBMS would enforce constraints (Parquet
+    enforces nothing; the reference leans on MySQL FKs, SURVEY §1.3).
+    Each check is a left-anti join that only MATERIALIZES misses, so a
+    clean 100 TB audit streams through without buffering matches; the
+    dim-sided builds broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def check(child, parent, cond, label):
+        return child.join(parent, cond, "left_anti").agg(
+            F.lit(label).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
+        )
+
+    return (
+        check(li, o, li.l_orderkey == o.o_orderkey, "lineitem.l_orderkey->orders")
+        .unionByName(
+            check(o, c, o.o_custkey == c.c_custkey, "orders.o_custkey->customer")
+        )
+        .unionByName(
+            check(c, n, c.c_nationkey == n.n_nationkey, "customer.c_nationkey->nation")
+        )
+        .orderBy("fk")
+    )
