@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
         asof,
         sketches,
         components,
+        udtf_ops,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,
