@@ -1,0 +1,121 @@
+"""Versioned table snapshots: time travel on plain Parquet.
+
+Delta/Iceberg are unavailable in this environment (no jars, frozen pip —
+ROADMAP.md item 1), but the capability their log provides — atomic
+overwrite, read-your-history, schema evolution — is a directory-layout
+protocol, and this module implements the minimal form of it:
+
+    table_dir/
+      v=1/part-*.parquet        immutable snapshot 1
+      v=2/part-*.parquet        immutable snapshot 2
+      _LATEST                   one-line pointer file: "2"
+
+Writers never mutate an existing snapshot: a new version is written to
+its own ``v=N`` directory FIRST, and the ``_LATEST`` pointer is flipped
+LAST — a reader that raced the write either sees the old pointer (old
+snapshot, fully intact) or the new one (new snapshot, fully written).
+That pointer flip is the one-file commit point, the same trick as
+Delta's ``_last_checkpoint``/log-entry append, minus concurrent-writer
+arbitration (single-writer assumption — true for a scheduled pipeline).
+
+Old snapshots stay readable until explicitly vacuumed, which gives:
+- **time travel**: ``read_snapshot(spark, dir, version=3)``
+- **safe reprocessing**: a bad load is undone by re-pointing _LATEST
+- **schema evolution**: each snapshot carries its own Parquet schema;
+  ``read_snapshot(..., merge_schema=True)`` unions schemas across the
+  versions it reads (new columns appear as nulls in old data).
+
+At 100 TB nothing changes: snapshots are directories of Parquet like
+any other table; the pointer file is O(1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LATEST = "_LATEST"
+
+
+def _version_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v={version}")
+
+
+def latest_version(table_dir: str) -> int:
+    """Current committed version (0 if the table does not exist yet)."""
+    pointer = os.path.join(table_dir, _LATEST)
+    if not os.path.exists(pointer):
+        return 0
+    with open(pointer) as fh:
+        return int(fh.read().strip())
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """All retained snapshot versions, ascending."""
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(table_dir)
+        if name.startswith("v=")
+    )
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the next version and return its number.
+
+    The snapshot directory is fully written before the pointer flips —
+    the flip (an O(1) single-file replace) is the commit point."""
+    version = latest_version(table_dir) + 1
+    df.write.mode("errorifexists").parquet(_version_dir(table_dir, version))
+    tmp = os.path.join(table_dir, _LATEST + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, _LATEST))  # atomic on POSIX
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    *,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read one snapshot: the committed latest by default, or any retained
+    ``version`` (time travel). ``merge_schema=True`` makes the scan union
+    column sets when reading a snapshot written under an evolved schema
+    together with unchanged old files (Parquet ``mergeSchema``)."""
+    v = latest_version(table_dir) if version is None else version
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(_version_dir(table_dir, v))
+
+
+def rollback(table_dir: str, version: int) -> None:
+    """Re-point _LATEST at an older retained snapshot — undoing a bad
+    load without touching any data files."""
+    if version not in list_versions(table_dir):
+        raise ValueError(f"version {version} not retained in {table_dir}")
+    tmp = os.path.join(table_dir, _LATEST + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, _LATEST))
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (never the current
+    pointer target). Returns the versions removed."""
+    import shutil
+
+    current = latest_version(table_dir)
+    versions = list_versions(table_dir)
+    keep = set(versions[-keep_last:]) | {current}
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(_version_dir(table_dir, v))
+            removed.append(v)
+    return removed

@@ -1,0 +1,63 @@
+"""Versioned snapshots: time travel, rollback, schema evolution, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+
+from gravity_books_datalakehouse_spark.sources.snapshots import (
+    latest_version,
+    list_versions,
+    read_snapshot,
+    rollback,
+    vacuum,
+    write_snapshot,
+)
+
+
+@pytest.fixture
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_time_travel_preserves_old_snapshots(spark, table):
+    v1 = write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"), table)
+    v2 = write_snapshot(spark.createDataFrame([(3, "c")], "id int, s string"), table)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(table) == 2
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {3}
+    assert {r.id for r in read_snapshot(spark, table, version=1).collect()} == {1, 2}
+
+
+def test_rollback_repoints_without_touching_data(spark, table):
+    write_snapshot(spark.createDataFrame([(1,)], "id int"), table)
+    write_snapshot(spark.createDataFrame([(99,)], "id int"), table)  # bad load
+    rollback(table, 1)
+    assert latest_version(table) == 1
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [1]
+    # the "bad" snapshot is still retained for forensics
+    assert list_versions(table) == [1, 2]
+    with pytest.raises(ValueError):
+        rollback(table, 7)
+
+
+def test_schema_evolution_with_merge_schema(spark, table):
+    write_snapshot(spark.createDataFrame([(1, "a")], "id int, s string"), table)
+    write_snapshot(
+        spark.createDataFrame([(2, "b", 9.5)], "id int, s string, score double"),
+        table,
+    )
+    evolved = read_snapshot(spark, table, merge_schema=True)
+    assert set(evolved.columns) == {"id", "s", "score"}
+    # old snapshot is untouched: still two columns
+    old = read_snapshot(spark, table, version=1)
+    assert set(old.columns) == {"id", "s"}
+
+
+def test_vacuum_never_drops_pointer_target(spark, table):
+    for i in range(4):
+        write_snapshot(spark.createDataFrame([(i,)], "id int"), table)
+    rollback(table, 2)
+    removed = vacuum(table, keep_last=1)
+    assert 2 not in removed  # pointer target survives
+    assert latest_version(table) == 2
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [1]
