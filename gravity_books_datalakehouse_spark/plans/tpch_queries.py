@@ -404,3 +404,461 @@ def q_disjunctive_predicates(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The testdata has no partsupp table; where a classic shape needs one, a
+# partsupp-like relation is DERIVED from lineitem (distinct l_partkey ×
+# l_suppkey, with min observed unit price standing in for ps_supplycost).
+# The derivation is itself a scale statement: one groupBy over the fact
+# produces a dimension-sized relation, after which the classic plan applies.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_min_cost_supplier",
+    """WITH ps AS (
+         SELECT l_partkey AS pk, l_suppkey AS sk,
+                MIN(l_extendedprice / l_quantity) AS unit_cost
+         FROM lineitem GROUP BY l_partkey, l_suppkey
+       ),
+       eps AS (
+         SELECT ps.pk, ps.sk, ps.unit_cost, s.s_name, s.s_acctbal
+         FROM ps
+         JOIN supplier s ON ps.sk = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'EUROPE'
+       )
+       SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal,
+              CAST(e.unit_cost AS DOUBLE) AS unit_cost
+       FROM eps e
+       JOIN (SELECT pk, MIN(unit_cost) AS min_cost FROM eps GROUP BY pk) mn
+         ON e.pk = mn.pk AND e.unit_cost = mn.min_cost
+       JOIN part p ON p.p_partkey = e.pk
+       WHERE p.p_type = 'STANDARD' AND p.p_size <= 25
+       ORDER BY p.p_partkey, e.s_name""",
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 shape: for each qualifying part, the supplier(s) offering
+    the minimum cost within one region — the classic correlated MIN
+    subquery, decorrelated to aggregate + join-back (the q17 pattern).
+
+    The derived partsupp is ONE groupBy over lineitem producing a
+    |parts|×|suppliers-per-part| relation — at 100 TB the only full-fact
+    pass in the query; everything downstream (region filter via two
+    broadcast dims, per-part min) operates on the dimension-sized
+    result. The per-part min is a WINDOW over that small relation, not
+    an aggregate + join-back: join-back would re-derive the partsupp
+    subtree (Spark does not reuse uncached subplans — observed as a
+    second full lineitem scan), while the window is one dim-sized
+    shuffle. This inverts the q17 tradeoff deliberately: there the
+    window input was the full fact, here it is post-aggregation.
+    unit_cost stays an IEEE double in both engines (same division,
+    same min), so the equality cut is bit-exact cross-engine.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eps = (
+        ps.join(s, ps.sk == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("pk", "sk", "unit_cost", "s_name", "s_acctbal")
+    )
+    min_cost = F.min("unit_cost").over(Window.partitionBy("pk"))
+    return (
+        eps.withColumn("min_cost", min_cost)
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(p, p.p_partkey == F.col("pk"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "s_acctbal",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "q_profit_by_nation_year",
+    """SELECT n.n_name AS nation_name,
+              year(o.o_orderdate) AS o_year,
+              CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                            AS DECIMAL(18,4))) AS DOUBLE)
+              - 0.5 * CAST(SUM(CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) *
+                                    CAST(l.l_quantity AS DECIMAL(18,2))
+                                    AS DECIMAL(18,4))) AS DOUBLE) AS profit
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE p.p_type = 'PROMO'
+       GROUP BY n.n_name, year(o.o_orderdate)
+       ORDER BY nation_name, o_year""",
+)
+def q_profit_by_nation_year(spark, sf_dir):
+    """TPC-H q9 shape: profit by supplier nation × order year. Real q9
+    prices cost from partsupp; with none in the testdata, cost basis is
+    0.5 × retailprice × qty — the SHAPE (fact joined to 4 tables, two
+    independent money aggregates combined after grouping) is what's
+    exercised. Both sums stay exact DECIMAL(18,4) through aggregation
+    and the 0.5× scaling happens once, in double, after the casts — so
+    the arithmetic is bit-identical cross-engine. The PROMO filter on
+    part prunes the probe via the part join; nation broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cost = (_money("p_retailprice") * _money("l_quantity")).cast("decimal(18,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(_disc_price()).cast("double")
+                - F.lit(0.5) * F.sum(cost).cast("double")
+            ).alias("profit")
+        )
+        .orderBy("nation_name", "o_year")
+    )
+
+
+@register(
+    "q_important_part_value",
+    """WITH val AS (
+         SELECT l.l_partkey AS pk,
+                SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS v
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_7'
+         GROUP BY l.l_partkey
+       )
+       SELECT pk AS p_partkey, CAST(v AS DOUBLE) AS part_value
+       FROM val
+       WHERE CAST(v AS DOUBLE) >
+             0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM val)
+       ORDER BY part_value DESC, p_partkey ASC""",
+)
+def q_important_part_value(spark, sf_dir):
+    """TPC-H q11 shape: parts representing a significant share of one
+    nation's traded value — a grouped aggregate filtered against a
+    scalar fraction of its own total. The per-part aggregate is computed
+    once; its re-aggregation to the grand total is a one-row DataFrame
+    cross-joined back as a broadcast, so the HAVING-style cut is
+    map-side (no second scan of lineitem, no shuffle for the scalar).
+    Value sums are exact decimals; the 0.001× threshold and comparison
+    run in double identically on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(_money("l_extendedprice")).alias("v"))
+    )
+    total = val.agg((F.lit(0.001) * F.sum("v").cast("double")).alias("threshold"))
+    return (
+        val.join(F.broadcast(total), F.col("v").cast("double") > F.col("threshold"))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+@register(
+    "q_late_shipment_priority",
+    """SELECT l.l_linestatus,
+              COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 END) AS high_line_count,
+              COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 END) AS low_line_count
+       FROM orders o
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+       GROUP BY l.l_linestatus
+       ORDER BY l.l_linestatus""",
+)
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H q12 shape: late shipments split by order priority — the
+    conditional-count pivot (CASE inside COUNT) over a fact-to-fact
+    join. Real q12 compares commit/receipt dates the testdata lacks;
+    'late' here is shipped ≥60 days after order date, which preserves
+    the defining feature: the predicate spans BOTH join inputs, so it
+    cannot push below the join — it runs as a post-join filter and the
+    planner knows it. Both counts come from one aggregation pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.expr("l_shipdate >= o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q_customer_order_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+             FROM customer c
+             LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                               AND o.o_orderpriority <> '1-URGENT'
+             GROUP BY c.c_custkey) t
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H q13 shape: the distribution of per-customer order counts —
+    a LEFT join with a predicate INSIDE the join condition (customers
+    with zero qualifying orders must survive with count 0, so the
+    priority filter cannot be a WHERE), then two stacked aggregations.
+    The second groupBy keys on the first's output (tiny), so the only
+    real shuffle is the first count — and COUNT(o_orderkey) counts
+    non-null matches only, preserving the zero bucket.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_promo_revenue",
+    """SELECT CAST(100.0 *
+                   CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                                           (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                                           AS DECIMAL(18,4))
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                                   (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                                   AS DECIMAL(18,4))) AS DOUBLE)
+                   AS DOUBLE) AS promo_revenue
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+         AND l.l_shipdate <  TIMESTAMP '1995-11-01'""",
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H q14 shape: promo revenue share for a window — conditional
+    numerator and unconditional denominator in ONE aggregation pass
+    (no self-join, no second scan). The ship-date range pushes into the
+    lineitem Parquet scan before the part join; both sums stay exact
+    DECIMAL(18,4) and the ratio is one double division at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-11-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero)
+    ).cast("double")
+    total = F.sum(_disc_price()).cast("double")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * promo / total).cast("double").alias("promo_revenue"))
+    )
+
+
+@register(
+    "q_part_supplier_counts",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       SELECT p.p_brand, p.p_type, p.p_size,
+              COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+       FROM ps
+       JOIN part p ON p.p_partkey = ps.l_partkey
+       WHERE p.p_brand <> 'Brand#45'
+         AND p.p_type <> 'PROMO'
+         AND p.p_size IN (1, 9, 19, 23, 36, 45)
+         AND ps.l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p.p_brand, p.p_type, p.p_size
+       ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""",
+)
+def q_part_supplier_counts(spark, sf_dir):
+    """TPC-H q16 shape: how many suppliers can provide each part class,
+    excluding a blacklist — DISTINCT-derived partsupp, negated IN-list
+    as a left-anti join (safe here: s_suppkey is never null, so NOT IN
+    and ANTI agree), then COUNT(DISTINCT) over three grouping columns.
+    The DISTINCT on (partkey, suppkey) is the fact-sized shuffle; the
+    anti join's build side (negative-balance suppliers) broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q_sole_blame_suppliers",
+    """SELECT s.s_name, COUNT(*) AS numwait
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderstatus = 'F'
+         AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+         AND l1.l_linenumber = (SELECT MIN(l4.l_linenumber) FROM lineitem l4
+                                WHERE l4.l_orderkey = l1.l_orderkey
+                                  AND l4.l_suppkey = l1.l_suppkey
+                                  AND l4.l_returnflag = 'R')
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s.s_name
+       LIMIT 100""",
+)
+def q_sole_blame_suppliers(spark, sf_dir):
+    """TPC-H q21 shape: suppliers SOLELY responsible for a problem in a
+    multi-supplier order ('returned' standing in for 'late' — the
+    testdata has no commit/receipt dates). The classic form is a triple
+    correlated EXISTS / NOT-EXISTS self-join on lineitem (the oracle
+    keeps it, plus a min-linenumber guard to count each (order,
+    supplier) pair once); the Spark plan replaces all three self-joins
+    with ONE aggregation over lineitem:
+
+        per order: distinct suppliers, distinct R-flag suppliers, and
+        (iff exactly one) that supplier's key
+
+    then filters n_supp > 1 ∧ n_r_supp = 1 — the EXISTS, NOT-EXISTS and
+    dedup all fall out of one groupBy. At 100 TB that is one shuffle of
+    (orderkey, 3 small columns) versus three fact×fact semi-joins; the
+    blamed-supplier counting, orders status filter, and broadcast
+    nation/region dims all act on order-cardinality rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    is_r = F.col("l_returnflag") == "R"
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supp"),
+        F.max(F.when(is_r, F.col("l_suppkey"))).alias("blame_supp"),
+    )
+    blamed = order_stats.filter(
+        (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)
+    ).join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+    return (
+        blamed.join(s, F.col("blame_supp") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_idle_rich_customers",
+    """SELECT c.c_mktsegment, COUNT(*) AS numcust,
+              CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                AS totacctbal
+       FROM customer c
+       WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                        AS DOUBLE) / COUNT(*)
+                            FROM customer WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c.c_mktsegment
+       ORDER BY c.c_mktsegment""",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H q22 shape: above-average-balance customers with no recent
+    orders (market segment standing in for the phone country code the
+    testdata lacks). Two decorrelations in one query: the scalar AVG
+    subquery becomes a one-row broadcast joined with the comparison AS
+    the join condition (map-side filter, no shuffle), and NOT EXISTS
+    becomes a left-anti join against date-filtered orders — the date
+    predicate pushes into the orders scan, shrinking the anti build
+    side to recent orders only. Average is exact-decimal SUM / COUNT,
+    the repo-wide rule for cross-engine mean equality.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -237,3 +237,54 @@ def test_disjunctive_predicate_derives_per_side_pushdowns(spark):
     p_scan = [l for l in plan.splitlines() if "FileScan" in l and "p_size" in l]
     assert li_scan and "l_quantity" in li_scan[0].split("DataFilters:", 1)[-1]
     assert p_scan and "p_size" in p_scan[0].split("DataFilters:", 1)[-1]
+
+
+def test_sole_blame_folds_triple_exists_into_one_fact_scan(spark):
+    # q21 shape: EXISTS + NOT EXISTS + dedup over lineitem must compile to a
+    # single scan + groupBy, not three fact×fact self-joins.
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_sole_blame_suppliers,
+    )
+
+    plan = _executed_plan(q_sole_blame_suppliers(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_min_cost_supplier_reads_fact_once(spark):
+    # q2 shape: the per-part min must be a window over the derived
+    # (dimension-sized) partsupp, not an agg + join-back that re-derives
+    # the subtree with a second full lineitem scan.
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_min_cost_supplier,
+    )
+
+    plan = _executed_plan(q_min_cost_supplier(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_promo_revenue_ship_date_range_pushed_to_scan(spark):
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import q_promo_revenue
+
+    plan = _executed_plan(q_promo_revenue(spark, SF_SMOKE))
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "lineitem.parquet" in ln and "PushedFilters" in ln
+    )
+    pushed = scan.split("PushedFilters:", 1)[1]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+
+
+def test_idle_rich_customers_scalar_is_broadcast_and_anti_join(spark):
+    # q22 shape: the scalar AVG comparison must be a one-row broadcast
+    # (nested-loop over 1 row == map-side filter), NOT EXISTS a hash anti
+    # join — never a shuffle for the scalar.
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_idle_rich_customers,
+    )
+
+    plan = _executed_plan(q_idle_rich_customers(spark, SF_SMOKE))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
