@@ -43,13 +43,21 @@ def main() -> None:
     warm = spark.createDataFrame([(1,)], "x int")
     warm.mapInPandas(lambda it: it, schema="x int").collect()
 
-    from gravity_books_datalakehouse_spark.metrics import plan_metric_sum
+    from gravity_books_datalakehouse_spark.metrics import (
+        job_group_profile,
+        plan_metrics_sum,
+    )
 
+    sc = spark.sparkContext
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
+    spill_bytes: dict[str, int] = {}
+    stage_counts: dict[str, int] = {}
+    task_counts: dict[str, int] = {}
     total = 0.0
     total_shuffle = 0
+    total_spill = 0
     for name in sorted(qs):
         best, n, df = None, -1, None
         # best-of-2: first run pays scan/materialization, second measures
@@ -57,18 +65,32 @@ def main() -> None:
         # toPandas() (not count()) so projections are actually evaluated
         # and results fetched Arrow-batched — the end-to-end cost a user
         # pays, and exactly how the driver harness consumes results.
-        for _ in range(2):
+        for it in range(2):
+            # a job group per (query, iteration) lets the status tracker
+            # attribute jobs/stages/tasks to exactly this run
+            sc.setJobGroup(f"{name}#{it}", name)
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = len(df.toPandas())
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        sc.setJobGroup("bench-idle", "between queries")
         timings[name] = round(best, 3)
-        sb = plan_metric_sum(df, "shuffleBytesWritten")
+        pm = plan_metrics_sum(df, ["shuffleBytesWritten", "spill size"])
+        sb, sp = pm["shuffleBytesWritten"], pm["spill size"]
+        prof = job_group_profile(spark, f"{name}#1")
         shuffle_bytes[name] = sb
+        spill_bytes[name] = sp
+        stage_counts[name] = prof["stages"]
+        task_counts[name] = prof["tasks"]
         total_shuffle += sb
+        total_spill += sp
         total += best
-        print(f"# {name}: {best:.3f}s rows={n} shuffle={sb}B", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s rows={n} shuffle={sb}B spill={sp}B "
+            f"stages={prof['stages']} tasks={prof['tasks']}",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -80,6 +102,10 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "shuffle_bytes": shuffle_bytes,
                 "total_shuffle_bytes": total_shuffle,
+                "spill_bytes": spill_bytes,
+                "total_spill_bytes": total_spill,
+                "stages": stage_counts,
+                "tasks": task_counts,
             }
         )
     )

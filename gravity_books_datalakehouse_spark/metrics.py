@@ -29,18 +29,51 @@ def _walk(node, visit) -> None:
 def plan_metric_sum(df: DataFrame, metric_name: str) -> int:
     """Sum ``metric_name`` over all nodes of df's executed plan. Returns 0
     if the query was never executed or the metric doesn't occur."""
-    total = 0
+    return plan_metrics_sum(df, [metric_name])[metric_name]
+
+
+def plan_metrics_sum(df: DataFrame, metric_names: list[str]) -> dict[str, int]:
+    """Sum several named SQLMetrics in ONE plan walk (each py4j round-trip
+    costs ~ms; bench extracts 3+ metrics × ~100 queries)."""
+    totals = dict.fromkeys(metric_names, 0)
 
     def visit(node):
-        nonlocal total
         it = node.metrics().iterator()
         while it.hasNext():
             kv = it.next()
-            if kv._1() == metric_name:
-                total += kv._2().value()
+            if kv._1() in totals:
+                totals[kv._1()] += kv._2().value()
 
     try:
         _walk(df._jdf.queryExecution().executedPlan(), visit)
     except Exception:
-        return 0
-    return total
+        pass
+    return totals
+
+
+def job_group_profile(spark, group_id: str) -> dict[str, int]:
+    """Execution-graph profile of every job run under ``group_id`` (set via
+    ``sc.setJobGroup`` before the action): job, stage, and task counts from
+    the public status-tracker API.
+
+    Stage count is the scheduling depth (ideally ≈ #shuffles + 1) and task
+    count the total parallelism footprint — together they say how a query
+    maps onto a 1000-executor cluster in a way wall-clock on local[32]
+    cannot: a query that is fast here but plans 40 stages serializes on
+    shuffle latency at scale."""
+    st = spark.sparkContext.statusTracker()
+    jobs = st.getJobIdsForGroup(group_id)
+    stage_ids: set[int] = set()
+    tasks = 0
+    for j in jobs:
+        ji = st.getJobInfo(j)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            if sid in stage_ids:
+                continue
+            stage_ids.add(sid)
+            si = st.getStageInfo(sid)
+            if si is not None:
+                tasks += si.numTasks
+    return {"jobs": len(jobs), "stages": len(stage_ids), "tasks": tasks}
