@@ -21,6 +21,75 @@ from gravity_books_datalakehouse_spark.plans.star import (
 
 _REGISTRY: list[tuple[dict, dict]] = []
 
+# The driver's correctness harness witnesses the FIRST 50 registry entries.
+# This explicit head interleaves at least one oracle-backed representative of
+# every query family (star, tpch, dedup, similarity/ANN, multimodal, events/
+# streaming-shape, sampling, text, asof, udtf, pipeline, core relational ops)
+# so no family is invisible to the hard per-round signal. Everything else
+# keeps its natural module order after the head.
+_PRIORITY_HEAD = [
+    # star schema (reference validation queries)
+    "star_q1_monthly_sales",
+    "star_q2_top10_parts",
+    "star_q3_top5_customers",
+    "star_q4_sales_by_nation",
+    "star_q5_priority_popularity",
+    # TPC-H-shaped analytics
+    "q_pricing_summary",
+    "q_market_share_by_year",
+    "q_profit_by_nation_year",
+    "q_promo_revenue",
+    "q_sole_blame_suppliers",
+    "q_customer_order_distribution",
+    # deduplication
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_banded_pairs",
+    "dedup_jaccard_verify",
+    "dedup_simhash",
+    "dedup_embedding_near_dup",
+    # similarity / ANN
+    "sim_topk_cosine_bruteforce",
+    "sim_lsh_bucketed_topk",
+    "sim_lsh_multiprobe_topk",
+    "sim_ivf_topk",
+    "sim_quantized_topk",
+    "sim_label_centroids",
+    # multimodal
+    "mm_payload_metadata",
+    "mm_frame_sample",
+    # event/windowed analytics (streaming-shape)
+    "ev_tumbling_hourly",
+    "ev_sessionize",
+    "ev_funnel_signup_click_purchase",
+    "ev_sliding_windows",
+    # deterministic sampling / splits
+    "op_sample_hash_bernoulli",
+    "op_split_train_eval",
+    "op_sample_rebalance_langs",
+    # text analysis
+    "text_token_stats",
+    "text_lang_id",
+    "text_tfidf_top_terms",
+    "text_chunk_documents",
+    # as-of join, Arrow UDTF, curation pipeline
+    "op_asof_join_prev_purchase",
+    "op_udtf_token_explode",
+    "pipeline_curation_verdict",
+    # core relational operator kit
+    "op_s6_sql_over_views",
+    "op_p3_dropna_after_left_join",
+    "op_where_filter_pushdown",
+    "op_j_inner_chain",
+    "op_j_range_bucketed",
+    "op_a1_group_concat_sorted",
+    "op_a_rollup",
+    "op_o_topk_desc_tiebreak",
+    "op_w_trailing_range_frame",
+    "op_f_date_dim_kit",
+    "op_set_union_intersect_except",
+]
+
 
 def _registry() -> tuple[dict, dict]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -32,7 +101,16 @@ def _registry() -> tuple[dict, dict]:
 
     qs.update(operator_queries.queries())
     oracles.update(operator_queries.oracle_sql())
-    return qs, oracles
+
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _PRIORITY_HEAD:
+        if name in qs:
+            ordered[name] = qs[name]
+    for name, fn in qs.items():
+        if name not in ordered:
+            ordered[name] = fn
+    ordered_oracles = {n: oracles[n] for n in ordered if n in oracles}
+    return ordered, ordered_oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:
