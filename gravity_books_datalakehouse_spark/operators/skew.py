@@ -37,7 +37,17 @@ def salted_join(
     the dim side is exploded ×salt_buckets so every (key, salt) probe
     finds its match. Dim replication costs salt_buckets× its size — use
     for small-to-medium dims under a skewed fact, never dim×dim.
+
+    Only ``inner`` and ``left`` joins are supported: under right/full
+    outer, every unmatched dim row would surface once per salt replica
+    (salt_buckets duplicates with null fact columns). For a skewed
+    right/full outer, swap the sides (left) or fall back to AQE skew-join.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "outer joins would duplicate unmatched dim rows per salt replica"
+        )
     salt = F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % salt_buckets
     f = fact.withColumn("__salt", salt.cast("int"))
     d = dim.withColumn(

@@ -33,15 +33,26 @@ def build_scd2(
     (idempotent under snapshot re-delivery). Output: natural key, attrs,
     valid_from, valid_to (null = open), is_current, version (1-based).
     """
-    w_ordered = Window.partitionBy(natural_key).orderBy(F.col(change_ts).asc())
     # drop consecutive duplicates: attribute fingerprint vs previous row
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in attr_cols]))
+    # Both windows order by (change_ts, attribute fingerprint): snapshot/
+    # CDC feeds routinely deliver two change rows for the same natural key
+    # with identical timestamps, and ordering by timestamp alone makes
+    # lag/lead/row_number nondeterministic between runs. The fingerprint
+    # tiebreak pins a total order (ties with identical attributes collapse
+    # in the dedupe step anyway, so the arbitrary-but-stable choice among
+    # equal-ts distinct-attr rows is documented behavior, not chance).
+    w_ordered = Window.partitionBy(natural_key).orderBy(
+        F.col(change_ts).asc(), F.col("__fp").asc()
+    )
     deduped = (
         changes.withColumn("__fp", fp)
         .withColumn("__prev_fp", F.lag("__fp").over(w_ordered))
         .filter(F.col("__prev_fp").isNull() | (F.col("__fp") != F.col("__prev_fp")))
     )
-    w2 = Window.partitionBy(natural_key).orderBy(F.col(change_ts).asc())
+    w2 = Window.partitionBy(natural_key).orderBy(
+        F.col(change_ts).asc(), F.col("__fp").asc()
+    )
     return (
         deduped.withColumn("valid_from", F.col(change_ts))
         .withColumn("valid_to", F.lead(change_ts).over(w2))

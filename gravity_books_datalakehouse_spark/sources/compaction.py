@@ -39,18 +39,34 @@ def compact_parquet(
     partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """Rewrite ``path`` into ceil(total/target) files; returns (files
-    before, files after). Overwrite goes through a staging read so the
-    source is fully materialized before the destructive write."""
+    before, files after).
+
+    The compacted output is written to a sibling staging directory and
+    then atomically swapped over the original — the source table is never
+    the write target, so a mid-job failure (executor loss, eviction of a
+    cached block, kill -9) leaves the original intact. The previous
+    cache()+count()-then-overwrite-in-place approach could recompute from
+    a source that was already being deleted and destroy the table.
+    """
+    import shutil
+
     n_before, total = table_file_stats(path)
     n_files = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(path)
-    staged = df.repartition(n_files)
-    staged.cache()
-    staged.count()  # materialize before overwriting the input
-    writer = staged.write.mode("overwrite")
+    staging = path.rstrip("/") + ".compact-staging"
+    old = path.rstrip("/") + ".compact-old"
+    for d in (staging, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)  # leftover from a prior crash
+    writer = spark.read.parquet(path).repartition(n_files).write.mode(
+        "errorifexists"
+    )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
-    staged.unpersist()
+    writer.parquet(staging)
+    # Two renames: the only non-atomic instant is between them, and a
+    # crash there is recoverable (original fully preserved at `old`).
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
     n_after, _ = table_file_stats(path)
     return n_before, n_after

@@ -65,10 +65,22 @@ def list_versions(table_dir: str) -> list[int]:
 def write_snapshot(df: DataFrame, table_dir: str) -> int:
     """Commit ``df`` as the next version and return its number.
 
-    The snapshot directory is fully written before the pointer flips —
-    the flip (an O(1) single-file replace) is the commit point."""
-    version = latest_version(table_dir) + 1
-    df.write.mode("errorifexists").parquet(_version_dir(table_dir, version))
+    The snapshot is staged under a non-version name, renamed into
+    ``v=N`` only when fully written, and the pointer flips last — so a
+    crash at any point leaves no partial ``v=N`` directory and never
+    wedges future writes. The next version is derived from
+    max(retained versions, pointer): an orphan ``v=N`` from a crashed
+    writer (pointer never flipped) is skipped over instead of being
+    retried forever with ``errorifexists``."""
+    import shutil
+
+    versions = list_versions(table_dir)
+    version = max(versions + [latest_version(table_dir)]) + 1
+    staging = os.path.join(table_dir, f".staging-v{version}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # leftover from a prior crash
+    df.write.mode("errorifexists").parquet(staging)
+    os.rename(staging, _version_dir(table_dir, version))
     tmp = os.path.join(table_dir, _LATEST + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))

@@ -102,23 +102,39 @@ def stream_to_gold(
     Delta-less MERGE used across this repo, plans/medallion.py).
 
     foreachBatch gives exactly-once-per-epoch batch semantics against the
-    checkpoint: each micro-batch rewrites only the day partitions it
-    touches. This is the streaming leg of the medallion architecture —
-    bronze events in, gold aggregates continuously fresh.
+    checkpoint. In ``update`` mode each micro-batch carries ONLY the
+    (window, event_type) aggregates that changed in that batch — but each
+    carried value is the full re-aggregate from the state store, so the
+    latest emission for a key is always authoritative. The gold table is
+    therefore partitioned at exactly that key granularity
+    (day_sk/hour/event_type): a dynamic partition overwrite replaces
+    precisely the cells this batch updated and cannot clobber sibling
+    windows or types that were finalized in earlier batches (the round-1
+    bug when a day's files spanned >1 trigger). No read-modify-write of
+    the gold table is needed, so there is no read-while-overwrite hazard.
+
+    Partition-count note at scale: cardinality is days x 24 x |types| —
+    the same bounded cardinality as the streaming state itself; compact
+    historical days into day-grain files offline if small files matter
+    (sources/compaction.py).
     """
     from pyspark.sql import functions as F
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Writer-level option, not a session conf mutation: foreachBatch
+        # runs against a cloned session, and a session-wide set would both
+        # miss the clone and leak into the user's session.
         (
             batch_df.withColumn(
                 "day_sk",
                 F.date_format("window_start", "yyyyMMdd").cast("int"),
             )
+            .withColumn("hour", F.hour("window_start"))
             .write.mode("overwrite")
-            .partitionBy("day_sk")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day_sk", "hour", "event_type")
             .parquet(gold_path)
         )
 

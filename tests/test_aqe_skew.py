@@ -46,3 +46,38 @@ def test_aqe_splits_skewed_join_partition(spark, skew_session_confs):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, f"AQE did not mark skew:\n{plan[:1500]}"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from gravity_books_datalakehouse_spark.operators.skew import salted_join
+
+    fact = spark.range(5_000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("d"))
+    got = salted_join(fact, dim, "k", salt_buckets=4)
+    want = fact.join(dim, "k")
+    assert got.count() == want.count() == 5_000
+    assert got.exceptAll(want).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched_fact_rows_once(spark):
+    from gravity_books_datalakehouse_spark.operators.skew import salted_join
+
+    fact = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    dim = spark.createDataFrame([(0, "zero")], "k long, d string")
+    got = salted_join(fact, dim, "k", salt_buckets=4, how="left")
+    assert got.count() == 100  # unmatched fact rows exactly once
+    assert got.filter(F.col("d").isNull()).count() == 80
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """Right/full outer would emit each unmatched dim row once per salt
+    replica — the operator must refuse instead of silently duplicating."""
+    from gravity_books_datalakehouse_spark.operators.skew import salted_join
+
+    fact = spark.range(10).select(F.col("id").alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", how=how)

@@ -28,6 +28,27 @@ def test_time_travel_preserves_old_snapshots(spark, table):
     assert {r.id for r in read_snapshot(spark, table, version=1).collect()} == {1, 2}
 
 
+def test_orphan_version_dir_does_not_wedge_writes(spark, table):
+    """A crash after a version directory materialized but before the
+    pointer flip must not block subsequent writes: the next version is
+    derived from max(retained, pointer), skipping the orphan."""
+    import os
+
+    write_snapshot(spark.createDataFrame([(1,)], "id int"), table)
+    # simulate the crash: v=2 exists (fully written), pointer still at 1
+    spark.createDataFrame([(99,)], "id int").write.parquet(
+        os.path.join(table, "v=2")
+    )
+    assert latest_version(table) == 1
+    v = write_snapshot(spark.createDataFrame([(3,)], "id int"), table)
+    assert v == 3  # skipped the orphan, no errorifexists collision
+    assert latest_version(table) == 3
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {3}
+    # a stale staging dir from a crashed write is also tolerated
+    os.makedirs(os.path.join(table, ".staging-v4"), exist_ok=True)
+    assert write_snapshot(spark.createDataFrame([(4,)], "id int"), table) == 4
+
+
 def test_rollback_repoints_without_touching_data(spark, table):
     write_snapshot(spark.createDataFrame([(1,)], "id int"), table)
     write_snapshot(spark.createDataFrame([(99,)], "id int"), table)  # bad load

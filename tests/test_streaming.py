@@ -115,6 +115,54 @@ def test_stream_to_gold_materializes_partitioned_aggregates(spark, tmp_path):
     assert got == want
 
 
+def test_stream_to_gold_multi_batch_same_day_keeps_all_windows(spark, tmp_path):
+    """Regression: with maxFilesPerTrigger=4, a source dir with >4 files
+    splits one day's windows across micro-batches. The per-batch dynamic
+    partition overwrite must not delete windows of the same day that were
+    written by an earlier batch (round-1 bug: gold partitioned at day
+    grain lost every window the later batch didn't re-emit)."""
+    import datetime as dt
+    from gravity_books_datalakehouse_spark.streaming.events import (
+        EVENT_SCHEMA,
+        stream_to_gold,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    src = str(tmp_path / "mb_src")
+    # 8 part-files -> 2 micro-batches; all events on ONE day, each hour a
+    # distinct (hour, event_type) cell. repartitionByRange(8, ts) orders
+    # part files by event time, so trigger 1 (first 4 files) and trigger 2
+    # get disjoint hours of the same day — trigger 2 never re-emits
+    # trigger 1's windows.
+    rows = [
+        (i * 100 + j, base + dt.timedelta(hours=i, minutes=j), j,
+         "click" if i % 2 == 0 else "purchase", 1.0, "{}")
+        for i in range(8)
+        for j in range(5)
+    ]
+    (
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+        .repartitionByRange(8, "ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    prior_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+
+    gold = str(tmp_path / "mb_gold")
+    q = stream_to_gold(spark, src, gold, str(tmp_path / "mb_ckpt"))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(gold)
+    # every one of the 8 hourly windows must survive, 5 events each
+    assert out.count() == 8
+    assert out.agg(F.sum("n_events").alias("s")).first().s == 40
+    assert {r.hour for r in out.select("hour").collect()} == set(range(8))
+    # session-wide config must be untouched, not left mutated
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode").lower() == prior_mode.lower()
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     """Duplicate event_ids redelivered in a later micro-batch (within the
     watermark) must be dropped."""
