@@ -11,10 +11,13 @@ driver's TPC-H-ish tables:
 - dim_date      ← sequence(min..max o_orderdate) (F1–F4)
 - fact_sales    ← lineitem ⋈ orders + SK lookups (J9, J11–J14, P3–P5)
 
-Surrogate keys are dense row_number over the natural key (P6) — exactly
-replayable by the DuckDB oracle (``row_number() OVER (ORDER BY k)``).
-Scale note: row_number windows are fine for dims (small); the *fact* never
-gets a global SK — it carries dim SKs only, as in the reference.
+Surrogate keys are dense 1..N over the natural key (P6) — exactly
+replayable by the DuckDB oracle (``row_number() OVER (ORDER BY k)``) —
+generated with the distributed ``dense`` method (range partition + local
+row_number + broadcast offsets, operators/surrogate_keys.py): no global
+single-task window, so the dim build survives billion-row dimensions.
+The *fact* never gets a global SK — it carries dim SKs only, as in the
+reference.
 
 Physical shape at 100 TB: fact-side joins to every dim are broadcast
 (dims ≤ millions of rows); the only large shuffle in the whole star build
@@ -85,13 +88,16 @@ def _build_star_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("n_regionkey") == F.col("r_regionkey"),
         broadcast_right=True,
     ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "nation_name", "region_name")
-    dim_customer = add_surrogate_key(cust_enriched, "c_custkey", "customer_sk")
+    dim_customer = add_surrogate_key(
+        cust_enriched, "c_custkey", "customer_sk", method="dense"
+    )
 
     # dim_part — dim_book role (P1 projection + P6 SK).
     dim_part = add_surrogate_key(
         part.select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
         "p_partkey",
         "part_sk",
+        method="dense",
     )
 
     # dim_priority — dim_shipping role: DISTINCT from the fact feed (A3).
@@ -99,6 +105,7 @@ def _build_star_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         orders.select(F.col("o_orderpriority").alias("order_priority")).distinct(),
         "order_priority",
         "priority_sk",
+        method="dense",
     )
 
     # dim_date — F1..F4 from order-date bounds.

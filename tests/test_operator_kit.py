@@ -18,6 +18,8 @@ from gravity_books_datalakehouse_spark.operators import (
 )
 from gravity_books_datalakehouse_spark.operators.skew import salted_join
 
+SF = "/root/testdata/sf0.001"
+
 
 def _df(spark, rows, schema):
     return spark.createDataFrame(rows, schema)
@@ -78,6 +80,51 @@ def test_surrogate_key_zip_index_matches_row_number(spark):
     zi = {r.k: r.sk for r in
           add_surrogate_key(df, "k", "sk", method="zip_index").collect()}
     assert rn == zi
+
+
+def test_surrogate_key_dense_matches_row_number_at_scale(spark):
+    """The distributed dense method must reproduce the global-window
+    row_number assignment exactly, across many partitions and skewed
+    key distributions."""
+    df = spark.range(50_000).select(
+        ((F.col("id") * 2654435761) % 1_000_003).alias("k")
+    ).distinct().repartition(16)
+    rn = {r.k: r.sk for r in add_surrogate_key(df, "k", "sk").collect()}
+    dn = {r.k: r.sk
+          for r in add_surrogate_key(df, "k", "sk", method="dense").collect()}
+    assert rn == dn
+    assert sorted(dn.values()) == list(range(1, len(dn) + 1))
+
+
+def test_surrogate_key_dense_plan_has_no_data_path_single_partition(spark):
+    """Scale guard: the dense SK plan's only SinglePartition exchange is
+    over the per-partition counts (metadata, n_partitions rows) — the
+    data path itself must be range/hash partitioned end to end."""
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    out = add_surrogate_key(df, "k", "sk", method="dense")
+    out.collect()
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]  # AQE string repeats the plan
+    )
+    assert "rangepartitioning" in plan
+    # exactly one SinglePartition exchange, and it must sit inside the
+    # broadcast (offsets) subtree, not on the main data path
+    assert plan.count("Exchange SinglePartition") == 1
+    main_path = plan.split("BroadcastQueryStage")[0]
+    assert "SinglePartition" not in main_path
+
+
+def test_star_dim_build_has_no_global_window(spark):
+    """The star dims use the dense method: no unpartitioned row_number
+    window (single-task funnel) anywhere in the dim build."""
+    from gravity_books_datalakehouse_spark.plans.star import build_star
+
+    dims = build_star(spark, SF, cache=False)
+    for name in ("dim_customer", "dim_part", "dim_priority"):
+        plan = dims[name]._jdf.queryExecution().executedPlan().toString()
+        main_path = plan.split("BroadcastExchange")[0]
+        assert "SinglePartition" not in main_path, name
 
 
 def test_surrogate_key_hash_stable_not_dense(spark):
