@@ -7,25 +7,61 @@ query — so this is the engine's iterative-algorithm pattern (SURVEY.md
 §2.8 custom-operator rule: composition of DataFrame ops driven by a
 convergence loop).
 
-Algorithm: minimum-label propagation (a DataFrame port of the classic
-large-star/small-star idea, simplified): every vertex starts labeled by
-itself; each round every vertex takes the min label in its closed
-neighborhood; stop when no label changes. Rounds = O(component
-diameter) — near-dup clusters are small and dense, so convergence is
-fast (2–3 rounds typical).
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature). Each round rewires the edge set toward a star per
+component rooted at the component's minimum id:
+
+- **large-star(u)**: every neighbor v > u re-attaches to
+  m = min(closed neighborhood of u);
+- **small-star(u)**: every neighbor v <= u (and u itself) re-attaches
+  to m = min of that smaller neighborhood.
+
+Converges in O(log^2 n) rounds regardless of component diameter —
+the decisive improvement over per-round min-label propagation
+(O(diameter) rounds), which this replaced: a 10 000-long chain
+converges in ~5 rounds instead of ~10 000.
 
 Scale discipline for iterative DataFrame jobs (the part that bites at
-100 TB): each round ends in ``localCheckpoint()`` — without it, lineage
-grows by one join per round and Catalyst re-analyzes an exponentially
-nested plan; with it, each round starts from materialized partitions.
-The convergence check is an ``isEmpty`` on the changed-labels anti-join,
-not a full count.
+100 TB): each half-round ends in ``localCheckpoint()`` — without it,
+lineage grows by one join per round and Catalyst re-analyzes an
+exponentially nested plan; with it, each round starts from
+materialized partitions. Convergence = the edge set is a star forest
+(no edge's parent endpoint appears as a child anywhere), checked with
+one semi-join + isEmpty per round — this fires on the round that
+*reaches* the fixpoint, one full round earlier than comparing
+consecutive edge sets.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: (u=min, v=max), self-loops dropped."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff no edge's root endpoint (u = min side) is any edge's
+    member endpoint (v) — i.e. every component is a depth-1 star, the
+    algorithm's fixpoint."""
+    members = edges.select(F.col("v").alias("u"))
+    return edges.join(members, "u", "leftsemi").isEmpty()
 
 
 def connected_components(
@@ -37,43 +73,74 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = min
     vertex id reachable. Raises if not converged within ``max_iter``."""
-    both = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    both = both.distinct().localCheckpoint()
-
-    labels = (
-        both.select(F.col("a").alias("id"))
+    # one materialization of the (possibly expensive) upstream pair
+    # pipeline; verts and the canonical edge set both derive from it
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
+    verts = (
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
+    e = _canon(raw).localCheckpoint()
 
-    # convergence check: labels are monotonically non-increasing per
-    # vertex, so sum(label) is strictly decreasing until the fixpoint —
-    # one cheap aggregate per round instead of a join + isEmpty.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = _is_star_forest(e)
     for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
+        if converged:
+            break
+        # large-star: neighbors larger than u re-attach to the min of
+        # u's closed neighborhood
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
         )
-        labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        # (v, m) with m = min(closed nbhd) <= u < v is already in
+        # canonical (root, member) orientation, so canonicalization is a
+        # plain distinct — and the dedup matters at scale: a k-clique
+        # emits each (root, member) edge up to k-1 times here, and
+        # collapsing that before the next shuffle bounds round growth.
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            return labels.select("id", F.col("label").alias("component"))
-        prev_sum = cur_sum
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        e = large.distinct()
+
+        # small-star: smaller-or-equal neighborhood (plus u) re-attaches
+        # to its min. One checkpoint per full round (the half-round
+        # lineage is a handful of ops — re-analysis stays cheap, and one
+        # materialization per round instead of two).
+        smaller = _sym(e).filter(F.col("v") < F.col("u"))
+        mins_s = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smaller.join(mins_s, "u")
+            .select(F.col("v").alias("x"), F.col("m"))
+            .unionByName(mins_s.select(F.col("u").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        )
+        e = _canon(small).localCheckpoint()
+        converged = _is_star_forest(e)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # converged edge set is a star per component: u = root (min id),
+    # v = member. Vertices absent from e (self-loop-only inputs) keep
+    # their own id as component.
+    labels = (
+        e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+        .unionByName(
+            e.select(F.col("u").alias("id"), F.col("u").alias("component"))
+        )
+        .distinct()
+    )
+    return (
+        verts.join(labels, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
 
 
 def dedup_clusters(pairs: DataFrame, doc_a: str = "doc_a", doc_b: str = "doc_b") -> DataFrame:

@@ -20,13 +20,31 @@ def test_components_on_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
-def test_components_long_chain_converges(spark):
-    n = 40  # diameter 40 chain: exercises multi-round propagation
+def test_components_long_chain_converges_in_log_rounds(spark):
+    """A diameter-2000 chain must converge within ~log^2 rounds — the
+    large-star/small-star guarantee. Per-round min-label propagation
+    (O(diameter) rounds) cannot pass this with max_iter=15."""
+    n = 2000
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "src long, dst long"
     )
-    got = {r.id: r.component for r in connected_components(edges, max_iter=50).collect()}
+    got = {r.id: r.component
+           for r in connected_components(edges, max_iter=15).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_components_two_cliques_bridged(spark):
+    """Dense clusters joined by one bridge edge — the shape LSH dedup
+    produces; also exercises the clique duplicate-edge path."""
+    k = 30
+    c1 = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    c2 = [(100 + i, 100 + j) for i in range(k) for j in range(i + 1, k)]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(k - 1, 100)], "src long, dst long"
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 2 * k
 
 
 def test_dedup_clusters_match_union_find(spark):
