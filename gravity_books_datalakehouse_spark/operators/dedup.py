@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gravity_books_datalakehouse_spark.plans._cache import session_key
+from gravity_books_datalakehouse_spark.plans._cache import (
+    evict_other_scales,
+    session_key,
+)
 from gravity_books_datalakehouse_spark.plans.operator_queries import register
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 from gravity_books_datalakehouse_spark.operators.text import (
@@ -56,6 +59,7 @@ _PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = session_key(spark, sf_dir)
     if key not in _SHINGLE_CACHE:
+        evict_other_scales(_SHINGLE_CACHE, key)
         # Persist partitioned by doc_id: the distinct() leaves the frame
         # hash-partitioned on (doc_id, shingle), under which every
         # downstream per-doc aggregation (signature matrices, shingle
@@ -159,6 +163,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     key = session_key(spark, sf_dir)
     if key in _PAIR_CACHE:
         return _PAIR_CACHE[key]
+    evict_other_scales(_PAIR_CACHE, key)
     sigs = minhash_signatures(_cached_shingles(spark, sf_dir))
     bands = sigs.select(
         "doc_id", F.col("p").alias("band_idx"), F.col("sig").alias("band_key")

@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gravity_books_datalakehouse_spark.plans._cache import session_key
+from gravity_books_datalakehouse_spark.plans._cache import (
+    evict_other_scales,
+    session_key,
+)
 from gravity_books_datalakehouse_spark.plans.operator_queries import register
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
@@ -47,6 +50,7 @@ _SIG_CACHE: dict[tuple[int, str], "DataFrame"] = {}
 def _signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = session_key(spark, sf_dir)
     if key not in _SIG_CACHE:
+        evict_other_scales(_SIG_CACHE, key)
         e = load_table(spark, sf_dir, "embeddings")
         _SIG_CACHE[key] = e.select(
             "vec_id", "embedding", "label",

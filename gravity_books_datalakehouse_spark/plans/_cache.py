@@ -15,6 +15,24 @@ def session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return (spark.sparkContext.applicationId, sf_dir)
 
 
+def evict_other_scales(registry: dict, key: tuple[str, str]) -> None:
+    """Unpersist and drop this session's entries for OTHER sf_dirs before
+    ``key`` is inserted. Bounds each memo registry to one scale per live
+    session: a long-lived session sweeping sf0.001 → sf0.01 → sf0.1 no
+    longer accumulates persisted tables for every scale it ever touched
+    (executor-memory leak flagged in round 1). Other sessions' entries
+    are untouched."""
+    app, sf = key
+    for stale in [k for k in registry if k[0] == app and k[1] != sf]:
+        value = registry.pop(stale)
+        frames = value.values() if isinstance(value, dict) else [value]
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+
 def clear_session_caches() -> None:
     """Unpersist and forget every memoized intermediate (star tables,
     shingles, candidate pairs, signed embeddings) across all sessions.

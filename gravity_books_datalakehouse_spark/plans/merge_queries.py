@@ -1,0 +1,107 @@
+"""MERGE-shaped upsert exercised end-to-end as an oracle-backed query.
+
+The reference's DWH lifecycle is truncate + full reload per run
+(etl_script_dwh/etl_dwh.py:21-28,108); the lakehouse-native counterpart
+is a keyed MERGE into a versioned table. Delta/Iceberg are unavailable
+here (no jars), so the merge runs on the snapshots module
+(sources/snapshots.py): update-matched + insert-unmatched in one
+anti-join + union, committed atomically via the version-pointer flip.
+
+The registered query materializes a base snapshot of orders, merges an
+increment that both UPDATES existing keys and INSERTS new ones, and
+returns an aggregate over the merged table — all replayable in DuckDB
+with NOT EXISTS + UNION ALL, which makes the merge semantics (not just
+the plumbing) oracle-verified by the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+from gravity_books_datalakehouse_spark.sources.snapshots import (
+    merge_snapshot,
+    read_snapshot,
+    write_snapshot,
+)
+
+_CUT = "1997-06-01"
+
+
+def _base(orders: DataFrame) -> DataFrame:
+    """Initial table state: pre-cutoff orders."""
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderdate") < F.lit(_CUT).cast("date"))
+
+
+def _increment(orders: DataFrame) -> DataFrame:
+    """Change feed: every 10th order (any date) with doubled price and
+    forced status — overlaps the base (updates) and the post-cutoff
+    range (inserts)."""
+    return orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+
+
+@register(
+    "op_merge_upsert_snapshot",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < DATE '{_CUT}'
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def op_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base snapshot -> MERGE increment -> aggregate the merged table.
+
+    The snapshot table lives under a per-(user, sf) temp dir rebuilt on
+    every call, so the query is a pure function of sf_dir."""
+    orders = load_table(spark, sf_dir, "orders")
+    table_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"gravity-merge-demo-{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    write_snapshot(_base(orders), table_dir)
+    merge_snapshot(_increment(orders), table_dir, ["o_orderkey"])
+    return (
+        read_snapshot(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
     )
     from gravity_books_datalakehouse_spark.plans import (  # noqa: F401
         advanced_queries,
+        merge_queries,
         sampling_queries,
         tpch_queries,
     )

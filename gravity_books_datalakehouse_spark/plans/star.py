@@ -34,7 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gravity_books_datalakehouse_spark.plans._cache import session_key
+from gravity_books_datalakehouse_spark.plans._cache import (
+    evict_other_scales,
+    session_key,
+)
 from gravity_books_datalakehouse_spark.functions.datekit import date_dim_from_bounds
 from gravity_books_datalakehouse_spark.operators.joins import equi_join
 from gravity_books_datalakehouse_spark.operators.surrogate_keys import add_surrogate_key
@@ -62,6 +65,7 @@ def build_star(
         return _STAR_CACHE[key]
     tables = _build_star_plans(spark, sf_dir)
     if cache:
+        evict_other_scales(_STAR_CACHE, key)
         for df in tables.values():
             df.persist()
         _STAR_CACHE[key] = tables

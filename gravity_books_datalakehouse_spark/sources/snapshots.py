@@ -106,6 +106,40 @@ def read_snapshot(
     return reader.parquet(_version_dir(table_dir, v))
 
 
+def merge_snapshot(
+    updates: DataFrame,
+    table_dir: str,
+    keys: list[str],
+) -> int:
+    """MERGE-shaped upsert committed as a new snapshot — the log-free
+    substitute for Delta's ``MERGE INTO`` (the reference's append/
+    truncate lifecycle, etl_script_dwh/etl_dwh.py:21-28,108, gives every
+    load full-refresh semantics; this gives keyed incremental semantics).
+
+    One pass, no driver-side loop: rows of the current snapshot whose
+    key matches an update are replaced (update-matched), update rows
+    with no current match are appended (insert-unmatched) — i.e.
+    ``updates UNION ALL (current ANTI JOIN updates ON keys)``.
+
+    The result is committed via :func:`write_snapshot`, so the merge is
+    atomic (pointer flip), time-travelable, and rerunnable: merging the
+    same updates twice produces a new version with identical content
+    (idempotent by value). Reads target the old version's directory
+    while the new one is being staged — no read-while-overwrite hazard.
+
+    Scale: one shuffle of each side on ``keys`` (or a broadcast anti
+    join when updates are small — Catalyst decides); at 100 TB partition
+    the snapshot on a key prefix so the anti join prunes partitions.
+    """
+    spark = updates.sparkSession
+    if latest_version(table_dir) == 0:
+        return write_snapshot(updates, table_dir)
+    current = read_snapshot(spark, table_dir)
+    kept = current.join(updates.select(*keys), keys, "left_anti")
+    merged = updates.unionByName(kept.select(*updates.columns))
+    return write_snapshot(merged, table_dir)
+
+
 def rollback(table_dir: str, version: int) -> None:
     """Re-point _LATEST at an older retained snapshot — undoing a bad
     load without touching any data files."""

@@ -71,6 +71,42 @@ def test_salted_join_left_keeps_unmatched_fact_rows_once(spark):
     assert got.filter(F.col("d").isNull()).count() == 80
 
 
+def test_salting_spreads_hot_key_across_shuffle_partitions(spark):
+    """Metrics-backed skew demonstration: with 95% of fact rows on one
+    key, a plain hash-partition-on-key puts ~95% of rows in one task;
+    the salted key spreads the hot key across salt_buckets partitions.
+    (Distribution is deterministic — hash partitioning — so this is a
+    stable assertion, unlike wall-clock.)"""
+    # 2x more salt values than partitions so hash collisions of the
+    # (key, salt) combos still average ~2 combos per partition
+    n, hot_share, buckets, n_parts = 40_000, 0.95, 16, 8
+    fact = spark.range(n).select(
+        F.when(F.col("id") < int(n * hot_share), 0)
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+
+    def max_partition_share(df, *cols):
+        parts = (
+            df.repartition(n_parts, *cols)
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in parts) / n
+
+    plain = max_partition_share(fact, "k")
+    salt = (F.abs(F.xxhash64("k", "v")) % buckets).cast("int")
+    salted = max_partition_share(fact.withColumn("__salt", salt), "k", "__salt")
+    assert plain >= hot_share  # one straggler partition holds the hot key
+    # salting spreads the hot key: the straggler partition collapses to a
+    # small multiple of the ideal 1/n_parts share
+    assert salted < plain / 3
+    assert salted < 2.5 / n_parts
+
+
 def test_salted_join_rejects_outer_joins(spark):
     """Right/full outer would emit each unmatched dim row once per salt
     replica — the operator must refuse instead of silently duplicating."""

@@ -183,3 +183,28 @@ def test_clear_session_caches_rebuilds_cleanly(spark):
     clear_session_caches()
     assert not _STAR_CACHE
     assert build_star(spark, SF_SMOKE)["fact_sales"].count() == n1
+
+
+def test_switching_scale_dir_evicts_previous_scale_cache(spark):
+    """A long-lived session sweeping multiple scale dirs must not pin
+    persisted star tables for every scale it touched: building at a new
+    sf_dir evicts (and unpersists) the old sf_dir's entry."""
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        clear_session_caches,
+    )
+    from gravity_books_datalakehouse_spark.plans.star import (
+        _STAR_CACHE,
+        build_star,
+    )
+    from tests.conftest import SF_SMOKE
+
+    other_sf = "/root/testdata/sf0.01"  # distinct from SF_SMOKE by design
+    clear_session_caches()
+    build_star(spark, SF_SMOKE)["dim_priority"].count()
+    first = next(iter(_STAR_CACHE.values()))
+    assert first["dim_priority"].storageLevel.useMemory
+    build_star(spark, other_sf)["dim_priority"].count()
+    # only the new scale remains, and the old entry was unpersisted
+    assert [k[1] for k in _STAR_CACHE] == [other_sf]
+    assert not first["dim_priority"].storageLevel.useMemory
+    clear_session_caches()

@@ -49,6 +49,42 @@ def test_orphan_version_dir_does_not_wedge_writes(spark, table):
     assert write_snapshot(spark.createDataFrame([(4,)], "id int"), table) == 4
 
 
+def test_merge_snapshot_upserts_and_is_idempotent(spark, table):
+    from gravity_books_datalakehouse_spark.sources.snapshots import (
+        merge_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id int, s string, v double",
+    )
+    write_snapshot(base, table)
+    updates = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "id int, s string, v double"
+    )
+    v = merge_snapshot(updates, table, ["id"])
+    assert v == 2
+    got = {r.id: (r.s, r.v) for r in read_snapshot(spark, table).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # re-merging the same updates commits a new version with identical
+    # content (idempotent by value) and keeps history time-travelable
+    v2 = merge_snapshot(updates, table, ["id"])
+    assert v2 == 3
+    got2 = {r.id: (r.s, r.v) for r in read_snapshot(spark, table).collect()}
+    assert got2 == got
+    assert {r.id for r in read_snapshot(spark, table, version=1).collect()} == {1, 2, 3}
+
+
+def test_merge_snapshot_on_empty_table_bootstraps(spark, table):
+    from gravity_books_datalakehouse_spark.sources.snapshots import (
+        merge_snapshot,
+    )
+
+    updates = spark.createDataFrame([(1, "a")], "id int, s string")
+    assert merge_snapshot(updates, table, ["id"]) == 1
+    assert read_snapshot(spark, table).count() == 1
+
+
 def test_rollback_repoints_without_touching_data(spark, table):
     write_snapshot(spark.createDataFrame([(1,)], "id int"), table)
     write_snapshot(spark.createDataFrame([(99,)], "id int"), table)  # bad load
