@@ -57,3 +57,69 @@ def mm_center_embeddings_per_label(spark, sf_dir):
     oracle — numpy float semantics; tests/test_grouped_map.py verifies
     against a local numpy oracle instead)."""
     return center_embeddings_per_label(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- Grouped-aggregate Pandas UDF (Arrow series -> scalar per group) ----
+#
+# The third Pandas boundary shape (alongside applyInPandas above and
+# mapInPandas/mapInArrow in multimodal.py): a custom *aggregate* the
+# built-ins lack, evaluated as one Arrow batch per group. Demonstrated
+# with quantity-weighted average price — expressible in SQL too, which
+# is exactly what makes it oracle-verifiable end-to-end.
+#
+# Scale notes: GROUPED_AGG ships each group's columns to Python as one
+# in-memory Arrow batch — fine for bounded group counts (here: 3 return
+# flags), wrong for billion-row groups. For those, decompose into
+# partial aggregates (sum(x*w), sum(w)) natively and divide — Catalyst
+# map-side-combines them; keep GROUPED_AGG for genuinely non-decomposable
+# statistics (e.g. exact medians of modest groups).
+
+from pyspark.sql import functions as F
+
+
+def _make_udfs():
+    # pandas_udf resolves its return type against the active session, so
+    # the decorators must run lazily (module import happens before any
+    # SparkSession exists in the driver contract).
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float(np.average(price.to_numpy(), weights=qty.to_numpy()))
+
+    # Spark disallows mixing GROUPED_AGG UDFs with native aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count rides
+    # along as a second tiny grouped-agg UDF.
+    @F.pandas_udf("long")
+    def group_size(qty: pd.Series) -> int:
+        return int(len(qty))
+
+    return weighted_avg, group_size
+
+
+@register(
+    "op_grouped_agg_weighted_avg",
+    """SELECT l_returnflag,
+              ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                AS wavg_price,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""",
+)
+def op_grouped_agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average extended price per return flag via a
+    grouped-aggregate Pandas UDF (one shuffle on the group key; numpy
+    computes the weighted mean per Arrow batch). Rounded to 4 dp on both
+    engines — double accumulation order differs but the result agrees to
+    far below the comparison precision."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weighted_avg, group_size = _make_udfs()
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("wavg_price"),
+            group_size(F.col("l_quantity")).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

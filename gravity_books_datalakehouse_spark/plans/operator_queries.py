@@ -62,6 +62,8 @@ def _ensure_loaded() -> None:
         multimodal,
         grouped_map,
         asof,
+        packing,
+        pii,
         sketches,
         components,
         udtf_ops,
