@@ -854,14 +854,25 @@ def q_market_share_by_year(spark, sf_dir):
 )
 def op_w_ntile_deciles(spark, sf_dir):
     """ntile window: customers bucketed into balance deciles, then
-    per-decile stats — the segmentation pattern (cohorting, A/B splits)."""
-    from pyspark.sql import Window
+    per-decile stats — the segmentation pattern (cohorting, A/B splits).
+
+    NOT the single-partition ``ntile() OVER (ORDER BY …)`` the oracle
+    spells: distributed_ntile (operators/sort.py) range-partitions the
+    sort, ranks locally, and derives the exact same tile from closed-form
+    (rank, N) arithmetic — identical output, no global-window funnel."""
+    from gravity_books_datalakehouse_spark.operators.sort import (
+        distributed_ntile,
+    )
 
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    tiled = distributed_ntile(
+        c.select("c_acctbal", "c_custkey"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        10,
+        "decile",
+    )
     return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.min(_money("c_acctbal")).cast("double").alias("min_bal"),

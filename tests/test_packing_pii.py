@@ -152,3 +152,28 @@ class TestGroupedAggUDF:
         for k in got:
             assert got[k][1] == want[k][1]
             assert got[k][0] == pytest.approx(want[k][0], abs=1e-3)
+
+
+class TestDistributedNtile:
+    def test_matches_native_ntile_uneven_and_tiny(self, spark):
+        from pyspark.sql import Window
+        from gravity_books_datalakehouse_spark.operators.sort import (
+            distributed_ntile,
+        )
+
+        for n_rows, n_tiles in [(1497, 10), (7, 10), (23, 4)]:
+            df = spark.range(n_rows).select(
+                F.col("id").alias("k"), (F.col("id") * 37 % 101).alias("v")
+            )
+            order = [F.desc("v"), F.asc("k")]
+            mine = distributed_ntile(df, order, n_tiles, "t")
+            ref = df.select(
+                "k", F.ntile(n_tiles).over(Window.orderBy(*order)).alias("t")
+            )
+            diff = (
+                mine.alias("a")
+                .join(ref.alias("b"), "k")
+                .filter(F.col("a.t") != F.col("b.t"))
+                .count()
+            )
+            assert diff == 0, f"N={n_rows} n={n_tiles}"

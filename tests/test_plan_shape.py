@@ -288,3 +288,19 @@ def test_idle_rich_customers_scalar_is_broadcast_and_anti_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_distributed_ntile_avoids_global_data_window(spark):
+    """op_w_ntile_deciles must not funnel the table through one task:
+    the only Window allowed over a SinglePartition exchange is the
+    metadata-sized partition-offsets table (bounded by partition count),
+    never the customer rows themselves."""
+    from gravity_books_datalakehouse_spark.plans.operator_queries import queries
+
+    df = queries()["op_w_ntile_deciles"](spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    # the data path is range-partitioned + pid-partitioned windows
+    assert "rangepartitioning" in plan.lower()
+    # a plain `Window [...ntile...` over the full table would show an
+    # ntile spec; the rewrite must not use ntile at all
+    assert "ntile" not in plan.lower()
