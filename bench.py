@@ -77,6 +77,51 @@ def _duckdb_baseline(oracles: dict[str, str]) -> dict[str, float]:
     return times
 
 
+SCALING_QUERIES = ("q_pricing_summary", "star_q1_monthly_sales")
+SCALING_DIRS = tuple(
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+)
+
+
+def _scaling_probe(spark, entry_mod) -> dict:
+    """Best-of-2 Spark and DuckDB seconds for two scan-heavy queries at
+    each SF dir — the measured spark/duckdb ratio trend across 100x of
+    data. Compact: {query: {sf: [spark_sec, duck_sec]}}."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    out: dict[str, dict[str, list[float]]] = {}
+    for d in SCALING_DIRS:
+        sf = str(_sf_from_dir(d))
+        con = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        for name in SCALING_QUERIES:
+            s_best = d_best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, d).toPandas()
+                dt = time.perf_counter() - t0
+                s_best = dt if s_best is None else min(s_best, dt)
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                dt = time.perf_counter() - t0
+                d_best = dt if d_best is None else min(d_best, dt)
+            out.setdefault(name, {})[sf] = [round(s_best, 3), round(d_best, 3)]
+        con.close()
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -142,6 +187,12 @@ def main() -> None:
 
     duck = _duckdb_baseline(entry_mod.oracle_sql())
 
+    # Scaling probe: the same two scan-heavy queries at every available
+    # SF, both engines. At toy scale Spark's fixed per-query cost (~0.3 s
+    # of stage scheduling) dominates the ratio; the probe MEASURES how
+    # the gap closes as data grows instead of asserting it.
+    scaling = _scaling_probe(spark, entry_mod)
+
     def _ratio(spark_s: float, duck_s: float):
         if duck_s <= 0:
             return None
@@ -167,8 +218,10 @@ def main() -> None:
             fam = "sampling"
         fam_totals[fam] = round(fam_totals.get(fam, 0.0) + s, 2)
 
+    # headline entry per reference-parity query: [spark_sec, ratio] —
+    # merging the ratio in beats a second parallel dict on bytes.
     headline = {
-        n: round(timings[n], 2)
+        n: [round(timings[n], 2), ratios.get(n)]
         for n in timings
         if n.startswith(BASELINE_PREFIXES)
     }
@@ -176,34 +229,39 @@ def main() -> None:
         "metric": "headline_queries_total_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": headline,
+        "queries_sec_and_ratio_vs_duckdb": headline,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "family_sec": fam_totals,
         "total_shuffle_bytes": total_shuffle,
         "total_spill_bytes": total_spill,
-        "ratio": ratios,
         "baseline_subset_spark_sec": round(spark_sub, 3),
         "baseline_subset_duckdb_sec": round(duck_sub, 3),
         "baseline_subset_ratio": (
             round(spark_sub / duck_sub, 2) if duck_sub > 0 else None
         ),
+        "scaling_spark_vs_duckdb_sec": scaling,
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(payload, separators=(",", ":"))
     # Driver stdout capture keeps only the tail of stdout (~2000 chars in
     # round 1); degrade stepwise until the single line fits.
+    # Degrade stepwise until the single line fits, least-informative
+    # first: per-query ratios are summarized by baseline_subset_ratio and
+    # duplicated in BENCH_DETAIL.json; the scaling trend exists nowhere
+    # else, so it goes last.
     if len(line) > 1900:
         payload.pop("family_sec")
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
-        payload.pop("ratio")
-        line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:
-        payload["queries"] = {
-            n: headline[n] for n in sorted(headline, key=headline.get)[-15:]
+        slowest = sorted(headline, key=lambda n: headline[n][0])[-15:]
+        payload["queries_sec_and_ratio_vs_duckdb"] = {
+            n: headline[n] for n in slowest
         }
         payload["queries_truncated_to_slowest"] = 15
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        payload.pop("scaling_spark_vs_duckdb_sec")
         line = json.dumps(payload, separators=(",", ":"))
 
     detail_path = os.path.join(
@@ -212,7 +270,9 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(
             {"sf": _sf_from_dir(SF_DIR), "total_sec": round(total, 3),
-             "family_sec": fam_totals, "queries": detail},
+             "family_sec": fam_totals,
+             "scaling_spark_vs_duckdb_sec": scaling,
+             "queries": detail},
             f,
             indent=1,
             sort_keys=True,

@@ -395,3 +395,53 @@ def text_chunk_documents(spark, sf_dir):
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents),
+        freq AS (
+          SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+        tot AS (SELECT SUM(n) AS n_total FROM freq),
+        scored AS (
+          SELECT t.doc_id,
+                 ln(f.n * 1.0 / (SELECT n_total FROM tot)) AS lp
+          FROM tok t JOIN freq f USING (tok))
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(lp), 4) AS avg_logprob
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-self-trained unigram language-model score per document —
+    the crude-but-effective KenLM-style quality signal: documents whose
+    average token log-probability is far below the corpus norm are
+    boilerplate/noise candidates.
+
+    Plan: one token explode, one groupBy(tok) for frequencies, the
+    corpus total as a broadcast scalar, then a frequencies⋈tokens join.
+    At 100 TB the frequency table is vocabulary-sized (≪ corpus, Zipf),
+    so Spark broadcasts it and the scoring pass is shuffle-free; the
+    token groupBy map-side-combines to vocabulary cardinality per
+    partition. No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("n_total"))
+    scored = (
+        tok.join(freq, "tok")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n") / F.col("n_total")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

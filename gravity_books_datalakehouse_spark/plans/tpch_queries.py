@@ -795,10 +795,19 @@ def q_sole_blame_suppliers(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     is_r = F.col("l_returnflag") == "R"
-    order_stats = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supp"),
-        F.max(F.when(is_r, F.col("l_suppkey"))).alias("blame_supp"),
+    # Two-phase distinct: collapsing to (orderkey, suppkey) grain first
+    # shuffles each pair once, where the single-groupBy count_distinct
+    # form Expands every lineitem row 3x before the exchange (~3x the
+    # shuffle bytes at 100 TB for the same answer).
+    pair_stats = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(is_r.cast("int")).alias("has_r")
+    )
+    order_stats = pair_stats.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias(
+            "blame_supp"
+        ),
     )
     blamed = order_stats.filter(
         (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)
