@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         grouped_map,
         asof,
         packing,
+        pca,
         pii,
         sketches,
         components,

@@ -304,3 +304,42 @@ def test_distributed_ntile_avoids_global_data_window(spark):
     # a plain `Window [...ntile...` over the full table would show an
     # ntile spec; the rewrite must not use ntile at all
     assert "ntile" not in plan.lower()
+
+
+def test_packing_single_data_shuffle(spark):
+    """Sequence packing must shuffle once (the per-shard window); the
+    report aggregation rides the same partitioning or AQE-coalesced
+    exchanges, never a global window."""
+    from gravity_books_datalakehouse_spark.operators.packing import (
+        pack_assignments,
+    )
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+    df = pack_assignments(load_table(spark, SF_SMOKE, "documents"))
+    plan = _executed_plan(df)
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_redaction_is_scan_side(spark):
+    """The scrub itself is a pure projection: no exchange below the
+    report aggregation, no Python eval anywhere."""
+    from gravity_books_datalakehouse_spark.operators.pii import redact_pii
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+    df = load_table(spark, SF_SMOKE, "documents").select(
+        redact_pii(F.col("text")).alias("t")
+    )
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_logprob_no_python_and_broadcast_total(spark):
+    from gravity_books_datalakehouse_spark.plans.operator_queries import queries
+
+    df = queries()["text_unigram_logprob"](spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus total joins in as a broadcast scalar, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
