@@ -40,21 +40,18 @@ _PRIORITY_HEAD = [
     "q_profit_by_nation_year",
     "q_promo_revenue",
     "q_sole_blame_suppliers",
-    "q_customer_order_distribution",
     # deduplication
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_banded_pairs",
     "dedup_jaccard_verify",
     "dedup_simhash",
-    "dedup_embedding_near_dup",
     # similarity / ANN
     "sim_topk_cosine_bruteforce",
     "sim_lsh_bucketed_topk",
     "sim_lsh_multiprobe_topk",
     "sim_ivf_topk",
     "sim_quantized_topk",
-    "sim_label_centroids",
     # multimodal
     "mm_payload_metadata",
     "mm_frame_sample",
@@ -62,7 +59,6 @@ _PRIORITY_HEAD = [
     "ev_tumbling_hourly",
     "ev_sessionize",
     "ev_funnel_signup_click_purchase",
-    "ev_sliding_windows",
     # deterministic sampling / splits
     "op_sample_hash_bernoulli",
     "op_split_train_eval",
@@ -72,6 +68,13 @@ _PRIORITY_HEAD = [
     "text_lang_id",
     "text_tfidf_top_terms",
     "text_chunk_documents",
+    # round-2 additions: packing, PII scrub, LM scoring, grouped-agg UDF,
+    # MERGE-shaped snapshot upsert
+    "pipeline_pack_sequences",
+    "text_pii_redact",
+    "text_unigram_logprob",
+    "op_grouped_agg_weighted_avg",
+    "op_merge_upsert_snapshot",
     # as-of join, Arrow UDTF, curation pipeline
     "op_asof_join_prev_purchase",
     "op_udtf_token_explode",
@@ -79,7 +82,6 @@ _PRIORITY_HEAD = [
     # core relational operator kit
     "op_s6_sql_over_views",
     "op_p3_dropna_after_left_join",
-    "op_where_filter_pushdown",
     "op_j_inner_chain",
     "op_j_range_bucketed",
     "op_a1_group_concat_sorted",
