@@ -62,7 +62,31 @@ def list_versions(table_dir: str) -> list[int]:
     )
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+_TXN = "_txn.json"
+
+
+def last_txn_version(table_dir: str, app_id: str) -> int:
+    """Highest transaction version committed for ``app_id`` across
+    retained snapshots (-1 if none) — Delta's ``txnAppId/txnVersion``
+    idempotence check, read from the per-snapshot ``_txn.json`` that is
+    renamed into place atomically WITH its data (underscore-prefixed, so
+    Parquet listing ignores it)."""
+    import json
+
+    best = -1
+    for v in list_versions(table_dir):
+        p = os.path.join(_version_dir(table_dir, v), _TXN)
+        if os.path.exists(p):
+            with open(p) as fh:
+                meta = json.load(fh)
+            if meta.get("app_id") == app_id:
+                best = max(best, int(meta["txn_version"]))
+    return best
+
+
+def write_snapshot(
+    df: DataFrame, table_dir: str, *, txn: tuple[str, int] | None = None
+) -> int:
     """Commit ``df`` as the next version and return its number.
 
     The snapshot is staged under a non-version name, renamed into
@@ -80,6 +104,14 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     if os.path.isdir(staging):
         shutil.rmtree(staging)  # leftover from a prior crash
     df.write.mode("errorifexists").parquet(staging)
+    if txn is not None:
+        # lands atomically with the data via the directory rename below,
+        # so a committed version and its txn marker are inseparable
+        import json
+
+        app_id, txn_version = txn
+        with open(os.path.join(staging, _TXN), "w") as fh:
+            json.dump({"app_id": app_id, "txn_version": int(txn_version)}, fh)
     os.rename(staging, _version_dir(table_dir, version))
     tmp = os.path.join(table_dir, _LATEST + ".tmp")
     with open(tmp, "w") as fh:
@@ -110,6 +142,8 @@ def merge_snapshot(
     updates: DataFrame,
     table_dir: str,
     keys: list[str],
+    *,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE-shaped upsert committed as a new snapshot — the log-free
     substitute for Delta's ``MERGE INTO`` (the reference's append/
@@ -133,11 +167,11 @@ def merge_snapshot(
     """
     spark = updates.sparkSession
     if latest_version(table_dir) == 0:
-        return write_snapshot(updates, table_dir)
+        return write_snapshot(updates, table_dir, txn=txn)
     current = read_snapshot(spark, table_dir)
     kept = current.join(updates.select(*keys), keys, "left_anti")
     merged = updates.unionByName(kept.select(*updates.columns))
-    return write_snapshot(merged, table_dir)
+    return write_snapshot(merged, table_dir, txn=txn)
 
 
 def rollback(table_dir: str, version: int) -> None:

