@@ -136,3 +136,43 @@ def op_sample_rebalance_langs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@register(
+    "op_sample_importance_by_quality",
+    """SELECT lang,
+              COUNT(*) AS n_kept,
+              CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+       FROM documents
+       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             < lpad(lower(to_hex(CAST(FLOOR(
+                 LEAST(0.9, GREATEST(0.05, n_chars / 500.0)) * 65536
+               ) AS INT))), 4, '0')
+       GROUP BY lang
+       ORDER BY lang""",
+)
+def op_sample_importance_by_quality(spark, sf_dir):
+    """Importance sampling with a per-ROW keep rate driven by a quality
+    signal (here: document length as the stand-in score, clamped to
+    [0.05, 0.9]) — the corpus-reweighting move that upsamples high-value
+    documents without a shuffle: the rate becomes a per-row hex
+    threshold compared against the same content hash as the uniform
+    sampler, so selection stays deterministic, layout-invariant, and
+    oracle-verifiable. Composes with any scored signal (model-based
+    quality, perplexity) by swapping the rate expression."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.least(
+        F.lit(0.9), F.greatest(F.lit(0.05), F.col("n_chars") / F.lit(500.0))
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(rate * 65536).cast("int"))), 4, "0"
+    )
+    return (
+        d.filter(hash_fraction_hex(F.col("doc_id")) < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
