@@ -147,6 +147,7 @@ def main() -> None:
     total = 0.0
     total_shuffle = 0
     total_spill = 0
+    errors: dict[str, str] = {}
     for name in sorted(qs):
         best, n, df = None, -1, None
         # best-of-2: first run pays scan/materialization, second measures
@@ -154,20 +155,31 @@ def main() -> None:
         # toPandas() (not count()) so projections are actually evaluated
         # and results fetched Arrow-batched — the end-to-end cost a user
         # pays, and exactly how the driver harness consumes results.
-        for it in range(2):
-            # a job group per (query, iteration) lets the status tracker
-            # attribute jobs/stages/tasks to exactly this run
-            sc.setJobGroup(f"{name}#{it}", name)
-            t0 = time.perf_counter()
-            df = qs[name](spark, SF_DIR)
-            n = len(df.toPandas())
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for it in range(2):
+                # a job group per (query, iteration) lets the status tracker
+                # attribute jobs/stages/tasks to exactly this run
+                sc.setJobGroup(f"{name}#{it}", name)
+                t0 = time.perf_counter()
+                df = qs[name](spark, SF_DIR)
+                n = len(df.toPandas())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # one broken query must not kill the bench
+            sc.setJobGroup("bench-idle", "between queries")
+            msg = f"{type(exc).__name__}: {exc}"[:300]
+            errors[name] = msg
+            detail[name] = {"err": msg}
+            print(f"# {name}: ERROR {msg}", file=sys.stderr)
+            continue
         sc.setJobGroup("bench-idle", "between queries")
         timings[name] = round(best, 3)
-        pm = plan_metrics_sum(df, ["shuffleBytesWritten", "spill size"])
-        sb, sp = pm["shuffleBytesWritten"], pm["spill size"]
-        prof = job_group_profile(spark, f"{name}#1")
+        try:
+            pm = plan_metrics_sum(df, ["shuffleBytesWritten", "spill size"])
+            sb, sp = pm["shuffleBytesWritten"], pm["spill size"]
+            prof = job_group_profile(spark, f"{name}#1")
+        except Exception:  # metrics are best-effort; never kill the bench
+            sb, sp, prof = 0, 0, {"stages": -1, "tasks": -1}
         detail[name] = {
             "sec": round(best, 3),
             "rows": n,
@@ -185,13 +197,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    duck = _duckdb_baseline(entry_mod.oracle_sql())
+    try:
+        duck = _duckdb_baseline(entry_mod.oracle_sql())
+    except Exception as exc:
+        print(f"# duckdb baseline failed: {exc}", file=sys.stderr)
+        duck = {}
 
     # Scaling probe: the same two scan-heavy queries at every available
     # SF, both engines. At toy scale Spark's fixed per-query cost (~0.3 s
     # of stage scheduling) dominates the ratio; the probe MEASURES how
     # the gap closes as data grows instead of asserting it.
-    scaling = _scaling_probe(spark, entry_mod)
+    try:
+        scaling = _scaling_probe(spark, entry_mod)
+    except Exception as exc:
+        print(f"# scaling probe failed: {exc}", file=sys.stderr)
+        scaling = {}
 
     def _ratio(spark_s: float, duck_s: float):
         if duck_s <= 0:
@@ -232,6 +252,8 @@ def main() -> None:
         "queries_sec_and_ratio_vs_duckdb": headline,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errored_queries": sorted(errors)[:10],
         "family_sec": fam_totals,
         "total_shuffle_bytes": total_shuffle,
         "total_spill_bytes": total_spill,

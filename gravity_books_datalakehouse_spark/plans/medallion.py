@@ -51,14 +51,20 @@ def _path(lake_dir: str, layer: str, table: str) -> str:
 def run_bronze(spark: SparkSession, sf_dir: str, lake_dir: str) -> dict[str, str]:
     """Raw 1:1 ingest of all source tables (etl_lakehouse.py:37-45).
 
-    The events source stores TIMESTAMP(NANOS), which Spark cannot hold
-    natively — bronze keeps the raw epoch-nanos as BIGINT (faithful raw
-    copy); silver converts to µs TIMESTAMP.
+    Bronze is a faithful raw copy: the events ``ts`` lands as whatever
+    the source physically stores (BIGINT nanos via the scoped legacy
+    flag, or plain timestamp[us]); silver normalizes adaptively.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        read_events_raw,
+    )
+
     out = {}
     for t in BRONZE_TABLES:
-        df = load_table(spark, sf_dir, t)
+        if t == "events":
+            df = read_events_raw(spark, sf_dir)
+        else:
+            df = load_table(spark, sf_dir, t)
         p = _path(lake_dir, "bronze", t)
         overwrite_parquet(df, p, coalesce=1 if t in SMALL_DIMS else None)
         out[t] = p
@@ -105,11 +111,14 @@ def run_silver(spark: SparkSession, lake_dir: str) -> dict[str, str]:
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("text_norm"),
     ).withColumn("content_fp", F.md5("text_norm"))
 
-    # cleaned_events — raw epoch-nanos normalized to µs TIMESTAMP
-    cleaned_events = b["events"].select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id", "event_type", "value", "props",
+    # cleaned_events — ts normalized to µs TIMESTAMP (dtype-adaptive:
+    # bronze may hold epoch-nanos BIGINT or a native timestamp)
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        normalize_event_ts,
+    )
+
+    cleaned_events = normalize_event_ts(b["events"]).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
     )
 
     for name, df in {

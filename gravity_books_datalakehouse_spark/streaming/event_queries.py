@@ -7,11 +7,12 @@ watermarks; running them here as batch gives the DuckDB-verifiable
 correctness gate (the reference has no streaming at all — SURVEY.md §2.7
 marks it ABSENT; the ``events`` table is the driver's extension surface).
 
-Parquet note: the events file stores TIMESTAMP(NANOS), which Spark's
-vectorized reader rejects; we read it via
-``spark.sql.legacy.parquet.nanosAsLong`` and convert ns→µs explicitly
-(the data carries no sub-µs components, verified). DuckDB reads ns
-natively and is cast to µs in the oracle so both engines agree.
+Parquet note: the physical type of ``ts`` has drifted across testdata
+generations (TIMESTAMP(NANOS) in round 1, plain timestamp[us] since
+round 2), so ``load_events`` branches on the *read* dtype instead of
+assuming either: a LongType read (via the legacy nanosAsLong flag)
+gets the explicit ns→µs convert; a native timestamp read is cast to
+session-TZ TIMESTAMP. DuckDB reads both natively so oracles agree.
 """
 
 from __future__ import annotations
@@ -22,13 +23,52 @@ from pyspark.sql import functions as F
 from gravity_books_datalakehouse_spark.plans.operator_queries import register
 
 
+def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events read, tolerant of the physical ``ts`` encoding.
+
+    A plain parquet read handles timestamp[us]/timestamp_ntz; if the file
+    carries TIMESTAMP(NANOS) (which Spark's reader rejects), fall back to
+    the legacy ``nanosAsLong`` flag — set only for the failing read and
+    restored afterwards so it never leaks into other parquet reads.
+    """
+    path = f"{sf_dir}/events.parquet"
+    flag = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        raw = spark.read.parquet(path)
+        _ = raw.schema["ts"].dataType  # force footer/schema resolution
+        return raw
+    except Exception:
+        prior = spark.conf.get(flag, "false")
+        spark.conf.set(flag, "true")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            spark.conf.set(flag, prior)
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Branch on the *read* dtype of ``col`` → session-TZ TIMESTAMP (µs)."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # epoch-nanos as BIGINT: integer division — float division of
+        # epoch-nanos (≈1.7e18) exceeds double precision, ±1 µs off.
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # session TZ is pinned UTC (session.py:45), so NTZ→TZ is a relabel
+        return df.withColumn(col, F.col(col).cast(TimestampType()))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as TIMESTAMP (µs): nanos-as-long read + convert."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division: float division of epoch-nanos (≈1.7e18) exceeds
-    # double precision and lands ±1 µs off.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events with ts normalized to session-TZ TIMESTAMP (µs precision).
+
+    Schema-adaptive: tolerates every physical encoding the testdata has
+    shipped — TIMESTAMP(NANOS) in round 1, plain timestamp[us] since
+    round 2 — by branching on the read dtype instead of assuming either.
+    """
+    return normalize_event_ts(read_events_raw(spark, sf_dir))
 
 
 @register(

@@ -60,3 +60,42 @@ def test_read_text_lines_and_whole_file(spark, tmp_path):
     whole = read_text(spark, str(p), whole_file=True)
     texts = sorted(r.value for r in whole.collect())
     assert texts == ["line one\nline two\n", "solo\n"]
+
+
+def test_testdata_schema_contract(spark):
+    """Every testdata table loads; ``events.ts`` normalizes to TIMESTAMP.
+
+    Regression guard for testdata drift: round 2's events.parquet changed
+    its physical ts encoding (TIMESTAMP(NANOS) -> timestamp[us]) and broke
+    12 queries + the whole bench at analysis time. This single test fails
+    loudly on the next drift instead of 27 downstream failures.
+    """
+    import os
+
+    import pytest
+    from pyspark.sql.types import TimestampType
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        path = f"{sf_dir}/{t}.parquet"
+        assert os.path.exists(path), f"missing testdata table {t}"
+        if t == "events":
+            continue  # read via the adaptive loader below
+        df = spark.read.parquet(path)
+        assert len(df.schema.fields) > 0, t
+
+    ev = load_events(spark, sf_dir)
+    assert isinstance(ev.schema["ts"].dataType, TimestampType), (
+        f"events.ts must normalize to TimestampType, got {ev.schema['ts'].dataType}"
+    )
+    assert ev.limit(1).count() == 1
+    # the legacy nanos flag must not leak out of load_events
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
