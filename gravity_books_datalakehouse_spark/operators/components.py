@@ -86,9 +86,8 @@ def connected_components(
     e = _canon(raw).localCheckpoint()
 
     converged = _is_star_forest(e)
-    for _ in range(max_iter):
-        if converged:
-            break
+    rounds = 0
+    while not converged and rounds < max_iter:
         # large-star: neighbors larger than u re-attach to the min of
         # u's closed neighborhood
         sym = _sym(e)
@@ -121,7 +120,16 @@ def connected_components(
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
         )
         e = _canon(small).localCheckpoint()
-        converged = _is_star_forest(e)
+        rounds += 1
+        # Convergence-probe cadence: a probe (semi-join + isEmpty) costs
+        # ~1/7 of a round, so probing every round is cheapest while
+        # convergence is near (LSH dup graphs: ~3 rounds). Past round 4
+        # — large-diameter graphs, O(log^2 n) rounds — probe every 2nd
+        # round: each round is monotone progress, and halving the
+        # driver round-trips beats paying one possible extra (no-op)
+        # round at the fixpoint.
+        if rounds <= 4 or rounds % 2 == 0 or rounds >= max_iter:
+            converged = _is_star_forest(e)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

@@ -251,8 +251,15 @@ def q3_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference q3 (test_queries.py:38-49): top-5 spenders, SUM of an
     arithmetic expression (A6/F6: price net of discount)."""
     s = build_star(spark, sf_dir)
+    # Narrow decimal operands keep the per-row multiply long-backed:
+    # decimal(12,2) x decimal(3,2) -> decimal(16,4) (<= 18 digits, no
+    # Decimal128), vs the naive decimal(18,2) x decimal(18,2) ->
+    # decimal(37,4) 128-bit slow path. Exact for TPC-H money values
+    # (extendedprice < 1e10, discount in [0,1)), so the DuckDB oracle
+    # (which computes the same exact rationals) still hash-matches.
     net = F.sum(
-        _money("extendedprice") * (F.lit(1).cast("decimal(18,2)") - _money("discount"))
+        F.col("extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("discount").cast("decimal(3,2)"))
     ).cast("double")
     return (
         s["fact_sales"]
