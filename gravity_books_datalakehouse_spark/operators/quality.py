@@ -1,0 +1,199 @@
+"""Corpus quality filters for LLM training data (beyond-reference, §2.8).
+
+Two families of operators the big public pipelines run before training:
+
+- **Repetition statistics** (Gopher, Rae et al. 2021 §A1.1, public
+  literature): per-document duplicate n-gram fractions and the
+  most-frequent-bigram mass. Excessively repetitive documents are the
+  classic low-quality signal; the thresholds here mirror the paper's
+  shape (fractions, not counts), tuned to the synthetic corpus.
+- **Cross-document segment dedup** (C4, Raffel et al. 2020 §2.2 runs
+  this at the *line* level; the synthetic corpus has no newlines, so
+  the unit is a disjoint 10-token segment — same operator shape):
+  segments whose content hash appears in >=2 distinct documents are
+  removed everywhere, and each document is reassembled in order.
+
+Scale notes: repetition's dup-fractions are pure array math (zero
+shuffle); its top-bigram mass and segment dedup shuffle on (doc_id,
+gram) / content-hash keys — both carry 16-byte digests + counts, never
+full text, and partial aggregation combines map-side. Reassembly
+shuffles one (pos, segment) struct list per doc, the same shape
+operators/packing.py already proves out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.operators.text import (
+    TOKS_SQL,
+    shingle_array_col,
+    tokens_col,
+)
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+#: DuckDB list-comprehension twins of shingle_array_col(toks, k).
+BIGRAMS_SQL = (
+    f"[t.toks[i] || ' ' || t.toks[i+1] for i in range(1, len(t.toks))]"
+)
+FIVEGRAMS_SQL = (
+    "[t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] || ' ' || "
+    "t.toks[i+3] || ' ' || t.toks[i+4] for i in range(1, len(t.toks) - 3)]"
+)
+
+#: Gopher-style keep thresholds (fractions of n-gram occurrences).
+DUP_5GRAM_MAX = 0.15
+TOP_2GRAM_MAX = 0.08
+
+
+@register(
+    "text_repetition_stats",
+    f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        g AS (SELECT doc_id, {BIGRAMS_SQL} AS bg, {FIVEGRAMS_SQL} AS fg
+              FROM t),
+        top AS (
+          SELECT doc_id,
+                 MAX(cnt) * 1.0 / SUM(cnt) AS top_frac
+          FROM (SELECT doc_id, bg_one, COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(bg) AS bg_one FROM g)
+                GROUP BY doc_id, bg_one)
+          GROUP BY doc_id)
+        SELECT g.doc_id,
+               CAST(len(bg) + 1 AS BIGINT) AS n_tokens,
+               ROUND((len(bg) - len(list_distinct(bg))) * 1.0
+                     / greatest(len(bg), 1), 6) AS dup_2gram_frac,
+               ROUND((len(fg) - len(list_distinct(fg))) * 1.0
+                     / greatest(len(fg), 1), 6) AS dup_5gram_frac,
+               ROUND(top.top_frac, 6) AS top_2gram_frac,
+               (len(fg) - len(list_distinct(fg))) * 1.0
+                 / greatest(len(fg), 1) <= {DUP_5GRAM_MAX}
+                 AND top.top_frac <= {TOP_2GRAM_MAX} AS gopher_keep
+        FROM g JOIN top ON g.doc_id = top.doc_id""",
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate 2-/5-gram fractions and
+    the fraction of bigram occurrences claimed by the single most
+    frequent bigram, plus the keep verdict. Duplicate fractions are pure
+    array expressions (scan-speed, zero shuffle); the top-bigram mass is
+    the one genuinely aggregate statistic, computed with a (doc_id,
+    bigram) count + per-doc max — both stages combine map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", tokens_col().alias("toks")
+    ).select(
+        "doc_id",
+        shingle_array_col(F.col("toks"), 2).alias("bg"),
+        shingle_array_col(F.col("toks"), 5).alias("fg"),
+    )
+    dup = (
+        F.size("bg") - F.size(F.array_distinct("bg"))
+    ) / F.greatest(F.size("bg"), F.lit(1))
+    dup5 = (
+        F.size("fg") - F.size(F.array_distinct("fg"))
+    ) / F.greatest(F.size("fg"), F.lit(1))
+    top = (
+        g.select("doc_id", F.explode("bg").alias("bg_one"))
+        .groupBy("doc_id", "bg_one")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg((F.max("cnt") * 1.0 / F.sum("cnt")).alias("top_frac"))
+    )
+    return (
+        g.join(top, "doc_id")
+        .select(
+            "doc_id",
+            (F.size("bg") + 1).cast("bigint").alias("n_tokens"),
+            F.round(dup, 6).alias("dup_2gram_frac"),
+            F.round(dup5, 6).alias("dup_5gram_frac"),
+            F.round("top_frac", 6).alias("top_2gram_frac"),
+            (
+                (dup5 <= DUP_5GRAM_MAX) & (F.col("top_frac") <= TOP_2GRAM_MAX)
+            ).alias("gopher_keep"),
+        )
+    )
+
+
+SEG_TOKENS = 10
+
+
+@register(
+    "text_segment_dedup",
+    f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        segs AS (
+          SELECT doc_id, start_pos,
+                 array_to_string(toks[start_pos : start_pos + {SEG_TOKENS - 1}], ' ') AS seg
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, greatest(len(toks), 1), {SEG_TOKENS}))
+                         AS start_pos
+                FROM t)),
+        dup AS (
+          SELECT md5(seg) AS seg_md5
+          FROM segs GROUP BY md5(seg)
+          HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN d.seg_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               md5(COALESCE(string_agg(CASE WHEN d.seg_md5 IS NULL THEN s.seg END,
+                                       ' ' ORDER BY s.start_pos), '')) AS clean_fp
+        FROM segs s LEFT JOIN dup d ON md5(s.seg) = d.seg_md5
+        GROUP BY s.doc_id""",
+)
+def text_segment_dedup(spark, sf_dir):
+    """C4-style cross-document duplicate-span removal at 10-token
+    segment granularity: any segment whose hash occurs in >=2 distinct
+    documents is dropped from all of them, and each document's surviving
+    segments are reassembled in order (reported content-addressed, as
+    the md5 of the cleaned text).
+
+    Scale shape: the duplicate set is found by a count over 16-byte
+    segment digests (never text); the membership join is hash-keyed and
+    co-partitioned with that count; reassembly is one (pos, seg) list
+    per doc with an in-memory sort — no window, no full-text shuffle
+    beyond the segments themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(SEG_TOKENS)
+    )
+    segs = t.select(
+        "doc_id", F.explode(starts).alias("start_pos"), "toks"
+    ).select(
+        "doc_id",
+        "start_pos",
+        F.array_join(F.slice("toks", F.col("start_pos"), SEG_TOKENS), " ").alias("seg"),
+    ).withColumn("seg_md5", F.md5("seg"))
+    dup = (
+        segs.groupBy("seg_md5")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("seg_md5")
+    )
+    flagged = segs.join(
+        dup.withColumn("is_dup", F.lit(True)), "seg_md5", "left"
+    )
+    kept_struct = F.when(
+        F.col("is_dup").isNull(), F.struct("start_pos", "seg")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_removed"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s.seg,
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("clean_fp"),
+        )
+    )

@@ -68,6 +68,8 @@ def _ensure_loaded() -> None:
         sketches,
         components,
         udtf_ops,
+        quality,
+        ranking,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,

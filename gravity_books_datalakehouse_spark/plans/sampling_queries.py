@@ -176,3 +176,103 @@ def op_sample_importance_by_quality(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_ALPHA = 0.5   # mixture temperature: kept_s ∝ n_s^alpha
+_CAP = 30      # per-source document cap
+
+
+@register(
+    "op_sample_temperature_mix",
+    f"""WITH counts AS (
+          SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source),
+        rates AS (
+          SELECT source, n_raw,
+                 POWER(n_raw * 1.0 / (SELECT MIN(n_raw) FROM counts),
+                       {_ALPHA} - 1) AS rate
+          FROM counts)
+        SELECT d.source,
+               MAX(r.n_raw) AS n_raw,
+               COUNT(*) FILTER (
+                 r.rate >= 1.0 OR
+                 substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                 < lpad(lower(to_hex(CAST(FLOOR(r.rate * 65536) AS INT))), 4, '0')
+               ) AS n_kept,
+               ROUND(MAX(r.rate), 6) AS rate
+        FROM documents d JOIN rates r USING (source)
+        GROUP BY d.source
+        ORDER BY d.source""",
+)
+def op_sample_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture resampling (the multilingual-corpus
+    rebalancing rule, e.g. XLM-R: kept_s ∝ n_s^alpha with alpha=0.5):
+    each source's keep rate is (n_s / n_min)^(alpha-1), so the smallest
+    source keeps everything and large sources are downweighted toward
+    the tempered mixture. The per-source rates are a tiny aggregate
+    (one row per source, broadcast back); the keep decision stays the
+    row-local content-hash threshold — deterministic, layout-invariant,
+    and still zero shuffle over the corpus itself."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    min_n = counts.agg(F.min("n_raw").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source", "n_raw",
+        F.pow(F.col("n_raw") * 1.0 / F.col("n_min"), _ALPHA - 1).alias("rate"),
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * 65536).cast("int"))), 4, "0"
+    )
+    # rate >= 1 would produce a 5-hex-digit threshold that lpad truncates
+    # (0x10000 -> '1000'); keep-everything short-circuits it instead.
+    kept = (F.col("rate") >= 1.0) | (hash_fraction_hex(F.col("doc_id")) < thr)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_raw").alias("n_raw"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.round(F.max("rate"), 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "op_cap_per_source",
+    f"""SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_capped,
+              CAST(SUM(n_chars) AS BIGINT) AS capped_chars
+       FROM (SELECT source, n_chars,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents)
+       WHERE rn <= {_CAP}
+       GROUP BY source
+       ORDER BY source""",
+)
+def op_cap_per_source(spark, sf_dir):
+    """Per-domain document cap (keep at most N docs per source) — the
+    anti-domination rule web-scale pipelines apply so no single domain
+    overwhelms the mixture. Selection order inside a source is the
+    content hash (a deterministic pseudo-random order with doc_id as
+    tiebreak), so the kept set is stable across runs and layouts. One
+    window shuffle keyed by source; at scale a skewed giant source is
+    exactly the hot partition AQE skew-split handles, and the hash sort
+    keys are 32 bytes/row."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_capped"),
+            F.sum("n_chars").cast("bigint").alias("capped_chars"),
+        )
+        .orderBy("source")
+    )

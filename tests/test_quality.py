@@ -1,0 +1,151 @@
+"""Semantic properties of the corpus-quality operators (quality.py,
+ranking.py, sampling additions) on hand-built corpora — the oracle SQL
+proves engine agreement; these prove the *semantics* are the intended
+ones (known repetition fractions, cross-doc removal, BM25 ordering)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source). Writes documents.parquet
+    into tmp_path so the (spark, sf_dir) query signature works as-is."""
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for (i, t, lang, src) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_repetition_stats_known_fractions(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.operators.quality import (
+        text_repetition_stats,
+    )
+
+    # doc 1: "a b" * 4 -> bigrams: ab,ba,ab,ba,ab,ba,ab (7 total, 2 distinct)
+    # doc 2: 40 all-distinct tokens -> zero duplicate n-grams, and long
+    # enough that the top bigram's mass (1/39) clears the corpus-tuned
+    # TOP_2GRAM_MAX threshold
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a b a b a b a b", "en", "s1"),
+        (2, " ".join(f"t{i}" for i in range(40)), "en", "s1"),
+    ])
+    rows = {r.doc_id: r for r in text_repetition_stats(spark, sf).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1.n_tokens == 8 and r2.n_tokens == 40
+    assert r1.dup_2gram_frac == pytest.approx((7 - 2) / 7, abs=1e-6)
+    assert r1.dup_5gram_frac == pytest.approx((4 - 2) / 4, abs=1e-6)
+    assert r1.top_2gram_frac == pytest.approx(4 / 7, abs=1e-6)
+    assert not r1.gopher_keep
+    assert r2.dup_2gram_frac == 0.0 and r2.dup_5gram_frac == 0.0
+    assert r2.top_2gram_frac == pytest.approx(1 / 39, abs=1e-6)
+    assert r2.gopher_keep
+
+
+def test_segment_dedup_removes_cross_doc_only(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.operators.quality import (
+        SEG_TOKENS,
+        text_segment_dedup,
+    )
+
+    shared = " ".join(["dup"] * SEG_TOKENS)          # one full shared segment
+    uniq_a = " ".join(f"a{i}" for i in range(SEG_TOKENS))
+    uniq_b = " ".join(f"b{i}" for i in range(SEG_TOKENS))
+    sf = _write_docs(spark, tmp_path, [
+        (1, f"{shared} {uniq_a}", "en", "s1"),
+        (2, f"{shared} {uniq_b}", "en", "s1"),
+        (3, uniq_a.replace("a", "c"), "en", "s1"),   # fully unique doc
+    ])
+    out = {r.doc_id: r for r in text_segment_dedup(spark, sf).collect()}
+    assert out[1].n_segs == 2 and out[1].n_removed == 1
+    assert out[2].n_segs == 2 and out[2].n_removed == 1
+    assert out[3].n_segs == 1 and out[3].n_removed == 0
+    # reassembled text of doc 1 is exactly its unique segment
+    import hashlib
+    assert out[1].clean_fp == hashlib.md5(uniq_a.encode()).hexdigest()
+    # doc 3 untouched: fingerprint of the original text
+    assert out[3].clean_fp == hashlib.md5(
+        uniq_a.replace("a", "c").encode()
+    ).hexdigest()
+
+
+def test_segment_dedup_partition_invariant(spark, tmp_path):
+    """Same clean fingerprints regardless of input partitioning — the
+    layout-invariance every content-hash operator must keep."""
+    from gravity_books_datalakehouse_spark.operators.quality import (
+        text_segment_dedup,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(25)), "en", "s1")
+        for i in range(40)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    base = {
+        (r.doc_id, r.n_removed, r.clean_fp)
+        for r in text_segment_dedup(spark, sf).collect()
+    }
+    # re-write the same table shuffled into many partitions
+    df = spark.read.parquet(f"{sf}/documents.parquet").repartition(7)
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    again = {
+        (r.doc_id, r.n_removed, r.clean_fp)
+        for r in text_segment_dedup(spark, sf).collect()
+    }
+    assert base == again
+
+
+def test_bm25_orders_by_relevance(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.operators.ranking import (
+        text_bm25_topk,
+    )
+
+    filler = " ".join(f"x{i}" for i in range(20))
+    sf = _write_docs(spark, tmp_path, [
+        (1, f"join join join stream window {filler}", "en", "s1"),
+        (2, f"join stream {filler}", "en", "s1"),
+        (3, f"join {filler}", "en", "s1"),
+        (4, filler, "en", "s1"),
+    ])
+    got = text_bm25_topk(spark, sf).collect()
+    ids = [r.doc_id for r in got]
+    # doc 4 has no query terms: absent. More matched terms/occurrences,
+    # same length -> higher score.
+    assert 4 not in ids
+    assert ids[0] == 1 and set(ids) == {1, 2, 3}
+    scores = [r.bm25 for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_temperature_mix_rates(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        op_sample_temperature_mix,
+    )
+
+    rows = [(i, f"tok{i} text body", "en", "big" if i < 160 else "small")
+            for i in range(170)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in op_sample_temperature_mix(spark, sf).collect()}
+    # smallest source keeps rate 1.0 -> everything kept
+    assert out["small"].rate == pytest.approx(1.0)
+    assert out["small"].n_kept == out["small"].n_raw == 10
+    # alpha=0.5: big rate = sqrt(10/160) = 0.25
+    assert out["big"].rate == pytest.approx(0.25, abs=1e-6)
+    assert out["big"].n_kept < out["big"].n_raw
+
+
+def test_cap_per_source(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _CAP,
+        op_cap_per_source,
+    )
+
+    rows = [(i, f"doc {i} body", "en", "huge" if i < 100 else "tiny")
+            for i in range(104)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in op_cap_per_source(spark, sf).collect()}
+    assert out["huge"].n_capped == _CAP
+    assert out["tiny"].n_capped == 4
