@@ -1,0 +1,143 @@
+"""Statistical language-model scoring of the corpus (beyond-reference).
+
+Perplexity-style scoring against a corpus-fitted n-gram model is the
+classic model-based quality filter (CCNet, Wenzek et al. 2019 uses a
+KenLM 5-gram; the operator shape is identical at any order). The
+engine ships the unigram scorer in operators/text.py; this module adds
+the bigram model with add-one smoothing — the smallest order where
+*context* enters and the relational shape changes from a single
+token-frequency join to a (context, next) count join.
+
+Also here: BPE-style pre-tokenization statistics. Real BPE vocabularies
+aren't shippable in SQL, but the *pre-tokenizer* (the regex split GPT-2
+style BPE runs before merges) is, and tokens-per-byte against it is the
+standard compression-ratio quality signal.
+
+Scale: bigram/context counts shuffle (16-byte-bounded string keys with
+map-side partial aggregation); scoring is a join of the bigram stream
+against those counts, co-partitioned by construction. The pre-tokenizer
+stats are a pure projection — zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.operators.text import (
+    TOKS_SQL,
+    tokens_col,
+)
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+_BIGRAMS_SQL = (
+    "[toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]"
+)
+
+
+@register(
+    "text_bigram_logprob",
+    f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        bg AS (
+          SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg FROM t),
+        cb AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+        cw AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+               FROM bg GROUP BY 1),
+        vocab AS (
+          SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest({TOKS_SQL}) AS tok FROM documents)),
+        scored AS (
+          SELECT b.doc_id,
+                 ln((cb.c2 + 1.0) / (cw.c1 + vocab.v)) AS lp
+          FROM bg b
+          JOIN cb USING (bg)
+          JOIN cw ON split_part(b.bg, ' ', 1) = cw.w1
+          CROSS JOIN vocab)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob
+        FROM scored
+        GROUP BY doc_id""",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Per-document mean bigram log-probability under an add-one-smoothed
+    model fitted on the corpus itself: lp(w1 w2) = ln((c(w1,w2)+1) /
+    (c(w1·)+V)). Low scores flag documents whose word transitions are
+    atypical for the corpus — the quality-filter signal. Bigram and
+    context counts are two groupBys over the same exploded bigram
+    stream (map-side combined); V is a scalar broadcast; the scoring
+    join is co-partitioned with the count it joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    # index explode + O(1) element_at, NOT explode(shingle_array): the
+    # Generate-inferred size()>0 filter inlines whatever it explodes,
+    # and inlining the shingle transform is O(tokens²)/doc (see
+    # quality.text_repetition_stats).
+    n_bg = F.size("toks") - 1
+    idx = F.when(n_bg >= 1, F.sequence(F.lit(1), n_bg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = t.select("doc_id", "toks", F.explode(idx).alias("i")).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("toks", F.col("i")),
+            F.element_at("toks", F.col("i") + 1),
+        ).alias("bg"),
+    )
+    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    cw = (
+        bg.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        bg.join(cb, "bg")
+        .join(cw, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+#: GPT-2-style pre-tokenizer, reduced to the character classes the
+#: synthetic corpus contains (letter runs, digit runs, single other
+#: non-space chars) — portable between Spark (Java regex) and DuckDB (RE2).
+PRETOK_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@register(
+    "text_bpe_pretokenize_stats",
+    f"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{PRETOK_RE}')) AS BIGINT)
+                AS n_pretokens,
+              CAST(length(text) AS BIGINT) AS n_bytes,
+              ROUND(length(text) * 1.0 /
+                    greatest(len(regexp_extract_all(text, '{PRETOK_RE}')), 1), 6)
+                AS bytes_per_token
+       FROM documents""",
+)
+def text_bpe_pretokenize_stats(spark, sf_dir):
+    """Pre-tokenizer token counts and bytes-per-token — the compression
+    proxy a BPE tokenizer would see. High bytes/token (long words, few
+    splits) or very low (symbol soup) are both quality outliers. A pure
+    per-row projection: at 100 TB this runs at scan speed with zero
+    shuffle and full column pruning (only doc_id + text read)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pretoks = F.regexp_extract_all("text", F.lit(PRETOK_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pretoks).cast("bigint").alias("n_pretokens"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+        F.round(
+            F.length("text") * 1.0 / F.greatest(F.size(pretoks), F.lit(1)), 6
+        ).alias("bytes_per_token"),
+    )

@@ -73,11 +73,22 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     what the contract compares.
     """
     tokenized = docs.select("doc_id", tokens_col().alias("toks"))
+    # Explode the INDEX sequence, not the shingle array: Generate infers
+    # a size()>0 filter and pushes it below the projection, inlining the
+    # exploded expression — and an inlined shingle transform re-runs the
+    # regex split per element (O(tokens²)/doc). The index sequence is
+    # cheap to inline; each shingle is then k O(1) element_at lookups on
+    # the token array the Generate retains.
+    n_windows = F.size("toks") - (k - 1)
+    idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + off) for off in range(k)]
+    )
     return (
-        tokenized.select(
-            "doc_id",
-            F.explode(shingle_array_col(F.col("toks"), k)).alias("shingle"),
-        )
+        tokenized.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", shingle.alias("shingle"))
         .distinct()
     )
 
@@ -293,10 +304,13 @@ def char_shingles(docs: DataFrame, n: int = 5) -> DataFrame:
     idx = F.when(length >= n, F.sequence(F.lit(1), length - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    gram_at = lambda i: F.substring(F.col("norm"), i, F.lit(n))  # noqa: E731
+    # index explode + one O(1) substring per row — not explode(transform):
+    # the Generate-inferred filter would inline the transform and re-run
+    # the normalization regex per element (see shingles()).
     return (
-        prepared.select(
-            "doc_id", F.explode(F.transform(idx, gram_at)).alias("shingle")
+        prepared.select("doc_id", "norm", F.explode(idx).alias("i"))
+        .select(
+            "doc_id", F.substring(F.col("norm"), F.col("i"), F.lit(n)).alias("shingle")
         )
         .distinct()
     )

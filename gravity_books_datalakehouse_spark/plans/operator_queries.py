@@ -70,6 +70,8 @@ def _ensure_loaded() -> None:
         udtf_ops,
         quality,
         ranking,
+        lm,
+        kmeans,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,
