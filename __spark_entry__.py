@@ -79,17 +79,20 @@ _PRIORITY_HEAD = [
     "op_asof_join_prev_purchase",
     "op_udtf_token_explode",
     "pipeline_curation_verdict",
-    # core relational operator kit
-    "op_s6_sql_over_views",
-    "op_p3_dropna_after_left_join",
+    # core relational operator kit (representatives; the rest of the
+    # kit sits in the tail and is judge-verified each round)
     "op_j_inner_chain",
     "op_j_range_bucketed",
-    "op_a1_group_concat_sorted",
     "op_a_rollup",
-    "op_o_topk_desc_tiebreak",
     "op_w_trailing_range_frame",
-    "op_f_date_dim_kit",
-    "op_set_union_intersect_except",
+    # round-3 additions: Gopher repetition filters, cross-doc segment
+    # dedup, BM25, bigram LM, temperature mixing, per-source caps
+    "text_repetition_stats",
+    "text_segment_dedup",
+    "text_bm25_topk",
+    "text_bigram_logprob",
+    "op_sample_temperature_mix",
+    "op_cap_per_source",
 ]
 
 
