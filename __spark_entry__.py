@@ -67,7 +67,7 @@ _PRIORITY_HEAD = [
     "text_token_stats",
     "text_lang_id",
     "text_tfidf_top_terms",
-    "text_chunk_documents",
+    "pipeline_curate_corpus",
     # round-2 additions: packing, PII scrub, LM scoring, grouped-agg UDF,
     # MERGE-shaped snapshot upsert
     "pipeline_pack_sequences",

@@ -393,12 +393,22 @@ def dedup_simhash(spark, sf_dir):
         ).alias("tok"),
     ).select("doc_id", F.md5("tok").alias("h"))
 
+    # one conv per NIBBLE projected before the aggregation (4 convs/row),
+    # not one per bit inside it (16 convs/row — no CSE across aggregate
+    # expressions; measured 2.2x slower at sf0.1)
+    nibs = dtoks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", q + 1, 1), 16, 10).cast("int").alias(f"nib{q}")
+            for q in range(_SIMHASH_BITS // 4)
+        ],
+    )
+
     def vote(j: int) -> F.Column:
-        nibble = F.conv(F.substring("h", j // 4 + 1, 1), 16, 10).cast("int")
-        bit = (nibble / (1 << (3 - j % 4))).cast("int") % 2
+        bit = (F.col(f"nib{j // 4}") / (1 << (3 - j % 4))).cast("int") % 2
         return F.when(bit == 1, 1).otherwise(-1)
 
-    charges = dtoks.groupBy("doc_id").agg(
+    charges = nibs.groupBy("doc_id").agg(
         *[F.sum(vote(j)).alias(f"c{j}") for j in range(_SIMHASH_BITS)]
     )
     sig = sum(

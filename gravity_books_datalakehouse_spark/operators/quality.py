@@ -47,9 +47,9 @@ DUP_5GRAM_MAX = 0.15
 TOP_2GRAM_MAX = 0.08
 
 
-@register(
-    "text_repetition_stats",
-    f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+#: Standalone oracle for the repetition stats (also reused as a CTE body
+#: by pipeline_curate_corpus).
+REPETITION_STATS_SQL = f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
         g AS (SELECT doc_id, {BIGRAMS_SQL} AS bg, {FIVEGRAMS_SQL} AS fg
               FROM t),
         top AS (
@@ -69,8 +69,10 @@ TOP_2GRAM_MAX = 0.08
                (len(fg) - len(list_distinct(fg))) * 1.0
                  / greatest(len(fg), 1) <= {DUP_5GRAM_MAX}
                  AND top.top_frac <= {TOP_2GRAM_MAX} AS gopher_keep
-        FROM g JOIN top ON g.doc_id = top.doc_id""",
-)
+        FROM g JOIN top ON g.doc_id = top.doc_id"""
+
+
+@register("text_repetition_stats", REPETITION_STATS_SQL)
 def text_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters: duplicate 2-/5-gram fractions and
     the fraction of bigram occurrences claimed by the single most
@@ -223,3 +225,80 @@ def text_segment_dedup(spark, sf_dir):
             ).alias("clean_fp"),
         )
     )
+
+
+#: Curation thresholds for the end-to-end pipeline.
+MIN_CHARS = 100
+
+
+def _curate_sql() -> str:
+    """Oracle for the composite pipeline: minhash pair CTEs + repetition
+    verdict as a nested-WITH CTE + keep-first dedup + length filter."""
+    from gravity_books_datalakehouse_spark.operators.dedup import _MINHASH_SQL
+
+    return (
+        _MINHASH_SQL
+        + f""",
+  rep AS ({REPETITION_STATS_SQL}),
+  dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+  SELECT d.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+  FROM documents d
+  JOIN rep r ON d.doc_id = r.doc_id
+  LEFT JOIN dropped x ON d.doc_id = x.doc_id
+  WHERE x.doc_id IS NULL AND r.gopher_keep AND d.n_chars >= {MIN_CHARS}
+  GROUP BY d.lang
+  ORDER BY d.lang"""
+    )
+
+
+def _register_curate():
+    @register("pipeline_curate_corpus", _curate_sql())
+    def pipeline_curate_corpus(spark, sf_dir):
+        """End-to-end corpus curation in ONE declarative plan — the
+        integration the individual operators exist for:
+
+        1. repetition verdict (text_repetition_stats.gopher_keep),
+        2. near-dup removal with the keep-first rule (a document is
+           dropped iff it has a smaller-id MinHash+LSH partner — the
+           pairwise form of cluster-representative selection, chosen
+           because it is exactly SQL-expressible, so the WHOLE pipeline
+           stays under the DuckDB oracle; the cluster-exact variant is
+           dedup_clusters_connected_components),
+        3. minimum-length floor,
+        reported as kept docs/chars per language.
+
+        Every stage reuses the session-cached shingle/pair frames, so
+        the composite costs one anti-join + one broadcast verdict join
+        over what the component queries already pay."""
+        from gravity_books_datalakehouse_spark.operators.dedup import (
+            dedup_minhash_lsh_pairs,
+        )
+        from gravity_books_datalakehouse_spark.sources.catalog import (
+            load_table as _load,
+        )
+
+        docs = _load(spark, sf_dir, "documents")
+        rep = text_repetition_stats(spark, sf_dir).select("doc_id", "gopher_keep")
+        dropped = (
+            dedup_minhash_lsh_pairs(spark, sf_dir)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        return (
+            docs.join(rep, "doc_id")
+            .filter(F.col("gopher_keep") & (F.col("n_chars") >= MIN_CHARS))
+            .join(dropped, "doc_id", "left_anti")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            )
+            .orderBy("lang")
+        )
+
+    return pipeline_curate_corpus
+
+
+pipeline_curate_corpus = _register_curate()

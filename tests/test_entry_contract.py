@@ -32,10 +32,13 @@ def test_first_50_entries_cover_every_family_with_oracles():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     head = list(qs)[:50]
+    # op_f_* (scalar function kits) rotated out of the window in round 3
+    # to make room for the round-3 operator families; the kits remain
+    # judge-verified in the tail.
     families = [
         "star_", "q_", "dedup_", "sim_", "mm_", "ev_", "text_",
         "op_sample", "op_split", "op_asof", "op_udtf", "pipeline_",
-        "op_j", "op_a", "op_w", "op_f",
+        "op_j", "op_a", "op_w", "op_cap",
     ]
     for fam in families:
         assert any(n.startswith(fam) for n in head), f"family {fam} absent from first 50"
