@@ -77,7 +77,12 @@ def _duckdb_baseline(oracles: dict[str, str]) -> dict[str, float]:
     return times
 
 
-SCALING_QUERIES = ("q_pricing_summary", "star_q1_monthly_sales")
+SCALING_QUERIES = (
+    "q_pricing_summary",
+    "star_q1_monthly_sales",
+    # text-pipeline representative: array-math + one digest-keyed shuffle
+    "text_repetition_stats",
+)
 SCALING_DIRS = tuple(
     d
     for d in (

@@ -35,9 +35,9 @@ _BIGRAMS_SQL = (
 )
 
 
-@register(
-    "text_bigram_logprob",
-    f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+#: Standalone oracle (also reused as a subquery by
+#: quality.text_quality_percentile_cut).
+BIGRAM_LOGPROB_SQL = f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
         bg AS (
           SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg FROM t),
         cb AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
@@ -57,8 +57,10 @@ _BIGRAMS_SQL = (
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                ROUND(AVG(lp), 6) AS avg_logprob
         FROM scored
-        GROUP BY doc_id""",
-)
+        GROUP BY doc_id"""
+
+
+@register("text_bigram_logprob", BIGRAM_LOGPROB_SQL)
 def text_bigram_logprob(spark, sf_dir):
     """Per-document mean bigram log-probability under an add-one-smoothed
     model fitted on the corpus itself: lp(w1 w2) = ln((c(w1,w2)+1) /

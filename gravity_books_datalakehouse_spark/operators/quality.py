@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from gravity_books_datalakehouse_spark.operators.text import (
     TOKS_SQL,
-    shingle_array_col,
     tokens_col,
 )
 from gravity_books_datalakehouse_spark.plans.operator_queries import register
@@ -72,71 +71,74 @@ REPETITION_STATS_SQL = f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM doc
         FROM g JOIN top ON g.doc_id = top.doc_id"""
 
 
+def _ngram_doc_stats(docs, k: int):
+    """(doc_id, total_k, distinct_k, max_k): per-doc k-gram occurrence
+    stats from an index explode + two-level aggregation.
+
+    Why exploded counts and not array expressions (size/array_distinct
+    over a shingle array): any array expression over a computed shingle
+    column is one optimizer move away from quadratic — CollapseProject
+    inlines the tokenizing split into the per-element lambda, and
+    predicate pushdown (e.g. a downstream filter on gopher_keep, as in
+    pipeline_curate_corpus) relocates the whole expression into a
+    scan-side Filter where it is evaluated again (measured 18 s vs 2 s
+    at sf0.1). The exploded form has no per-element references to
+    rebuild: the index sequence is cheap to inline, each k-gram is k
+    O(1) element_at lookups, and both aggregations combine map-side."""
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    n_win = F.size("toks") - (k - 1)
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + off) for off in range(k)]
+    )
+    return (
+        t.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", gram.alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias(f"total_{k}"),
+            F.count(F.lit(1)).alias(f"distinct_{k}"),
+            F.max("cnt").alias(f"max_{k}"),
+        )
+    )
+
+
 @register("text_repetition_stats", REPETITION_STATS_SQL)
 def text_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters: duplicate 2-/5-gram fractions and
     the fraction of bigram occurrences claimed by the single most
-    frequent bigram, plus the keep verdict. Duplicate fractions are pure
-    array expressions (scan-speed, zero shuffle); the top-bigram mass is
-    the one genuinely aggregate statistic, computed with a (doc_id,
-    bigram) count + per-doc max — both stages combine map-side."""
+    frequent bigram, plus the keep verdict. All statistics derive from
+    exploded (doc_id, gram) counts — see _ngram_doc_stats for why that
+    beats array expressions under composition — joined per-doc (narrow
+    rows, co-partitioned aggregation outputs)."""
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", tokens_col().alias("toks")
-    ).select(
-        "doc_id",
-        shingle_array_col(F.col("toks"), 2).alias("bg"),
-        shingle_array_col(F.col("toks"), 5).alias("fg"),
+    s2 = _ngram_doc_stats(docs, 2)
+    s5 = _ngram_doc_stats(docs, 5)
+    dup2 = (F.col("total_2") - F.col("distinct_2")) / F.greatest(
+        F.col("total_2"), F.lit(1)
     )
-    # Reduce to scalars BEFORE the join: the array columns must not ride
-    # through the join shuffle, and the join sides stay one narrow row
-    # per doc.
-    scal = g.select(
-        "doc_id",
-        (F.size("bg") + 1).cast("bigint").alias("n_tokens"),
-        (
-            (F.size("bg") - F.size(F.array_distinct("bg")))
-            / F.greatest(F.size("bg"), F.lit(1))
-        ).alias("dup2"),
-        (
-            (F.size("fg") - F.size(F.array_distinct("fg")))
-            / F.greatest(F.size("fg"), F.lit(1))
-        ).alias("dup5"),
+    # left join + coalesce(0): a 2-4-token doc has bigrams but no
+    # 5-grams; the oracle's empty-array form scores it dup5=0
+    dup5 = F.coalesce(
+        (F.col("total_5") - F.col("distinct_5"))
+        / F.greatest(F.col("total_5"), F.lit(1)),
+        F.lit(0.0),
     )
-    # Top-bigram mass via an INDEX explode, not explode(bigram_array):
-    # Generate infers a size()>0 filter and pushes it below the
-    # projection, inlining whatever it explodes — inlining the shingle
-    # transform re-runs the regex split per element (O(tokens²)/doc,
-    # measured 7s vs 0.7s at sf0.1). The index sequence is cheap to
-    # inline; each bigram is then two O(1) element_at on the retained
-    # token array.
-    t = docs.select("doc_id", tokens_col().alias("toks"))
-    n_bg = F.size("toks") - 1
-    idx = F.when(n_bg >= 1, F.sequence(F.lit(1), n_bg)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bg_row = F.concat_ws(
-        " ", F.element_at("toks", F.col("i")), F.element_at("toks", F.col("i") + 1)
-    )
-    top = (
-        t.select("doc_id", "toks", F.explode(idx).alias("i"))
-        .select("doc_id", bg_row.alias("bg_one"))
-        .groupBy("doc_id", "bg_one")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg((F.max("cnt") * 1.0 / F.sum("cnt")).alias("top_frac"))
-    )
+    top_frac = F.col("max_2") * 1.0 / F.col("total_2")
     return (
-        scal.join(top, "doc_id")
+        s2.join(s5, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            F.round("dup2", 6).alias("dup_2gram_frac"),
-            F.round("dup5", 6).alias("dup_5gram_frac"),
-            F.round("top_frac", 6).alias("top_2gram_frac"),
+            (F.col("total_2") + 1).cast("bigint").alias("n_tokens"),
+            F.round(dup2, 6).alias("dup_2gram_frac"),
+            F.round(dup5, 6).alias("dup_5gram_frac"),
+            F.round(top_frac, 6).alias("top_2gram_frac"),
             (
-                (F.col("dup5") <= DUP_5GRAM_MAX)
-                & (F.col("top_frac") <= TOP_2GRAM_MAX)
+                (dup5 <= DUP_5GRAM_MAX) & (top_frac <= TOP_2GRAM_MAX)
             ).alias("gopher_keep"),
         )
     )
@@ -302,3 +304,60 @@ def _register_curate():
 
 
 pipeline_curate_corpus = _register_curate()
+
+
+#: Keep the top fraction of documents by LM score within each language.
+PCT_KEEP = 0.60
+
+
+def _percentile_cut_sql() -> str:
+    from gravity_books_datalakehouse_spark.operators.lm import (
+        BIGRAM_LOGPROB_SQL,
+    )
+
+    return f"""WITH scored AS (
+          SELECT d.lang, s.doc_id, s.avg_logprob,
+                 percent_rank() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY s.avg_logprob DESC, s.doc_id ASC) AS pr
+          FROM ({BIGRAM_LOGPROB_SQL}) s JOIN documents d ON s.doc_id = d.doc_id)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               ROUND(MIN(avg_logprob), 6) AS cutoff_logprob
+        FROM scored
+        WHERE pr <= {PCT_KEEP}
+        GROUP BY lang
+        ORDER BY lang"""
+
+
+@register("text_quality_percentile_cut", _percentile_cut_sql())
+def text_quality_percentile_cut(spark, sf_dir):
+    """Percentile-based quality cut: keep the top 60% of documents per
+    language by bigram-LM score — the rank-normalized form of model-based
+    filtering (absolute LM thresholds drift with corpus mix; a per-stratum
+    percentile is self-calibrating, the rule CCNet applies with its
+    perplexity buckets). One window shuffle partitioned by lang; the LM
+    scoring reuses text_bigram_logprob's co-partitioned count joins."""
+    from pyspark.sql import Window
+
+    from gravity_books_datalakehouse_spark.operators.lm import (
+        text_bigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_bigram_logprob(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= PCT_KEEP)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.round(F.min("avg_logprob"), 6).alias("cutoff_logprob"),
+        )
+        .orderBy("lang")
+    )
