@@ -343,3 +343,24 @@ def test_unigram_logprob_no_python_and_broadcast_total(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # corpus total joins in as a broadcast scalar, not a shuffle join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_repetition_pipeline_tokenizer_split_count_bounded(spark):
+    """Pin the pushdown-safety of the repetition stats under composition:
+    the curation pipeline filters on gopher_keep, and with array-side
+    shingle expressions that filter's pushdown used to inline the
+    tokenizing split PER ARRAY ELEMENT into a scan-side Filter
+    (O(tokens^2)/doc — 18s vs 2s at sf0.1). The exploded-count form keeps
+    the split a per-ROW expression: its occurrence count in the optimized
+    plan must stay small and, critically, out of Filter nodes' lambda
+    bodies. A regression reintroducing the inlining multiplies the count."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    df = qs["pipeline_curate_corpus"](spark, "/root/testdata/sf0.001")
+    plan = str(df._jdf.queryExecution().optimizedPlan())
+    n_splits = plan.count("split(lower(trim(")
+    assert n_splits <= 8, (
+        f"tokenizer split appears {n_splits} times in the optimized plan — "
+        "per-element inlining is back (see quality._ngram_doc_stats)"
+    )
