@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         ranking,
         lm,
         kmeans,
+        countmin,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,
