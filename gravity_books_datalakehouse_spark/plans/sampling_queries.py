@@ -276,3 +276,54 @@ def op_cap_per_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "op_split_stratified_exact",
+    """SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM (SELECT lang,
+                    CASE WHEN rn <= CAST(FLOOR(0.8 * n) AS BIGINT) THEN 'train'
+                         WHEN rn <= CAST(FLOOR(0.9 * n) AS BIGINT) THEN 'val'
+                         ELSE 'test' END AS split
+             FROM (SELECT lang,
+                          ROW_NUMBER() OVER (
+                            PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                          COUNT(*) OVER (PARTITION BY lang) AS n
+                   FROM documents))
+       GROUP BY split, lang
+       ORDER BY split, lang""",
+)
+def op_split_stratified_exact(spark, sf_dir):
+    """Exact-quota stratified split: precisely floor(80%)/floor(10%)/rest
+    of every language stratum, with content-hash order inside the stratum
+    so the assignment is deterministic and layout-invariant. The
+    complement of op_split_train_eval's hash-band split: hash bands are
+    add-data-stable but only approximate the ratios; exact quotas hit
+    the ratios but adding data can reassign rows. Production pipelines
+    need both, and which one is correct depends on whether the split
+    ratio or split stability is the contract. One window shuffle keyed
+    by lang (AQE skew-split covers a dominant stratum at scale)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    split = (
+        F.when(F.col("rn") <= F.floor(0.8 * F.col("n")).cast("bigint"), "train")
+        .when(F.col("rn") <= F.floor(0.9 * F.col("n")).cast("bigint"), "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
