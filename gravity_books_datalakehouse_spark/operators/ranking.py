@@ -32,9 +32,8 @@ TOP_K = 20
 _TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
 
 
-@register(
-    "text_bm25_topk",
-    f"""WITH dl AS (
+#: The scored CTE chain, without ranking — reused by the RRF hybrid.
+BM25_SCORED_CTES = f"""dl AS (
           SELECT doc_id, len({TOKS_SQL}) AS doclen FROM documents),
         stats AS (
           SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM dl),
@@ -56,7 +55,12 @@ _TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
           FROM tfdf t
           JOIN dl USING (doc_id)
           CROSS JOIN stats
-          GROUP BY t.doc_id)
+          GROUP BY t.doc_id)"""
+
+
+@register(
+    "text_bm25_topk",
+    f"""WITH {BM25_SCORED_CTES}
         SELECT doc_id, ROUND(score, 6) AS bm25
         FROM scored
         ORDER BY bm25 DESC, doc_id ASC
@@ -73,6 +77,16 @@ def text_bm25_topk(spark, sf_dir):
     the only row fan-out is the tf explode; dl/stats stay narrow
     per-row projections. ROUND(6) on the score makes the float sum
     portable for the oracle compare."""
+    scored = _bm25_scored(spark, sf_dir)
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, score) for every document containing a query term."""
     docs = load_table(spark, sf_dir, "documents")
     dl = docs.select("doc_id", F.size(tokens_col()).alias("doclen"))
     stats = dl.agg(
@@ -93,14 +107,111 @@ def text_bm25_topk(spark, sf_dir):
     denom = F.col("tf") + K1 * (
         1 - B + B * F.col("doclen") / F.col("avgdl")
     )
-    scored = (
+    return (
         tfdf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(idf * F.col("tf") * (K1 + 1) / denom).alias("score"))
     )
-    return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(TOP_K)
+
+
+#: RRF fusion constants (Cormack et al. 2009: k=60 is the canonical
+#: damping; top-N per leg bounds the rank windows).
+RRF_K = 60
+RRF_LEG_N = 50
+RRF_TOP = 10
+#: The semantic query vector is document 0's embedding (vec_id == doc_id
+#: in the testdata); doc 0 itself is excluded from the fused results.
+RRF_QUERY_VEC_ID = 0
+
+_COS_Q_SQL = (
+    f"(list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    f"(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    f"sqrt(list_dot_product(q.qv, q.qv))))"
+)
+
+
+@register(
+    "text_hybrid_rrf_topk",
+    f"""WITH {{BM25}},
+        lex AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+          FROM scored QUALIFY r <= {RRF_LEG_N}),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = {RRF_QUERY_VEC_ID}),
+        sem AS (
+          SELECT vec_id AS doc_id,
+                 row_number() OVER (ORDER BY {_COS_Q_SQL} DESC, vec_id ASC) AS r
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id != {RRF_QUERY_VEC_ID}
+          QUALIFY r <= {RRF_LEG_N})
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({RRF_K} + l.r), 0)
+                     + COALESCE(1.0 / ({RRF_K} + s.r), 0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        WHERE COALESCE(l.doc_id, s.doc_id) != {RRF_QUERY_VEC_ID}
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT {RRF_TOP}""".replace("{BM25}", BM25_SCORED_CTES),
+)
+def text_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 keyword leg
+    and a semantic cosine leg (query = doc 0's embedding), the standard
+    two-tower RAG retrieval pattern. rrf = Σ_legs 1/(60 + rank), ranks
+    deterministic via (score, doc_id) tiebreaks, fused FULL OUTER so a
+    doc present in one leg still scores.
+
+    Scale shape: each leg is cut to its top-50 BEFORE ranking
+    (TakeOrderedAndProject — no global sort, and the rank window then
+    runs over a driver-bounded frame, not the corpus); the fusion join
+    touches ≤2N tiny rows. The semantic leg here is the exact
+    brute-force baseline — at billions of vectors swap in the
+    LSH/IVF-bucketed legs (sim_lsh_bucketed_topk / sim_ivf_topk), same
+    fusion."""
+    from pyspark.sql import Window
+
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_LEG_N)
     )
+    lex = lex_top.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    ).select("doc_id", "r")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    from gravity_books_datalakehouse_spark.operators.similarity import cosine
+
+    cos = cosine("embedding", "qv")
+    sem_top = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_q"))
+        .orderBy(F.desc("cos_q"), F.asc("doc_id"))
+        .limit(RRF_LEG_N)
+    )
+    sem = sem_top.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("cos_q"), F.asc("doc_id"))),
+    ).select("doc_id", "r")
+
+    fused = (
+        lex.withColumnRenamed("r", "rl")
+        .join(sem.withColumnRenamed("r", "rs"), "doc_id", "full_outer")
+        .filter(F.col("doc_id") != RRF_QUERY_VEC_ID)
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rs")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)
