@@ -278,3 +278,45 @@ def ev_sliding_windows(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+@register(
+    "ev_retention_cohorts",
+    """WITH cohort AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+         FROM events GROUP BY user_id),
+       activity AS (
+         SELECT DISTINCT e.user_id, c.cohort_date,
+                date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+         FROM events e JOIN cohort c ON e.user_id = c.user_id)
+       SELECT cohort_date, day_offset,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM activity
+       WHERE day_offset <= 7
+       GROUP BY cohort_date, day_offset
+       ORDER BY cohort_date, day_offset""",
+)
+def ev_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention (day-0..7): users grouped by first-seen
+    date, counted on each later day they return — the canonical product
+    analytics matrix. Two aggregations over one event scan: the cohort
+    assignment (min date per user) joins back to the activity stream on
+    user_id, co-partitioned with the per-user aggregation that produced
+    it, so the join adds no new exchange for the events side; the
+    distinct collapses multiple same-day events before the final
+    (cohort, offset) count."""
+    e = load_events(spark, sf_dir)
+    dated = e.select("user_id", F.col("ts").cast("date").alias("d"))
+    cohort = dated.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        dated.join(cohort, "user_id")
+        .select(
+            "user_id", "cohort_date",
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
