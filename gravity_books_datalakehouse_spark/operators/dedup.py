@@ -508,3 +508,59 @@ def pipeline_curation_verdict(spark, sf_dir):
             .alias("verdict"),
         )
     )
+
+
+@register(
+    "dedup_incremental_new_vs_corpus",
+    _MINHASH_SQL.replace(
+        "pairs AS (",
+        """old AS (SELECT * FROM bands WHERE doc_id % 5 != 0),
+  new AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+  pairs AS (""",
+    ).replace(
+        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id""",
+        """SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+    FROM new n
+    JOIN old o ON n.band_idx = o.band_idx AND n.band_key = o.band_key""",
+    )
+    + """
+  SELECT new_doc,
+         CAST(MIN(old_doc) AS BIGINT) AS first_match,
+         CAST(COUNT(DISTINCT old_doc) AS BIGINT) AS n_matches
+  FROM pairs GROUP BY new_doc ORDER BY new_doc""",
+)
+def dedup_incremental_new_vs_corpus(spark, sf_dir):
+    """Incremental ingestion dedup: an arriving batch (stand-in split:
+    doc_id % 5 == 0) checked against the EXISTING corpus's LSH index —
+    the production pattern where dedup runs at ingest time against an
+    accumulated signature table rather than all-pairs over everything.
+    Each flagged new document reports its first (lowest-id) corpus match
+    and how many corpus near-dups it hit.
+
+    Scale shape: the corpus side of the band join is exactly the
+    persisted signature table a lakehouse would maintain incrementally
+    (operators/snapshots MERGE keeps it current); per batch the join
+    cost is O(batch × bands), independent of corpus size beyond the
+    band-key lookup — the signature matrix is never rebuilt."""
+    sigs = minhash_signatures(_cached_shingles(spark, sf_dir))
+    bands = sigs.select(
+        "doc_id", F.col("p").alias("band_idx"), F.col("sig").alias("band_key")
+    )
+    old = bands.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("old_doc"), "band_idx", "band_key"
+    )
+    new = bands.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("new_doc"), "band_idx", "band_key"
+    )
+    return (
+        new.join(old, ["band_idx", "band_key"])
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").cast("bigint").alias("first_match"),
+            F.count_distinct("old_doc").cast("bigint").alias("n_matches"),
+        )
+        .orderBy("new_doc")
+    )
