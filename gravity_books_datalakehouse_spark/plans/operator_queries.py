@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
         lm,
         kmeans,
         countmin,
+        expectations,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,

@@ -208,3 +208,31 @@ def test_switching_scale_dir_evicts_previous_scale_cache(spark):
     assert [k[1] for k in _STAR_CACHE] == [other_sf]
     assert not first["dim_priority"].storageLevel.useMemory
     clear_session_caches()
+
+
+def test_expectations_gate_counts_violations(spark, tmp_path):
+    from gravity_books_datalakehouse_spark.operators.expectations import (
+        expectations_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good text", "en", "s", 9),
+            (2, "", "en", "s", 0),          # violates text_nonempty
+            (3, "bad count", "en", "s", 42) # violates n_chars_matches_text
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rules = [
+        ("documents", "n_chars_matches_text", "n_chars = length(text)"),
+        ("documents", "text_nonempty", "length(text) > 0"),
+    ]
+    out = {
+        r.rule: r
+        for r in expectations_report(spark, str(tmp_path), rules).collect()
+    }
+    assert out["text_nonempty"].n_violations == 1
+    assert not out["text_nonempty"]["pass"]
+    assert out["n_chars_matches_text"].n_violations == 1
+    assert out["n_chars_matches_text"].n_rows == 3
