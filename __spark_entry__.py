@@ -49,12 +49,13 @@ _PRIORITY_HEAD = [
     # similarity / ANN
     "sim_topk_cosine_bruteforce",
     "sim_lsh_bucketed_topk",
-    "sim_lsh_multiprobe_topk",
     "sim_ivf_topk",
     "sim_quantized_topk",
     # multimodal
     "mm_payload_metadata",
     "mm_frame_sample",
+    # sketch with a hard oracle gate
+    "op_sketch_countmin_terms",
     # event/windowed analytics (streaming-shape)
     "ev_tumbling_hourly",
     "ev_sessionize",
@@ -62,9 +63,10 @@ _PRIORITY_HEAD = [
     # deterministic sampling / splits
     "op_sample_hash_bernoulli",
     "op_split_train_eval",
-    "op_sample_rebalance_langs",
+    # data-quality gate
+    "op_expectations_check",
     # text analysis
-    "text_token_stats",
+    "text_hybrid_rrf_topk",
     "text_lang_id",
     "text_tfidf_top_terms",
     "pipeline_curate_corpus",
