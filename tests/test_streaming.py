@@ -273,3 +273,64 @@ def test_stream_to_snapshot_exactly_once(spark, event_source_dir, tmp_path):
     # a replayed epoch id is skipped even without the checkpoint's help
     last = last_txn_version(table, "events-to-snapshot")
     assert last >= 0
+
+
+def test_transform_with_state_running_user_spend(spark, tmp_path):
+    """transformWithStateInPandas (typed ValueState on RocksDB): running
+    per-user spend must persist across micro-batches and match the batch
+    totals over the same input.
+
+    The TWS python worker speaks protobuf to the JVM state server;
+    skip when google.protobuf is unavailable (environment-blocked, like
+    Kafka/Delta — re-probe each round)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.tws import running_user_spend
+
+    src = str(tmp_path / "tws_src")
+    base = load_events(spark, SF_SMOKE)
+    base.filter(F.col("user_id") < 40).coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_user_spend(stream)
+            .writeStream.format("memory")
+            .queryName("user_spend")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 4))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) rn
+                 FROM user_spend) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
