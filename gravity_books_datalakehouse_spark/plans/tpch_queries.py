@@ -747,28 +747,27 @@ def q_part_supplier_counts(spark, sf_dir):
 
 @register(
     "q_sole_blame_suppliers",
-    """SELECT s.s_name, COUNT(*) AS numwait
-       FROM supplier s
-       JOIN nation n ON s.s_nationkey = n.n_nationkey
-       JOIN region r ON n.n_regionkey = r.r_regionkey
-       JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
-       JOIN orders o ON o.o_orderkey = l1.l_orderkey
-       WHERE r.r_name = 'ASIA'
-         AND o.o_orderstatus = 'F'
-         AND l1.l_returnflag = 'R'
-         AND EXISTS (SELECT 1 FROM lineitem l2
-                     WHERE l2.l_orderkey = l1.l_orderkey
-                       AND l2.l_suppkey <> l1.l_suppkey)
-         AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                         WHERE l3.l_orderkey = l1.l_orderkey
-                           AND l3.l_suppkey <> l1.l_suppkey
-                           AND l3.l_returnflag = 'R')
-         AND l1.l_linenumber = (SELECT MIN(l4.l_linenumber) FROM lineitem l4
-                                WHERE l4.l_orderkey = l1.l_orderkey
-                                  AND l4.l_suppkey = l1.l_suppkey
-                                  AND l4.l_returnflag = 'R')
-       GROUP BY s.s_name
-       ORDER BY numwait DESC, s.s_name
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM (
+         SELECT DISTINCT s.s_name, l1.l_orderkey
+         FROM supplier s
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderstatus = 'F'
+           AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+       )
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
        LIMIT 100""",
 )
 def q_sole_blame_suppliers(spark, sf_dir):
@@ -776,9 +775,13 @@ def q_sole_blame_suppliers(spark, sf_dir):
     multi-supplier order ('returned' standing in for 'late' — the
     testdata has no commit/receipt dates). The classic form is a triple
     correlated EXISTS / NOT-EXISTS self-join on lineitem (the oracle
-    keeps it, plus a min-linenumber guard to count each (order,
-    supplier) pair once); the Spark plan replaces all three self-joins
-    with ONE aggregation over lineitem:
+    keeps it, counting each (supplier, order) pair once via DISTINCT —
+    NOT via TPC-H's min-linenumber idiom, because this testdata does
+    not keep l_linenumber unique per order: sf0.1 carries 143k
+    duplicate (orderkey, linenumber) pairs, and a tie at the min made
+    the guard double-count exactly one qualifying order at sf0.1);
+    the Spark plan replaces all three self-joins with ONE aggregation
+    over lineitem:
 
         per order: distinct suppliers, distinct R-flag suppliers, and
         (iff exactly one) that supplier's key
