@@ -320,3 +320,68 @@ def op_fk_orphan_audit(spark, sf_dir):
         )
         .orderBy("fk")
     )
+
+
+@register(
+    "op_w_gap_fill_forward",
+    """WITH daily AS (
+         SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM orders GROUP BY 1, 2),
+       bounds AS (
+         SELECT o_orderpriority, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+       spine AS (
+         SELECT o_orderpriority,
+                CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+         FROM bounds),
+       j AS (
+         SELECT s.o_orderpriority, s.d, daily.rev
+         FROM spine s LEFT JOIN daily USING (o_orderpriority, d))
+       SELECT o_orderpriority, d,
+              ROUND(last_value(rev IGNORE NULLS) OVER (
+                PARTITION BY o_orderpriority ORDER BY d
+                ROWS UNBOUNDED PRECEDING), 2) AS rev_filled,
+              rev IS NULL AS was_filled
+       FROM j""",
+)
+def op_w_gap_fill_forward(spark, sf_dir):
+    """Time-series regularization: a complete per-series daily date spine
+    with forward-filled values (LOCF) — the gap-fill every downstream
+    rolling metric needs before it can assume dense time. Three stages,
+    all bounded: per-(series, day) pre-aggregation (exact decimal), a
+    spine generated from each series' own [min, max] date range
+    (sequence + explode — rows proportional to the CALENDAR, not the
+    fact table), and one ordered window per series with
+    last(ignorenulls) as the fill. The window partitions by series key,
+    so fill state never crosses series and the sort is per-partition."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_orderpriority", "d")
+        .agg(F.sum("p").cast("double").alias("rev"))
+    )
+    bounds = daily.groupBy("o_orderpriority").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "o_orderpriority",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    j = spine.join(daily, ["o_orderpriority", "d"], "left")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "o_orderpriority",
+        "d",
+        F.round(F.last("rev", ignorenulls=True).over(w), 2).alias("rev_filled"),
+        F.col("rev").isNull().alias("was_filled"),
+    )
