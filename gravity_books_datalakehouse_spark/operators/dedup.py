@@ -564,3 +564,71 @@ def dedup_incremental_new_vs_corpus(spark, sf_dir):
         )
         .orderBy("new_doc")
     )
+
+
+#: Decontamination parameters: the held-out "benchmark" split and the
+#: containment threshold above which a training doc is contaminated.
+_DECON_MOD = 50
+_DECON_TAU = 0.5
+
+
+@register(
+    "pipeline_decontaminate",
+    _MINHASH_SQL[: _MINHASH_SQL.index(",\n  sig AS")]
+    + f""",
+  bench AS (SELECT doc_id AS bench_id, shingle FROM shd
+            WHERE doc_id % {_DECON_MOD} = 0),
+  bsize AS (SELECT bench_id, COUNT(*) AS n_b FROM bench GROUP BY 1),
+  corpus AS (SELECT doc_id, shingle FROM shd WHERE doc_id % {_DECON_MOD} != 0),
+  hits AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_common
+           FROM corpus c JOIN bench b USING (shingle) GROUP BY 1, 2),
+  scored AS (SELECT h.doc_id, h.bench_id, h.n_common * 1.0 / s.n_b AS containment
+             FROM hits h JOIN bsize s USING (bench_id))
+  SELECT doc_id,
+         ROUND(MAX(containment), 6) AS max_containment,
+         CAST(COUNT(*) AS BIGINT) AS n_bench_matched,
+         CAST(MIN(bench_id) AS BIGINT) AS first_bench_match
+  FROM scored WHERE containment >= {_DECON_TAU}
+  GROUP BY doc_id ORDER BY doc_id""",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination by n-gram containment (the public
+    PaLM/GPT-3-style eval-leak check): a held-out benchmark split
+    (stand-in: doc_id % 50 == 0) is shingled, and any training document
+    covering >= 50% of some benchmark doc's distinct 3-gram set is
+    flagged with its worst containment score. Containment (|A∩B| /
+    |benchmark|) is the right asymmetric measure: a long training doc
+    QUOTING a short benchmark item scores high even though symmetric
+    Jaccard would dilute it.
+
+    Scale shape: one join keyed on the shingle (hash-partitioned,
+    reusing the session-cached distinct-shingle frame) and two
+    benchmark-cardinality aggregations; the flagged set is
+    benchmark-bounded, never corpus-sized. At 100 TB the benchmark side
+    is tiny — broadcast it and the whole check is map-side."""
+    sh = _cached_shingles(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    bsize = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = hits.join(F.broadcast(bsize), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        (F.col("n_common") * 1.0 / F.col("n_b")).alias("containment"),
+    )
+    return (
+        scored.filter(F.col("containment") >= _DECON_TAU)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("containment"), 6).alias("max_containment"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_matched"),
+            F.min("bench_id").cast("bigint").alias("first_bench_match"),
+        )
+        .orderBy("doc_id")
+    )
