@@ -385,3 +385,64 @@ def op_w_gap_fill_forward(spark, sf_dir):
         F.round(F.last("rev", ignorenulls=True).over(w), 2).alias("rev_filled"),
         F.col("rev").isNull().alias("was_filled"),
     )
+
+
+@register(
+    "op_outliers_mad",
+    """WITH pb AS (
+         SELECT p.p_brand, l.l_extendedprice AS x
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       med AS (
+         SELECT p_brand, quantile_disc(x, 0.5) AS med FROM pb GROUP BY 1),
+       mad AS (
+         SELECT p_brand, quantile_disc(abs(x - med), 0.5) AS mad
+         FROM pb JOIN med USING (p_brand) GROUP BY p_brand)
+       SELECT p_brand,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(MAX(med), 2) AS median_price,
+              ROUND(MAX(mad), 2) AS mad_price,
+              CAST(SUM(CASE WHEN abs(x - med) > 3 * mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+       FROM pb JOIN med USING (p_brand) JOIN mad USING (p_brand)
+       GROUP BY p_brand
+       ORDER BY p_brand""",
+)
+def op_outliers_mad(spark, sf_dir):
+    """Robust per-group outlier detection: median / MAD (median absolute
+    deviation) per part brand, rows beyond 3 MAD flagged — the
+    outlier rule that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers it hunts. DISCRETE quantiles (actual data
+    values, no midpoint interpolation) keep the statistic bit-identical
+    across engines — interpolated medians differ in the last ulp and
+    flip roundings at .xx5 boundaries. Exact MAD is inherently
+    two-pass (the deviation median needs the median first); both
+    passes are partial-aggregated percentiles keyed by brand, and the
+    per-brand medians ride back as broadcast joins. At 100 TB swap the
+    exact percentile for the t-digest sketch (operators/sketches.py) to
+    make it single-pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pb = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand", F.col("l_extendedprice").alias("x")
+    )
+    med = pb.groupBy("p_brand").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").alias("med")
+    )
+    with_med = pb.join(F.broadcast(med), "p_brand")
+    mad = with_med.groupBy("p_brand").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(x - med))").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("med"), 2).alias("median_price"),
+            F.round(F.max("mad"), 2).alias("mad_price"),
+            F.sum(
+                F.when(F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("p_brand")
+    )

@@ -320,3 +320,45 @@ def ev_retention_cohorts(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("cohort_date", "day_offset")
     )
+
+
+@register(
+    "ev_rolling_7d_active_users",
+    """WITH du AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       mx AS (SELECT MAX(d) AS mxd FROM du),
+       contrib AS (
+         SELECT user_id,
+                CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+                     AS DATE) AS day
+         FROM du)
+       SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+       FROM contrib CROSS JOIN mx
+       WHERE day <= mxd
+       GROUP BY day
+       ORDER BY day""",
+)
+def ev_rolling_7d_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the canonical
+    rolling-uniques metric. COUNT(DISTINCT) cannot run inside a sliding
+    window frame, so the scalable rewrite fans each (user, active-day)
+    pair out to the 7 window-end days it contributes to and counts
+    distinct users per end day: per-day dedup first (shrinks the fan-out
+    base to user x day), a 7x calendar explode (bounded, data-independent
+    multiplier), one distinct-count shuffle keyed by day. The same
+    rewrite is how sliding-window uniques run incrementally under
+    streaming (each arrival contributes to a bounded set of windows)."""
+    e = load_events(spark, sf_dir)
+    du = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    mx = du.agg(F.max("d").alias("mxd"))
+    contrib = du.select(
+        "user_id",
+        F.explode(F.expr("sequence(d, date_add(d, 6), interval 1 day)")).alias("day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("mxd"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_7d"))
+        .orderBy("day")
+    )
