@@ -82,6 +82,7 @@ def _ensure_loaded() -> None:
         advanced_queries,
         merge_queries,
         sampling_queries,
+        scd2,
         tpch_queries,
     )
 

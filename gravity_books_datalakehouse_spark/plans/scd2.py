@@ -69,3 +69,53 @@ def lookup_at(dim_scd2: DataFrame, natural_key: str, at_ts) -> DataFrame:
         (F.col("valid_from") <= at_col)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > at_col))
     )
+
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+
+@register(
+    "op_scd2_priority_history",
+    """WITH ch AS (
+         SELECT o_custkey AS k, o_orderpriority AS attr,
+                CAST(o_orderdate AS TIMESTAMP) AS ts
+         FROM orders),
+       fp AS (SELECT k, attr, ts, md5(CAST(attr AS VARCHAR)) AS f FROM ch),
+       ordered AS (
+         SELECT *, lag(f) OVER (PARTITION BY k ORDER BY ts, f) AS pf FROM fp),
+       dedup AS (SELECT * FROM ordered WHERE pf IS NULL OR f <> pf),
+       ver AS (
+         SELECT k, attr, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY k ORDER BY ts, f) AS valid_to
+         FROM dedup)
+       SELECT attr AS o_orderpriority,
+              CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_current,
+              CAST(COUNT(*) AS BIGINT) AS n_versions
+       FROM ver GROUP BY 1 ORDER BY 1""",
+)
+def op_scd2_priority_history(spark, sf_dir):
+    """SCD Type-2 history derived from the orders change feed (customer's
+    order priority as the tracked attribute): consecutive-duplicate
+    collapse + lead() version closing, reported as versions and open
+    (current) rows per priority. Puts the SCD2 builder — previously
+    test-only — under the driver's hash gate; the oracle re-derives the
+    identical versioning with the same (ts, fingerprint) total order,
+    so tie-handling is pinned cross-engine, not just cross-run."""
+    o = load_table(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    dim = build_scd2(changes, "k", ["attr"], "ts")
+    return (
+        dim.groupBy(F.col("attr").alias("o_orderpriority"))
+        .agg(
+            F.sum(F.when(F.col("is_current"), 1).otherwise(0))
+            .cast("bigint").alias("n_current"),
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        )
+        .orderBy("o_orderpriority")
+    )
