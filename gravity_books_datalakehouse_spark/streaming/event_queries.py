@@ -362,3 +362,78 @@ def ev_rolling_7d_active_users(spark, sf_dir):
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_7d"))
         .orderBy("day")
     )
+
+
+@register(
+    "ev_anomaly_hourly_zscore",
+    """WITH hourly AS (
+         SELECT event_type,
+                time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type, h, x,
+                COUNT(*)  OVER w AS n,
+                SUM(x)    OVER w AS s1,
+                SUM(x*x)  OVER w AS s2
+         FROM hourly
+         WINDOW w AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, h AS window_start, x,
+              ROUND((n * x - s1) / sqrt(n * (n * s2 - s1 * s1) * 1.0 / (n - 1)), 4)
+                AS zscore
+       FROM stats
+       WHERE n >= 12
+         AND (n * s2 - s1 * s1) > 0
+         AND (n * x - s1) > 0
+         AND (n * x - s1) * (n * x - s1) * (n - 1) > 9 * n * (n * s2 - s1 * s1)
+       ORDER BY event_type, window_start""",
+)
+def ev_anomaly_hourly_zscore(spark, sf_dir):
+    """Rate-anomaly detection: hourly event counts whose z-score against
+    the trailing 24 hours (current bucket excluded) exceeds 3 — the
+    monitoring alert every event pipeline runs. The novelty is the
+    portability discipline: the z>3 test runs in EXACT integer
+    arithmetic — (n·x − S1)²·(n−1) > 9·n·(n·S2 − S1²) over BIGINT count
+    sums — so the flag set cannot drift between engines on a variance
+    ulp; only the reported z value touches floats (identical IEEE
+    expression from identical exact integers). One aggregation shuffle
+    plus one per-type ordered window over bucket-cardinality rows."""
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type", "h", "x",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("s2"),
+    )
+    nx_s1 = F.col("n") * F.col("x") - F.col("s1")
+    var_n = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    # integer product BEFORE the double conversion — same rounding path
+    # as the oracle's n*(n*s2 - s1^2)*1.0/(n-1)
+    z = F.round(
+        nx_s1 / F.sqrt((F.col("n") * var_n) * 1.0 / (F.col("n") - 1)), 4
+    )
+    return (
+        stats.filter(
+            (F.col("n") >= 12)
+            & (var_n > 0)
+            & (nx_s1 > 0)
+            & (nx_s1 * nx_s1 * (F.col("n") - 1) > 9 * F.col("n") * var_n)
+        )
+        .select(
+            "event_type", F.col("h").alias("window_start"), "x", z.alias("zscore")
+        )
+        .orderBy("event_type", "window_start")
+    )
