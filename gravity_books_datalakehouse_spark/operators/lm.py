@@ -143,3 +143,80 @@ def text_bpe_pretokenize_stats(spark, sf_dir):
             F.length("text") * 1.0 / F.greatest(F.size(pretoks), F.lit(1)), 6
         ).alias("bytes_per_token"),
     )
+
+
+_N_DECILES = 10
+
+
+@register(
+    "text_vocab_growth",
+    f"""WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+        t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        tri AS (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         for i in range(1, len(toks) - 1)]) AS g
+          FROM t),
+        firsts AS (
+          SELECT g,
+                 MIN(CAST(FLOOR(doc_id * {_N_DECILES} * 1.0 / n) AS BIGINT))
+                   AS first_decile
+          FROM tri CROSS JOIN nd
+          GROUP BY g),
+        per AS (
+          SELECT first_decile, COUNT(*) AS new_terms
+          FROM firsts GROUP BY first_decile)
+        SELECT first_decile AS decile,
+               CAST(new_terms AS BIGINT) AS new_terms,
+               CAST(SUM(new_terms) OVER (ORDER BY first_decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        FROM per
+        ORDER BY decile""",
+)
+def text_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps'-law diagnostic) over trigram
+    units: distinct 3-grams first seen in each tenth of the corpus (by
+    doc_id order) and the cumulative vocabulary size — flat growth means a saturated /
+    repetitive corpus, steep growth means diversity a tokenizer's vocab
+    must budget for. One groupBy(token) taking the min first-seen
+    decile (map-side combined; shuffles one row per distinct term), a
+    decile-cardinality rollup, and a 10-row cumulative window."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    # trigram vocabulary via index explode (the pushdown-safe n-gram
+    # construction — see quality._ngram_doc_stats); FLOOR explicitly on
+    # both engines: DuckDB CAST(double AS BIGINT) ROUNDS while Spark
+    # cast truncates, a silent cross-engine divergence otherwise
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    n_w = F.size("toks") - 2
+    idx = F.when(n_w >= 1, F.sequence(F.lit(1), n_w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + o) for o in range(3)]
+    )
+    firsts = (
+        t.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", gram.alias("g"))
+        .crossJoin(F.broadcast(nd))
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.floor(F.col("doc_id") * _N_DECILES * 1.0 / F.col("n"))
+                .cast("bigint")
+            ).alias("first_decile")
+        )
+    )
+    per = firsts.groupBy("first_decile").agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("first_decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        F.col("first_decile").alias("decile"),
+        F.col("new_terms").cast("bigint").alias("new_terms"),
+        F.sum("new_terms").over(w).cast("bigint").alias("vocab_size"),
+    ).orderBy("decile")

@@ -584,3 +584,45 @@ def sim_quantized_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", "rank", F.round("cos_q", 6).alias("cos_sim_q"))
     )
+
+
+_RANGE_TAU = 0.30
+_RANGE_QUERY_ID = 1
+
+_COS_RQ_SQL = (
+    "(list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv, q.qv))))"
+)
+
+
+@register(
+    "sim_range_search",
+    f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = {_RANGE_QUERY_ID})
+        SELECT e.vec_id, ROUND({_COS_RQ_SQL}, 6) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != {_RANGE_QUERY_ID}
+          AND ROUND({_COS_RQ_SQL}, 6) >= {_RANGE_TAU}
+        ORDER BY cos_sim DESC, e.vec_id ASC""",
+)
+def sim_range_search(spark, sf_dir):
+    """Radius search: ALL vectors within cosine >= τ of the query — the
+    complement of top-k (top-k bounds result count, radius bounds
+    quality; dedup and recall evaluation want the radius form). The
+    threshold cuts on the 6-dp-rounded score so both engines cut
+    identically. Exact scan baseline, same contract as
+    sim_topk_cosine_bruteforce; the LSH/IVF bucketed plans drop in for
+    the scale path unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == _RANGE_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cos6 = F.round(cosine("embedding", "qv"), 6)
+    return (
+        e.filter(F.col("vec_id") != _RANGE_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cos6.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _RANGE_TAU)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )
