@@ -361,3 +361,87 @@ def text_quality_percentile_cut(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _manifest_sql() -> str:
+    from gravity_books_datalakehouse_spark.operators.dedup import _MINHASH_SQL
+
+    return (
+        _MINHASH_SQL
+        + f""",
+  rep AS ({REPETITION_STATS_SQL}),
+  dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+  kept AS (
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN rep r ON d.doc_id = r.doc_id
+    LEFT JOIN dropped x ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL AND r.gopher_keep AND d.n_chars >= {MIN_CHARS})
+  SELECT CASE WHEN h < 'cccc' THEN 'train'
+              WHEN h < 'e666' THEN 'val'
+              ELSE 'test' END AS split,
+         lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM (SELECT lang, n_chars,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        FROM kept)
+  GROUP BY 1, 2
+  ORDER BY split, lang"""
+    )
+
+
+def _register_manifest():
+    @register("pipeline_mixture_manifest", _manifest_sql())
+    def pipeline_mixture_manifest(spark, sf_dir):
+        """The end artifact of the curation pipeline: the training
+        mixture manifest. Curated keep-set (repetition verdict +
+        keep-first LSH dedup + length floor — pipeline_curate_corpus's
+        rules) crossed with the 80/10/10 content-hash split
+        (op_split_train_eval's bands, applied AFTER curation so split
+        membership is a pure function of doc_id and survives any
+        curation-rule change), reported as docs/chars per (split,
+        lang) — exactly the table a training-run config consumes.
+        Still ONE declarative plan, hash-verified end-to-end."""
+        from gravity_books_datalakehouse_spark.operators.dedup import (
+            dedup_minhash_lsh_pairs,
+        )
+        from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+            _T80,
+            _T90,
+            hash_fraction_hex,
+        )
+        from gravity_books_datalakehouse_spark.sources.catalog import (
+            load_table as _load,
+        )
+
+        docs = _load(spark, sf_dir, "documents")
+        rep = text_repetition_stats(spark, sf_dir).select("doc_id", "gopher_keep")
+        dropped = (
+            dedup_minhash_lsh_pairs(spark, sf_dir)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        kept = (
+            docs.join(rep, "doc_id")
+            .filter(F.col("gopher_keep") & (F.col("n_chars") >= MIN_CHARS))
+            .join(dropped, "doc_id", "left_anti")
+        )
+        h = hash_fraction_hex(F.col("doc_id"))
+        split = (
+            F.when(h < _T80, "train").when(h < _T90, "val").otherwise("test")
+        )
+        return (
+            kept.select(split.alias("split"), "lang", "n_chars")
+            .groupBy("split", "lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            )
+            .orderBy("split", "lang")
+        )
+
+    return pipeline_mixture_manifest
+
+
+pipeline_mixture_manifest = _register_manifest()
