@@ -510,28 +510,39 @@ def pipeline_curation_verdict(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_incremental_new_vs_corpus",
-    _MINHASH_SQL.replace(
-        "pairs AS (",
+def _incremental_oracle_sql() -> str:
+    """Derive the incremental-dedup oracle from _MINHASH_SQL by splicing
+    an old/new split into the band CTE chain. Each ``.replace`` anchor is
+    asserted to have matched exactly once — if _MINHASH_SQL is ever
+    reformatted, the import fails loudly here instead of silently
+    producing a no-op (and therefore wrong) oracle."""
+    anchor_pairs = "pairs AS ("
+    anchor_join = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id"""
+    assert _MINHASH_SQL.count(anchor_pairs) == 1, "pairs-CTE anchor drifted"
+    assert _MINHASH_SQL.count(anchor_join) == 1, "band-join anchor drifted"
+    sql = _MINHASH_SQL.replace(
+        anchor_pairs,
         """old AS (SELECT * FROM bands WHERE doc_id % 5 != 0),
   new AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
   pairs AS (""",
     ).replace(
-        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id""",
+        anchor_join,
         """SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
     FROM new n
     JOIN old o ON n.band_idx = o.band_idx AND n.band_key = o.band_key""",
-    )
-    + """
+    ) + """
   SELECT new_doc,
          CAST(MIN(old_doc) AS BIGINT) AS first_match,
          CAST(COUNT(DISTINCT old_doc) AS BIGINT) AS n_matches
-  FROM pairs GROUP BY new_doc ORDER BY new_doc""",
-)
+  FROM pairs GROUP BY new_doc ORDER BY new_doc"""
+    assert "old AS (" in sql and "JOIN old o ON" in sql
+    return sql
+
+
+@register("dedup_incremental_new_vs_corpus", _incremental_oracle_sql())
 def dedup_incremental_new_vs_corpus(spark, sf_dir):
     """Incremental ingestion dedup: an arriving batch (stand-in split:
     doc_id % 5 == 0) checked against the EXISTING corpus's LSH index —

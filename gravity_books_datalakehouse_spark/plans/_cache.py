@@ -40,7 +40,7 @@ def clear_session_caches() -> None:
     For long-lived sessions that sweep many scale factors: each
     (applicationId, sf_dir) memo pins executor storage until cleared.
     Safe to call between workloads — the next query simply rebuilds."""
-    from gravity_books_datalakehouse_spark.operators import dedup, similarity
+    from gravity_books_datalakehouse_spark.operators import dedup, kmeans, similarity
     from gravity_books_datalakehouse_spark.plans import star
 
     for registry in (
@@ -48,6 +48,8 @@ def clear_session_caches() -> None:
         dedup._SHINGLE_CACHE,
         dedup._PAIR_CACHE,
         similarity._SIG_CACHE,
+        kmeans._EMB_CACHE,
+        kmeans._MODEL_CACHE,
     ):
         for value in registry.values():
             frames = value.values() if isinstance(value, dict) else [value]

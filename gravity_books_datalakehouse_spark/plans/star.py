@@ -249,7 +249,16 @@ def q2_top10_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference q3 (test_queries.py:38-49): top-5 spenders, SUM of an
-    arithmetic expression (A6/F6: price net of discount)."""
+    arithmetic expression (A6/F6: price net of discount).
+
+    Plan shape: AGGREGATE-THEN-JOIN. The naive form joins the full fact
+    to dim_customer first, paying a wide-row (fact x customer attrs)
+    aggregation; here the fact is aggregated on the narrow int
+    ``customer_sk`` alone, top-5 is taken via TakeOrderedAndProject, and
+    only the 5 surviving rows are joined (broadcast) back to
+    dim_customer for ``c_name``/``nation_name``. At 100 TB this turns a
+    join of the whole fact stream into a 5-row dim lookup.
+    """
     s = build_star(spark, sf_dir)
     # Narrow decimal operands keep the per-row multiply long-backed:
     # decimal(12,2) x decimal(3,2) -> decimal(16,4) (<= 18 digits, no
@@ -261,13 +270,21 @@ def q3_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("extendedprice").cast("decimal(12,2)")
         * (F.lit(1).cast("decimal(3,2)") - F.col("discount").cast("decimal(3,2)"))
     ).cast("double")
-    return (
+    top5 = (
         s["fact_sales"]
-        .join(s["dim_customer"], "customer_sk")
-        .groupBy("customer_sk", "c_name", "nation_name")
+        .groupBy("customer_sk")
         .agg(net.alias("total_spend"))
         .orderBy(F.desc("total_spend"), F.asc("customer_sk"))
         .limit(5)
+    )
+    return (
+        F.broadcast(top5)
+        .join(
+            s["dim_customer"].select("customer_sk", "c_name", "nation_name"),
+            "customer_sk",
+        )
+        .select("customer_sk", "c_name", "nation_name", "total_spend")
+        .orderBy(F.desc("total_spend"), F.asc("customer_sk"))
     )
 
 

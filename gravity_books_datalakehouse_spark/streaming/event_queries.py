@@ -28,8 +28,14 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A plain parquet read handles timestamp[us]/timestamp_ntz; if the file
     carries TIMESTAMP(NANOS) (which Spark's reader rejects), fall back to
-    the legacy ``nanosAsLong`` flag — set only for the failing read and
-    restored afterwards so it never leaks into other parquet reads.
+    the legacy ``nanosAsLong`` flag. The flag is read again at
+    physical-planning/action time (ParquetFileFormat.buildReader), not
+    just at ``spark.read.parquet()`` time, so it must STAY set for the
+    session while the fallback DataFrame is live — restoring it in a
+    ``finally`` here would make the returned (lazy) DataFrame fail with
+    'Illegal Parquet type' at its first action. Native-encoded files
+    never reach the fallback, so the flag leaks only into sessions that
+    actually hold nanos-encoded data, where it is required.
     """
     path = f"{sf_dir}/events.parquet"
     flag = "spark.sql.legacy.parquet.nanosAsLong"
@@ -38,12 +44,8 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ = raw.schema["ts"].dataType  # force footer/schema resolution
         return raw
     except Exception:
-        prior = spark.conf.get(flag, "false")
         spark.conf.set(flag, "true")
-        try:
-            return spark.read.parquet(path)
-        finally:
-            spark.conf.set(flag, prior)
+        return spark.read.parquet(path)
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -391,8 +393,12 @@ def ev_rolling_7d_active_users(spark, sf_dir):
 )
 def ev_anomaly_hourly_zscore(spark, sf_dir):
     """Rate-anomaly detection: hourly event counts whose z-score against
-    the trailing 24 hours (current bucket excluded) exceeds 3 — the
-    monitoring alert every event pipeline runs. The novelty is the
+    the trailing 24 OBSERVED hourly buckets (current bucket excluded)
+    exceeds 3 — the monitoring alert every event pipeline runs. Note the
+    ROWS frame counts buckets, not wall-clock: on a sparse event type
+    with gaps in the hourly series the baseline spans more than 24 h of
+    wall time (gap-fill the spine first — op_w_gap_fill_forward — or use
+    a RANGE frame on epoch-hours for strict wall-clock semantics). The novelty is the
     portability discipline: the z>3 test runs in EXACT integer
     arithmetic — (n·x − S1)²·(n−1) > 9·n·(n·S2 − S1²) over BIGINT count
     sums — so the flag set cannot drift between engines on a variance

@@ -97,5 +97,57 @@ def test_testdata_schema_contract(spark):
         f"events.ts must normalize to TimestampType, got {ev.schema['ts'].dataType}"
     )
     assert ev.limit(1).count() == 1
-    # the legacy nanos flag must not leak out of load_events
+    # the native-encoding path must never set the legacy nanos flag
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+
+
+def test_load_events_timestamp_nanos_fallback(spark, tmp_path):
+    """A genuine TIMESTAMP(NANOS) parquet file must load AND execute.
+
+    Regression for the round-3 advisory: the fallback used to restore
+    ``nanosAsLong`` in a ``finally`` before any action ran, but Spark
+    reads that conf again at physical-planning time, so the returned
+    lazy DataFrame exploded with 'Illegal Parquet type' at first action.
+    The flag now stays set for the session while nanos data is live;
+    this test snapshots/restores it so the shared session stays clean
+    for order-independent native-path tests.
+    """
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    flag = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(flag, "false")
+    d = tmp_path / "nanos_sf"
+    d.mkdir()
+    base = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([10, 11, 10], type=pa.int64()),
+            "event_type": pa.array(["click", "purchase", "click"]),
+            "ts": pa.array(
+                [base + datetime.timedelta(seconds=i) for i in range(3)],
+                type=pa.timestamp("ns"),
+            ),
+            "value": pa.array([1.5, 2.5, 3.5], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"), version="2.6",
+                   coerce_timestamps=None)
+    # confirm the file really carries TIMESTAMP(NANOS) — otherwise the
+    # test silently exercises the native path
+    phys = pq.read_schema(str(d / "events.parquet")).field("ts").type
+    assert phys == pa.timestamp("ns"), phys
+    try:
+        ev = load_events(spark, str(d))
+        assert isinstance(ev.schema["ts"].dataType, TimestampType)
+        rows = ev.orderBy("event_id").collect()  # the action that used to die
+        assert len(rows) == 3
+        assert rows[1].ts == base + datetime.timedelta(seconds=1)
+    finally:
+        spark.conf.set(flag, prior)
