@@ -28,73 +28,65 @@ _REGISTRY: list[tuple[dict, dict]] = []
 # so no family is invisible to the hard per-round signal. Everything else
 # keeps its natural module order after the head.
 _PRIORITY_HEAD = [
-    # star schema (reference validation queries)
+    # --- veterans kept: flagship, changed-this-round, and one hard-gate
+    # representative per family (everything else here was green in a prior
+    # CORRECTNESS window and rotates to the judge-verified tail) ---
     "star_q1_monthly_sales",
-    "star_q2_top10_parts",
-    "star_q3_top5_customers",
-    "star_q4_sales_by_nation",
-    "star_q5_priority_popularity",
-    # TPC-H-shaped analytics
+    "star_q3_top5_customers",     # plan reshaped round 4: aggregate-then-join
     "q_pricing_summary",
-    "q_market_share_by_year",
-    "q_profit_by_nation_year",
-    "q_promo_revenue",
-    "q_sole_blame_suppliers",
-    # deduplication
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_lsh_banded_pairs",
-    "dedup_jaccard_verify",
-    "dedup_simhash",
-    # similarity / ANN
     "sim_topk_cosine_bruteforce",
     "sim_lsh_bucketed_topk",
-    "sim_ivf_topk",
-    "sim_quantized_topk",
-    # multimodal
     "mm_payload_metadata",
-    "mm_frame_sample",
-    # sketch with a hard oracle gate
     "op_sketch_countmin_terms",
-    # event/windowed analytics (streaming-shape)
     "ev_tumbling_hourly",
-    "ev_sessionize",
-    "ev_funnel_signup_click_purchase",
-    # deterministic sampling / splits
-    "op_sample_hash_bernoulli",
-    "op_split_train_eval",
-    # data-quality gate
-    "op_expectations_check",
-    # text analysis
     "text_hybrid_rrf_topk",
-    "text_lang_id",
-    "text_tfidf_top_terms",
-    "pipeline_curate_corpus",
-    # round-2 additions: packing, PII scrub, LM scoring, grouped-agg UDF,
-    # MERGE-shaped snapshot upsert
-    "pipeline_pack_sequences",
-    "text_pii_redact",
-    "text_unigram_logprob",
-    "op_grouped_agg_weighted_avg",
-    "op_merge_upsert_snapshot",
-    # as-of join, Arrow UDTF, curation pipeline
-    "op_asof_join_prev_purchase",
-    "op_udtf_token_explode",
-    "pipeline_curation_verdict",
-    # core relational operator kit (representatives; the rest of the
-    # kit sits in the tail and is judge-verified each round)
-    "op_j_inner_chain",
-    "op_j_range_bucketed",
-    "op_a_rollup",
-    "op_w_trailing_range_frame",
-    # round-3 additions: Gopher repetition filters, cross-doc segment
-    # dedup, BM25, bigram LM, temperature mixing, per-source caps
-    "text_repetition_stats",
-    "text_segment_dedup",
-    "text_bm25_topk",
-    "text_bigram_logprob",
-    "op_sample_temperature_mix",
-    "op_cap_per_source",
+    # --- round-4 window rotation: every entry below has NEVER appeared in
+    # a CORRECTNESS_r*.json window (49 such queries existed after round 3;
+    # the remainder rotates in next round) ---
+    # new this round
+    "op_j_skewed_salted",
+    "op_outliers_mad",
+    "op_outliers_mad_tdigest",
+    "dedup_substring_spans",
+    "op_sample_exact_k",
+    # round-3 additions the driver has not yet witnessed
+    "dedup_incremental_new_vs_corpus",
+    "pipeline_decontaminate",
+    "pipeline_mixture_manifest",
+    "sim_range_search",
+    "ev_retention_cohorts",
+    "ev_rolling_7d_active_users",
+    "ev_anomaly_hourly_zscore",
+    "op_scd2_priority_history",
+    "text_vocab_growth",
+    "text_bpe_pretokenize_stats",
+    "text_quality_percentile_cut",
+    "op_w_gap_fill_forward",
+    "sim_kmeans_refine",
+    # never-witnessed operator-kit / analytics entries
+    "op_a_grouping_sets",
+    "op_f_histogram",
+    "op_w_value_functions",
+    "op_unpivot_roundtrip",
+    "op_fk_orphan_audit",
+    "op_sample_importance_by_quality",
+    "op_split_stratified_exact",
+    "dedup_rate_by_source",
+    "dedup_embedding_near_dup",
+    "dedup_clusters_connected_components",
+    "sim_lsh_bucket_stats",
+    "sim_ivf_cluster_stats",
+    "sim_label_centroids",
+    "sim_pca_project",
+    "mm_center_embeddings_per_label",
+    "ev_type_value_stats",
+    "ev_json_props_extract",
+    "ev_sliding_windows",
+    "q_priority_with_returns",
+    "q_large_volume_customers",
+    "q_min_cost_supplier",
 ]
 
 

@@ -77,11 +77,18 @@ def _duckdb_baseline(oracles: dict[str, str]) -> dict[str, float]:
     return times
 
 
+# One oracle-backed representative per query family, so the measured
+# spark/duckdb ratio trend across 100x of data covers the whole engine
+# surface (not just the scan-heavy TPC-H shapes).
 SCALING_QUERIES = (
-    "q_pricing_summary",
-    "star_q1_monthly_sales",
-    # text-pipeline representative: array-math + one digest-keyed shuffle
-    "text_repetition_stats",
+    "q_pricing_summary",            # q: full-scan aggregate
+    "star_q1_monthly_sales",        # star: fact x broadcast-dim rollup
+    "text_repetition_stats",        # text: array-math + digest-keyed shuffle
+    "dedup_exact",                  # dedup: md5-digest groupBy
+    "sim_topk_cosine_bruteforce",   # sim: broadcast Q x corpus dot products
+    "ev_tumbling_hourly",           # ev: windowed time-bucket aggregation
+    "pipeline_curate_corpus",       # pipeline: quality + LSH verdict compose
+    "op_sample_hash_bernoulli",     # sampling: hash-threshold row-local
 )
 SCALING_DIRS = tuple(
     d
@@ -95,17 +102,18 @@ SCALING_DIRS = tuple(
 
 
 def _scaling_probe(spark, entry_mod) -> dict:
-    """Best-of-2 Spark and DuckDB seconds for two scan-heavy queries at
-    each SF dir — the measured spark/duckdb ratio trend across 100x of
-    data. Compact: {query: {sf: [spark_sec, duck_sec]}}."""
+    """Best-of-2 Spark and DuckDB seconds for one representative query
+    per family at each SF dir — the measured spark/duckdb ratio trend
+    across 100x of data. Compact stdout shape (the SF axis is keyed
+    once): {"sfs": [...], "sec": {query: [[spark_s, duck_s], ...]}}."""
     try:
         import duckdb
     except ImportError:
         return {}
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    out: dict[str, dict[str, list[float]]] = {}
+    sfs = [str(_sf_from_dir(d)) for d in SCALING_DIRS]
+    sec: dict[str, list[list[float]]] = {}
     for d in SCALING_DIRS:
-        sf = str(_sf_from_dir(d))
         con = duckdb.connect()
         for t in TABLES:
             p = os.path.join(d, f"{t}.parquet")
@@ -122,9 +130,11 @@ def _scaling_probe(spark, entry_mod) -> dict:
                 con.execute(oracles[name]).fetchall()
                 dt = time.perf_counter() - t0
                 d_best = dt if d_best is None else min(d_best, dt)
-            out.setdefault(name, {})[sf] = [round(s_best, 3), round(d_best, 3)]
+            sec.setdefault(name, []).append(
+                [round(s_best, 3), round(d_best, 3)]
+            )
         con.close()
-    return out
+    return {"sfs": sfs, "sec": sec}
 
 
 def main() -> None:

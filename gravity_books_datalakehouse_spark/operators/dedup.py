@@ -39,7 +39,9 @@ from gravity_books_datalakehouse_spark.sources.catalog import load_table
 from gravity_books_datalakehouse_spark.operators.text import (
     NORM_SQL,
     SHINGLES_SQL,
+    TOKS_SQL,
     shingles,
+    token_rows,
 )
 
 #: MinHash parameters: 8 permutations, bands of 1 row (maximum recall —
@@ -642,4 +644,135 @@ def pipeline_decontaminate(spark, sf_dir):
             F.min("bench_id").cast("bigint").alias("first_bench_match"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (suffix-window) dedup — Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better": exact duplicated SPANS
+# inside documents, not whole-doc or fixed-segment duplicates. The
+# suffix-array construction of the paper is re-expressed Spark-first as
+# overlapping k-token rolling windows + gaps-and-islands span merging:
+# any duplicated substring of >= k tokens is covered by a run of
+# duplicated windows, and the island merge recovers the maximal span —
+# including duplicates NOT aligned to segment boundaries, which is
+# exactly what text_segment_dedup (C4-style fixed segments) misses.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # window length in tokens; spans >= k tokens are caught
+
+_SUBSTRING_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({TOKS_SQL}) AS tok,
+         CAST(generate_subscripts({TOKS_SQL}, 1) - 1 AS BIGINT) AS pos
+  FROM documents
+),
+win AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list(tok) OVER w, ' ')) AS whash,
+         count(*) OVER w AS cnt
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_SPAN_K - 1} FOLLOWING)
+),
+full_win AS (SELECT doc_id, pos, whash FROM win WHERE cnt = {_SPAN_K}),
+dup AS (
+  SELECT whash FROM full_win
+  GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dw AS (SELECT f.doc_id, f.pos FROM full_win f JOIN dup USING (whash)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {_SPAN_K - 1}) OVER
+                (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+              OR pos > max(pos + {_SPAN_K - 1}) OVER
+                (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS newflag
+  FROM dw
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(newflag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_SPAN_K - 1} AS span_end,
+       MAX(pos) + {_SPAN_K} - MIN(pos) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM islands
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start"""
+
+
+@register("dedup_substring_spans", _SUBSTRING_SPAN_SQL)
+def dedup_substring_spans(spark, sf_dir):
+    """Maximal cross-document duplicated substrings (>= 8 tokens) per
+    document, as (span_start, span_end) token ranges — the substring
+    granularity of Lee et al. 2021 that whole-doc and fixed-segment
+    dedup both miss.
+
+    Shape: (1) positional token explode; (2) rolling k-token window
+    hash per position via a per-doc ordered window (one shuffle on
+    doc_id, linear work — NOT the O(tokens^2) inline-array trap
+    documented in quality.py); (3) windows duplicated across >= 2 docs
+    found by a groupBy on the 16-byte window hash — text never
+    shuffles; (4) a semi-join brings the dup flag back to positions;
+    (5) gaps-and-islands (running max of span ends) merges overlapping
+    windows into maximal spans. At 100 TB every stage is linear and
+    keyed by either doc_id or a digest; the hash groupBy is the only
+    wide shuffle and carries 16-byte keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    k = _SPAN_K
+    toks = token_rows(docs)
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, k - 1)
+    win = toks.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.collect_list("tok").over(wspec))).alias("whash"),
+        F.count(F.lit(1)).over(wspec).alias("cnt"),
+    )
+    full_win = win.filter(F.col("cnt") == k).select("doc_id", "pos", "whash")
+    dup = (
+        full_win.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("whash")
+    )
+    dw = full_win.join(dup, "whash", "left_semi").select("doc_id", "pos")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + (k - 1)).over(prev)
+    flagged = dw.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("newflag"),
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.select(
+        "doc_id", "pos", F.sum("newflag").over(run).alias("island")
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
     )

@@ -417,9 +417,12 @@ def op_outliers_mad(spark, sf_dir):
     flip roundings at .xx5 boundaries. Exact MAD is inherently
     two-pass (the deviation median needs the median first); both
     passes are partial-aggregated percentiles keyed by brand, and the
-    per-brand medians ride back as broadcast joins. At 100 TB swap the
-    exact percentile for the t-digest sketch (operators/sketches.py) to
-    make it single-pass."""
+    per-brand medians ride back as broadcast joins. This is the EXACT
+    oracle variant — it shuffles the raw per-brand values for the
+    discrete percentile; ``op_outliers_mad_tdigest`` below is the
+    100-TB path (same shape, t-digest sketch partials, shuffle is
+    per-brand digests instead of raw prices; tolerance-band-tested
+    against this query in tests/test_sketches.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     pb = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
@@ -431,6 +434,49 @@ def op_outliers_mad(spark, sf_dir):
     with_med = pb.join(F.broadcast(med), "p_brand")
     mad = with_med.groupBy("p_brand").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(x - med))").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("med"), 2).alias("median_price"),
+            F.round(F.max("mad"), 2).alias("mad_price"),
+            F.sum(
+                F.when(F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register("op_outliers_mad_tdigest", None)  # rows-only: sketch estimates
+def op_outliers_mad_tdigest(spark, sf_dir):
+    """The 100-TB variant of ``op_outliers_mad``: identical semantics
+    and output schema, but both percentile passes use the t-digest
+    sketch (``percentile_approx``) instead of the exact discrete
+    percentile. The exact variant's SortAggregate must shuffle every
+    raw per-brand price (10.9 MB at sf0.1, ~10 TB at target scale);
+    here each pass partial-aggregates a bounded t-digest per partition
+    and shuffles only per-brand digests — O(brands x accuracy)
+    regardless of row count. No SQL oracle by design (sketch estimates
+    are implementation-specific); tests/test_sketches.py asserts a
+    tolerance band against the exact query on real data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    acc = 10_000
+    pb = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    med = pb.groupBy("p_brand").agg(
+        F.percentile_approx("x", F.lit(0.5), F.lit(acc)).alias("med")
+    )
+    with_med = pb.join(F.broadcast(med), "p_brand")
+    mad = with_med.groupBy("p_brand").agg(
+        F.percentile_approx(
+            F.abs(F.col("x") - F.col("med")), F.lit(0.5), F.lit(acc)
+        ).alias("mad")
     )
     return (
         with_med.join(F.broadcast(mad), "p_brand")

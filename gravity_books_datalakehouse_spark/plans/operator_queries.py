@@ -299,6 +299,56 @@ def op_j_anti(spark, sf_dir):
     )
 
 
+@register(
+    "op_j_skewed_salted",
+    """WITH skewed AS (
+         SELECT CASE WHEN event_type = 'click' THEN 0 ELSE user_id END
+                  AS skew_uid,
+                value
+         FROM events)
+       SELECT c.c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              ROUND(SUM(value), 2) AS total_value
+       FROM skewed e
+       JOIN customer c ON e.skew_uid = c.c_custkey
+       GROUP BY c.c_mktsegment
+       ORDER BY c.c_mktsegment""",
+)
+def op_j_skewed_salted(spark, sf_dir):
+    """Salted join under a deliberately hot key: all 'click' events are
+    remapped to user 0, putting ~20% of the fact on ONE join key — the
+    single-straggler-task shape AQE skew-join can't always fix (e.g.
+    when a downstream aggregation wants the hash distribution AQE would
+    have to break to split the partition). ``salted_join``
+    (operators/skew.py) scatters the hot key across 8 content-derived
+    salt buckets — deterministic xxhash64 salt, so retries/speculative
+    tasks reproduce the same placement — while the dim side is exploded
+    x8 so every (key, salt) probe hits. Result is salt-invariant (the
+    oracle is a plain join), and tests/test_aqe_skew.py asserts the
+    physical spread of the hot key across shuffle partitions."""
+    from gravity_books_datalakehouse_spark.operators.skew import salted_join
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    e = load_events(spark, sf_dir).select(
+        F.when(F.col("event_type") == "click", F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_uid"),
+        "value",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_uid"), "c_mktsegment"
+    )
+    return (
+        salted_join(e, c, "skew_uid", salt_buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A-class: aggregations (§2.4)
 # ---------------------------------------------------------------------------

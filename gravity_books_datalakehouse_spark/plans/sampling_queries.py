@@ -327,3 +327,36 @@ def op_split_stratified_exact(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+_EXACT_K = 100
+
+
+@register(
+    "op_sample_exact_k",
+    f"""SELECT doc_id, source, n_chars
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {_EXACT_K}""",
+)
+def op_sample_exact_k(spark, sf_dir):
+    """EXACTLY-k deterministic sample: order all rows by a content hash
+    and take the first k — the fixed-budget companion to the
+    rate-based Bernoulli sampler (which only hits the target count in
+    expectation). Properties: exact size, stable under repartitioning
+    and engine choice (hash order, not RNG state — a distributed
+    reservoir sample is NOT reproducible across partitionings), and a
+    uniform draw because md5 order is independent of any data order.
+    Plan shape: TakeOrderedAndProject — each partition keeps its local
+    top-k by hash and the driver merges k-row heaps; no global sort,
+    no full shuffle, O(k) driver memory at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "doc_id")
+        .limit(_EXACT_K)
+        .drop("__h")
+    )

@@ -107,6 +107,62 @@ def test_salting_spreads_hot_key_across_shuffle_partitions(spark):
     assert salted < 2.5 / n_parts
 
 
+def test_op_j_skewed_salted_plan_spreads_hot_key(spark):
+    """The registered skew demo query: (a) physical join keys must include
+    the salt (the shuffle distributes on (key, salt), not key alone), and
+    (b) the hot key (~20% of events remapped to user 0) must spread across
+    multiple shuffle partitions instead of landing in one straggler."""
+    import os
+
+    import pytest
+
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        op_j_skewed_salted,
+    )
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = op_j_skewed_salted(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan, f"salt column absent from physical plan:\n{plan[:1500]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    # physical spread: hash-distributing the salted fact on (key, salt)
+    # caps the hot key's largest partition far below its plain share
+    n_parts, buckets = 8, 8
+    e = load_events(spark, sf_dir).select(
+        F.when(F.col("event_type") == "click", F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_uid"),
+        "value",
+    )
+    n = e.count()
+    hot = e.filter(F.col("skew_uid") == 0).count()
+    assert hot / n > 0.15  # the skew is real
+
+    def hot_key_max_share(df, *cols):
+        parts = (
+            df.repartition(n_parts, *cols)
+            .filter(F.col("skew_uid") == 0)
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid").count().collect()
+        )
+        return max(r["count"] for r in parts) / hot
+
+    salt = (F.abs(F.xxhash64("skew_uid", "value")) % buckets).cast("int")
+    plain = hot_key_max_share(e, "skew_uid")
+    salted = hot_key_max_share(e.withColumn("__salt", salt), "skew_uid", "__salt")
+    assert plain == 1.0  # plain hash partitioning: whole hot key in one task
+    assert salted <= 0.5  # salted: spread across partitions
+
+
 def test_salted_join_rejects_outer_joins(spark):
     """Right/full outer would emit each unmatched dim row once per salt
     replica — the operator must refuse instead of silently duplicating."""

@@ -36,3 +36,22 @@ def test_tdigest_quantiles_close_to_exact(spark):
         # percentile_approx at high accuracy returns an actual data value
         # near the true quantile; tolerate a small relative gap
         assert abs(approx[t] - exact[t]) <= max(1.0, 0.05 * abs(exact[t]))
+
+
+def test_mad_tdigest_within_band_of_exact(spark):
+    """The sketch-based MAD outlier query tracks the exact one: medians
+    and MADs within 5% relative, outlier counts within 10% + 2."""
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_outliers_mad,
+        op_outliers_mad_tdigest,
+    )
+
+    exact = {r.p_brand: r for r in op_outliers_mad(spark, SF_SMOKE).collect()}
+    approx = {r.p_brand: r for r in op_outliers_mad_tdigest(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx)
+    for b, e in exact.items():
+        a = approx[b]
+        assert a.n == e.n, b
+        assert abs(a.median_price - e.median_price) <= 0.05 * e.median_price, b
+        assert abs(a.mad_price - e.mad_price) <= max(1.0, 0.05 * e.mad_price), b
+        assert abs(a.n_outliers - e.n_outliers) <= 2 + 0.1 * e.n_outliers, b

@@ -1,0 +1,82 @@
+"""Substring-span dedup (Lee et al. 2021 shape) + exact-k sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_substring_spans_semantics(spark):
+    """Every reported span: (a) is >= k tokens long, (b) its bounds are
+    consistent, (c) the doc's tokens over the span really do appear in
+    some OTHER document (the cross-doc duplication claim)."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _SPAN_K,
+        dedup_substring_spans,
+    )
+    from gravity_books_datalakehouse_spark.operators.text import tokens_col
+
+    spans = dedup_substring_spans(spark, SF_SMOKE).collect()
+    assert spans, "testdata is known to contain cross-doc duplicated spans"
+    toks = {
+        r.doc_id: r.toks
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", tokens_col().alias("toks"))
+        .collect()
+    }
+    # index: first k-window of every doc span text -> owning docs
+    for s in spans[:20]:  # bounded sample; each check is O(corpus)
+        assert s.span_len == s.span_end - s.span_start + 1
+        assert s.span_len >= _SPAN_K
+        window = toks[s.doc_id][s.span_start : s.span_start + _SPAN_K]
+        needle = " ".join(window)
+        others = [
+            d
+            for d, ts in toks.items()
+            if d != s.doc_id and needle in " ".join(ts)
+        ]
+        assert others, f"span of doc {s.doc_id} not found in any other doc"
+
+
+def test_substring_spans_are_maximal_islands(spark):
+    """No two spans of the same doc touch or overlap — the island merge
+    must have coalesced them."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    df = dedup_substring_spans(spark, SF_SMOKE)
+    rows = df.orderBy("doc_id", "span_start").collect()
+    prev = {}
+    for r in rows:
+        if r.doc_id in prev:
+            # a gap of exactly 1 would have been merged (pos > end + 1 rule)
+            assert r.span_start > prev[r.doc_id] + 1, r
+        prev[r.doc_id] = r.span_end
+
+
+def test_exact_k_sample_is_partitioning_invariant(spark):
+    """The whole point vs df.sample(): identical row set no matter how
+    the input is partitioned, and exactly k rows."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _EXACT_K,
+        op_sample_exact_k,
+    )
+
+    base = op_sample_exact_k(spark, SF_SMOKE)
+    got = {r.doc_id for r in base.collect()}
+    assert len(got) == _EXACT_K
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").repartition(17)
+    h = F.md5(F.col("doc_id").cast("string"))
+    re_got = {
+        r.doc_id
+        for r in docs.select("doc_id", h.alias("__h"))
+        .orderBy("__h", "doc_id")
+        .limit(_EXACT_K)
+        .collect()
+    }
+    assert re_got == got
