@@ -77,3 +77,50 @@ def job_group_profile(spark, group_id: str) -> dict[str, int]:
             if si is not None:
                 tasks += si.numTasks
     return {"jobs": len(jobs), "stages": len(stage_ids), "tasks": tasks}
+
+
+def task_time_profile(spark, group_id: str) -> dict[str, float]:
+    """Task-runtime distribution of the slowest stage run under
+    ``group_id``: p50 and max executor run time (ms) and their ratio —
+    the STRAGGLER metric. Wall-clock on local[32] can't show skew (32
+    fast threads absorb one slow task); the max/p50 ratio of the
+    dominant stage says whether one task would hold a 1000-executor
+    stage hostage. Uses the AppStatusStore task summaries (same data as
+    the UI's task-quantile table); best-effort — returns {} when the
+    store has no summary (e.g. all stages skipped via cache reuse)."""
+    out: dict[str, float] = {}
+    try:
+        sc = spark.sparkContext
+        st = sc.statusTracker()
+        store = spark._jsc.sc().statusStore()
+        gw = sc._gateway
+        quants = gw.new_array(gw.jvm.double, 2)
+        quants[0] = 0.5
+        quants[1] = 1.0
+        seen: set[int] = set()
+        worst = None  # (max_ms, p50_ms)
+        for j in st.getJobIdsForGroup(group_id):
+            ji = st.getJobInfo(j)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                opt = store.taskSummary(sid, 0, quants)
+                if not opt.isDefined():
+                    continue
+                rt = opt.get().executorRunTime()
+                p50, mx = float(rt.apply(0)), float(rt.apply(1))
+                if worst is None or mx > worst[0]:
+                    worst = (mx, p50)
+        if worst is not None:
+            mx, p50 = worst
+            out = {
+                "task_ms_p50": p50,
+                "task_ms_max": mx,
+                "straggler_ratio": round(mx / p50, 2) if p50 > 0 else None,
+            }
+    except Exception:
+        pass
+    return out

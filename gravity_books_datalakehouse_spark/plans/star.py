@@ -154,6 +154,14 @@ def _build_star_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         )
         .na.drop(subset=["customer_sk", "part_sk", "priority_sk", "date_sk"])
         .withColumns({c: F.col(c).cast("int") for c in ["customer_sk", "part_sk", "priority_sk", "date_sk"]})
+        # Rebalance BEFORE the persist: AQE coalesces the lineitem⋈orders
+        # shuffle output to advisory-sized partitions (3 at sf0.1, one
+        # holding ~90% of rows), and a cache freezes that layout — every
+        # downstream star query would then pay a near-single-threaded
+        # fact scan (measured: a 524 ms straggler task vs 4 ms p50).
+        # One round-robin shuffle at build time gives every cached scan
+        # full-cluster parallelism with perfectly even partitions.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     return {
@@ -235,13 +243,27 @@ def q1_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q2_top10_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference q2 (test_queries.py:27-37): top-10 best sellers + tiebreak."""
+    """Reference q2 (test_queries.py:27-37): top-10 best sellers + tiebreak.
+
+    Aggregate-then-join: the fact aggregates on the narrow int
+    ``part_sk`` alone (the expensive pass over every sale carries no
+    string columns), then the per-part counts — bounded by |dim_part|,
+    not by fact size — broadcast-join the dim for name/brand, and
+    TakeOrderedAndProject applies the (units desc, name, sk) tiebreak.
+    The tiebreak needs ``p_name``, so the top-10 cut happens after the
+    join — but the join input is already aggregate-sized."""
     s = build_star(spark, sf_dir)
-    return (
+    counts = (
         s["fact_sales"]
-        .join(s["dim_part"], "part_sk")
-        .groupBy("part_sk", "p_name", "p_brand")
+        .groupBy("part_sk")
         .agg(F.count("part_sk").alias("units_sold"))
+    )
+    return (
+        counts.join(
+            F.broadcast(s["dim_part"].select("part_sk", "p_name", "p_brand")),
+            "part_sk",
+        )
+        .select("part_sk", "p_name", "p_brand", "units_sold")
         .orderBy(F.desc("units_sold"), F.asc("p_name"), F.asc("part_sk"))
         .limit(10)
     )
@@ -284,7 +306,11 @@ def q3_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer_sk",
         )
         .select("customer_sk", "c_name", "nation_name", "total_spend")
+        # re-establish the output order over the 5 joined rows; with the
+        # limit this plans as TakeOrderedAndProject — a plain orderBy
+        # would add a rangepartitioning exchange plus its sampling job
         .orderBy(F.desc("total_spend"), F.asc("customer_sk"))
+        .limit(5)
     )
 
 

@@ -30,6 +30,23 @@ def test_star_q1_all_dim_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_star_q3_aggregates_before_dim_join(spark):
+    """Round-4 plan reshape: q3 must aggregate the fact on the narrow
+    customer_sk, take top-5 via TakeOrderedAndProject, and only then
+    join dim_customer — never join the full fact to the dim first."""
+    from gravity_books_datalakehouse_spark.plans.star import q3_top5_customers
+
+    plan = _executed_plan(q3_top5_customers(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject(limit=5" in plan
+    # the top-5 result is the broadcast side of the dim join
+    take_pos = plan.index("TakeOrderedAndProject")
+    # the aggregate feeding the top-k groups on customer_sk only (no
+    # c_name / nation_name in its keys)
+    agg_section = plan[take_pos:].split("HashAggregate", 2)[1]
+    assert "customer_sk" in agg_section.split("functions=")[0]
+    assert "c_name" not in agg_section.split("functions=")[0]
+
+
 def test_projection_prunes_parquet_scan(spark):
     df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
     plan = _executed_plan(df)
