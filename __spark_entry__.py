@@ -41,7 +41,6 @@ _PRIORITY_HEAD = [
     "mm_payload_metadata",
     "op_sketch_countmin_terms",
     "ev_tumbling_hourly",
-    "text_hybrid_rrf_topk",
     # --- round-4 window rotation: every entry below has NEVER appeared in
     # a CORRECTNESS_r*.json window (49 such queries existed after round 3;
     # the remainder rotates in next round) ---
@@ -50,6 +49,7 @@ _PRIORITY_HEAD = [
     "op_outliers_mad",
     "op_outliers_mad_tdigest",
     "dedup_substring_spans",
+    "dedup_substring_rate",
     "op_sample_exact_k",
     # round-3 additions the driver has not yet witnessed
     "dedup_incremental_new_vs_corpus",

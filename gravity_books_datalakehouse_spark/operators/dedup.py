@@ -661,7 +661,9 @@ def pipeline_decontaminate(spark, sf_dir):
 
 _SPAN_K = 8  # window length in tokens; spans >= k tokens are caught
 
-_SUBSTRING_SPAN_SQL = f"""
+#: shared CTE chain (tokens → rolling windows → cross-doc dup positions →
+#: islands); both the span query and the rate summary build on it.
+_SUBSTRING_CTE_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
          unnest({TOKS_SQL}) AS tok,
@@ -698,7 +700,9 @@ islands AS (
   SELECT doc_id, pos,
          SUM(newflag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM flagged
-)
+)"""
+
+_SUBSTRING_SPAN_SQL = _SUBSTRING_CTE_SQL + f"""
 SELECT doc_id,
        MIN(pos) AS span_start,
        MAX(pos) + {_SPAN_K - 1} AS span_end,
@@ -775,4 +779,59 @@ def dedup_substring_spans(spark, sf_dir):
         )
         .drop("island")
         .orderBy("doc_id", "span_start")
+    )
+
+
+_SUBSTRING_RATE_SQL = _SUBSTRING_CTE_SQL + f""",
+spans AS (
+  SELECT doc_id, MAX(pos) + {_SPAN_K} - MIN(pos) AS span_len
+  FROM islands GROUP BY doc_id, island),
+doc_tokens AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+doc_dup AS (
+  SELECT doc_id, SUM(span_len) AS dup_tokens FROM spans GROUP BY doc_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dd.doc_id) AS BIGINT) AS n_docs_with_dup_spans,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(dd.dup_tokens), 0) AS BIGINT) AS dup_span_tokens,
+       ROUND(COALESCE(SUM(dd.dup_tokens), 0) * 1.0 / SUM(t.n_tokens), 6)
+         AS dup_token_rate
+FROM documents d
+JOIN doc_tokens t ON d.doc_id = t.doc_id
+LEFT JOIN doc_dup dd ON d.doc_id = dd.doc_id
+GROUP BY d.source
+ORDER BY d.source"""
+
+
+@register("dedup_substring_rate", _SUBSTRING_RATE_SQL)
+def dedup_substring_rate(spark, sf_dir):
+    """Corpus health metric built on ``dedup_substring_spans``: per
+    source, the fraction of tokens sitting inside cross-document
+    duplicated spans — the number Lee et al. 2021 report per corpus
+    (and the one that decides whether substring dedup is worth a
+    pipeline stage for a given source). Reuses the span plan and adds
+    two narrow aggregations (per-doc token counts, per-doc dup-token
+    sums) joined per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup_substring_spans(spark, sf_dir)
+    doc_tokens = token_rows(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    doc_dup = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup_tokens"))
+    return (
+        docs.select("doc_id", "source")
+        .join(doc_tokens, "doc_id")
+        .join(doc_dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("dup_tokens").cast("bigint").alias("n_docs_with_dup_spans"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_span_tokens"),
+            F.round(
+                F.coalesce(F.sum("dup_tokens"), F.lit(0)) * 1.0 / F.sum("n_tokens"), 6
+            ).alias("dup_token_rate"),
+        )
+        .orderBy("source")
     )
