@@ -38,7 +38,6 @@ _PRIORITY_HEAD = [
     "dedup_minhash_lsh_pairs",
     "sim_topk_cosine_bruteforce",
     "sim_lsh_bucketed_topk",
-    "mm_payload_metadata",
     "op_sketch_countmin_terms",
     "ev_tumbling_hourly",
     # --- round-4 window rotation: every entry below has NEVER appeared in
@@ -59,6 +58,7 @@ _PRIORITY_HEAD = [
     "ev_retention_cohorts",
     "ev_rolling_7d_active_users",
     "ev_anomaly_hourly_zscore",
+    "ev_anomaly_hourly_zscore_gapfill",
     "op_scd2_priority_history",
     "text_vocab_growth",
     "text_bpe_pretokenize_stats",

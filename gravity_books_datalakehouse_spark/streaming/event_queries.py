@@ -443,3 +443,91 @@ def ev_anomaly_hourly_zscore(spark, sf_dir):
         )
         .orderBy("event_type", "window_start")
     )
+
+
+@register(
+    "ev_anomaly_hourly_zscore_gapfill",
+    """WITH hourly AS (
+         SELECT event_type,
+                time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       bounds AS (
+         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+       spine AS (
+         SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+       filled AS (
+         SELECT s.event_type, s.h, COALESCE(hh.x, 0) AS x
+         FROM spine s LEFT JOIN hourly hh
+           ON s.event_type = hh.event_type AND s.h = hh.h),
+       stats AS (
+         SELECT event_type, h, x,
+                COUNT(*)  OVER w AS n,
+                SUM(x)    OVER w AS s1,
+                SUM(x*x)  OVER w AS s2
+         FROM filled
+         WINDOW w AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, h AS window_start, x,
+              ROUND((n * x - s1) / sqrt(n * (n * s2 - s1 * s1) * 1.0 / (n - 1)), 4)
+                AS zscore
+       FROM stats
+       WHERE n >= 12
+         AND (n * s2 - s1 * s1) > 0
+         AND (n * x - s1) > 0
+         AND (n * x - s1) * (n * x - s1) * (n - 1) > 9 * n * (n * s2 - s1 * s1)
+       ORDER BY event_type, window_start""",
+)
+def ev_anomaly_hourly_zscore_gapfill(spark, sf_dir):
+    """Wall-clock-strict variant of ``ev_anomaly_hourly_zscore``: the
+    hourly series is gap-filled to a dense per-type spine (missing
+    buckets count as x=0) BEFORE the trailing window, so "24 preceding
+    buckets" is exactly "the trailing 24 hours" even on sparse event
+    types — the round-3 advisory's alternative semantics, kept alongside
+    the observed-bucket variant as a separate registered query. Same
+    exact-integer z>3 discipline; the spine join carries one row per
+    (type, hour), bucket-cardinality-sized, never event-sized."""
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    filled = (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"))
+    )
+    win = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    stats = filled.select(
+        "event_type", "h", "x",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("s2"),
+    )
+    nx_s1 = F.col("n") * F.col("x") - F.col("s1")
+    var_n = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.round(
+        nx_s1 / F.sqrt((F.col("n") * var_n) * 1.0 / (F.col("n") - 1)), 4
+    )
+    return (
+        stats.filter(
+            (F.col("n") >= 12)
+            & (var_n > 0)
+            & (nx_s1 > 0)
+            & (nx_s1 * nx_s1 * (F.col("n") - 1) > 9 * F.col("n") * var_n)
+        )
+        .select(
+            "event_type", F.col("h").alias("window_start"), "x", z.alias("zscore")
+        )
+        .orderBy("event_type", "window_start")
+    )
