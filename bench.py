@@ -191,8 +191,13 @@ def main() -> None:
         sc.setJobGroup("bench-idle", "between queries")
         timings[name] = round(best, 3)
         try:
-            pm = plan_metrics_sum(df, ["shuffleBytesWritten", "spill size"])
-            sb, sp = pm["shuffleBytesWritten"], pm["spill size"]
+            # two spill metric spellings: HashAggregate/shuffle nodes
+            # expose 'spill size', Sort/Window expose 'spillSize'
+            pm = plan_metrics_sum(
+                df, ["shuffleBytesWritten", "spill size", "spillSize"]
+            )
+            sb = pm["shuffleBytesWritten"]
+            sp = pm["spill size"] + pm["spillSize"]
             prof = job_group_profile(spark, f"{name}#1")
             straggle = task_time_profile(spark, f"{name}#1")
         except Exception:  # metrics are best-effort; never kill the bench
