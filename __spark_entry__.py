@@ -35,9 +35,7 @@ _PRIORITY_HEAD = [
     "star_q3_top5_customers",     # plan reshaped round 4: aggregate-then-join
     "q_pricing_summary",
     "dedup_exact",
-    "dedup_minhash_lsh_pairs",
     "sim_topk_cosine_bruteforce",
-    "sim_lsh_bucketed_topk",
     "op_sketch_countmin_terms",
     "ev_tumbling_hourly",
     # --- round-4 window rotation: every entry below has NEVER appeared in
@@ -49,6 +47,8 @@ _PRIORITY_HEAD = [
     "op_outliers_mad_tdigest",
     "dedup_substring_spans",
     "dedup_substring_rate",
+    "pipeline_dedup_keep_best",
+    "text_ccnet_buckets",
     "op_sample_exact_k",
     # round-3 additions the driver has not yet witnessed
     "dedup_incremental_new_vs_corpus",

@@ -835,3 +835,64 @@ def dedup_substring_rate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_dedup_keep_best",
+    _MINHASH_SQL + """,
+  losers AS (
+    SELECT DISTINCT CASE WHEN da.n_chars > db.n_chars THEN p.doc_b
+                         WHEN da.n_chars < db.n_chars THEN p.doc_a
+                         WHEN p.doc_a < p.doc_b THEN p.doc_b
+                         ELSE p.doc_a END AS doc_id
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id)
+  SELECT d.doc_id, d.n_chars,
+         l.doc_id IS NOT NULL AS is_dup_loser,
+         CASE WHEN l.doc_id IS NOT NULL THEN 'drop_duplicate'
+              ELSE 'keep' END AS verdict
+  FROM documents d
+  LEFT JOIN losers l ON d.doc_id = l.doc_id
+  ORDER BY d.doc_id""",
+)
+def pipeline_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup representative selection: for every LSH
+    candidate pair the LOWER-quality document loses (quality proxy:
+    n_chars; tie broken toward keeping the smaller doc_id) — unlike
+    pipeline_curation_verdict, which always drops the larger id, this
+    keeps the best copy of each near-dup group, the behavior a
+    production corpus actually wants. Pairwise-local decision (the
+    star approximation: no transitive closure — see
+    dedup_clusters_connected_components for the exact clustering),
+    so the whole verdict is one pair join + one anti-ish left join,
+    shuffle keys are doc ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    qa = docs.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("ca"))
+    qb = docs.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("cb"))
+    loser = (
+        F.when(F.col("ca") > F.col("cb"), F.col("doc_b"))
+        .when(F.col("ca") < F.col("cb"), F.col("doc_a"))
+        .when(F.col("doc_a") < F.col("doc_b"), F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+    )
+    losers = (
+        pairs.join(F.broadcast(qa), "doc_a")
+        .join(F.broadcast(qb), "doc_b")
+        .select(loser.alias("loser_id"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(losers, F.col("doc_id") == F.col("loser_id"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("loser_id").isNotNull().alias("is_dup_loser"),
+            F.when(F.col("loser_id").isNotNull(), "drop_duplicate")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

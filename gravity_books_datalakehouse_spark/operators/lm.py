@@ -220,3 +220,67 @@ def text_vocab_growth(spark, sf_dir):
         F.col("new_terms").cast("bigint").alias("new_terms"),
         F.sum("new_terms").over(w).cast("bigint").alias("vocab_size"),
     ).orderBy("decile")
+
+
+@register(
+    "text_ccnet_buckets",
+    BIGRAM_LOGPROB_SQL.replace(
+        """SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob
+        FROM scored
+        GROUP BY doc_id""",
+        """, per_doc AS (
+          SELECT doc_id, ROUND(AVG(lp), 6) AS s
+          FROM scored GROUP BY doc_id),
+        bucketed AS (
+          SELECT d.lang, d.n_chars, p.s,
+                 ntile(3) OVER (PARTITION BY d.lang
+                                ORDER BY p.s DESC, d.doc_id) AS b
+          FROM per_doc p JOIN documents d USING (doc_id))
+        SELECT lang,
+               CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(s), 6) AS avg_logprob
+        FROM bucketed
+        GROUP BY lang, b
+        ORDER BY lang, b""",
+    ),
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2019):
+    per language, documents are terciled by their LM score (here the
+    corpus-fitted bigram log-prob; CCNet uses a KenLM 5-gram) — 'head'
+    is the most-fluent third that trains the model, 'tail' the noisy
+    third that gets dropped or down-weighted. Exact ntile keeps the
+    query oracle-verifiable; at 100 TB swap the per-lang global ntile
+    sort for two percentile_approx thresholds per language (the
+    text_quality_percentile_cut pattern) — one scan, no sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = text_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("s")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("s"), F.asc("doc_id"))
+    bucketed = (
+        per_doc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select("lang", "n_chars", "s", F.ntile(3).over(w).alias("b"))
+    )
+    bucket = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        bucketed.groupBy("lang", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg("s"), 6).alias("avg_logprob"),
+        )
+        .select("lang", bucket.alias("bucket"), "n_docs", "total_chars", "avg_logprob")
+        .orderBy("lang", "b")
+    )
