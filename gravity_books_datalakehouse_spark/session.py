@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # local-mode driver == the single executor; Spark's 1g default
+        # heap forces hash-aggregate sort-fallback spills (measured:
+        # ~55 MB spilled inside the minhash signature groupBys at sf0.1).
+        # 4g eliminates the spill; measured sweet spot — 16g reproducibly
+        # SLOWED scan-heavy queries 2-3x (GC behavior at large heaps), so
+        # bigger is not better here. Only takes effect at JVM launch;
+        # existing sessions are unaffected.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
