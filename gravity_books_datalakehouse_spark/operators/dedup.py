@@ -713,6 +713,12 @@ GROUP BY doc_id, island
 ORDER BY doc_id, span_start"""
 
 
+#: (applicationId, sf_dir) → persisted maximal-span frame; spans and the
+#: per-source rate summary share one run of the window-hash pipeline
+#: (the 100 TB equivalent is a checkpointed dup-span silver table).
+_SPAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 @register("dedup_substring_spans", _SUBSTRING_SPAN_SQL)
 def dedup_substring_spans(spark, sf_dir):
     """Maximal cross-document duplicated substrings (>= 8 tokens) per
@@ -730,6 +736,10 @@ def dedup_substring_spans(spark, sf_dir):
     windows into maximal spans. At 100 TB every stage is linear and
     keyed by either doc_id or a digest; the hash groupBy is the only
     wide shuffle and carries 16-byte keys."""
+    key = session_key(spark, sf_dir)
+    if key in _SPAN_CACHE:
+        return _SPAN_CACHE[key]
+    evict_other_scales(_SPAN_CACHE, key)
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -769,7 +779,7 @@ def dedup_substring_spans(spark, sf_dir):
     islands = flagged.select(
         "doc_id", "pos", F.sum("newflag").over(run).alias("island")
     )
-    return (
+    spans = (
         islands.groupBy("doc_id", "island")
         .agg(
             F.min("pos").alias("span_start"),
@@ -779,7 +789,10 @@ def dedup_substring_spans(spark, sf_dir):
         )
         .drop("island")
         .orderBy("doc_id", "span_start")
+        .persist()
     )
+    _SPAN_CACHE[key] = spans
+    return spans
 
 
 _SUBSTRING_RATE_SQL = _SUBSTRING_CTE_SQL + f""",

@@ -47,6 +47,7 @@ def clear_session_caches() -> None:
         star._STAR_CACHE,
         dedup._SHINGLE_CACHE,
         dedup._PAIR_CACHE,
+        dedup._SPAN_CACHE,
         similarity._SIG_CACHE,
         kmeans._EMB_CACHE,
         kmeans._MODEL_CACHE,
