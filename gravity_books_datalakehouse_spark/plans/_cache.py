@@ -40,7 +40,12 @@ def clear_session_caches() -> None:
     For long-lived sessions that sweep many scale factors: each
     (applicationId, sf_dir) memo pins executor storage until cleared.
     Safe to call between workloads — the next query simply rebuilds."""
-    from gravity_books_datalakehouse_spark.operators import dedup, kmeans, similarity
+    from gravity_books_datalakehouse_spark.operators import (
+        components,
+        dedup,
+        kmeans,
+        similarity,
+    )
     from gravity_books_datalakehouse_spark.plans import star
 
     for registry in (
@@ -51,6 +56,7 @@ def clear_session_caches() -> None:
         similarity._SIG_CACHE,
         kmeans._EMB_CACHE,
         kmeans._MODEL_CACHE,
+        components._CC_CACHE,
     ):
         for value in registry.values():
             frames = value.values() if isinstance(value, dict) else [value]
