@@ -740,10 +740,18 @@ def dedup_substring_spans(spark, sf_dir):
     if key in _SPAN_CACHE:
         return _SPAN_CACHE[key]
     evict_other_scales(_SPAN_CACHE, key)
-    docs = load_table(spark, sf_dir, "documents")
+    spans = substring_spans(
+        load_table(spark, sf_dir, "documents"), _SPAN_K
+    ).persist()
+    _SPAN_CACHE[key] = spans
+    return spans
+
+
+def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Core span pipeline over any (doc_id, text) frame — see
+    ``dedup_substring_spans`` for the algorithm and scale notes."""
     from pyspark.sql import Window
 
-    k = _SPAN_K
     toks = token_rows(docs)
     wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, k - 1)
     win = toks.select(
@@ -779,7 +787,7 @@ def dedup_substring_spans(spark, sf_dir):
     islands = flagged.select(
         "doc_id", "pos", F.sum("newflag").over(run).alias("island")
     )
-    spans = (
+    return (
         islands.groupBy("doc_id", "island")
         .agg(
             F.min("pos").alias("span_start"),
@@ -789,10 +797,7 @@ def dedup_substring_spans(spark, sf_dir):
         )
         .drop("island")
         .orderBy("doc_id", "span_start")
-        .persist()
     )
-    _SPAN_CACHE[key] = spans
-    return spans
 
 
 _SUBSTRING_RATE_SQL = _SUBSTRING_CTE_SQL + f""",

@@ -80,3 +80,41 @@ def test_exact_k_sample_is_partitioning_invariant(spark):
         .collect()
     }
     assert re_got == got
+
+
+def test_substring_spans_property_planted_duplicates(spark):
+    """Property: plant a shared >=k-token block inside two otherwise
+    distinct documents at arbitrary offsets — the span pipeline must
+    report a span in each doc covering exactly the planted block (the
+    surrounding unique text must not join the span)."""
+    from hypothesis import given, settings, strategies as st
+
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _SPAN_K,
+        substring_spans,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        block_len=st.integers(_SPAN_K, _SPAN_K + 4),
+        off_a=st.integers(0, 6),
+        off_b=st.integers(0, 6),
+        tail_a=st.integers(0, 6),
+        tail_b=st.integers(0, 6),
+    )
+    def run(block_len, off_a, off_b, tail_a, tail_b):
+        # unique filler vocabularies so nothing else repeats across docs
+        block = [f"dup{i}" for i in range(block_len)]
+        a = [f"ua{i}" for i in range(off_a)] + block + [f"za{i}" for i in range(tail_a)]
+        b = [f"ub{i}" for i in range(off_b)] + block + [f"zb{i}" for i in range(tail_b)]
+        docs = spark.createDataFrame(
+            [(0, " ".join(a)), (1, " ".join(b))], "doc_id long, text string"
+        )
+        spans = {r.doc_id: r for r in substring_spans(docs, _SPAN_K).collect()}
+        assert set(spans) == {0, 1}
+        sa, sb = spans[0], spans[1]
+        assert (sa.span_start, sa.span_end) == (off_a, off_a + block_len - 1)
+        assert (sb.span_start, sb.span_end) == (off_b, off_b + block_len - 1)
+        assert sa.span_len == block_len == sb.span_len
+
+    run()
