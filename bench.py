@@ -191,13 +191,13 @@ def main() -> None:
         sc.setJobGroup("bench-idle", "between queries")
         timings[name] = round(best, 3)
         try:
-            # two spill metric spellings: HashAggregate/shuffle nodes
-            # expose 'spill size', Sort/Window expose 'spillSize'
-            pm = plan_metrics_sum(
-                df, ["shuffleBytesWritten", "spill size", "spillSize"]
-            )
+            # SQLMetric map key is 'spillSize' on every spilling node
+            # (HashAggregate/Sort/Window); 'spill size' is only the UI
+            # display name, never a key — rounds 1-3 summed the display
+            # name and therefore always reported zero spill
+            pm = plan_metrics_sum(df, ["shuffleBytesWritten", "spillSize"])
             sb = pm["shuffleBytesWritten"]
-            sp = pm["spill size"] + pm["spillSize"]
+            sp = pm["spillSize"]
             prof = job_group_profile(spark, f"{name}#1")
             straggle = task_time_profile(spark, f"{name}#1")
         except Exception:  # metrics are best-effort; never kill the bench

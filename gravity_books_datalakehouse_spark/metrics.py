@@ -116,11 +116,9 @@ def task_time_profile(spark, group_id: str) -> dict[str, float]:
                     worst = (mx, p50)
         if worst is not None:
             mx, p50 = worst
-            out = {
-                "task_ms_p50": p50,
-                "task_ms_max": mx,
-                "straggler_ratio": round(mx / p50, 2) if p50 > 0 else None,
-            }
+            out = {"task_ms_p50": p50, "task_ms_max": mx}
+            if p50 > 0:  # omit rather than emit null into detail JSON
+                out["straggler_ratio"] = round(mx / p50, 2)
     except Exception:
         pass
     return out

@@ -831,10 +831,14 @@ def dedup_substring_rate(spark, sf_dir):
     pipeline stage for a given source). Reuses the span plan and adds
     two narrow aggregations (per-doc token counts, per-doc dup-token
     sums) joined per source."""
+    from gravity_books_datalakehouse_spark.operators.text import tokens_col
+
     docs = load_table(spark, sf_dir, "documents")
     spans = dedup_substring_spans(spark, sf_dir)
-    doc_tokens = token_rows(docs).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens")
+    # array length as a zero-shuffle projection — NOT posexplode+groupBy,
+    # which would shuffle one row per corpus token just to count them
+    doc_tokens = docs.select(
+        "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tokens")
     )
     doc_dup = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup_tokens"))
     return (

@@ -27,6 +27,8 @@ def evict_other_scales(registry: dict, key: tuple[str, str]) -> None:
         value = registry.pop(stale)
         frames = value.values() if isinstance(value, dict) else [value]
         for df in frames:
+            if not hasattr(df, "unpersist"):
+                continue  # model-state entry (e.g. centroid dicts), no storage
             try:
                 df.unpersist()
             except Exception:
@@ -61,6 +63,8 @@ def clear_session_caches() -> None:
         for value in registry.values():
             frames = value.values() if isinstance(value, dict) else [value]
             for df in frames:
+                if not hasattr(df, "unpersist"):
+                    continue  # model-state entry, holds no executor storage
                 try:
                     df.unpersist()
                 except Exception:

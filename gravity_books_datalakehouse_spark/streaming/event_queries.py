@@ -44,8 +44,16 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ = raw.schema["ts"].dataType  # force footer/schema resolution
         return raw
     except Exception:
+        prior = spark.conf.get(flag, "false")
         spark.conf.set(flag, "true")
-        return spark.read.parquet(path)
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            # not the nanos case (missing/corrupt file): restore the flag
+            # before propagating so an unrelated failure can't leave the
+            # legacy mode enabled session-wide
+            spark.conf.set(flag, prior)
+            raise
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -20,10 +20,10 @@ def test_plan_metrics_single_walk_matches_single_metric(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     df.collect()
-    both = plan_metrics_sum(df, ["shuffleBytesWritten", "spill size"])
+    both = plan_metrics_sum(df, ["shuffleBytesWritten", "spillSize"])
     assert both["shuffleBytesWritten"] == plan_metric_sum(df, "shuffleBytesWritten")
     assert both["shuffleBytesWritten"] > 0  # one exchange for the groupBy
-    assert both["spill size"] == 0  # 6 k rows never spill
+    assert both["spillSize"] == 0  # 6 k rows never spill
 
 
 def test_job_group_profile_counts_stages_and_tasks(spark):

@@ -73,7 +73,9 @@ def test_window_spills_gracefully_and_stays_correct(spark, tiny_spill_thresholds
     df = _running(spark)
     rows = df.collect()
     spilled = plan_metrics_sum(df, ["spillSize"])["spillSize"]
-    assert spilled > 0, "16-row buffer over multi-row supplier groups must spill"
+    assert spilled > 0, (
+        "the 256-row window buffer over one corpus-sized group must spill"
+    )
     # correctness under spill: identical result set with default buffers
     for k in _SPILL_CONFS:
         spark.conf.unset(k)
