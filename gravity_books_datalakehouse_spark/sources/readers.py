@@ -105,3 +105,15 @@ def read_text(
     training corpora before parsing into the documents schema. Lines
     split on newline JVM-side; no Python in the read path."""
     return spark.read.text(path, wholetext=whole_file)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written across schema generations (columns added
+    over time) as ONE DataFrame: ``mergeSchema`` unions the footers'
+    schemas and files missing a column yield nulls for it — the
+    schema-evolution read a lakehouse bronze layer needs when producers
+    add fields. Merge cost is per-footer at planning time (at scale,
+    prefer a declared read schema once the latest shape is known —
+    Spark then projects/backfills without footer reconciliation).
+    Column pruning and filter pushdown still apply per file."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

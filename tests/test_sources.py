@@ -151,3 +151,31 @@ def test_load_events_timestamp_nanos_fallback(spark, tmp_path):
         assert rows[1].ts == base + datetime.timedelta(seconds=1)
     finally:
         spark.conf.set(flag, prior)
+
+
+def test_parquet_schema_evolution_merge_read(spark, tmp_path):
+    """Producer adds a column between generations: the merged read must
+    expose the union schema, null-backfill old files, and keep pushdown."""
+    from gravity_books_datalakehouse_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(gen1)
+    spark.createDataFrame(
+        [(3, "c", 9.5), (4, "d", 7.25)], "id long, name string, score double"
+    ).write.parquet(gen2)
+
+    df = read_parquet_evolving(spark, gen1, gen2)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5), 4: ("d", 7.25)}
+
+    # evolution must not break pushdown: id predicate reaches the scans
+    plan = (
+        df.filter(df.id > 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,2)" in plan
