@@ -174,6 +174,37 @@ def merge_snapshot(
     return write_snapshot(merged, table_dir, txn=txn)
 
 
+def delete_where(
+    spark,
+    table_dir: str,
+    condition: str,
+    *,
+    txn: tuple[str, int] | None = None,
+) -> tuple[int, int]:
+    """Targeted DELETE committed as a new snapshot (GDPR/right-to-be-
+    forgotten shape): rows matching ``condition`` (a SQL boolean
+    expression over the snapshot's columns) are dropped; everything
+    else is rewritten into version N+1 and the pointer flips atomically.
+    Returns ``(new_version, n_deleted)``.
+
+    Prior versions still contain the deleted rows until :func:`vacuum`
+    physically removes them — exactly Delta/Iceberg semantics, where a
+    DELETE is logical until old files are expired; a compliance
+    pipeline runs delete_where then vacuum(keep_last=1).
+
+    Scale: one filter-scan + rewrite of the live snapshot, no shuffle;
+    at 100 TB partition the snapshot so the predicate prunes whole
+    partitions and only affected files rewrite (Delta's deletion
+    vectors avoid even that — noted as the jar-blocked upgrade path,
+    ROADMAP.md item 1).
+    """
+    current = read_snapshot(spark, table_dir)
+    keep = current.filter(f"NOT ({condition})")
+    n_deleted = current.count() - keep.count()
+    version = write_snapshot(keep, table_dir, txn=txn)
+    return version, n_deleted
+
+
 def rollback(table_dir: str, version: int) -> None:
     """Re-point _LATEST at an older retained snapshot — undoing a bad
     load without touching any data files."""

@@ -118,3 +118,36 @@ def test_vacuum_never_drops_pointer_target(spark, table):
     assert 2 not in removed  # pointer target survives
     assert latest_version(table) == 2
     assert [r.id for r in read_snapshot(spark, table).collect()] == [1]
+
+
+def test_delete_where_drops_rows_and_keeps_history(spark, table):
+    from gravity_books_datalakehouse_spark.sources.snapshots import delete_where
+
+    v1 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "keep"), (2, "gone"), (3, "keep"), (4, "gone")],
+            "id int, s string",
+        ),
+        table,
+    )
+    v2, n = delete_where(spark, table, "s = 'gone'")
+    assert (v1, v2, n) == (1, 2, 2)
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {1, 3}
+    # logical delete: prior version still holds the rows until vacuum
+    assert {r.id for r in read_snapshot(spark, table, version=v1).collect()} == {
+        1, 2, 3, 4
+    }
+    vacuum(table, keep_last=1)
+    assert list_versions(table) == [v2]
+
+
+def test_delete_where_no_match_is_noop_version(spark, table):
+    from gravity_books_datalakehouse_spark.sources.snapshots import delete_where
+
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id int, s string"), table
+    )
+    v, n = delete_where(spark, table, "id = 99")
+    assert n == 0
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {1}
+    assert v == 2  # still a new committed version (audit trail)
