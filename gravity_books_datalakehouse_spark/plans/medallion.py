@@ -189,3 +189,54 @@ def append_fact_increment(
         .partitionBy("month_sk")
         .parquet(_path(lake_dir, "gold", "fact_sales"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimensions (Kimball "early-arriving facts"): a fact row
+# can land before its dimension member exists. The gold load keeps the
+# fact (SK = -1 inferred member) instead of dropping it, and a later
+# reconcile pass re-resolves once the dim catches up. The reference
+# silently inner-joins such facts away (etl_script_dlh/etl_lakehouse.py
+# gold build); at 100 TB dropping late facts loses revenue rows every
+# nightly load.
+# ---------------------------------------------------------------------------
+
+UNRESOLVED_SK = -1
+
+
+def resolve_with_late_dims(
+    fact: DataFrame,
+    dim: DataFrame,
+    natural_key: str,
+    sk_col: str,
+) -> DataFrame:
+    """Left-join SK lookup that KEEPS unmatched facts with
+    ``sk = UNRESOLVED_SK`` instead of dropping them (contrast the strict
+    gold build, which dropna()s). Broadcast dim lookup, no extra
+    shuffle vs the strict form."""
+    from pyspark.sql import functions as F
+
+    lookup = dim.select(sk_col, natural_key)
+    return (
+        fact.join(F.broadcast(lookup), natural_key, "left")
+        .withColumn(sk_col, F.coalesce(F.col(sk_col), F.lit(UNRESOLVED_SK)))
+    )
+
+
+def reconcile_late_dims(
+    fact: DataFrame,
+    dim: DataFrame,
+    natural_key: str,
+    sk_col: str,
+) -> DataFrame:
+    """Re-resolve previously-unresolved fact rows against the (now
+    fuller) dimension: only rows with ``sk = UNRESOLVED_SK`` re-probe
+    the dim; resolved rows pass through untouched. Returns the full
+    fact with the same schema. Cost is a broadcast probe of just the
+    unresolved slice — the resolved majority is never re-joined."""
+    from pyspark.sql import functions as F
+
+    resolved = fact.filter(F.col(sk_col) != UNRESOLVED_SK)
+    pending = fact.filter(F.col(sk_col) == UNRESOLVED_SK).drop(sk_col)
+    reprobed = resolve_with_late_dims(pending, dim, natural_key, sk_col)
+    return resolved.unionByName(reprobed.select(*fact.columns))

@@ -173,3 +173,41 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, lake):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.first().n > 0
+
+
+def test_late_arriving_dimension_kept_and_reconciled(spark):
+    """Early-arriving facts survive the SK lookup as UNRESOLVED_SK and a
+    later reconcile resolves exactly them, leaving others untouched."""
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.plans.medallion import (
+        UNRESOLVED_SK,
+        reconcile_late_dims,
+        resolve_with_late_dims,
+    )
+
+    fact = spark.createDataFrame(
+        [(101, 10.0), (102, 20.0), (999, 30.0)],  # 999 has no dim member yet
+        "cust_nk long, amount double",
+    )
+    dim_v1 = spark.createDataFrame(
+        [(1, 101), (2, 102)], "customer_sk int, cust_nk long"
+    )
+    loaded = resolve_with_late_dims(fact, dim_v1, "cust_nk", "customer_sk")
+    rows = {r.cust_nk: r.customer_sk for r in loaded.collect()}
+    assert rows == {101: 1, 102: 2, 999: UNRESOLVED_SK}
+    assert loaded.count() == 3  # nothing dropped
+
+    # the dim catches up; reconcile touches only the unresolved row
+    dim_v2 = dim_v1.union(
+        spark.createDataFrame([(3, 999)], "customer_sk int, cust_nk long")
+    )
+    fixed = reconcile_late_dims(loaded, dim_v2, "cust_nk", "customer_sk")
+    rows = {r.cust_nk: (r.customer_sk, r.amount) for r in fixed.collect()}
+    assert rows == {101: (1, 10.0), 102: (2, 20.0), 999: (3, 30.0)}
+
+    # still-missing members stay UNRESOLVED (idempotent under no-op dim)
+    again = reconcile_late_dims(loaded, dim_v1, "cust_nk", "customer_sk")
+    assert {r.customer_sk for r in again.filter(F.col("cust_nk") == 999).collect()} == {
+        UNRESOLVED_SK
+    }
