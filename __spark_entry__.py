@@ -33,11 +33,6 @@ _PRIORITY_HEAD = [
     # CORRECTNESS window and rotates to the judge-verified tail) ---
     "star_q1_monthly_sales",
     "star_q3_top5_customers",     # plan reshaped round 4: aggregate-then-join
-    "q_pricing_summary",
-    "dedup_exact",
-    "sim_topk_cosine_bruteforce",
-    "op_sketch_countmin_terms",
-    "ev_tumbling_hourly",
     # --- round-4 window rotation: every entry below has NEVER appeared in
     # a CORRECTNESS_r*.json window (49 such queries existed after round 3;
     # the remainder rotates in next round) ---
@@ -85,6 +80,11 @@ _PRIORITY_HEAD = [
     "ev_json_props_extract",
     "ev_sliding_windows",
     "q_priority_with_returns",
+    "q_local_supplier_volume",
+    "q_top_supplier_revenue",
+    "q_disjunctive_predicates",
+    "mm_decode_features",
+    "op_sketch_approx_stats",
     "q_large_volume_customers",
     "q_min_cost_supplier",
 ]
