@@ -296,6 +296,17 @@ def main() -> None:
         "baseline_subset_ratio": (
             round(spark_sub / duck_sub, 2) if duck_sub > 0 else None
         ),
+        # the reference-parity gate in one number: the 5 star queries'
+        # aggregate spark/duckdb ratio
+        "star_family_ratio": (
+            round(
+                sum(timings[n] for n in duck if n.startswith("star_") and n in timings)
+                / max(sum(duck[n] for n in duck if n.startswith("star_")), 1e-9),
+                2,
+            )
+            if any(n.startswith("star_") for n in duck)
+            else None
+        ),
         "scaling_spark_vs_duckdb_sec": scaling,
         "detail_file": "BENCH_DETAIL.json",
     }
