@@ -360,3 +360,55 @@ def op_sample_exact_k(spark, sf_dir):
         .limit(_EXACT_K)
         .drop("__h")
     )
+
+
+_N_EPOCHS = 2
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    f"""WITH e AS (SELECT unnest(generate_series(0, {_N_EPOCHS - 1})) AS epoch),
+        h AS (
+          SELECT e.epoch, d.doc_id,
+                 md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hx
+          FROM documents d CROSS JOIN e)
+        SELECT epoch,
+               substring(hx, 1, 1) AS shard,
+               CAST(row_number() OVER (PARTITION BY epoch, substring(hx, 1, 1)
+                                       ORDER BY hx, doc_id) AS BIGINT) AS pos,
+               doc_id
+        FROM h
+        ORDER BY epoch, shard, pos""",
+)
+def pipeline_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training order: every epoch re-shuffles
+    the corpus by ranking docs on md5(epoch:doc_id) within 16 hash
+    shards (first hex nibble) — the reproducible global shuffle a
+    training loader needs (same order on every run/engine/partitioning,
+    different order every epoch, resumable mid-epoch from (shard, pos)).
+    An RNG shuffle can't give any of those. The rank window is
+    per-(epoch, shard) — corpus/16 rows each, never a global sort; at
+    larger scale widen to more nibbles for smaller shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    epochs = F.explode(
+        F.array(*[F.lit(i) for i in range(_N_EPOCHS)])
+    ).alias("epoch")
+    h = docs.select("doc_id", epochs).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("hx"),
+    )
+    w = Window.partitionBy("epoch", F.substring("hx", 1, 1)).orderBy("hx", "doc_id")
+    return (
+        h.select(
+            "epoch",
+            F.substring("hx", 1, 1).alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("epoch", "shard", "pos")
+    )
