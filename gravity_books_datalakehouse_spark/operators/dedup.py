@@ -683,7 +683,7 @@ dup AS (
   SELECT whash FROM full_win
   GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2
 ),
-dw AS (SELECT f.doc_id, f.pos FROM full_win f JOIN dup USING (whash)),
+dw AS (SELECT f.doc_id, f.pos, f.whash FROM full_win f JOIN dup USING (whash)),
 flagged AS (
   SELECT doc_id, pos,
          CASE WHEN max(pos + {_SPAN_K - 1}) OVER
@@ -747,9 +747,10 @@ def dedup_substring_spans(spark, sf_dir):
     return spans
 
 
-def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
-    """Core span pipeline over any (doc_id, text) frame — see
-    ``dedup_substring_spans`` for the algorithm and scale notes."""
+def dup_windows(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """(doc_id, pos, whash): start positions of k-token rolling windows
+    whose content appears in >= 2 distinct documents — the shared core
+    of the span report and the span-removal rewrite."""
     from pyspark.sql import Window
 
     toks = token_rows(docs)
@@ -767,7 +768,15 @@ def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("whash")
     )
-    dw = full_win.join(dup, "whash", "left_semi").select("doc_id", "pos")
+    return full_win.join(dup, "whash", "left_semi")
+
+
+def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Core span pipeline over any (doc_id, text) frame — see
+    ``dedup_substring_spans`` for the algorithm and scale notes."""
+    from pyspark.sql import Window
+
+    dw = dup_windows(docs, k).select("doc_id", "pos")
     prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -915,6 +924,103 @@ def pipeline_dedup_keep_best(spark, sf_dir):
             F.when(F.col("loser_id").isNotNull(), "drop_duplicate")
             .otherwise("keep")
             .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTRING_REWRITE_SQL = _SUBSTRING_CTE_SQL + f""",
+owner AS (SELECT whash, MIN(doc_id) AS owner FROM dw GROUP BY whash),
+cover AS (
+  SELECT f.doc_id,
+         unnest(generate_series(f.pos, f.pos + {_SPAN_K - 1})) AS p,
+         CASE WHEN f.doc_id = o.owner THEN 1 ELSE 0 END AS owned
+  FROM dw f JOIN owner o USING (whash)),
+removed AS (
+  SELECT doc_id, p FROM cover GROUP BY doc_id, p HAVING MAX(owned) = 0),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.p
+  WHERE r.p IS NULL),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+before AS (SELECT doc_id, COUNT(*) AS n_before FROM toks GROUP BY doc_id),
+touched AS (SELECT DISTINCT doc_id FROM removed)
+SELECT b.doc_id,
+       CAST(b.n_before AS BIGINT) AS n_tokens_before,
+       CAST(b.n_before - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+       COALESCE(rb.clean_text, '') AS clean_text
+FROM before b
+JOIN touched USING (doc_id)
+LEFT JOIN rebuilt rb ON b.doc_id = rb.doc_id
+ORDER BY b.doc_id"""
+
+
+@register("text_substring_dedup_rewrite", _SUBSTRING_REWRITE_SQL)
+def text_substring_dedup_rewrite(spark, sf_dir):
+    """The span-REMOVAL rewrite completing the Lee et al. 2021 story:
+    for every duplicated k-token window exactly one occurrence is kept
+    — in the OWNER document (smallest doc_id holding that window) — and
+    every position in other docs covered only by non-owned duplicated
+    windows is excised; the surviving tokens reassemble in order
+    (whitespace-normalized). Emits only rewritten docs with before/
+    removed token counts.
+
+    Plan shape: dup windows (shared ``dup_windows`` core) → owner =
+    min(doc_id) per 16-byte window hash → coverage explode (k rows per
+    dup window, dup-set-sized, not corpus-sized) → per-position
+    any-owned fold → anti-join against the token stream → one ordered
+    collect_list per rewritten doc (the segment-dedup reassembly
+    pattern). No stage touches more than the dup positions except the
+    final anti-join, which is co-keyed with the token explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SPAN_K
+    dwf = dup_windows(docs, k)
+    owner = dwf.groupBy("whash").agg(F.min("doc_id").alias("owner"))
+    cover = (
+        dwf.join(owner, "whash")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+            (F.col("doc_id") == F.col("owner")).cast("int").alias("owned"),
+        )
+    )
+    removed = (
+        cover.groupBy("doc_id", "p")
+        .agg(F.max("owned").alias("own"))
+        .filter(F.col("own") == 0)
+        .select("doc_id", "p")
+    )
+    toks = token_rows(docs)
+    kept = toks.join(
+        removed,
+        (toks.doc_id == removed.doc_id) & (toks.pos == removed.p),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    before = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_before"))
+    touched = removed.select("doc_id").distinct()
+    return (
+        before.join(touched, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_before").cast("bigint").alias("n_tokens_before"),
+            (F.col("n_before") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
         .orderBy("doc_id")
     )
