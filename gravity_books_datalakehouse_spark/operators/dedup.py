@@ -713,10 +713,23 @@ GROUP BY doc_id, island
 ORDER BY doc_id, span_start"""
 
 
-#: (applicationId, sf_dir) → persisted maximal-span frame; spans and the
-#: per-source rate summary share one run of the window-hash pipeline
-#: (the 100 TB equivalent is a checkpointed dup-span silver table).
+#: (applicationId, sf_dir) → persisted frames shared across the substring
+#: family: _DW_CACHE holds the duplicated-window positions (the expensive
+#: rolling-hash pipeline — consumed by spans, rate, and the removal
+#: rewrite), _SPAN_CACHE the merged maximal spans derived from it (the
+#: 100 TB equivalent is a checkpointed dup-span silver table).
+_DW_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SPAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = session_key(spark, sf_dir)
+    if key not in _DW_CACHE:
+        evict_other_scales(_DW_CACHE, key)
+        _DW_CACHE[key] = dup_windows(
+            load_table(spark, sf_dir, "documents"), _SPAN_K
+        ).persist()
+    return _DW_CACHE[key]
 
 
 @register("dedup_substring_spans", _SUBSTRING_SPAN_SQL)
@@ -740,8 +753,8 @@ def dedup_substring_spans(spark, sf_dir):
     if key in _SPAN_CACHE:
         return _SPAN_CACHE[key]
     evict_other_scales(_SPAN_CACHE, key)
-    spans = substring_spans(
-        load_table(spark, sf_dir, "documents"), _SPAN_K
+    spans = spans_from_dup_windows(
+        _cached_dup_windows(spark, sf_dir), _SPAN_K
     ).persist()
     _SPAN_CACHE[key] = spans
     return spans
@@ -774,9 +787,15 @@ def dup_windows(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
 def substring_spans(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
     """Core span pipeline over any (doc_id, text) frame — see
     ``dedup_substring_spans`` for the algorithm and scale notes."""
+    return spans_from_dup_windows(dup_windows(docs, k), k)
+
+
+def spans_from_dup_windows(dwf: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window start positions into
+    maximal spans; input is ``dup_windows`` output (dup-set-sized)."""
     from pyspark.sql import Window
 
-    dw = dup_windows(docs, k).select("doc_id", "pos")
+    dw = dwf.select("doc_id", "pos")
     prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -977,7 +996,7 @@ def text_substring_dedup_rewrite(spark, sf_dir):
     final anti-join, which is co-keyed with the token explode."""
     docs = load_table(spark, sf_dir, "documents")
     k = _SPAN_K
-    dwf = dup_windows(docs, k)
+    dwf = _cached_dup_windows(spark, sf_dir)
     owner = dwf.groupBy("whash").agg(F.min("doc_id").alias("owner"))
     cover = (
         dwf.join(owner, "whash")
