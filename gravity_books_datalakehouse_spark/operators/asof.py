@@ -111,3 +111,56 @@ def op_asof_join_prev_purchase(spark, sf_dir):
         clicks, purchases, "user_id", "click_ts", "p_ts",
         ["prev_purchase_ts", "prev_purchase_value"],
     )
+
+
+@register(
+    "op_asof_join_tolerance",
+    """SELECT c.event_id, c.user_id, c.ts::TIMESTAMP AS click_ts,
+              CASE WHEN p.ts IS NOT NULL
+                        AND date_diff('second', p.ts::TIMESTAMP, c.ts::TIMESTAMP) <= 3600
+                   THEN p.ts::TIMESTAMP END AS prev_purchase_ts,
+              CASE WHEN p.ts IS NOT NULL
+                        AND date_diff('second', p.ts::TIMESTAMP, c.ts::TIMESTAMP) <= 3600
+                   THEN p.value END AS prev_purchase_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.ts >= p.ts""",
+)
+def op_asof_join_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of join: each click gets the most recent
+    prior purchase ONLY if it happened within the last hour — matches
+    pandas ``merge_asof(tolerance=...)`` / kdb wj semantics, the form
+    sensor/tick pipelines actually need (a match from last week is not
+    'the prevailing value'). Same union+window linear plan as the
+    unbounded as-of; the tolerance is a post-join null-out, not a range
+    join — no pair fan-out at any scale."""
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("ts").alias("prev_purchase_ts"),
+        F.col("value").alias("prev_purchase_value"),
+    )
+    joined = asof_join(
+        clicks, purchases, "user_id", "click_ts", "p_ts",
+        ["prev_purchase_ts", "prev_purchase_value"],
+    )
+    in_tol = (
+        F.col("prev_purchase_ts").isNotNull()
+        & (
+            F.unix_timestamp("click_ts") - F.unix_timestamp("prev_purchase_ts")
+            <= 3600
+        )
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_ts",
+        F.when(in_tol, F.col("prev_purchase_ts")).alias("prev_purchase_ts"),
+        F.when(in_tol, F.col("prev_purchase_value")).alias("prev_purchase_value"),
+    )

@@ -539,3 +539,85 @@ def ev_anomaly_hourly_zscore_gapfill(spark, sf_dir):
         )
         .orderBy("event_type", "window_start")
     )
+
+
+@register(
+    "ev_funnel_time_to_convert",
+    """WITH s AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END) AS signup_ts
+         FROM events GROUP BY user_id
+       ),
+       c AS (
+         SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS click_ts
+         FROM events e JOIN s ON e.user_id = s.user_id
+         WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s.signup_ts
+         GROUP BY e.user_id
+       ),
+       p AS (
+         SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS purchase_ts
+         FROM events e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.click_ts
+         GROUP BY e.user_id
+       ),
+       gaps AS (
+         SELECT s.user_id,
+                date_diff('second', s.signup_ts, c.click_ts) AS s2c,
+                date_diff('second', c.click_ts, p.purchase_ts) AS c2p
+         FROM s
+         LEFT JOIN c ON s.user_id = c.user_id
+         LEFT JOIN p ON s.user_id = p.user_id
+         WHERE s.signup_ts IS NOT NULL)
+       SELECT CAST(COUNT(s2c) AS BIGINT) AS n_clicked,
+              CAST(quantile_disc(s2c, 0.5) AS BIGINT) AS median_signup_to_click_s,
+              CAST(quantile_disc(s2c, 0.9) AS BIGINT) AS p90_signup_to_click_s,
+              CAST(COUNT(c2p) AS BIGINT) AS n_purchased,
+              CAST(quantile_disc(c2p, 0.5) AS BIGINT) AS median_click_to_purchase_s,
+              CAST(quantile_disc(c2p, 0.9) AS BIGINT) AS p90_click_to_purchase_s
+       FROM gaps""",
+)
+def ev_funnel_time_to_convert(spark, sf_dir):
+    """Funnel TIMING: how long converters take between stages (median /
+    p90 seconds signup→first-click and click→first-purchase) — the
+    companion to the count funnel, computed over the same staged
+    conditional aggregations. DISCRETE percentiles over integer seconds
+    keep the statistic bit-identical cross-engine. Per-user gaps reuse
+    one user_id-partitioned shuffle; the final reduce is a single row."""
+    e = load_events(spark, sf_dir)
+    s = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"))
+        .filter(F.col("signup_ts").isNotNull())
+    )
+    c = (
+        e.join(s, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("signup_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    gaps = (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            (F.unix_timestamp("click_ts") - F.unix_timestamp("signup_ts")).alias("s2c"),
+            (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("c2p"),
+        )
+    )
+    return gaps.agg(
+        F.count("s2c").cast("bigint").alias("n_clicked"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s2c)")
+        .cast("bigint").alias("median_signup_to_click_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY s2c)")
+        .cast("bigint").alias("p90_signup_to_click_s"),
+        F.count("c2p").cast("bigint").alias("n_purchased"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c2p)")
+        .cast("bigint").alias("median_click_to_purchase_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c2p)")
+        .cast("bigint").alias("p90_click_to_purchase_s"),
+    )
