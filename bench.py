@@ -301,10 +301,17 @@ def main() -> None:
         "star_family_ratio": (
             round(
                 sum(timings[n] for n in duck if n.startswith("star_") and n in timings)
-                / max(sum(duck[n] for n in duck if n.startswith("star_")), 1e-9),
+                / max(
+                    sum(
+                        duck[n]
+                        for n in duck
+                        if n.startswith("star_") and n in timings
+                    ),
+                    1e-9,
+                ),
                 2,
             )
-            if any(n.startswith("star_") for n in duck)
+            if any(n.startswith("star_") and n in timings for n in duck)
             else None
         ),
         "scaling_spark_vs_duckdb_sec": scaling,

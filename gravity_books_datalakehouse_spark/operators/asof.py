@@ -134,22 +134,7 @@ def op_asof_join_tolerance(spark, sf_dir):
     'the prevailing value'). Same union+window linear plan as the
     unbounded as-of; the tolerance is a post-join null-out, not a range
     join — no pair fan-out at any scale."""
-    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
-
-    ev = load_events(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.col("ts").alias("click_ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("p_ts"),
-        F.col("ts").alias("prev_purchase_ts"),
-        F.col("value").alias("prev_purchase_value"),
-    )
-    joined = asof_join(
-        clicks, purchases, "user_id", "click_ts", "p_ts",
-        ["prev_purchase_ts", "prev_purchase_value"],
-    )
+    joined = op_asof_join_prev_purchase(spark, sf_dir)
     in_tol = (
         F.col("prev_purchase_ts").isNotNull()
         & (

@@ -214,8 +214,6 @@ def resolve_with_late_dims(
     ``sk = UNRESOLVED_SK`` instead of dropping them (contrast the strict
     gold build, which dropna()s). Broadcast dim lookup, no extra
     shuffle vs the strict form."""
-    from pyspark.sql import functions as F
-
     lookup = dim.select(sk_col, natural_key)
     return (
         fact.join(F.broadcast(lookup), natural_key, "left")
@@ -230,13 +228,13 @@ def reconcile_late_dims(
     sk_col: str,
 ) -> DataFrame:
     """Re-resolve previously-unresolved fact rows against the (now
-    fuller) dimension: only rows with ``sk = UNRESOLVED_SK`` re-probe
-    the dim; resolved rows pass through untouched. Returns the full
-    fact with the same schema. Cost is a broadcast probe of just the
+    fuller) dimension: rows with ``sk = UNRESOLVED_SK`` — or a NULL sk,
+    so inputs from a plain left-join loader aren't lost — re-probe the
+    dim; resolved rows pass through untouched. Returns the full fact
+    with the same schema. Cost is a broadcast probe of just the
     unresolved slice — the resolved majority is never re-joined."""
-    from pyspark.sql import functions as F
-
-    resolved = fact.filter(F.col(sk_col) != UNRESOLVED_SK)
-    pending = fact.filter(F.col(sk_col) == UNRESOLVED_SK).drop(sk_col)
+    pending_cond = F.col(sk_col).isNull() | (F.col(sk_col) == UNRESOLVED_SK)
+    resolved = fact.filter(~pending_cond)
+    pending = fact.filter(pending_cond).drop(sk_col)
     reprobed = resolve_with_late_dims(pending, dim, natural_key, sk_col)
     return resolved.unionByName(reprobed.select(*fact.columns))

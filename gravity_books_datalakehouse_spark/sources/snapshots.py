@@ -199,8 +199,13 @@ def delete_where(
     ROADMAP.md item 1).
     """
     current = read_snapshot(spark, table_dir)
-    keep = current.filter(f"NOT ({condition})")
-    n_deleted = current.count() - keep.count()
+    # SQL DELETE semantics: only rows where the predicate is TRUE are
+    # deleted — a NULL predicate keeps the row. A bare NOT(condition)
+    # would drop NULL-predicate rows under three-valued logic (silently
+    # destroying rows with NULLs in the predicate columns).
+    matched = f"coalesce(({condition}), false)"
+    keep = current.filter(f"NOT {matched}")
+    n_deleted = current.filter(matched).count()
     version = write_snapshot(keep, table_dir, txn=txn)
     return version, n_deleted
 

@@ -211,3 +211,24 @@ def test_late_arriving_dimension_kept_and_reconciled(spark):
     assert {r.customer_sk for r in again.filter(F.col("cust_nk") == 999).collect()} == {
         UNRESOLVED_SK
     }
+
+
+def test_reconcile_late_dims_keeps_null_sk_rows(spark):
+    """A NULL sk (e.g. from a plain left-join loader) is unresolved, not
+    droppable — reconcile must re-probe it, never lose it (round-4
+    review repro)."""
+    from gravity_books_datalakehouse_spark.plans.medallion import (
+        UNRESOLVED_SK,
+        reconcile_late_dims,
+    )
+
+    fact = spark.createDataFrame(
+        [(101, 1, 10.0), (999, UNRESOLVED_SK, 20.0), (555, None, 30.0)],
+        "cust_nk long, customer_sk int, amount double",
+    )
+    dim = spark.createDataFrame(
+        [(1, 101), (7, 555)], "customer_sk int, cust_nk long"
+    )
+    fixed = reconcile_late_dims(fact, dim, "cust_nk", "customer_sk")
+    rows = {r.cust_nk: r.customer_sk for r in fixed.collect()}
+    assert rows == {101: 1, 999: UNRESOLVED_SK, 555: 7}

@@ -1,0 +1,95 @@
+"""Local semantic oracles for the round-4 registry additions that sit in
+the judge-verified tail (span rewrite, asof tolerance, epoch shuffle,
+funnel timing) — regressions surface here, not a round later."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_substring_rewrite_counts_and_owner_preservation(spark):
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        text_substring_dedup_rewrite,
+    )
+    from gravity_books_datalakehouse_spark.operators.text import tokens_col
+
+    out = {r.doc_id: r for r in text_substring_dedup_rewrite(spark, SF_SMOKE).collect()}
+    assert out, "testdata contains cross-doc duplicated spans"
+    n_before = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.size(tokens_col()).alias("n"))
+        .collect()
+    }
+    for d, r in out.items():
+        assert r.n_tokens_removed > 0  # only rewritten docs are emitted
+        assert r.n_tokens_before == n_before[d]
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept == r.n_tokens_before - r.n_tokens_removed
+
+
+def test_asof_tolerance_is_nullout_of_unbounded_asof(spark):
+    from gravity_books_datalakehouse_spark.operators.asof import (
+        op_asof_join_prev_purchase,
+        op_asof_join_tolerance,
+    )
+
+    tol = {r.event_id: r for r in op_asof_join_tolerance(spark, SF_SMOKE).collect()}
+    base = {r.event_id: r for r in op_asof_join_prev_purchase(spark, SF_SMOKE).collect()}
+    assert set(tol) == set(base)  # same clicks, never dropped
+    n_in, n_out = 0, 0
+    for eid, t in tol.items():
+        b = base[eid]
+        if t.prev_purchase_ts is not None:
+            n_in += 1
+            assert t.prev_purchase_ts == b.prev_purchase_ts
+            gap = (t.click_ts - t.prev_purchase_ts).total_seconds()
+            assert 0 <= gap <= 3600
+        elif b.prev_purchase_ts is not None:
+            n_out += 1  # nulled by tolerance
+            assert (b.click_ts - b.prev_purchase_ts).total_seconds() > 3600
+    assert n_in > 0 and n_out > 0  # the tolerance actually bites
+
+
+def test_epoch_shuffle_is_a_permutation_that_differs_by_epoch(spark):
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        pipeline_epoch_shuffle,
+    )
+
+    rows = pipeline_epoch_shuffle(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    for ep, ers in by_epoch.items():
+        assert len(ers) == n_docs  # every doc appears exactly once per epoch
+        assert len({r.doc_id for r in ers}) == n_docs
+        # positions are dense 1..n within each shard
+        shards: dict[str, list[int]] = {}
+        for r in ers:
+            shards.setdefault(r.shard, []).append(r.pos)
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    # epochs produce different orders (different hash seed)
+    order0 = [(r.shard, r.pos, r.doc_id) for r in sorted(by_epoch[0], key=lambda r: r.doc_id)]
+    order1 = [(r.shard, r.pos, r.doc_id) for r in sorted(by_epoch[1], key=lambda r: r.doc_id)]
+    assert order0 != order1
+
+
+def test_funnel_timing_consistent_with_count_funnel(spark):
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_funnel_signup_click_purchase,
+        ev_funnel_time_to_convert,
+    )
+
+    t = ev_funnel_time_to_convert(spark, SF_SMOKE).collect()[0]
+    counts = ev_funnel_signup_click_purchase(spark, SF_SMOKE).collect()[0]
+    assert t.n_clicked == counts.n_click_after_signup
+    assert t.n_purchased == counts.n_purchase_after_click
+    assert t.n_purchased <= t.n_clicked
+    if t.n_clicked:
+        assert 0 <= t.median_signup_to_click_s <= t.p90_signup_to_click_s
+    if t.n_purchased:
+        assert 0 <= t.median_click_to_purchase_s <= t.p90_click_to_purchase_s

@@ -151,3 +151,20 @@ def test_delete_where_no_match_is_noop_version(spark, table):
     assert n == 0
     assert {r.id for r in read_snapshot(spark, table).collect()} == {1}
     assert v == 2  # still a new committed version (audit trail)
+
+
+def test_delete_where_null_predicate_keeps_row(spark, table):
+    """SQL DELETE semantics: a NULL predicate must KEEP the row — a bare
+    NOT(condition) would silently destroy NULL-bearing rows (round-4
+    review repro)."""
+    from gravity_books_datalakehouse_spark.sources.snapshots import delete_where
+
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "gone"), (2, None), (3, "keep")], "id int, s string"
+        ),
+        table,
+    )
+    _, n = delete_where(spark, table, "s = 'gone'")
+    assert n == 1
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {2, 3}
