@@ -172,9 +172,8 @@ def _marker_count_sql(lang: str) -> str:
     )
 
 
-@register(
-    "text_lang_id",
-    f"""SELECT doc_id, lang,
+#: lang-ID oracle SQL, shared with the confusion-matrix audit below.
+_LANG_ID_SQL = f"""SELECT doc_id, lang,
               {_marker_count_sql('en')} AS s_en,
               {_marker_count_sql('de')} AS s_de,
               {_marker_count_sql('fr')} AS s_fr,
@@ -183,8 +182,10 @@ def _marker_count_sql(lang: str) -> str:
                    WHEN {_marker_count_sql('de')} >= greatest({_marker_count_sql('fr')}, {_marker_count_sql('es')}) THEN 'de'
                    WHEN {_marker_count_sql('fr')} >= {_marker_count_sql('es')} THEN 'fr'
                    ELSE 'es' END AS predicted_lang
-       FROM documents""",
-)
+       FROM documents"""
+
+
+@register("text_lang_id", _LANG_ID_SQL)
 def text_lang_id(spark, sf_dir):
     """Heuristic language ID: marker-token counts per language, argmax with
     a fixed precedence order (en > de > fr > es on ties) so prediction is
@@ -458,4 +459,41 @@ def text_unigram_logprob(spark, sf_dir):
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_lang_confusion",
+    f"""WITH pred AS ({_LANG_ID_SQL})
+       SELECT lang AS declared_lang, predicted_lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              ROUND(COUNT(*) * 1.0 /
+                    SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac_of_declared
+       FROM pred
+       GROUP BY lang, predicted_lang
+       ORDER BY declared_lang, predicted_lang""",
+)
+def text_lang_confusion(spark, sf_dir):
+    """Language-metadata audit: confusion matrix between the corpus's
+    DECLARED lang column and the content-based lang-ID prediction — the
+    check that catches mislabeled crawl segments before they poison
+    per-language mixing weights (op_sample_rebalance_langs and the CCNet
+    terciles both key on lang). Diagonal-heavy = trustworthy metadata;
+    off-diagonal mass pinpoints (declared, detected) leak pairs. One
+    narrow scan + one small groupBy; the per-declared fraction is a
+    window over lang-pair cardinality rows."""
+    from pyspark.sql import Window
+
+    pred = text_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("declared_lang"), "predicted_lang"
+    )
+    w = Window.partitionBy("declared_lang")
+    return (
+        pred.groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "frac_of_declared",
+            F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6),
+        )
+        .orderBy("declared_lang", "predicted_lang")
     )
