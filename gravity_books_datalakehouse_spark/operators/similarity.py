@@ -626,3 +626,76 @@ def sim_range_search(spark, sf_dir):
         .filter(F.col("cos_sim") >= _RANGE_TAU)
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     )
+
+
+@register(
+    "sim_ann_recall_report",
+    f"""WITH exact AS (
+         SELECT qid, nid FROM (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  row_number() OVER (PARTITION BY a.vec_id
+                                     ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < {_TOPK_QUERIES} AND a.vec_id != b.vec_id
+         ) WHERE rank <= {_TOPK}),
+       cand AS (
+         SELECT a.vec_id AS qid, b.vec_id AS nid
+         FROM embeddings a
+         JOIN embeddings b
+           ON ({_signature_sql('a')}) = ({_signature_sql('b')})
+          AND a.vec_id != b.vec_id
+         WHERE a.vec_id < {_TOPK_QUERIES}),
+       hits AS (
+         SELECT e.qid, COUNT(*) AS n_hits
+         FROM exact e JOIN cand c ON e.qid = c.qid AND e.nid = c.nid
+         GROUP BY e.qid),
+       ncand AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid)
+       SELECT q.qid,
+              CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+              CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+              ROUND(COALESCE(h.n_hits, 0) / {_TOPK}.0, 6) AS recall_at_{_TOPK}
+       FROM (SELECT DISTINCT qid FROM exact) q
+       LEFT JOIN hits h ON q.qid = h.qid
+       LEFT JOIN ncand nc ON q.qid = nc.qid
+       ORDER BY q.qid""",
+)
+def sim_ann_recall_report(spark, sf_dir):
+    """ANN quality evaluation IN the engine: per probe, recall@k of the
+    LSH bucket's candidate set against the exact cosine top-k — the
+    number that decides whether the approximate index is usable before
+    anything trains on its neighbors. Both legs are bounded: |Q| probes
+    broadcast against the corpus for ground truth, the candidate leg is
+    the same bucket join the ANN query uses. Also reports candidate-set
+    size per probe (the recall/cost tradeoff in one table). The same
+    recall discipline is asserted as a hard floor in
+    tests/test_similarity_recall.py; this query makes it a monitorable
+    pipeline artifact."""
+    e = _signed_embeddings(spark, sf_dir)
+    exact = (
+        sim_topk_cosine_bruteforce(spark, sf_dir)
+        .select("qid", "nid")
+    )
+    a = e.select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("sig_a")
+    ).filter(F.col("qid") < _TOPK_QUERIES)
+    b = e.select(F.col("vec_id").alias("nid"), F.col("sig").alias("sig_b"))
+    cand = a.join(
+        b, (F.col("sig_a") == F.col("sig_b")) & (F.col("qid") != F.col("nid"))
+    ).select("qid", "nid")
+    hits = exact.join(cand, ["qid", "nid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        exact.select("qid").distinct()
+        .join(hits, "qid", "left")
+        .join(ncand, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / float(_TOPK), 6)
+            .alias(f"recall_at_{_TOPK}"),
+        )
+        .orderBy("qid")
+    )
