@@ -585,8 +585,10 @@ _DECON_MOD = 50
 _DECON_TAU = 0.5
 
 
-@register(
-    "pipeline_decontaminate",
+#: shared decontamination CTE chain (shingles → benchmark split →
+#: containment scores); the per-doc flag query and the per-source
+#: rollup both build on it.
+_DECON_CTE_SQL = (
     _MINHASH_SQL[: _MINHASH_SQL.index(",\n  sig AS")]
     + f""",
   bench AS (SELECT doc_id AS bench_id, shingle FROM shd
@@ -596,7 +598,14 @@ _DECON_TAU = 0.5
   hits AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_common
            FROM corpus c JOIN bench b USING (shingle) GROUP BY 1, 2),
   scored AS (SELECT h.doc_id, h.bench_id, h.n_common * 1.0 / s.n_b AS containment
-             FROM hits h JOIN bsize s USING (bench_id))
+             FROM hits h JOIN bsize s USING (bench_id))"""
+)
+
+
+@register(
+    "pipeline_decontaminate",
+    _DECON_CTE_SQL
+    + f"""
   SELECT doc_id,
          ROUND(MAX(containment), 6) AS max_containment,
          CAST(COUNT(*) AS BIGINT) AS n_bench_matched,
@@ -1042,4 +1051,45 @@ def text_substring_dedup_rewrite(spark, sf_dir):
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_contamination_by_source",
+    _DECON_CTE_SQL
+    + f""",
+  flagged AS (
+    SELECT doc_id FROM scored WHERE containment >= {_DECON_TAU}
+    GROUP BY doc_id),
+  train AS (SELECT doc_id, source FROM documents WHERE doc_id % {_DECON_MOD} != 0)
+  SELECT t.source,
+         CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+         CAST(COUNT(f.doc_id) AS BIGINT) AS n_contaminated,
+         ROUND(COUNT(f.doc_id) * 1.0 / COUNT(*), 6) AS contamination_rate
+  FROM train t LEFT JOIN flagged f ON t.doc_id = f.doc_id
+  GROUP BY t.source
+  ORDER BY t.source""",
+)
+def pipeline_contamination_by_source(spark, sf_dir):
+    """Per-source benchmark-contamination rollup: which ingest sources
+    leak eval data, and how badly — the triage view a curation team acts
+    on (drop or re-crawl a source) where the per-doc flag list
+    (pipeline_decontaminate) is the remediation input. Same containment
+    CTE chain on both engines; rollup adds one broadcast-sized join and
+    a per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = pipeline_decontaminate(spark, sf_dir).select("doc_id")
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0).select("doc_id", "source")
+    joined = train.join(
+        flagged.withColumn("is_flagged", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.count("is_flagged").cast("bigint").alias("n_contaminated"),
+            F.round(F.count("is_flagged") * 1.0 / F.count(F.lit(1)), 6)
+            .alias("contamination_rate"),
+        )
+        .orderBy("source")
     )
