@@ -34,6 +34,9 @@ SHOW = {
     "op_j_skewed_salted": "Salted join: the physical join key is (skew_uid, __salt) — the hot key's rows spread across 8 salt buckets; dim side exploded x8 pre-join; aggregation after the join is salt-invariant.",
     "dedup_substring_spans": "Rolling 8-token window hashes via ONE per-doc ordered window (single doc_id shuffle); dup detection groupBy carries 16-byte digests; islands merge is a second pass over the (tiny) duplicated-position set.",
     "op_sample_exact_k": "TakeOrderedAndProject(limit=k) over the hash projection — per-partition k-row heaps merged on the driver; no global sort, no full shuffle at any corpus size.",
+    "text_substring_dedup_rewrite": "Owner resolution + coverage explode are dup-set-sized (never corpus-sized); token anti-join co-keyed with the positional explode; one ordered collect_list per rewritten doc.",
+    "sim_ann_recall_report": "Both eval legs bounded: |Q| probes broadcast for exact ground truth; candidate leg reuses the signature-keyed bucket join — no N x N anywhere.",
+    "pipeline_epoch_shuffle": "Rank windows partitioned by (epoch, hex-nibble shard) — corpus/16 rows per window, no global sort; hash projection is scan-side.",
 }
 
 
