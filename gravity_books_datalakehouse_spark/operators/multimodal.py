@@ -180,3 +180,50 @@ def decode_media_arrow_batch(batches):
 def decode_media_arrow(docs_with_payload: DataFrame) -> DataFrame:
     """decode_media, but through mapInArrow (same output contract)."""
     return docs_with_payload.mapInArrow(decode_media_arrow_batch, schema=DECODE_SCHEMA)
+
+
+@register(
+    "mm_payload_dedup",
+    """SELECT payload_fp, media_type,
+              CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_copies,
+              CAST(MAX(n_bytes) AS BIGINT) AS payload_bytes
+       FROM (
+         SELECT doc_id,
+                md5(text) AS payload_fp,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS media_type,
+                octet_length(encode(text)) AS n_bytes
+         FROM documents)
+       GROUP BY payload_fp, media_type
+       HAVING COUNT(*) >= 2
+       ORDER BY payload_fp, media_type""",
+)
+def mm_payload_dedup(spark, sf_dir):
+    """Exact dedup over OPAQUE BINARY payloads: group by md5 of the raw
+    bytes — the multimodal twin of dedup_exact (image/audio/video blobs
+    dedupe on content digest before any decode; at 100 TB the 16-byte
+    digest is the only thing that shuffles, never the media). Emits only
+    duplicated payloads with a representative id and byte size. The
+    Spark side hashes the binary column directly; the oracle hashes the
+    identical UTF-8 byte string (same bytes — the testdata payload is
+    the encoded text, multimodal.py:51)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_payload(docs)
+    return (
+        p.select(
+            "doc_id",
+            "media_type",
+            F.md5("payload").alias("payload_fp"),
+            F.length("payload").alias("n_bytes"),
+        )
+        .groupBy("payload_fp", "media_type")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.max("n_bytes").cast("bigint").alias("payload_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("payload_fp", "media_type")
+    )

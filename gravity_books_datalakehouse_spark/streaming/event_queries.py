@@ -621,3 +621,54 @@ def ev_funnel_time_to_convert(spark, sf_dir):
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c2p)")
         .cast("bigint").alias("p90_click_to_purchase_s"),
     )
+
+
+@register(
+    "ev_user_ltv_topk",
+    """WITH per_user AS (
+         SELECT user_id,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                  AS lifetime_value,
+                CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+                  AS n_purchases,
+                MIN(ts::TIMESTAMP) AS first_seen,
+                MAX(ts::TIMESTAMP) AS last_seen
+         FROM events GROUP BY user_id)
+       SELECT user_id, ROUND(lifetime_value, 4) AS lifetime_value,
+              n_purchases, first_seen, last_seen
+       FROM per_user
+       WHERE lifetime_value IS NOT NULL
+       ORDER BY lifetime_value DESC, user_id ASC
+       LIMIT 20""",
+)
+def ev_user_ltv_topk(spark, sf_dir):
+    """Top-20 users by purchase lifetime value with activity bounds —
+    the canonical user-level rollup. One groupBy on user_id (conditional
+    exact-decimal sum), then TakeOrderedAndProject — the top-k never
+    sorts the full user set. first/last_seen ride the same aggregate."""
+    e = load_events(spark, sf_dir)
+    ltv = F.sum(
+        F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,4)"))
+    ).cast("double")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            ltv.alias("ltv_raw"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .filter(F.col("ltv_raw").isNotNull())
+        .select(
+            "user_id",
+            F.round("ltv_raw", 4).alias("lifetime_value"),
+            "n_purchases",
+            "first_seen",
+            "last_seen",
+        )
+        .orderBy(F.desc("lifetime_value"), F.asc("user_id"))
+        .limit(20)
+    )
