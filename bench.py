@@ -85,6 +85,7 @@ SCALING_QUERIES = (
     "star_q1_monthly_sales",        # star: fact x broadcast-dim rollup
     "text_repetition_stats",        # text: array-math + digest-keyed shuffle
     "dedup_exact",                  # dedup: md5-digest groupBy
+    "dedup_substring_spans",        # dedup: rolling-window hash + islands
     "sim_topk_cosine_bruteforce",   # sim: broadcast Q x corpus dot products
     "ev_tumbling_hourly",           # ev: windowed time-bucket aggregation
     "pipeline_curate_corpus",       # pipeline: quality + LSH verdict compose
