@@ -482,8 +482,6 @@ def text_lang_confusion(spark, sf_dir):
     off-diagonal mass pinpoints (declared, detected) leak pairs. One
     narrow scan + one small groupBy; the per-declared fraction is a
     window over lang-pair cardinality rows."""
-    from pyspark.sql import Window
-
     pred = text_lang_id(spark, sf_dir).select(
         F.col("lang").alias("declared_lang"), "predicted_lang"
     )

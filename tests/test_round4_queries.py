@@ -93,3 +93,69 @@ def test_funnel_timing_consistent_with_count_funnel(spark):
         assert 0 <= t.median_signup_to_click_s <= t.p90_signup_to_click_s
     if t.n_purchased:
         assert 0 <= t.median_click_to_purchase_s <= t.p90_click_to_purchase_s
+
+
+def test_mm_payload_dedup_finds_planted_duplicates(spark, tmp_path):
+    """Planted duplicate payloads must group on the binary digest with
+    the smallest doc_id as representative (sf0.01 testdata has no text
+    dups, so the oracle diff there is vacuous — this is the real
+    exercise of the grouping/representative/size logic)."""
+    from gravity_books_datalakehouse_spark.operators.multimodal import (
+        mm_payload_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same same same", "en", "srcA", 14),
+            (3, "same same same", "en", "srcB", 14),   # dup of 0 (both %3==0: image)
+            (1, "unique one", "en", "srcA", 10),
+            (4, "another text", "en", "srcB", 12),
+            (7, "another text", "en", "srcA", 12),     # dup of 4 (both %3==1: audio)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = mm_payload_dedup(spark, str(tmp_path)).collect()
+    got = {(r.media_type, r.rep_doc_id, r.n_copies, r.payload_bytes) for r in rows}
+    assert got == {("image", 0, 2, 14), ("audio", 4, 2, 12)}
+
+
+def test_user_ltv_topk_semantics(spark):
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_user_ltv_topk,
+        load_events,
+    )
+
+    rows = ev_user_ltv_topk(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    vals = [r.lifetime_value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # spot-check the top user against a direct computation
+    top = rows[0]
+    e = load_events(spark, SF_SMOKE)
+    direct = (
+        e.filter((F.col("user_id") == top.user_id) & (F.col("event_type") == "purchase"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert direct.v == top.lifetime_value and direct.n == top.n_purchases
+
+
+def test_ann_recall_report_consistency(spark):
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        _TOPK,
+        sim_ann_recall_report,
+    )
+
+    rows = sim_ann_recall_report(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_hits <= min(r.n_candidates, _TOPK)
+        rec = getattr(r, f"recall_at_{_TOPK}")
+        assert 0.0 <= rec <= 1.0
+        assert abs(rec - r.n_hits / _TOPK) < 1e-6
