@@ -119,3 +119,77 @@ def op_scd2_priority_history(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "op_scd2_temporal_join",
+    """WITH ch AS (
+         SELECT o_custkey AS k, o_orderpriority AS attr,
+                CAST(o_orderdate AS TIMESTAMP) AS ts
+         FROM orders),
+       fp AS (SELECT k, attr, ts, md5(CAST(attr AS VARCHAR)) AS f FROM ch),
+       ordered AS (
+         SELECT *, lag(f) OVER (PARTITION BY k ORDER BY ts, f) AS pf FROM fp),
+       dedup AS (SELECT * FROM ordered WHERE pf IS NULL OR f <> pf),
+       ver AS (
+         SELECT k, attr, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY k ORDER BY ts, f) AS valid_to
+         FROM dedup),
+       purch AS (
+         SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+         WHERE event_type = 'purchase')
+       SELECT COALESCE(v.attr, 'none') AS priority_at_purchase,
+              CAST(COUNT(*) AS BIGINT) AS n_purchases,
+              CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM purch p
+       LEFT JOIN ver v
+         ON p.user_id = v.k
+        AND v.valid_from <= p.ts
+        AND (v.valid_to IS NULL OR v.valid_to > p.ts)
+       GROUP BY 1 ORDER BY 1""",
+)
+def op_scd2_temporal_join(spark, sf_dir):
+    """Temporal (point-in-time) join: each purchase event resolves the
+    SCD2 dimension version valid AT its event time — the query SCD2
+    exists to answer ('what was this customer's priority when they
+    bought?'). The oracle spells the BETWEEN range join; the Spark plan
+    uses the as-of operator instead: versions tile each key's timeline
+    ([valid_from, next valid_from)), so the LATEST valid_from <= ts IS
+    the valid version — one union+window linear pass, no inequality-
+    join fan-out, no BroadcastNestedLoopJoin at any scale. Events
+    before a user's first version (or for users with no orders) roll up
+    under 'none'."""
+    from gravity_books_datalakehouse_spark.operators.asof import asof_join
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+    from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
+
+    o = load_table(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    dim = build_scd2(changes, "user_id", ["attr"], "ts")
+    versions = dim.select(
+        "user_id",
+        F.col("valid_from"),
+        F.col("attr").alias("priority_then"),
+    )
+    purch = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("ev_ts"), "value")
+    )
+    joined = asof_join(
+        purch, versions, "user_id", "ev_ts", "valid_from", ["priority_then"]
+    )
+    return (
+        joined.groupBy(
+            F.coalesce("priority_then", F.lit("none")).alias("priority_at_purchase")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("priority_at_purchase")
+    )
