@@ -492,3 +492,58 @@ def op_outliers_mad_tdigest(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_customer_rfm_segments",
+    """WITH per_cust AS (
+         SELECT o_custkey,
+                MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         FROM orders GROUP BY o_custkey),
+       scored AS (
+         SELECT o_custkey,
+                ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+                ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+                ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+                n_orders, monetary
+         FROM per_cust)
+       SELECT r, f, m,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+              ROUND(SUM(monetary), 2) AS total_monetary
+       FROM scored
+       GROUP BY r, f, m
+       ORDER BY r, f, m""",
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency/frequency/monetary quintiles)
+    — the classic marketing-analytics rollup. One groupBy on customer,
+    three global ntile windows over the customer-cardinality aggregate
+    (dim-sized, never fact-sized — the windows sort |customers| rows,
+    not |orders|), then a cell rollup. Deterministic quintiles via
+    customer-id tiebreaks; exact-decimal monetary sums."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.desc("n_orders"), F.asc("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = per_cust.select(
+        "o_custkey", r.alias("r"), f.alias("f"), m.alias("m"), "n_orders", "monetary"
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("total_orders"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .orderBy("r", "f", "m")
+    )

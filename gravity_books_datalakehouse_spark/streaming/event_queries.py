@@ -672,3 +672,54 @@ def ev_user_ltv_topk(spark, sf_dir):
         .orderBy(F.desc("lifetime_value"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "ev_type_transition_matrix",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS next_type
+         FROM events)
+       SELECT event_type AS from_type, next_type AS to_type,
+              CAST(COUNT(*) AS BIGINT) AS n_transitions,
+              ROUND(COUNT(*) * 1.0 /
+                    SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+                AS frac_from
+       FROM seq
+       WHERE next_type IS NOT NULL
+       GROUP BY event_type, next_type
+       ORDER BY from_type, to_type""",
+)
+def ev_type_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and per-source-state fractions of consecutive
+    (from, to) event-type pairs — the behavioral fingerprint funnels and
+    anomaly baselines build on. One user_id-partitioned ordered window
+    (event_id tiebreak pins same-timestamp order cross-engine), then a
+    16-cell rollup; the per-from fraction is a window over cell
+    cardinality."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    wf = Window.partitionBy("event_type")
+    return (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+        .withColumn(
+            "frac_from",
+            F.round(
+                F.col("n_transitions") * 1.0
+                / F.sum("n_transitions").over(Window.partitionBy("from_type")),
+                6,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
