@@ -547,3 +547,101 @@ def q_customer_rfm_segments(spark, sf_dir):
         )
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "q_revenue_pareto",
+    """WITH per_cust AS (
+         SELECT o_custkey,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         FROM orders GROUP BY o_custkey),
+       ranked AS (
+         SELECT rev,
+                SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) - rev AS cum_prev,
+                SUM(rev) OVER () AS total
+         FROM per_cust)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(COUNT(CASE WHEN cum_prev * 2 < total THEN 1 END) AS BIGINT)
+                AS n_for_50pct,
+              CAST(COUNT(CASE WHEN cum_prev * 5 < total * 4 THEN 1 END) AS BIGINT)
+                AS n_for_80pct,
+              CAST(COUNT(CASE WHEN cum_prev * 10 < total * 9 THEN 1 END) AS BIGINT)
+                AS n_for_90pct
+       FROM ranked""",
+)
+def q_revenue_pareto(spark, sf_dir):
+    """Revenue concentration (Pareto): the smallest number of customers
+    covering 50/80/90% of total revenue — the who-matters question every
+    account team asks. Cumulative share via one window over the
+    customer-cardinality aggregate; the threshold tests are EXACT
+    integer-scaled decimal comparisons (cum*2 < total, etc.), so no
+    float share ever decides a boundary customer differently across
+    engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_cust.select(
+        "rev",
+        (F.sum("rev").over(w) - F.col("rev")).alias("cum_prev"),
+        F.sum("rev").over(
+            Window.partitionBy()
+        ).alias("total"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.count(F.when(F.col("cum_prev") * 2 < F.col("total"), 1))
+        .cast("bigint").alias("n_for_50pct"),
+        F.count(F.when(F.col("cum_prev") * 5 < F.col("total") * 4, 1))
+        .cast("bigint").alias("n_for_80pct"),
+        F.count(F.when(F.col("cum_prev") * 10 < F.col("total") * 9, 1))
+        .cast("bigint").alias("n_for_90pct"),
+    )
+
+
+@register(
+    "q_order_to_ship_lag",
+    """SELECT o.o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(quantile_disc(
+                     date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)), 0.5) AS BIGINT)
+                AS median_lag_days,
+              CAST(quantile_disc(
+                     date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)), 0.9) AS BIGINT)
+                AS p90_lag_days
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderpriority
+       ORDER BY o.o_orderpriority""",
+)
+def q_order_to_ship_lag(spark, sf_dir):
+    """Fulfilment latency per order priority: median/p90 days between
+    order and line shipment — the operational SLA rollup. Discrete
+    percentiles over integer day differences keep the statistic
+    bit-identical cross-engine; one fact join (AQE-managed) and a
+    per-priority sort-aggregate over integer lags."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_days)")
+            .cast("bigint").alias("median_lag_days"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_days)")
+            .cast("bigint").alias("p90_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
