@@ -101,10 +101,14 @@ def _registry() -> tuple[dict, dict]:
     qs.update(operator_queries.queries())
     oracles.update(operator_queries.oracle_sql())
 
+    # Fail loudly on head drift: a typo or a rename would otherwise
+    # silently drop a query from the 50-entry driver window and break the
+    # "every entry witnessed at least once" rotation bookkeeping.
+    missing = [n for n in _PRIORITY_HEAD if n not in qs]
+    assert not missing, f"_PRIORITY_HEAD names absent from registry: {missing}"
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY_HEAD:
-        if name in qs:
-            ordered[name] = qs[name]
+        ordered[name] = qs[name]
     for name, fn in qs.items():
         if name not in ordered:
             ordered[name] = fn

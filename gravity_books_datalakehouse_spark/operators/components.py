@@ -171,12 +171,38 @@ from gravity_books_datalakehouse_spark.plans.operator_queries import register
 _CC_CACHE: dict[tuple[str, str], "DataFrame"] = {}
 
 
-@register("dedup_clusters_connected_components", None)  # rows-only: iterative
+def _cc_oracle_sql() -> str:
+    """DuckDB transitive-closure oracle: min-label reachability via a
+    recursive CTE over the SAME MinHash+LSH candidate edges the Spark
+    pipeline consumes. Exact at oracle scale (sf0.01: ~500 vertices in
+    small components); the Spark side exists because this recursive form
+    materializes |component|² reachability pairs — fine for an oracle,
+    not for a 100 TB dup graph."""
+    from gravity_books_datalakehouse_spark.operators.dedup import _MINHASH_SQL
+
+    return (
+        _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+  edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+  reach(id, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.lbl
+  )
+  SELECT id AS doc_id, MIN(lbl) AS cluster_rep
+  FROM reach GROUP BY id ORDER BY id"""
+    )
+
+
+@register("dedup_clusters_connected_components", _cc_oracle_sql())
 def dedup_clusters_connected_components(spark, sf_dir):
-    """Near-dup cluster assignment over the MinHash+LSH pair graph. No SQL
-    oracle — components is an iterative fixpoint (the driver records the
-    rows-only check); tests/test_components.py verifies against a local
-    union-find oracle instead."""
+    """Near-dup cluster assignment over the MinHash+LSH pair graph,
+    hash-verified against a DuckDB WITH RECURSIVE transitive-closure
+    oracle (min reachable id per vertex over the identical edge set);
+    tests/test_components.py additionally verifies the large-star/
+    small-star fixpoint against a local union-find oracle on synthetic
+    graphs (chains, cliques, singletons)."""
     from gravity_books_datalakehouse_spark.operators.dedup import (
         dedup_minhash_lsh_pairs,
     )

@@ -848,12 +848,12 @@ doc_dup AS (
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(dd.doc_id) AS BIGINT) AS n_docs_with_dup_spans,
-       CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(t.n_tokens, 0)) AS BIGINT) AS total_tokens,
        CAST(COALESCE(SUM(dd.dup_tokens), 0) AS BIGINT) AS dup_span_tokens,
-       ROUND(COALESCE(SUM(dd.dup_tokens), 0) * 1.0 / SUM(t.n_tokens), 6)
-         AS dup_token_rate
+       ROUND(COALESCE(SUM(dd.dup_tokens), 0) * 1.0
+             / SUM(COALESCE(t.n_tokens, 0)), 6) AS dup_token_rate
 FROM documents d
-JOIN doc_tokens t ON d.doc_id = t.doc_id
+LEFT JOIN doc_tokens t ON d.doc_id = t.doc_id
 LEFT JOIN doc_dup dd ON d.doc_id = dd.doc_id
 GROUP BY d.source
 ORDER BY d.source"""
@@ -873,9 +873,13 @@ def dedup_substring_rate(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     spans = dedup_substring_spans(spark, sf_dir)
     # array length as a zero-shuffle projection — NOT posexplode+groupBy,
-    # which would shuffle one row per corpus token just to count them
+    # which would shuffle one row per corpus token just to count them.
+    # coalesce(_, 0) pins the NULL-text contract to the oracle's: a doc
+    # with no tokens counts as 0 tokens and stays in n_docs (the oracle's
+    # exploded-rows count joins back via LEFT JOIN + COALESCE).
     doc_tokens = docs.select(
-        "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tokens")
+        "doc_id",
+        F.coalesce(F.size(tokens_col()), F.lit(0)).cast("bigint").alias("n_tokens"),
     )
     doc_dup = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup_tokens"))
     return (

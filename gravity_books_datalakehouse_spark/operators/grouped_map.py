@@ -26,7 +26,11 @@ CENTERED_SCHEMA = (
 
 
 def _center_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    mat = np.vstack(pdf["embedding"].to_numpy())
+    # float64 math throughout: the float32 inputs are exact in double, so
+    # the centroid/distance agree with any double-precision re-derivation
+    # (DuckDB AVG, numpy) to the last few ulps — which is what lets the
+    # registry variant's 6-dp rounded distance hash-match a SQL oracle.
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     centroid = mat.mean(axis=0)
     centered = mat - centroid
     return pd.DataFrame(
@@ -51,12 +55,37 @@ from gravity_books_datalakehouse_spark.plans.operator_queries import register
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
 
-@register("mm_center_embeddings_per_label", None)  # rows-only: Python stage
+@register(
+    "mm_center_embeddings_per_label",
+    """WITH ex AS (
+         SELECT vec_id, label,
+                CAST(unnest(embedding) AS DOUBLE) AS x,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       cent AS (
+         SELECT label, i, AVG(x) AS m FROM ex GROUP BY label, i)
+       SELECT e.vec_id, e.label,
+              ROUND(SQRT(SUM((e.x - c.m) * (e.x - c.m))), 6)
+                AS dist_to_centroid
+       FROM ex e
+       JOIN cent c ON e.label = c.label AND e.i = c.i
+       GROUP BY e.vec_id, e.label
+       ORDER BY e.vec_id""",
+)
 def mm_center_embeddings_per_label(spark, sf_dir):
-    """Grouped-map normalization through the driver contract (no SQL
-    oracle — numpy float semantics; tests/test_grouped_map.py verifies
-    against a local numpy oracle instead)."""
-    return center_embeddings_per_label(load_table(spark, sf_dir, "embeddings"))
+    """Grouped-map normalization through the driver contract. The
+    applyInPandas kernel computes per-label centering in float64
+    (tests/test_grouped_map.py checks the full centered vectors against a
+    local numpy oracle); the registry projection drops the list-valued
+    ``centered`` column — the driver's pandas canonicalizer cannot sort
+    list cells (CORRECTNESS_r04 TypeError) — and keeps the scalar
+    ``dist_to_centroid``, which IS SQL-expressible: the DuckDB oracle
+    re-derives it via positional explode + per-(label, idx) AVG, turning
+    this entry from rows-only into a hash-verified row."""
+    out = center_embeddings_per_label(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", "label", F.round("dist_to_centroid", 6).alias("dist_to_centroid")
+    )
 
 
 # --- Grouped-aggregate Pandas UDF (Arrow series -> scalar per group) ----

@@ -105,6 +105,26 @@ def pca_project(
 @register("sim_pca_project", None)  # rows-only: eigenstructure, no SQL twin
 def sim_pca_project(spark, sf_dir):
     """Top-8 PCA projection of the corpus embeddings through the driver
-    contract (rows-only; tests/test_pca.py verifies projections against
-    a local numpy PCA oracle bit-for-bit under the sign convention)."""
-    return pca_project(load_table(spark, sf_dir, "embeddings"), dim=64, k=8)
+    contract (rows-only; tests/test_pca.py verifies the raw projections
+    against a local numpy PCA oracle under the sign convention).
+
+    The driver's pandas canonicalizer cannot sort list-valued cells
+    (CORRECTNESS_r04: TypeError unhashable type 'list'), so this
+    registry-facing variant projects the array to canon-safe scalars:
+    a deterministic fingerprint of the full rounded vector (fixed %.6f
+    formatting; +0.0 folds -0.0 so the digest is sign-stable) plus two
+    scalar invariants (L2 norm, first principal component). The
+    array-valued ``pca_project`` stays the library API."""
+    proj = pca_project(load_table(spark, sf_dir, "embeddings"), dim=64, k=8)
+    as_text = F.transform(
+        F.col("proj"), lambda x: F.format_string("%.6f", x + F.lit(0.0))
+    )
+    return proj.select(
+        "vec_id",
+        "label",
+        F.md5(F.concat_ws(",", as_text)).alias("proj_fp"),
+        F.round(
+            F.sqrt(F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("proj_norm"),
+        F.round(F.element_at("proj", 1), 6).alias("pc1"),
+    )

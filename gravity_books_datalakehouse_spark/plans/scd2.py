@@ -170,7 +170,16 @@ def op_scd2_temporal_join(spark, sf_dir):
         F.col("o_orderdate").cast("timestamp").alias("ts"),
     )
     dim = build_scd2(changes, "user_id", ["attr"], "ts")
-    versions = dim.select(
+    # Zero-width versions (valid_from == valid_to, produced when a key has
+    # two same-timestamp change rows with different attributes) can never
+    # satisfy the oracle's range predicate valid_from <= ts < valid_to, so
+    # drop them BEFORE the as-of join. Without this filter the as-of
+    # window's last() among same-__ts right rows picks whichever tied
+    # version the sort happens to emit last — correct today only via an
+    # implementation detail of Spark's sort stability, not a contract.
+    versions = dim.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select(
         "user_id",
         F.col("valid_from"),
         F.col("attr").alias("priority_then"),

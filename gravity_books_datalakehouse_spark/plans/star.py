@@ -31,7 +31,7 @@ results (double summation order would otherwise differ cross-engine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gravity_books_datalakehouse_spark.plans._cache import (
@@ -46,6 +46,21 @@ from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
 def _money(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
+
+
+#: Measured columnar-cache footprint of one fact row (4 int SKs + 4
+#: decimal measures: InMemoryRelation stats showed 27.5 MiB / 600 k rows
+#: at sf0.1). Used only to size cache partitions — never for planning.
+_FACT_ROW_BYTES = 48
+_MIN_CACHE_PARTITION_BYTES = 4 << 20
+
+
+def _fact_cache_partitions(spark: SparkSession, n_rows: int) -> int:
+    """Partition count for the persisted fact: defaultParallelism for
+    full-cluster scans, capped so no partition is smaller than ~4 MB
+    (below that, per-task scheduling overhead exceeds the scan work)."""
+    by_size = -(-n_rows * _FACT_ROW_BYTES // _MIN_CACHE_PARTITION_BYTES)
+    return int(max(2, min(spark.sparkContext.defaultParallelism, by_size)))
 
 
 #: (applicationId, sf_dir) → persisted star tables. The five reference
@@ -160,8 +175,14 @@ def _build_star_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # downstream star query would then pay a near-single-threaded
         # fact scan (measured: a 524 ms straggler task vs 4 ms p50).
         # One round-robin shuffle at build time gives every cached scan
-        # full-cluster parallelism with perfectly even partitions.
-        .repartition(spark.sparkContext.defaultParallelism)
+        # even partitions. The count is SIZE-AWARE: defaultParallelism,
+        # capped so no cached partition falls below ~4 MB — a flat
+        # defaultParallelism produced 32 × 750 KB partitions at sf0.1
+        # whose per-task scheduling cost dominated every star query
+        # (measured: full fact scan 0.22 s at 32 partitions vs 0.14 s at
+        # 8-16). At production scale the size floor is a no-op (the cap
+        # binds only when the fact is small relative to the cluster).
+        .repartition(_fact_cache_partitions(spark, lineitem.count()))
     )
 
     return {
@@ -245,24 +266,36 @@ def q1_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_top10_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference q2 (test_queries.py:27-37): top-10 best sellers + tiebreak.
 
-    Aggregate-then-join: the fact aggregates on the narrow int
-    ``part_sk`` alone (the expensive pass over every sale carries no
-    string columns), then the per-part counts — bounded by |dim_part|,
-    not by fact size — broadcast-join the dim for name/brand, and
-    TakeOrderedAndProject applies the (units desc, name, sk) tiebreak.
-    The tiebreak needs ``p_name``, so the top-10 cut happens after the
-    join — but the join input is already aggregate-sized."""
+    Aggregate-then-join with an early candidate cut: the fact aggregates
+    on the narrow int ``part_sk`` alone (the expensive pass over every
+    sale carries no string columns); then ``rank() <= 10`` over the
+    dim-bounded counts keeps exactly the rows whose units_sold ties or
+    beats the 10th-largest value (ties included, so the p_name tiebreak
+    still sees every contender), and only those few rows — broadcast as
+    the build side — join dim_part for name/brand. Round 4 broadcast the
+    whole 20k-row string dim instead and regressed to 3.3× the DuckDB
+    baseline: the exchange cost more than it saved at sf0.1.
+
+    The unpartitioned rank window sorts the counts relation on one task —
+    acceptable because counts is |dim_part|-bounded after full fact
+    reduction (same class as q3's limit); if the part dim itself were
+    huge, the two-pass form (scalar 10th-value threshold, then a
+    semi-filter) replaces the window without touching the fact pass."""
     s = build_star(spark, sf_dir)
     counts = (
         s["fact_sales"]
         .groupBy("part_sk")
         .agg(F.count("part_sk").alias("units_sold"))
     )
+    w = Window.orderBy(F.desc("units_sold"))
+    cand = (
+        counts.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
     return (
-        counts.join(
-            F.broadcast(s["dim_part"].select("part_sk", "p_name", "p_brand")),
-            "part_sk",
-        )
+        F.broadcast(cand)
+        .join(s["dim_part"].select("part_sk", "p_name", "p_brand"), "part_sk")
         .select("part_sk", "p_name", "p_brand", "units_sold")
         .orderBy(F.desc("units_sold"), F.asc("p_name"), F.asc("part_sk"))
         .limit(10)

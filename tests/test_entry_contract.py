@@ -48,9 +48,7 @@ def test_first_50_entries_cover_every_family_with_oracles():
     allowed_rows_only = {
         "op_outliers_mad_tdigest",           # sketch: tests/test_sketches.py band
         "sim_kmeans_refine",                 # iterative: tests/test_kmeans.py
-        "dedup_clusters_connected_components",  # iterative: tests/test_components.py
-        "sim_pca_project",                   # iterative: tests/test_pca.py numpy oracle
-        "mm_center_embeddings_per_label",    # tests/test_grouped_map.py numpy oracle
+        "sim_pca_project",                   # eigenstructure: tests/test_pca.py numpy oracle
         "mm_decode_features",                # stub codec: tests/test_multimodal.py
         "op_sketch_approx_stats",            # sketch bounds: tests/test_sketches.py
     }

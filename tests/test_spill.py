@@ -69,6 +69,40 @@ def _running(spark):
     )
 
 
+def _order_rollup(li):
+    from pyspark.sql import functions as F
+
+    return li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def test_hash_aggregate_sort_fallback_spills_and_stays_correct(spark):
+    """Memory-pressure behavior of the OTHER big spilling operator class:
+    HashAggregateExec. When the aggregation hash map cannot grow, the
+    task hands its map to the external sorter and finishes sort-based —
+    ``spark.sql.TungstenAggregate.testFallbackStartsAt`` (Spark's own
+    fallback-injection conf, runtime-settable) forces that branch at a
+    tiny row count, which is exactly the code path a memory-starved
+    executor takes on a 100 TB high-cardinality groupBy. Asserted via the
+    plan's real SQLMetrics: tasks fell back, bytes spilled, and the
+    result set is identical to the default in-memory run."""
+    key = "spark.sql.TungstenAggregate.testFallbackStartsAt"
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    spark.conf.set(key, "100,200")
+    try:
+        df = _order_rollup(li)
+        rows = df.collect()
+        m = plan_metrics_sum(df, ["spillSize", "numTasksFallBacked"])
+        assert m["numTasksFallBacked"] > 0, "fallback injection did not fire"
+        assert m["spillSize"] > 0, "sort-based fallback must spill bytes"
+    finally:
+        spark.conf.unset(key)
+    want = _order_rollup(li).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+
+
 def test_window_spills_gracefully_and_stays_correct(spark, tiny_spill_thresholds):
     df = _running(spark)
     rows = df.collect()
