@@ -28,65 +28,73 @@ _REGISTRY: list[tuple[dict, dict]] = []
 # so no family is invisible to the hard per-round signal. Everything else
 # keeps its natural module order after the head.
 _PRIORITY_HEAD = [
-    # --- veterans kept: flagship, changed-this-round, and one hard-gate
-    # representative per family (everything else here was green in a prior
-    # CORRECTNESS window and rotates to the judge-verified tail) ---
+    # --- round-6 window rotation state ---
+    # After round 5, 21 registry entries had NEVER appeared in any
+    # CORRECTNESS_r*.json window; all 21 are in this head, which (with the
+    # oldest-witnessed backfill below) completes the full-registry witness
+    # sweep: after this round every one of the 159 entries has a green row
+    # in some CORRECTNESS_r*.json. One rep per query family stays in (the
+    # tests/test_entry_contract.py interleave gate). Round-7 rotation: the
+    # 11 entries still last-witnessed in round 1 are op_a2_global_minmax,
+    # op_a3_distinct, op_a_stats_kit, op_f_regex_kit, op_f_string_kit,
+    # op_j_anti, op_j_semi, op_p2_rename, op_s1_scan_projection,
+    # op_w_mom_growth, op_w_ntile_deciles — swap those in next.
+    # --- flagships + changed-this-round ---
     "star_q1_monthly_sales",
-    "star_q3_top5_customers",     # plan reshaped round 4: aggregate-then-join
-    # --- round-4 window rotation: every entry below has NEVER appeared in
-    # a CORRECTNESS_r*.json window (49 such queries existed after round 3;
-    # the remainder rotates in next round) ---
-    # new this round
-    "op_j_skewed_salted",
-    "op_outliers_mad",
-    "op_outliers_mad_tdigest",
-    "dedup_substring_spans",
-    "dedup_substring_rate",
-    "pipeline_dedup_keep_best",
-    "text_ccnet_buckets",
-    "op_sample_exact_k",
-    # round-3 additions the driver has not yet witnessed
-    "dedup_incremental_new_vs_corpus",
-    "pipeline_decontaminate",
-    "pipeline_mixture_manifest",
-    "sim_range_search",
-    "ev_retention_cohorts",
-    "ev_rolling_7d_active_users",
-    "ev_anomaly_hourly_zscore",
-    "ev_anomaly_hourly_zscore_gapfill",
-    "op_scd2_priority_history",
-    "text_vocab_growth",
-    "text_bpe_pretokenize_stats",
-    "text_quality_percentile_cut",
-    "op_w_gap_fill_forward",
-    "sim_kmeans_refine",
-    # never-witnessed operator-kit / analytics entries
-    "op_a_grouping_sets",
-    "op_f_histogram",
-    "op_w_value_functions",
-    "op_unpivot_roundtrip",
+    "star_q3_top5_customers",
+    "sim_kmeans_refine",          # round 6: gained an unrolled-Lloyd SQL oracle
+    # --- the 21 never-witnessed entries (round-5 verdict list) ---
+    "q_returned_item_customers",
+    "q_small_qty_revenue",
+    "q_part_supplier_counts",
+    "q_order_to_ship_lag",
+    "q_late_shipment_priority",
+    "q_important_part_value",
+    "q_customer_rfm_segments",
+    "q_customer_order_distribution",
+    "q_idle_rich_customers",
+    "q_revenue_pareto",
+    "op_scd2_temporal_join",
+    "op_asof_join_tolerance",
+    "pipeline_epoch_shuffle",
+    "pipeline_contamination_by_source",
+    "ev_funnel_time_to_convert",
+    "ev_type_transition_matrix",
+    "ev_user_ltv_topk",
+    "mm_payload_dedup",
+    "sim_ann_recall_report",
+    "text_lang_confusion",
+    "text_substring_dedup_rewrite",
+    # --- family reps keeping the interleave gate (oldest witness per family
+    # where the family allows; op_fk/op_unpivot/op_outliers have no older
+    # member) ---
+    "dedup_exact",
+    "op_sample_rebalance_langs",
+    "op_split_train_eval",
+    "op_sketch_countmin_terms",
     "op_fk_orphan_audit",
-    "op_sample_importance_by_quality",
-    "op_split_stratified_exact",
-    "dedup_rate_by_source",
-    "dedup_embedding_near_dup",
-    "dedup_clusters_connected_components",
-    "sim_lsh_bucket_stats",
-    "sim_ivf_cluster_stats",
-    "sim_label_centroids",
-    "sim_pca_project",
-    "mm_center_embeddings_per_label",
-    "ev_type_value_stats",
-    "ev_json_props_extract",
-    "ev_sliding_windows",
-    "q_priority_with_returns",
-    "q_local_supplier_volume",
-    "q_top_supplier_revenue",
-    "q_disjunctive_predicates",
-    "mm_decode_features",
-    "op_sketch_approx_stats",
-    "q_large_volume_customers",
-    "q_min_cost_supplier",
+    "op_unpivot_roundtrip",
+    "op_outliers_mad",
+    # --- backfill: oldest-witnessed entries (last driver witness = round 1) ---
+    "op_a_cube",
+    "op_f_array_kit",
+    "op_f_date_kit",
+    "op_j10_differing_key_names",
+    "op_j_left_nulls_kept",
+    "op_p4_p5_casts",
+    "op_percentiles_exact",
+    "op_pivot_event_counts",
+    "op_profile_columns",
+    "op_w_running_total",
+    "op_w_topn_per_group",
+    "op_where_filter_pushdown",
+    "q_heavy_suppliers_semi",
+    "q_nation_pair_flows",
+    "q_revenue_range_filter",
+    "q_top_urgent_orders",
+    "text_fingerprint",
+    "text_quality_scores",
+    "text_top_bigrams",
 ]
 
 
@@ -105,7 +113,10 @@ def _registry() -> tuple[dict, dict]:
     # silently drop a query from the 50-entry driver window and break the
     # "every entry witnessed at least once" rotation bookkeeping.
     missing = [n for n in _PRIORITY_HEAD if n not in qs]
-    assert not missing, f"_PRIORITY_HEAD names absent from registry: {missing}"
+    if missing:  # not assert: must survive python -O with the diagnostic
+        raise RuntimeError(
+            f"_PRIORITY_HEAD names absent from registry: {missing}"
+        )
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY_HEAD:
         ordered[name] = qs[name]

@@ -132,13 +132,80 @@ def kmeans_refine(
     return _assign(e, kmeans_fit(spark, e, k, n_iter))
 
 
-@register("sim_kmeans_refine", None)  # rows-only: iterative (driver model state)
+def _lloyd_oracle_sql(k: int = K, n_iter: int = N_ITER) -> str:
+    """DuckDB oracle: the SAME deterministic Lloyd fit, unrolled as a
+    fixed CTE chain (init = vec_id < k; per sweep: argmin assignment on
+    squared distance with min-cid tiebreak, then per-(cluster, dim) AVG
+    update, empty clusters keeping their previous centroid via the LEFT
+    JOIN + COALESCE). The fit has a FIXED sweep count, so "iterative"
+    is just n_iter copies of the same two relational blocks — which is
+    exactly what makes the fixpoint SQL-expressible and lets the driver
+    hash-verify this entry instead of recording a rows-only check.
+
+    Cross-engine float note: both engines do all math in float64 on the
+    exactly-widened float32 inputs; summation orders differ (Spark fold
+    / partial aggregation vs DuckDB hash-agg), so d2 and centroids agree
+    only to ~1e-13. An assignment flip would need a near-exact distance
+    tie between two centroids; inertia is rounded to 3 dp against values
+    of order 1-100 (relative margin ~1e-5 vs drift ~1e-13)."""
+    parts = [
+        """WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, dim, x FROM ex WHERE vec_id < %d)""" % k
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+  FROM ex e JOIN c{i - 1} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid),
+a{i} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{i})
+  WHERE rn = 1),
+u{i} AS (
+  SELECT a.cid, e.dim, AVG(e.x) AS x
+  FROM a{i} a JOIN ex e ON a.vec_id = e.vec_id
+  GROUP BY a.cid, e.dim),
+c{i} AS (
+  SELECT c.cid, c.dim, COALESCE(u.x, c.x) AS x
+  FROM c{i - 1} c LEFT JOIN u{i} u ON u.cid = c.cid AND u.dim = c.dim)"""
+        )
+    # final assignment against the fitted centroids, then the rollup
+    parts.append(
+        f"""dF AS (
+  SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+  FROM ex e JOIN c{n_iter} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid),
+aF AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dF)
+  WHERE rn = 1)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+       ROUND(SUM(d2), 3) AS inertia
+FROM aF GROUP BY cid ORDER BY cid"""
+    )
+
+
+@register("sim_kmeans_refine", _lloyd_oracle_sql())
 def sim_kmeans_refine(spark, sf_dir):
     """Per-cluster size and inertia after 5 Lloyd sweeps from the IVF
-    init. No SQL oracle — k-means is an iterative fixpoint (the driver
-    records the rows-only check); tests/test_kmeans.py verifies against
-    a numpy Lloyd oracle with the identical init and update rules, and
-    that refinement never increases total inertia."""
+    init. Hash-verified against a DuckDB oracle that replays the SAME
+    deterministic fit as an unrolled 5-sweep CTE chain
+    (``_lloyd_oracle_sql``); tests/test_kmeans.py additionally verifies
+    the fit against a numpy Lloyd oracle with the identical init and
+    update rules, and that refinement never increases total inertia."""
     from gravity_books_datalakehouse_spark.plans._cache import (
         evict_other_scales,
         session_key,

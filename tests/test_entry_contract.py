@@ -46,8 +46,9 @@ def test_first_50_entries_cover_every_family_with_oracles():
     for fam in families:
         assert any(n.startswith(fam) for n in head), f"family {fam} absent from first 50"
     allowed_rows_only = {
+        # sim_kmeans_refine left this set in round 6: its fixed-sweep Lloyd
+        # fit is now replayed by an unrolled DuckDB CTE oracle (kmeans.py).
         "op_outliers_mad_tdigest",           # sketch: tests/test_sketches.py band
-        "sim_kmeans_refine",                 # iterative: tests/test_kmeans.py
         "sim_pca_project",                   # eigenstructure: tests/test_pca.py numpy oracle
         "mm_decode_features",                # stub codec: tests/test_multimodal.py
         "op_sketch_approx_stats",            # sketch bounds: tests/test_sketches.py
