@@ -35,14 +35,16 @@ _PRIORITY_HEAD = [
     # sweep: after this round every one of the 159 entries has a green row
     # in some CORRECTNESS_r*.json. One rep per query family stays in (the
     # tests/test_entry_contract.py interleave gate). Round-7 rotation: the
-    # 11 entries still last-witnessed in round 1 are op_a2_global_minmax,
+    # 12 entries still last-witnessed in round 1 are op_a2_global_minmax,
     # op_a3_distinct, op_a_stats_kit, op_f_regex_kit, op_f_string_kit,
-    # op_j_anti, op_j_semi, op_p2_rename, op_s1_scan_projection,
-    # op_w_mom_growth, op_w_ntile_deciles — swap those in next.
+    # op_j_anti, op_j_semi, op_p2_rename, op_profile_columns,
+    # op_s1_scan_projection, op_w_mom_growth, op_w_ntile_deciles — swap
+    # those in next.
     # --- flagships + changed-this-round ---
     "star_q1_monthly_sales",
     "star_q3_top5_customers",
     "sim_kmeans_refine",          # round 6: gained an unrolled-Lloyd SQL oracle
+    "mm_center_embeddings_per_label",  # round 6: rounding widened to 5 dp
     # --- the 21 never-witnessed entries (round-5 verdict list) ---
     "q_returned_item_customers",
     "q_small_qty_revenue",
@@ -84,7 +86,6 @@ _PRIORITY_HEAD = [
     "op_p4_p5_casts",
     "op_percentiles_exact",
     "op_pivot_event_counts",
-    "op_profile_columns",
     "op_w_running_total",
     "op_w_topn_per_group",
     "op_where_filter_pushdown",

@@ -40,6 +40,80 @@ TABLES = [
 # reference-parity star queries and the TPC-H-shaped analytics.
 BASELINE_PREFIXES = ("star_", "q_")
 
+# --- cross-round noise sentinel -------------------------------------------
+# Round 5's wall-clock moved +20% round-over-round with ZERO code changes to
+# the slow families — the DuckDB self-baseline slowed 17.6% on identical SQL
+# and parquet, i.e. ambient host noise. This pinned query (fixed SQL, fixed
+# tables, never derived from the registry so it cannot drift) is timed
+# best-of-3 in DuckDB each run; normalized_total rescales the headline
+# wall-clock by (ref / measured) so round-over-round deltas are attributable
+# to code, not to the host's mood.
+_SENTINEL_SQL = (
+    "SELECT o.o_orderpriority, COUNT(*) AS n, "
+    "SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev, "
+    "AVG(l.l_quantity) AS aq "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+)
+#: Reference sentinel seconds: best-of-3 at sf0.1 measured on the driver
+#: host in a quiet round-6 window (observed 0.082-0.090 across 4 trials).
+#: Valid ONLY at sf0.1 (the driver's bench scale) — normalized_total_sec
+#: is emitted as null at any other SF rather than rescaled nonsense.
+_SENTINEL_REF_SEC = 0.085
+_SENTINEL_REF_SF = 0.1
+
+
+def _noise_sentinel_sec() -> float | None:
+    """Best-of-3 DuckDB wall-time of the pinned sentinel at SF_DIR."""
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if not os.path.exists(p):
+            return None
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(_SENTINEL_SQL).fetchall()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    con.close()
+    return round(best, 4)
+
+
+def _spark_fixed_floor(spark) -> dict[str, float]:
+    """Per-query fixed cost of the Spark harness itself, measured (not
+    inferred): best-of-5 of (a) a plan-trivial local query and (b) a
+    one-row parquet scan, both through the same toPandas path every
+    timed query uses. At sf0.1 the q_ family's DuckDB times are 15-170
+    ms, so this floor — Catalyst planning, stage scheduling, Arrow
+    fetch — dominates the raw spark/duckdb ratio; the corrected ratio
+    (spark_sec - floor) / duckdb_sec is the part a bigger SF would
+    actually amortize (cross-checked by the sf1 probe below)."""
+    floors: dict[str, float] = {}
+    probes = (
+        ("select1", lambda: spark.sql("SELECT 1 AS x").toPandas()),
+        (
+            "scan1row",
+            lambda: spark.read.parquet(
+                os.path.join(SF_DIR, "region.parquet")
+            ).limit(1).toPandas(),
+        ),
+    )
+    for label, fn in probes:
+        best = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        floors[label] = round(best, 4)
+    return floors
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -138,13 +212,113 @@ def _scaling_probe(spark, entry_mod) -> dict:
     return {"sfs": sfs, "sec": sec}
 
 
+# --- synthetic sf~1 probe ---------------------------------------------------
+# The round-5 compacted probe refuted the file-layout explanation for the q_
+# family's spark/duckdb ratios; the remaining hypothesis is per-query fixed
+# overhead that a larger SF amortizes. This probe measures the crossover
+# DIRECTLY: lineitem and orders are replicated 10x with the order keys offset
+# per replica (each replica is a disjoint set of orders over the shared
+# customer/part dims — exactly how a larger TPC-H SF behaves, preserving
+# per-order join cardinalities), and three q_ shapes run on both engines.
+SF1_COPIES = 10
+SF1_QUERIES = (
+    "q_pricing_summary",          # full-scan aggregate (lineitem only)
+    "q_large_volume_customers",   # TPC-H q18: wide join + HAVING semi-join
+    "q_order_to_ship_lag",        # fact join + discrete percentiles
+)
+
+
+def _build_sf1_copy(src_dir: str) -> str:
+    """Materialize the 10x replica set under .bench-sf1/ via DuckDB
+    (multi-row-group files, so both engines parallelize the scan); dim
+    tables are shared with the source dir via symlink."""
+    import shutil
+
+    import duckdb
+
+    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench-sf1")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    off = con.execute(
+        f"SELECT MAX(o_orderkey) + 1 FROM read_parquet('{src_dir}/orders.parquet')"
+    ).fetchone()[0]
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        con.execute(
+            f"COPY (SELECT t.* REPLACE (t.{key} + i.range * {off} AS {key}) "
+            f"FROM read_parquet('{src_dir}/{t}.parquet') t "
+            f"CROSS JOIN range({SF1_COPIES}) i) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    for t in TABLES:
+        if t in ("lineitem", "orders"):
+            continue
+        src = os.path.join(src_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+def _sf1_probe(spark, entry_mod) -> dict:
+    """Best-of-2 Spark and DuckDB seconds for SF1_QUERIES on the 10x
+    replica set: {"copies": 10, "sec": {name: [spark_s, duck_s, ratio]}}.
+    Read next to the same queries' sf0.1 ratios to see the fixed-overhead
+    amortization directly instead of extrapolating it."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    d = _build_sf1_copy(SF_DIR)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(d, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out: dict = {"copies": SF1_COPIES, "sec": {}}
+    for name in SF1_QUERIES:
+        if name not in qs or name not in oracles:
+            continue
+        s_best = d_best = None
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, d).toPandas()
+                dt = time.perf_counter() - t0
+                s_best = dt if s_best is None else min(s_best, dt)
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                dt = time.perf_counter() - t0
+                d_best = dt if d_best is None else min(d_best, dt)
+        except Exception as exc:
+            print(f"# sf1 {name}: ERROR {exc}", file=sys.stderr)
+            continue
+        out["sec"][name] = [
+            round(s_best, 3),
+            round(d_best, 3),
+            round(s_best / d_best, 2) if d_best > 0 else None,
+        ]
+    con.close()
+    return out
+
+
 def _build_compacted_copy(spark, src_dir: str) -> str:
     """Rewrite each driver parquet table into multiple ~8 MB files under
     .bench-compacted/<sf>/ — the layout plans/medallion.py's silver layer
     produces by construction. The driver's pyarrow-written tables have
     exactly ONE row group per file, so neither Spark nor DuckDB can
-    parallelize the raw scan; this probe measures how much of the q_/star_
-    ratio is that file layout rather than plan quality."""
+    parallelize the raw scan.
+
+    This probe is a HYPOTHESIS TEST for "the q_/star_ ratio is that
+    single-row-group file layout, not plan quality" — and the round-5
+    measurement REFUTED it: compacted_ratio 7.52 vs the raw layout's
+    6.15 (DuckDB got *faster* on multi-file input, Spark barely moved),
+    so file layout does NOT explain the gap. The surviving explanation —
+    per-query fixed overhead at toy scale — is measured directly by
+    _spark_fixed_floor and _sf1_probe above. The probe stays so the
+    layout axis keeps being measured rather than narrated."""
     import shutil
 
     dst_dir = os.path.join(
@@ -177,9 +351,9 @@ def _build_compacted_copy(spark, src_dir: str) -> str:
 def _compacted_probe(spark, entry_mod) -> dict:
     """Best-of-2 Spark + DuckDB seconds for the reference-parity families
     (star_/q_) over the compacted copies — same queries, same engines,
-    multi-file layout. Reported as subset totals + the ratio, so the
-    straggler-metrics claim ('the plans are right, the single-row-group
-    files are the bottleneck') is a measurement, not a narrative."""
+    multi-file layout; subset totals + ratio. See _build_compacted_copy:
+    this is the layout-hypothesis measurement (refuted in round 5), kept
+    so the axis stays measured."""
     try:
         import duckdb
     except ImportError:
@@ -195,6 +369,18 @@ def _compacted_probe(spark, entry_mod) -> dict:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
             )
+    # Warm the star for the compacted dir BEFORE the timed loop: _STAR_CACHE
+    # keys on sf_dir, so the first timed star query would otherwise pay the
+    # full star build + cache materialization (round 5 measured: star_q1
+    # 1.29 s here vs 0.37 s in the main loop) and compacted_ratio would
+    # compare cache states, not file layouts. One untimed pass over the five
+    # star queries materializes every persisted star table.
+    for name in sorted(qs):
+        if name.startswith("star_"):
+            try:
+                qs[name](spark, cdir).toPandas()
+            except Exception:
+                pass
     spark_tot = duck_tot = 0.0
     per_q: dict[str, list[float]] = {}
     for name in sorted(oracles):
@@ -325,11 +511,35 @@ def main() -> None:
         print(f"# scaling probe failed: {exc}", file=sys.stderr)
         scaling = {}
 
+    # NOTE: the compacted and sf1 probes MUST stay after the headline and
+    # scaling loops: build_star(cdir) evicts the main SF_DIR star/fact
+    # caches (evict_other_scales keys per sf_dir), so running them earlier
+    # would silently force cache rebuilds inside timed flagship queries.
     try:
         compacted = _compacted_probe(spark, entry_mod)
     except Exception as exc:
         print(f"# compacted probe failed: {exc}", file=sys.stderr)
         compacted = {}
+
+    try:
+        sf1 = _sf1_probe(spark, entry_mod)
+    except Exception as exc:
+        print(f"# sf1 probe failed: {exc}", file=sys.stderr)
+        sf1 = {}
+
+    try:
+        floors = _spark_fixed_floor(spark)
+    except Exception as exc:
+        print(f"# floor probe failed: {exc}", file=sys.stderr)
+        floors = {}
+    # the one-row parquet scan is the floor every real query pays at minimum
+    floor = floors.get("scan1row", 0.0)
+
+    try:
+        sentinel = _noise_sentinel_sec()
+    except Exception as exc:
+        print(f"# noise sentinel failed: {exc}", file=sys.stderr)
+        sentinel = None
 
     def _ratio(spark_s: float, duck_s: float):
         if duck_s <= 0:
@@ -346,6 +556,24 @@ def main() -> None:
         if n in detail:
             detail[n]["duckdb_sec"] = duck[n]
             detail[n]["ratio"] = ratios.get(n)
+            if duck[n] > 0 and floor:
+                # the plan-cost share of the ratio: fixed harness floor
+                # subtracted (measured by _spark_fixed_floor this run)
+                detail[n]["ratio_overhead_corrected"] = round(
+                    max(timings[n] - floor, 0.0) / duck[n], 2
+                )
+
+    # family-level overhead-corrected ratios (the round-6 decomposition:
+    # how much of the q_/star_ gap is the per-query fixed floor)
+    def _fam_corrected(prefix: str):
+        names = [n for n in duck if n.startswith(prefix) and n in timings]
+        if not names or not floor:
+            return None
+        dsum = sum(duck[n] for n in names)
+        if dsum <= 0:
+            return None
+        ssum = sum(max(timings[n] - floor, 0.0) for n in names)
+        return round(ssum / dsum, 2)
 
     # Per-family totals summarize the 105-query registry without blowing
     # the stdout budget (the driver keeps only the last ~2000 chars).
@@ -391,6 +619,26 @@ def main() -> None:
         "baseline_subset_ratio": (
             round(spark_sub / duck_sub, 2) if duck_sub > 0 else None
         ),
+        # measured per-query fixed cost of the Spark harness (best-of-5
+        # one-row parquet scan through the same toPandas path) and the
+        # subset ratios with that floor subtracted — the decomposition of
+        # the raw ratio into fixed overhead vs plan cost
+        "spark_fixed_floor_sec": floors or None,
+        "q_family_ratio_overhead_corrected": _fam_corrected("q_"),
+        "star_family_ratio_overhead_corrected": _fam_corrected("star_"),
+        # pinned-query ambient-noise thermometer (see _SENTINEL_SQL):
+        # normalized_total = total * ref/measured, comparable across rounds
+        "noise_sentinel_duckdb_sec": sentinel,
+        "noise_sentinel_ref_sec": _SENTINEL_REF_SEC,
+        "normalized_total_sec": (
+            round(total * _SENTINEL_REF_SEC / sentinel, 3)
+            if sentinel
+            and sentinel > 0
+            and _sf_from_dir(SF_DIR) == _SENTINEL_REF_SF
+            else None
+        ),
+        # 10x-replica crossover measurement for three q_ shapes
+        "sf1_probe": sf1 or None,
         # the same star_/q_ subset re-run on multi-file (compacted) copies
         # of the driver tables, both engines: isolates the single-row-group
         # file layout from plan quality in the ratio above
@@ -448,6 +696,10 @@ def main() -> None:
              "family_sec": fam_totals,
              "scaling_spark_vs_duckdb_sec": scaling,
              "compacted_star_q_subset": compacted,
+             "sf1_probe": sf1,
+             "spark_fixed_floor_sec": floors,
+             "noise_sentinel_duckdb_sec": sentinel,
+             "normalized_total_sec": payload.get("normalized_total_sec"),
              "queries": detail},
             f,
             indent=1,

@@ -65,7 +65,7 @@ from gravity_books_datalakehouse_spark.sources.catalog import load_table
        cent AS (
          SELECT label, i, AVG(x) AS m FROM ex GROUP BY label, i)
        SELECT e.vec_id, e.label,
-              ROUND(SQRT(SUM((e.x - c.m) * (e.x - c.m))), 6)
+              ROUND(SQRT(SUM((e.x - c.m) * (e.x - c.m))), 5)
                 AS dist_to_centroid
        FROM ex e
        JOIN cent c ON e.label = c.label AND e.i = c.i
@@ -81,10 +81,19 @@ def mm_center_embeddings_per_label(spark, sf_dir):
     list cells (CORRECTNESS_r04 TypeError) — and keeps the scalar
     ``dist_to_centroid``, which IS SQL-expressible: the DuckDB oracle
     re-derives it via positional explode + per-(label, idx) AVG, turning
-    this entry from rows-only into a hash-verified row."""
+    this entry from rows-only into a hash-verified row.
+
+    Rounding-boundary risk (round-5 advisor note): the two engines sum
+    in different orders (numpy pairwise mean/norm vs DuckDB sequential
+    AVG/hash-agg SUM), so the doubles agree only to a few ulps (~1e-13
+    relative); a distance landing within that drift of a rounding
+    boundary would flip the last digit and break the hash. Rounded to
+    5 dp (was 6) to widen the safety margin ~10x against values of
+    order 0.1-10; the margin is data-dependent, not provable — if a
+    future SF still lands on a boundary, drop to 4 dp."""
     out = center_embeddings_per_label(load_table(spark, sf_dir, "embeddings"))
     return out.select(
-        "vec_id", "label", F.round("dist_to_centroid", 6).alias("dist_to_centroid")
+        "vec_id", "label", F.round("dist_to_centroid", 5).alias("dist_to_centroid")
     )
 
 
