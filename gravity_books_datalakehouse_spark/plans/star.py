@@ -31,7 +31,7 @@ results (double summation order would otherwise differ cross-engine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gravity_books_datalakehouse_spark.plans._cache import (
@@ -52,7 +52,7 @@ def _money(col: str) -> F.Column:
 #: decimal measures: InMemoryRelation stats showed 27.5 MiB / 600 k rows
 #: at sf0.1). Used only to size cache partitions — never for planning.
 _FACT_ROW_BYTES = 48
-_MIN_CACHE_PARTITION_BYTES = 4 << 20
+_MIN_CACHE_PARTITION_BYTES = 2 << 20
 
 
 def _fact_cache_partitions(spark: SparkSession, n_rows: int) -> int:
@@ -174,15 +174,26 @@ def _build_star_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # holding ~90% of rows), and a cache freezes that layout — every
         # downstream star query would then pay a near-single-threaded
         # fact scan (measured: a 524 ms straggler task vs 4 ms p50).
-        # One round-robin shuffle at build time gives every cached scan
-        # even partitions. The count is SIZE-AWARE: defaultParallelism,
-        # capped so no cached partition falls below ~4 MB — a flat
-        # defaultParallelism produced 32 × 750 KB partitions at sf0.1
-        # whose per-task scheduling cost dominated every star query
-        # (measured: full fact scan 0.22 s at 32 partitions vs 0.14 s at
-        # 8-16). At production scale the size floor is a no-op (the cap
-        # binds only when the fact is small relative to the cluster).
-        .repartition(_fact_cache_partitions(spark, lineitem.count()))
+        # The rebalance HASH-PARTITIONS ON part_sk (not round-robin):
+        # Catalyst sees hashpartitioning(part_sk) satisfied through the
+        # InMemoryRelation, so the best-seller rollup (q2's groupBy
+        # part_sk) plans as a single exchange-free full aggregate —
+        # measured at sf0.1: 0.24 s vs 0.46 s round-robin, because the
+        # partial-agg pass otherwise emits |groups|×|partitions| rows
+        # into a shuffle. part_sk is uniform (~|fact|/|part| rows per
+        # key), so the cache layout stays even; a dominant hot part
+        # would call for round-robin + AQE instead — pick the layout key
+        # per the fact's most-frequent uniform agg/join key, exactly the
+        # bucketing decision a 100 TB gold table makes (plans/medallion
+        # buckets by orderkey for the same reason). The count is
+        # SIZE-AWARE: defaultParallelism, capped so no cached partition
+        # falls below ~2 MB — a flat defaultParallelism produced 32 ×
+        # 750 KB partitions at sf0.1 whose per-task scheduling cost
+        # dominated every star query (measured: full fact scan 0.22 s at
+        # 32 partitions vs 0.12-0.14 s at 14-16). At production scale the
+        # size floor is a no-op (the cap binds only when the fact is
+        # small relative to the cluster).
+        .repartition(_fact_cache_partitions(spark, lineitem.count()), F.col("part_sk"))
     )
 
     return {
@@ -249,7 +260,15 @@ fact_sales AS (
 # ---------------------------------------------------------------------------
 
 def q1_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference q1 (test_queries.py:16-26): units + revenue per year/month."""
+    """Reference q1 (test_queries.py:16-26): units + revenue per year/month.
+
+    Output is bounded by the calendar (≤ ~84 year-months for the TPC-H
+    date span at ANY fact size), so the final ordering uses
+    ``coalesce(1).sortWithinPartitions`` — identical result order to a
+    global orderBy, but a single-task local sort over ≤ 84 rows instead
+    of a RangePartitioning exchange plus its separate sampling job
+    (measured: −0.10 s per query at sf0.1). Only valid because the
+    aggregate output, not the input, is tiny."""
     s = build_star(spark, sf_dir)
     return (
         s["fact_sales"]
@@ -259,42 +278,42 @@ def q1_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("part_sk").alias("num_sold"),
             F.sum(_money("extendedprice")).cast("double").alias("revenue"),
         )
-        .orderBy("year_val", "month_val")
+        .coalesce(1)
+        .sortWithinPartitions("year_val", "month_val")
     )
 
 
 def q2_top10_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference q2 (test_queries.py:27-37): top-10 best sellers + tiebreak.
 
-    Aggregate-then-join with an early candidate cut: the fact aggregates
-    on the narrow int ``part_sk`` alone (the expensive pass over every
-    sale carries no string columns); then ``rank() <= 10`` over the
-    dim-bounded counts keeps exactly the rows whose units_sold ties or
-    beats the 10th-largest value (ties included, so the p_name tiebreak
-    still sees every contender), and only those few rows — broadcast as
-    the build side — join dim_part for name/brand. Round 4 broadcast the
-    whole 20k-row string dim instead and regressed to 3.3× the DuckDB
-    baseline: the exchange cost more than it saved at sf0.1.
+    Aggregate-then-join, EXCHANGE-FREE aggregate: the fact cache is
+    hash-partitioned on ``part_sk`` (see the build comment), so the
+    groupBy plans as one full HashAggregate directly over the cache
+    scan — no partial/final split, no shuffle, no rank window. The
+    dim-bounded counts then join dim_part for name/brand and the answer
+    falls out of a single ``TakeOrderedAndProject(10)`` over |dim_part|
+    joined rows — fully parallel, tree-reduced, no single-task sort.
 
-    The unpartitioned rank window sorts the counts relation on one task —
-    acceptable because counts is |dim_part|-bounded after full fact
-    reduction (same class as q3's limit); if the part dim itself were
-    huge, the two-pass form (scalar 10th-value threshold, then a
-    semi-filter) replaces the window without touching the fact pass."""
+    Why no rank()<=10 pre-cut (rounds 4-6 used one): a row with ≥10
+    rows strictly ahead on units_sold can never enter the final
+    (units_sold DESC, p_name, part_sk) top-10, and every tie the rank
+    filter kept is kept by the top-k comparator too — so filtering is
+    pure overhead, and the unpartitioned window it needed forced a
+    one-task sort plus an extra exchange (measured: 0.79 s → 0.24 s at
+    sf0.1, from 2.0× DuckDB to ~0.9×).
+
+    The counts side is broadcast (|dim_part| rows of (int,long) — KB to
+    low MB up to ~10M parts). For a part dim past broadcast range, drop
+    the hint: counts is already partitioned on part_sk, so the join
+    shuffles only dim_part and stays co-located."""
     s = build_star(spark, sf_dir)
     counts = (
         s["fact_sales"]
         .groupBy("part_sk")
         .agg(F.count("part_sk").alias("units_sold"))
     )
-    w = Window.orderBy(F.desc("units_sold"))
-    cand = (
-        counts.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") <= 10)
-        .drop("rk")
-    )
     return (
-        F.broadcast(cand)
+        F.broadcast(counts)
         .join(s["dim_part"].select("part_sk", "p_name", "p_brand"), "part_sk")
         .select("part_sk", "p_name", "p_brand", "units_sold")
         .orderBy(F.desc("units_sold"), F.asc("p_name"), F.asc("part_sk"))
@@ -348,26 +367,40 @@ def q3_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q4_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference q4 (test_queries.py:50-58): revenue by customer country."""
+    """Reference q4 (test_queries.py:50-58): revenue by customer country.
+
+    The dim side is projected to exactly (customer_sk, nation_name)
+    before the explicit broadcast — the build-side hash table carries 8
+    bytes + one dictionary-encoded string per customer instead of the
+    full 6-column dim row. Output is |nation|-bounded (25 rows), so the
+    ordering is a single-task local sort (see q1)."""
     s = build_star(spark, sf_dir)
     return (
         s["fact_sales"]
-        .join(s["dim_customer"], "customer_sk")
+        .join(
+            F.broadcast(s["dim_customer"].select("customer_sk", "nation_name")),
+            "customer_sk",
+        )
         .groupBy("nation_name")
         .agg(F.sum(_money("extendedprice")).cast("double").alias("total_sales"))
-        .orderBy(F.desc("total_sales"), F.asc("nation_name"))
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("total_sales"), F.asc("nation_name"))
     )
 
 
 def q5_priority_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference q5 (test_queries.py:59-67): COUNT(*) by shipping-method role."""
+    """Reference q5 (test_queries.py:59-67): COUNT(*) by shipping-method role.
+
+    Output is |dim_priority|-bounded (5 rows) → single-task local sort
+    ending (see q1)."""
     s = build_star(spark, sf_dir)
     return (
         s["fact_sales"]
         .join(F.broadcast(s["dim_priority"]), "priority_sk")
         .groupBy("order_priority")
         .agg(F.count(F.lit(1)).alias("num_uses"))
-        .orderBy(F.desc("num_uses"), F.asc("order_priority"))
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("num_uses"), F.asc("order_priority"))
     )
 
 
