@@ -28,74 +28,79 @@ _REGISTRY: list[tuple[dict, dict]] = []
 # so no family is invisible to the hard per-round signal. Everything else
 # keeps its natural module order after the head.
 _PRIORITY_HEAD = [
-    # --- round-6 window rotation state ---
-    # After round 5, 21 registry entries had NEVER appeared in any
-    # CORRECTNESS_r*.json window; all 21 are in this head, which (with the
-    # oldest-witnessed backfill below) completes the full-registry witness
-    # sweep: after this round every one of the 159 entries has a green row
-    # in some CORRECTNESS_r*.json. One rep per query family stays in (the
-    # tests/test_entry_contract.py interleave gate). Round-7 rotation: the
-    # 12 entries still last-witnessed in round 1 are op_a2_global_minmax,
-    # op_a3_distinct, op_a_stats_kit, op_f_regex_kit, op_f_string_kit,
-    # op_j_anti, op_j_semi, op_p2_rename, op_profile_columns,
-    # op_s1_scan_projection, op_w_mom_growth, op_w_ntile_deciles — swap
-    # those in next.
-    # --- flagships + changed-this-round ---
+    # --- round-7 window rotation state ---
+    # The full-registry witness sweep completed in round 6 (every entry has
+    # a green row in some CORRECTNESS_r*.json); rotation is now freshness
+    # maintenance. This head = the 5 star queries (plans REWORKED this
+    # round: exchange-free q2 aggregate, local-sort endings) + all 12
+    # entries last witnessed in round 1 + all 9 last witnessed in round 2
+    # + 19 of the 45 last witnessed in round 3 + 5 older entries required
+    # for family coverage (op_split/op_scd2/op_fk/op_unpivot/op_outliers).
+    # Round-8 rotation: the remaining 26 round-3 entries
+    # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
+    # text_unigram_logprob, pipeline_curate_corpus, sim_ivf_topk,
+    # sim_quantized_topk, op_grouped_agg_weighted_avg,
+    # op_asof_join_prev_purchase, text_pii_redact, op_udtf_token_explode,
+    # text_repetition_stats, text_segment_dedup, text_bigram_logprob,
+    # text_bm25_topk, text_hybrid_rrf_topk, op_expectations_check,
+    # ev_funnel_signup_click_purchase, op_j_range_bucketed,
+    # op_w_trailing_range_frame, op_merge_upsert_snapshot, op_cap_per_source,
+    # q_pricing_summary-siblings) then start on the 43 round-5 entries.
+    # --- changed this round: the five reference-parity star queries ---
     "star_q1_monthly_sales",
+    "star_q2_top10_parts",
     "star_q3_top5_customers",
-    "sim_kmeans_refine",          # round 6: gained an unrolled-Lloyd SQL oracle
-    "mm_center_embeddings_per_label",  # round 6: rounding widened to 5 dp
-    # --- the 21 never-witnessed entries (round-5 verdict list) ---
-    "q_returned_item_customers",
-    "q_small_qty_revenue",
-    "q_part_supplier_counts",
-    "q_order_to_ship_lag",
-    "q_late_shipment_priority",
-    "q_important_part_value",
-    "q_customer_rfm_segments",
-    "q_customer_order_distribution",
-    "q_idle_rich_customers",
-    "q_revenue_pareto",
-    "op_scd2_temporal_join",
-    "op_asof_join_tolerance",
-    "pipeline_epoch_shuffle",
-    "pipeline_contamination_by_source",
-    "ev_funnel_time_to_convert",
-    "ev_type_transition_matrix",
-    "ev_user_ltv_topk",
-    "mm_payload_dedup",
-    "sim_ann_recall_report",
-    "text_lang_confusion",
-    "text_substring_dedup_rewrite",
-    # --- family reps keeping the interleave gate (oldest witness per family
-    # where the family allows; op_fk/op_unpivot/op_outliers have no older
-    # member) ---
-    "dedup_exact",
-    "op_sample_rebalance_langs",
-    "op_split_train_eval",
-    "op_sketch_countmin_terms",
+    "star_q4_sales_by_nation",
+    "star_q5_priority_popularity",
+    # --- last witnessed round 1 (all 12) ---
+    "op_s1_scan_projection",
+    "op_p2_rename",
+    "op_j_semi",
+    "op_j_anti",
+    "op_a2_global_minmax",
+    "op_a3_distinct",
+    "op_a_stats_kit",
+    "op_profile_columns",
+    "op_w_ntile_deciles",
+    "op_w_mom_growth",
+    "op_f_string_kit",
+    "op_f_regex_kit",
+    # --- last witnessed round 2 (all 9) ---
+    "op_s6_sql_over_views",
+    "op_p3_dropna_after_left_join",
+    "op_a1_group_concat_sorted",
+    "op_o_topk_desc_tiebreak",
+    "op_f_date_dim_kit",
+    "op_set_union_intersect_except",
+    "text_token_stats",
+    "text_chunk_documents",
+    "sim_lsh_multiprobe_topk",
+    # --- last witnessed round 3 (19 of 45; rest queued for round 8) ---
+    "q_market_share_by_year",
+    "q_pricing_summary",
+    "q_profit_by_nation_year",
+    "q_promo_revenue",
+    "q_sole_blame_suppliers",
+    "dedup_minhash_lsh_pairs",
+    "dedup_jaccard_verify",
+    "dedup_lsh_banded_pairs",
+    "dedup_simhash",
+    "sim_topk_cosine_bruteforce",
+    "sim_lsh_bucketed_topk",
+    "mm_payload_metadata",
+    "mm_frame_sample",
+    "ev_tumbling_hourly",
+    "ev_sessionize",
+    "op_sample_hash_bernoulli",
+    "op_sample_temperature_mix",
+    "pipeline_curation_verdict",
+    # --- family-coverage fills (oldest available member per family) ---
+    "op_sketch_approx_stats",
+    "op_split_stratified_exact",
+    "op_scd2_priority_history",
     "op_fk_orphan_audit",
     "op_unpivot_roundtrip",
-    "op_outliers_mad",
-    # --- backfill: oldest-witnessed entries (last driver witness = round 1) ---
-    "op_a_cube",
-    "op_f_array_kit",
-    "op_f_date_kit",
-    "op_j10_differing_key_names",
-    "op_j_left_nulls_kept",
-    "op_p4_p5_casts",
-    "op_percentiles_exact",
-    "op_pivot_event_counts",
-    "op_w_running_total",
-    "op_w_topn_per_group",
-    "op_where_filter_pushdown",
-    "q_heavy_suppliers_semi",
-    "q_nation_pair_flows",
-    "q_revenue_range_filter",
-    "q_top_urgent_orders",
-    "text_fingerprint",
-    "text_quality_scores",
-    "text_top_bigrams",
+    "op_outliers_mad_tdigest",
 ]
 
 

@@ -70,19 +70,21 @@ def _noise_sentinel_sec() -> float | None:
     except ImportError:
         return None
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if not os.path.exists(p):
-            return None
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        con.execute(_SENTINEL_SQL).fetchall()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    con.close()
-    return round(best, 4)
+    try:
+        for t in ("lineitem", "orders"):
+            p = os.path.join(SF_DIR, f"{t}.parquet")
+            if not os.path.exists(p):
+                return None
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(_SENTINEL_SQL).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+    finally:
+        con.close()
 
 
 def _spark_fixed_floor(spark) -> dict[str, float]:
@@ -113,6 +115,49 @@ def _spark_fixed_floor(spark) -> dict[str, float]:
             best = dt if best is None else min(best, dt)
         floors[label] = round(best, 4)
     return floors
+
+
+def _spark_stage_floor(spark) -> float | None:
+    """Measured per-STAGE scheduling cost of this Spark session.
+
+    Round 6 showed the per-QUERY floor (one-row scan, 0.087 s)
+    under-corrects the q_ family: those queries run 10-19 *serialized*
+    stages with ~5 ms median tasks, so the dominant fixed cost is per
+    stage, not per query. This probe measures it directly: a one-row
+    DataFrame pushed through k chained exchanges (each groupBy keys on a
+    fresh expression, so Catalyst cannot collapse them and AQE
+    materializes the k shuffle stages sequentially — the same serialized
+    query-stage ladder the q_ plans walk). The slope between k=2 and
+    k=12 isolates the marginal stage cost from the shared plan/fetch
+    cost. Caveat, stated where the number is used: broadcast-build
+    stages in real queries overlap, while the probed ladder is strictly
+    sequential — so stages×floor_stage is an UPPER bound on scheduling
+    overhead and the corrected ratio a LOWER bound on plan cost."""
+    from pyspark.sql import functions as F
+
+    def chain(k: int):
+        df = spark.range(1).select(
+            F.col("id").alias("x"), F.lit(1).cast("long").alias("v")
+        )
+        for _ in range(k):
+            df = (
+                df.groupBy("x")
+                .agg(F.sum("v").alias("v"))
+                .select((F.col("x") + 1).alias("x"), "v")
+            )
+        return df
+
+    times = {}
+    for k in (2, 12):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            chain(k).toPandas()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[k] = best
+    slope = (times[12] - times[2]) / 10.0
+    return round(max(slope, 0.0), 4)
 
 
 def _sf_from_dir(d: str) -> float:
@@ -212,15 +257,20 @@ def _scaling_probe(spark, entry_mod) -> dict:
     return {"sfs": sfs, "sec": sec}
 
 
-# --- synthetic sf~1 probe ---------------------------------------------------
+# --- synthetic sf~5 replica probe -------------------------------------------
 # The round-5 compacted probe refuted the file-layout explanation for the q_
 # family's spark/duckdb ratios; the remaining hypothesis is per-query fixed
 # overhead that a larger SF amortizes. This probe measures the crossover
-# DIRECTLY: lineitem and orders are replicated 10x with the order keys offset
+# DIRECTLY: lineitem and orders are replicated with the order keys offset
 # per replica (each replica is a disjoint set of orders over the shared
 # customer/part dims — exactly how a larger TPC-H SF behaves, preserving
 # per-order join cardinalities), and three q_ shapes run on both engines.
-SF1_COPIES = 10
+# Round 6 ran 10 copies (~sf1, 6 M lineitem rows) and found BOTH engines
+# still overhead-bound — DuckDB's own times barely grew — so the probe was
+# inconclusive. 50 copies (~sf5, 30 M lineitem rows / ~1.5 GB) forces data
+# cost to dominate; the one-time DuckDB COPY build is amortized across the
+# round.
+SF1_COPIES = 50
 SF1_QUERIES = (
     "q_pricing_summary",          # full-scan aggregate (lineitem only)
     "q_large_volume_customers",   # TPC-H q18: wide join + HAVING semi-join
@@ -229,7 +279,7 @@ SF1_QUERIES = (
 
 
 def _build_sf1_copy(src_dir: str) -> str:
-    """Materialize the 10x replica set under .bench-sf1/ via DuckDB
+    """Materialize the SF1_COPIES-x replica set under .bench-sf1/ via DuckDB
     (multi-row-group files, so both engines parallelize the scan); dim
     tables are shared with the source dir via symlink."""
     import shutil
@@ -255,15 +305,17 @@ def _build_sf1_copy(src_dir: str) -> str:
     for t in TABLES:
         if t in ("lineitem", "orders"):
             continue
-        src = os.path.join(src_dir, f"{t}.parquet")
+        # absolute target: a relative SPARK_GRAFT_SF_DIR would otherwise
+        # resolve relative to .bench-sf1/ and leave the links dangling
+        src = os.path.abspath(os.path.join(src_dir, f"{t}.parquet"))
         if os.path.exists(src):
             os.symlink(src, os.path.join(dst, f"{t}.parquet"))
     return dst
 
 
 def _sf1_probe(spark, entry_mod) -> dict:
-    """Best-of-2 Spark and DuckDB seconds for SF1_QUERIES on the 10x
-    replica set: {"copies": 10, "sec": {name: [spark_s, duck_s, ratio]}}.
+    """Best-of-2 Spark and DuckDB seconds for SF1_QUERIES on the
+    replica set: {"copies": N, "sec": {name: [spark_s, duck_s, ratio]}}.
     Read next to the same queries' sf0.1 ratios to see the fixed-overhead
     amortization directly instead of extrapolating it."""
     try:
@@ -302,6 +354,81 @@ def _sf1_probe(spark, entry_mod) -> dict:
         ]
     con.close()
     return out
+
+
+def _memory_pressure_probe() -> dict:
+    """Graceful-degradation measurement on registry queries, per round.
+
+    A CHILD Spark process (the core force-spill conf is JVM-launch-only)
+    runs two registry queries under memory pressure and checks each
+    pressured answer against its DuckDB oracle — the contract being
+    proven: under pressure the engine degrades to its external/sort
+    paths and stays correct, never OOMs, never returns garbage.
+
+    - ``op_outliers_mad`` (the registry's largest raw-value shuffle:
+      per-brand exact percentiles over every lineitem price): its
+      ObjectHashAggregate is forced onto the sort-based fallback path
+      (fallbackThreshold=1) with sorter force-spill every 5k elements.
+      ObjectHashAggregateExec exposes no spillSize SQLMetric — the
+      recorded evidence is ``numTasksFallBacked`` > 0 + a green hash.
+    - ``q_revenue_pareto`` (one global cumulative window over the
+      per-customer aggregate): WindowExec's in-memory buffer thresholds
+      are dropped to 256/512 rows, so the ~10k-row partition must hand
+      off to the external sorter; WindowExec DOES meter spillSize, so
+      this is the measured graceful-spill byte count."""
+    import subprocess
+
+    child = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from gravity_books_datalakehouse_spark.session import get_spark
+from gravity_books_datalakehouse_spark.metrics import plan_metrics_sum
+import __spark_entry__ as m
+import duckdb
+spark = get_spark(app_name="bench-spill-probe", extra_conf={
+    "spark.shuffle.spill.numElementsForceSpillThreshold": "5000",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "1",
+    "spark.sql.windowExec.buffer.in.memory.threshold": "256",
+    "spark.sql.windowExec.buffer.spill.threshold": "512",
+})
+spark.sparkContext.setLogLevel("ERROR")
+sf = %(sf)r
+con = duckdb.connect()
+for t in %(tables)r:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+def norm(d):
+    d = d[sorted(d.columns)]
+    for c in d.columns:
+        if d[c].dtype.kind == "f":
+            d[c] = d[c].round(4)
+    return d.astype(str).sort_values(by=list(d.columns)).reset_index(drop=True)
+out = {}
+for name, metric in (("op_outliers_mad", "numTasksFallBacked"),
+                     ("q_revenue_pareto", "spillSize")):
+    t0 = time.perf_counter()
+    df = m.queries()[name](spark, sf)
+    got = df.toPandas()
+    sec = round(time.perf_counter() - t0, 3)
+    mv = plan_metrics_sum(df, [metric])[metric]
+    want = con.execute(m.oracle_sql()[name]).fetchdf()
+    out[name] = {metric: int(mv), "sec_pressured": sec,
+                 "hash_green": bool(norm(got).equals(norm(want)))}
+print(json.dumps(out))
+""" % {
+        "repo": os.path.dirname(os.path.abspath(__file__)),
+        "sf": SF_DIR,
+        "tables": TABLES,
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True,
+        timeout=600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"spill probe produced no JSON: {out.stderr[-300:]}")
 
 
 def _build_compacted_copy(spark, src_dir: str) -> str:
@@ -346,6 +473,47 @@ def _build_compacted_copy(spark, src_dir: str) -> str:
             df.repartition(int(n_files)).write.parquet(dst + ".d")
             os.rename(dst + ".d", dst)
     return dst_dir
+
+
+def _star_batch_probe(spark, entry_mod) -> dict:
+    """Quantify the per-query harness share of the star family: wall
+    time of the five star queries submitted SERIALLY (5 toPandas
+    round-trips, exactly how the headline loop times them) vs
+    CONCURRENTLY (5 threads, one shared SparkSession — Spark schedules
+    the jobs in parallel). The serial−concurrent gap is driver-side
+    scheduling + Arrow-fetch latency that query-level parallelism (or
+    one batched collect) hides; the concurrent floor approximates what
+    a user pipelining the family would see. Both passes run on the warm
+    star cache (the headline loop already materialized it)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = entry_mod.queries()
+    names = [n for n in sorted(qs) if n.startswith("star_")]
+    if not names:
+        return {}
+
+    def run(name):
+        qs[name](spark, SF_DIR).toPandas()
+
+    for n in names:  # warm
+        run(n)
+    serial = concurrent = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for n in names:
+            run(n)
+        dt = time.perf_counter() - t0
+        serial = dt if serial is None else min(serial, dt)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(names)) as ex:
+            list(ex.map(run, names))
+        dt = time.perf_counter() - t0
+        concurrent = dt if concurrent is None else min(concurrent, dt)
+    return {
+        "serial_sec": round(serial, 3),
+        "concurrent_sec": round(concurrent, 3),
+        "harness_share": round(max(serial - concurrent, 0.0) / serial, 2),
+    }
 
 
 def _compacted_probe(spark, entry_mod) -> dict:
@@ -511,6 +679,14 @@ def main() -> None:
         print(f"# scaling probe failed: {exc}", file=sys.stderr)
         scaling = {}
 
+    # serial-vs-concurrent star family (per-query harness share); must
+    # run BEFORE the compacted probe evicts the SF_DIR star cache
+    try:
+        star_batch = _star_batch_probe(spark, entry_mod)
+    except Exception as exc:
+        print(f"# star batch probe failed: {exc}", file=sys.stderr)
+        star_batch = {}
+
     # NOTE: the compacted and sf1 probes MUST stay after the headline and
     # scaling loops: build_star(cdir) evicts the main SF_DIR star/fact
     # caches (evict_other_scales keys per sf_dir), so running them earlier
@@ -536,6 +712,18 @@ def main() -> None:
     floor = floors.get("scan1row", 0.0)
 
     try:
+        stage_floor = _spark_stage_floor(spark)
+    except Exception as exc:
+        print(f"# stage floor probe failed: {exc}", file=sys.stderr)
+        stage_floor = None
+
+    try:
+        spill_probe = _memory_pressure_probe()
+    except Exception as exc:
+        print(f"# memory pressure probe failed: {exc}", file=sys.stderr)
+        spill_probe = None
+
+    try:
         sentinel = _noise_sentinel_sec()
     except Exception as exc:
         print(f"# noise sentinel failed: {exc}", file=sys.stderr)
@@ -552,6 +740,14 @@ def main() -> None:
     }
     spark_sub = sum(timings[n] for n in duck if n in timings)
     duck_sub = sum(duck.values())
+    def _stage_overhead(n: str) -> float | None:
+        """stages×floor_stage for query n — an upper bound on its
+        serialized stage-scheduling overhead (see _spark_stage_floor)."""
+        st = detail.get(n, {}).get("stages", -1)
+        if stage_floor is None or st is None or st <= 0:
+            return None
+        return st * stage_floor
+
     for n in duck:
         if n in detail:
             detail[n]["duckdb_sec"] = duck[n]
@@ -561,6 +757,16 @@ def main() -> None:
                 # subtracted (measured by _spark_fixed_floor this run)
                 detail[n]["ratio_overhead_corrected"] = round(
                     max(timings[n] - floor, 0.0) / duck[n], 2
+                )
+            so = _stage_overhead(n)
+            if duck[n] > 0 and so is not None:
+                # per-STAGE decomposition (round-7): stages×floor_stage
+                # subtracted. Broadcast stages overlap in real queries
+                # while the probe ladder is sequential, so this corrects
+                # MORE than scheduling can cost — the residual is a
+                # lower bound on true plan cost vs DuckDB.
+                detail[n]["ratio_stage_corrected"] = round(
+                    max(timings[n] - so, 0.0) / duck[n], 2
                 )
 
     # family-level overhead-corrected ratios (the round-6 decomposition:
@@ -573,6 +779,22 @@ def main() -> None:
         if dsum <= 0:
             return None
         ssum = sum(max(timings[n] - floor, 0.0) for n in names)
+        return round(ssum / dsum, 2)
+
+    # family-level per-stage decomposition (round-7): subtract each
+    # query's stages×floor_stage instead of one per-query scan floor
+    def _fam_stage_corrected(prefix: str):
+        names = [
+            n for n in duck
+            if n.startswith(prefix) and n in timings
+            and _stage_overhead(n) is not None
+        ]
+        if not names:
+            return None
+        dsum = sum(duck[n] for n in names)
+        if dsum <= 0:
+            return None
+        ssum = sum(max(timings[n] - _stage_overhead(n), 0.0) for n in names)
         return round(ssum / dsum, 2)
 
     # Per-family totals summarize the 105-query registry without blowing
@@ -626,6 +848,20 @@ def main() -> None:
         "spark_fixed_floor_sec": floors or None,
         "q_family_ratio_overhead_corrected": _fam_corrected("q_"),
         "star_family_ratio_overhead_corrected": _fam_corrected("star_"),
+        # measured marginal cost per serialized shuffle stage (slope of a
+        # chained one-row k-exchange ladder) and the family ratios with
+        # stages×floor_stage subtracted per query — an upper bound on
+        # scheduling overhead, so these are lower bounds on plan cost
+        "spark_stage_floor_sec": stage_floor,
+        "q_family_ratio_stage_corrected": _fam_stage_corrected("q_"),
+        "star_family_ratio_stage_corrected": _fam_stage_corrected("star_"),
+        # graceful-spill probe: op_outliers_mad under forced sorter
+        # spills (child JVM), answer checked against the DuckDB oracle
+        "memory_pressure_probe": spill_probe,
+        # star family serial (5 toPandas round-trips) vs concurrent
+        # (5 threads, one session): the gap is per-query driver-side
+        # scheduling + Arrow fetch that pipelining hides
+        "star_batch_probe": star_batch or None,
         # pinned-query ambient-noise thermometer (see _SENTINEL_SQL):
         # normalized_total = total * ref/measured, comparable across rounds
         "noise_sentinel_duckdb_sec": sentinel,
@@ -637,7 +873,7 @@ def main() -> None:
             and _sf_from_dir(SF_DIR) == _SENTINEL_REF_SF
             else None
         ),
-        # 10x-replica crossover measurement for three q_ shapes
+        # replica-set crossover measurement for three q_ shapes (~sf5)
         "sf1_probe": sf1 or None,
         # the same star_/q_ subset re-run on multi-file (compacted) copies
         # of the driver tables, both engines: isolates the single-row-group
@@ -693,11 +929,23 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(
             {"sf": _sf_from_dir(SF_DIR), "total_sec": round(total, 3),
+             # reading guide: at toy SF a high straggler_ratio on a
+             # small-shuffle query is usually an AQE-coalesced-partition
+             # artifact (one partition holds most of a few-hundred-KB
+             # shuffle), not data skew — check shuffle_bytes before
+             # treating it as a skew finding
+             "straggler_note": (
+                 "straggler_ratio = max/p50 task ms of the dominant "
+                 "stage; at this SF values on queries with <1MB shuffle "
+                 "reflect AQE partition coalescing, not key skew"),
              "family_sec": fam_totals,
              "scaling_spark_vs_duckdb_sec": scaling,
              "compacted_star_q_subset": compacted,
              "sf1_probe": sf1,
              "spark_fixed_floor_sec": floors,
+             "spark_stage_floor_sec": stage_floor,
+             "memory_pressure_probe": spill_probe,
+             "star_batch_probe": star_batch,
              "noise_sentinel_duckdb_sec": sentinel,
              "normalized_total_sec": payload.get("normalized_total_sec"),
              "queries": detail},

@@ -29,7 +29,7 @@ def _center_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # float64 math throughout: the float32 inputs are exact in double, so
     # the centroid/distance agree with any double-precision re-derivation
     # (DuckDB AVG, numpy) to the last few ulps — which is what lets the
-    # registry variant's 6-dp rounded distance hash-match a SQL oracle.
+    # registry variant's 5-dp rounded distance hash-match a SQL oracle.
     mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     centroid = mat.mean(axis=0)
     centered = mat - centroid

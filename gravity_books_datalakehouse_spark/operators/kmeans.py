@@ -147,7 +147,15 @@ def _lloyd_oracle_sql(k: int = K, n_iter: int = N_ITER) -> str:
     / partial aggregation vs DuckDB hash-agg), so d2 and centroids agree
     only to ~1e-13. An assignment flip would need a near-exact distance
     tie between two centroids; inertia is rounded to 3 dp against values
-    of order 1-100 (relative margin ~1e-5 vs drift ~1e-13)."""
+    of order 1-100 (relative margin ~1e-5 vs drift ~1e-13).
+
+    Compounding caveat: unlike the single-boundary rounding risk above,
+    a near-tie flip in an EARLY sweep discretely moves every later
+    centroid — the drift doesn't stay ~1e-13, it becomes a different
+    trajectory. Verified non-occurring at sf0.001/0.01/0.1; if a future
+    SF ever mismatches, diff per-sweep assignments against the numpy
+    oracle (tests/test_kmeans.py) to locate the flipped vector rather
+    than loosening the rounding."""
     parts = [
         """WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

@@ -27,6 +27,23 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def bounded_sort(df: DataFrame, *order: Column | str) -> DataFrame:
+    """Total ordering for a DIM-BOUNDED result — output cardinality
+    capped by attribute domains (nations, priorities, year-months,
+    brand×type×size combos), NOT proportional to the fact size.
+
+    ``coalesce(1).sortWithinPartitions(*order)`` returns the identical
+    rows in the identical order as a global ``orderBy``, but as one
+    local sort task over the already-aggregated output — no
+    RangePartitioning exchange and no separate sampling job, which at
+    sf0.1 cost ~0.1 s and 2-3 scheduled stages per query (round-7
+    measurement; the q_ family's answers are 2-700 rows). At any SF the
+    coalesced input is the same domain-bounded row set, so the single
+    task never grows with data. Do NOT use for fact-proportional
+    outputs — those keep the distributed range sort."""
+    return df.coalesce(1).sortWithinPartitions(*order)
+
+
 def global_rank(df: DataFrame, order: Sequence[Column], rank_name: str) -> DataFrame:
     """Distributed 1-based dense global rank with ``row_number() OVER
     (ORDER BY order)`` semantics but NO single-partition window: range-

@@ -14,6 +14,7 @@ variants and non-equi joins ABSENT) but that any warehouse user expects:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
 
 from gravity_books_datalakehouse_spark.plans.operator_queries import (
     _money,
@@ -78,7 +79,7 @@ def op_f_histogram(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(_money("o_totalprice")).cast("double").alias("bucket_total"),
         )
-        .orderBy("price_bucket")
+        .transform(bounded_sort, "price_bucket")
     )
 
 
@@ -447,7 +448,7 @@ def op_outliers_mad(spark, sf_dir):
                 .otherwise(0)
             ).cast("bigint").alias("n_outliers"),
         )
-        .orderBy("p_brand")
+        .transform(bounded_sort, "p_brand")
     )
 
 
@@ -490,7 +491,7 @@ def op_outliers_mad_tdigest(spark, sf_dir):
                 .otherwise(0)
             ).cast("bigint").alias("n_outliers"),
         )
-        .orderBy("p_brand")
+        .transform(bounded_sort, "p_brand")
     )
 
 
@@ -545,7 +546,7 @@ def q_customer_rfm_segments(spark, sf_dir):
             F.sum("n_orders").cast("bigint").alias("total_orders"),
             F.round(F.sum("monetary"), 2).alias("total_monetary"),
         )
-        .orderBy("r", "f", "m")
+        .transform(bounded_sort, "r", "f", "m")
     )
 
 
@@ -643,5 +644,5 @@ def q_order_to_ship_lag(spark, sf_dir):
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_days)")
             .cast("bigint").alias("p90_lag_days"),
         )
-        .orderBy("o_orderpriority")
+        .transform(bounded_sort, "o_orderpriority")
     )

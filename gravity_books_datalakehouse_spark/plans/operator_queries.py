@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -895,7 +896,7 @@ def q_market_share_by_year(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg((europe / total).alias("europe_share"), total.alias("total_rev"))
-        .orderBy("order_year")
+        .transform(bounded_sort, "order_year")
     )
 
 

@@ -16,6 +16,7 @@ join strategy is left to AQE because they grow with SF.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
 
 from gravity_books_datalakehouse_spark.plans.operator_queries import (
     _money,
@@ -93,7 +94,7 @@ def q_pricing_summary(spark, sf_dir):
             (F.sum(_money("l_discount")).cast("double") / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(bounded_sort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -122,7 +123,7 @@ def q_priority_with_returns(spark, sf_dir):
         o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(bounded_sort, "o_orderpriority")
     )
 
 
@@ -169,7 +170,7 @@ def q_local_supplier_volume(spark, sf_dir):
         )
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("nation_name"))
+        .transform(bounded_sort, F.desc("revenue"), F.asc("nation_name"))
     )
 
 
@@ -350,7 +351,7 @@ def q_top_supplier_revenue(spark, sf_dir):
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
         )
-        .orderBy("s_suppkey")
+        .transform(bounded_sort, "s_suppkey")
     )
 
 
@@ -444,16 +445,28 @@ def q_min_cost_supplier(spark, sf_dir):
     the minimum cost within one region — the classic correlated MIN
     subquery, decorrelated to aggregate + join-back (the q17 pattern).
 
-    The derived partsupp is ONE groupBy over lineitem producing a
-    |parts|×|suppliers-per-part| relation — at 100 TB the only full-fact
-    pass in the query; everything downstream (region filter via two
-    broadcast dims, per-part min) operates on the dimension-sized
-    result. The per-part min is a WINDOW over that small relation, not
-    an aggregate + join-back: join-back would re-derive the partsupp
-    subtree (Spark does not reuse uncached subplans — observed as a
-    second full lineitem scan), while the window is one dim-sized
-    shuffle. This inverts the q17 tradeoff deliberately: there the
-    window input was the full fact, here it is post-aggregation.
+    Round-7 reshape — ONE fact exchange total, dim filter BEFORE it:
+
+    1. The region predicate resolves to a European supplier-key set
+       (supplier ⋈ broadcast nation ⋈ broadcast region — dim-sized) that
+       SEMI-FILTERS lineitem via broadcast before anything shuffles: at
+       100 TB this cuts the only fact-sized exchange by the region
+       selectivity (~5x) instead of carrying non-qualifying suppliers
+       through the aggregate, which is the join-order DuckDB's optimizer
+       reaches and round 6's plan (filter after the groupBy) paid for.
+    2. The filtered fact is hash-partitioned ONCE on l_partkey; that
+       single distribution satisfies BOTH the (pk, sk) aggregate
+       (clustering on a key subset co-locates every (pk, sk) pair) AND
+       the per-part min window — so groupBy → window runs with zero
+       further exchanges. The old partial/final split bought almost
+       nothing here anyway: lineitem has only ~1.2 rows per (pk, sk)
+       pair, so partial aggregation shuffled ~full-fact row counts.
+    3. Supplier names ride a broadcast join AFTER the min cut (few rows),
+       same for the part attributes.
+
+    The per-part min stays a WINDOW, not aggregate + join-back:
+    join-back would re-derive the subtree (Spark does not reuse
+    uncached subplans — observed as a second full lineitem scan).
     unit_cost stays an IEEE double in both engines (same division,
     same min), so the equality cut is bit-exact cross-engine.
     """
@@ -466,19 +479,31 @@ def q_min_cost_supplier(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
     )
-    ps = li.groupBy(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    eps = (
-        ps.join(s, ps.sk == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("pk", "sk", "unit_cost", "s_name", "s_acctbal")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    li_eu = li.join(
+        F.broadcast(eu_sup.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = (
+        li_eu.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"),
+        )
+        .repartition(F.col("pk"))
+        .groupBy("pk", "sk")
+        .agg(F.min("cost").alias("unit_cost"))
     )
     min_cost = F.min("unit_cost").over(Window.partitionBy("pk"))
     return (
-        eps.withColumn("min_cost", min_cost)
+        ps.withColumn("min_cost", min_cost)
         .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(eu_sup), F.col("sk") == F.col("s_suppkey"))
         .join(p, p.p_partkey == F.col("pk"))
         .select(
             "p_partkey",
@@ -541,7 +566,7 @@ def q_profit_by_nation_year(spark, sf_dir):
                 - F.lit(0.5) * F.sum(cost).cast("double")
             ).alias("profit")
         )
-        .orderBy("nation_name", "o_year")
+        .transform(bounded_sort, "nation_name", "o_year")
     )
 
 
@@ -625,7 +650,7 @@ def q_late_shipment_priority(spark, sf_dir):
             F.count(F.when(high, 1)).alias("high_line_count"),
             F.count(F.when(~high, 1)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
+        .transform(bounded_sort, "l_linestatus")
     )
 
 
@@ -659,7 +684,7 @@ def q_customer_order_distribution(spark, sf_dir):
         .agg(F.count("o_orderkey").alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        .transform(bounded_sort, F.desc("custdist"), F.desc("c_count"))
     )
 
 
@@ -723,8 +748,14 @@ def q_part_supplier_counts(spark, sf_dir):
     excluding a blacklist — DISTINCT-derived partsupp, negated IN-list
     as a left-anti join (safe here: s_suppkey is never null, so NOT IN
     and ANTI agree), then COUNT(DISTINCT) over three grouping columns.
-    The DISTINCT on (partkey, suppkey) is the fact-sized shuffle; the
-    anti join's build side (negative-balance suppliers) broadcasts.
+
+    Round-7 reshape: the part predicate keeps ~8% of parts (6 of ~50
+    sizes × brand/type cuts), so the qualifying part KEYS semi-filter
+    lineitem via broadcast BEFORE the fact-wide DISTINCT — the only
+    fact-sized shuffle now carries ~8% of the (partkey, suppkey) pairs
+    instead of all of them, which is the join order a cost-based
+    optimizer reaches. The anti join's build side (negative-balance
+    suppliers) broadcasts as before.
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
@@ -735,13 +766,21 @@ def q_part_supplier_counts(spark, sf_dir):
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     return (
         ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
         .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .transform(bounded_sort, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -802,8 +841,18 @@ def q_sole_blame_suppliers(spark, sf_dir):
     # shuffles each pair once, where the single-groupBy count_distinct
     # form Expands every lineitem row 3x before the exchange (~3x the
     # shuffle bytes at 100 TB for the same answer).
-    pair_stats = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(is_r.cast("int")).alias("has_r")
+    # Round-7: hash-partition ONCE on l_orderkey up front — that single
+    # distribution satisfies BOTH stacked groupBys (clustering on the
+    # key subset co-locates every (orderkey, suppkey) pair), so the
+    # second aggregate runs exchange-free. The partial/final split the
+    # explicit repartition displaces bought little: lineitem carries
+    # ~1.1 rows per (orderkey, suppkey) pair, so partial aggregation
+    # shuffled near-full row counts anyway.
+    pair_stats = (
+        li.select("l_orderkey", "l_suppkey", is_r.cast("int").alias("is_r"))
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_r").alias("has_r"))
     )
     order_stats = pair_stats.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
@@ -872,5 +921,5 @@ def q_idle_rich_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_money("c_acctbal")).cast("double").alias("totacctbal"),
         )
-        .orderBy("c_mktsegment")
+        .transform(bounded_sort, "c_mktsegment")
     )

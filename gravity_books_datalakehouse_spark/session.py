@@ -45,7 +45,23 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast sizing, split by estimate quality (round-7 fix: the
+        # old flat 64 MB static threshold let Catalyst PLAN a broadcast
+        # of a ~7.5M-row orders side from a parquet-size ESTIMATE, and
+        # the built hash relation then OOMed the driver at the bench's
+        # sf~5 replica probe — notEnoughMemoryToBuildAndBroadcastTable).
+        # Static threshold stays conservative (24 MB, estimate-based —
+        # hash relations expand 5-10x over on-disk size); the AQE
+        # threshold is the aggressive one (64 MB) because it re-decides
+        # join strategy from EXACT runtime shuffle sizes, which is
+        # exactly the demotion/promotion split you want on a cluster:
+        # plan safe, upgrade at runtime when the build side is proven
+        # small. Explicit F.broadcast() hints on true dims bypass both.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(24 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # local-mode driver == the single executor; Spark's 1g default

@@ -14,7 +14,8 @@ import sys
 from gravity_books_datalakehouse_spark.session import get_spark
 
 SHOW = {
-    "star_q1_monthly_sales": "All dim joins are BroadcastHashJoin; scans prune to the referenced columns; partial+final HashAggregate.",
+    "star_q1_monthly_sales": "All dim joins are BroadcastHashJoin; scans prune to the referenced columns; partial+final HashAggregate; the calendar-bounded output ends in Coalesce(1)+local Sort — no RangePartitioning exchange or sampling job (round 7).",
+    "star_q2_top10_parts": "EXCHANGE-FREE aggregate (round 7): the fact cache is hash-partitioned on part_sk, so the groupBy plans as one full HashAggregate directly over InMemoryTableScan — no partial/final split, no shuffle, no rank window; the dim-bounded counts broadcast to dim_part and TakeOrderedAndProject(10) finishes it.",
     "q_top_urgent_orders": "Priority/status predicates are pushed into the orders scan (PushedFilters) BEFORE the joins; filtered orders then broadcast.",
     "q_revenue_range_filter": "Every predicate reaches the Parquet scan; no join, no shuffle except the single-partition final agg.",
     "dedup_minhash_lsh_pairs": "Shingle construction is pure codegen (no window); shuffles only on (doc_id,shingle) distinct, (doc_id,p) minhash agg, and the band-key self-join — all digest-keyed, skew-free.",

@@ -15,6 +15,10 @@ def skew_session_confs(spark):
     optimization (production defaults target multi-GB partitions)."""
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # session.py round-7 split the thresholds: the AQE runtime one
+        # must ALSO be disabled or AQE upgrades the tiny build side to a
+        # broadcast join at runtime and the skew split never applies
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
