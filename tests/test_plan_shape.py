@@ -381,3 +381,59 @@ def test_repetition_pipeline_tokenizer_split_count_bounded(spark):
         f"tokenizer split appears {n_splits} times in the optimized plan — "
         "per-element inlining is back (see quality._ngram_doc_stats)"
     )
+
+
+def test_star_q2_aggregate_is_exchange_free(spark):
+    """Round-7 reshape: the fact cache is hash-partitioned on part_sk, so
+    q2's groupBy(part_sk) must plan as a single full HashAggregate over
+    the cache scan — no Exchange between the scan and the aggregate, no
+    rank Window anywhere, and the answer via TakeOrderedAndProject."""
+    from gravity_books_datalakehouse_spark.plans.star import q2_top10_parts
+
+    df = q2_top10_parts(spark, SF_SMOKE)
+    df.collect()  # finalize AQE so the cached-scan subplan is concrete
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # only the query-side plan (above the cached star-build subtree,
+    # which legitimately contains the SK windows) must be window-free
+    head = plan.split("InMemoryRelation", 1)[0]
+    assert "Window" not in head
+    # the counts subtree: aggregate sits directly on the InMemoryTableScan
+    # (two stacked HashAggregates = operator-internal final/partial pair
+    # with NO Exchange between them and the cache scan)
+    agg_to_scan = head.split("HashAggregate", 1)[1]
+    assert "Exchange" not in agg_to_scan.split("InMemoryTableScan", 1)[0]
+
+
+def test_bounded_sort_endings_have_no_range_exchange(spark):
+    """Dim-bounded final orderings must be Coalesce(1)+Sort, never a
+    rangepartitioning Exchange with its sampling job."""
+    from gravity_books_datalakehouse_spark.plans.star import q4_sales_by_nation
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_pricing_summary,
+        q_part_supplier_counts,
+    )
+
+    for q in (q4_sales_by_nation, q_pricing_summary, q_part_supplier_counts):
+        plan = _executed_plan(q(spark, SF_SMOKE))
+        # query-side only: the cached star-build subtree (q4) contains
+        # the dense-SK range repartition legitimately
+        head = plan.split("InMemoryRelation", 1)[0]
+        assert "rangepartitioning" not in head.lower(), q.__name__
+        assert "Coalesce" in head, q.__name__
+
+
+def test_min_cost_supplier_single_fact_exchange(spark):
+    """Round-7 reshape: the European-supplier semi filter must precede the
+    aggregate (left-semi with a broadcast build), and the one explicit
+    hash-partition on pk must serve BOTH the (pk, sk) aggregate and the
+    per-part min window — no second fact-sized Exchange between them."""
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_min_cost_supplier,
+    )
+
+    plan = _executed_plan(q_min_cost_supplier(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    # exactly one hashpartitioning exchange on the fact side: the window
+    # reuses the aggregate's distribution instead of re-exchanging
+    assert plan.lower().count("exchange hashpartitioning") <= 1
