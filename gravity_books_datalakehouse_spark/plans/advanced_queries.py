@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
 
 from gravity_books_datalakehouse_spark.plans.operator_queries import (
+    _cents,
     _money,
+    _money_sum,
     register,
 )
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
@@ -77,7 +79,7 @@ def op_f_histogram(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_money("o_totalprice")).cast("double").alias("bucket_total"),
+            _money_sum(_cents("o_totalprice"), 2).cast("double").alias("bucket_total"),
         )
         .transform(bounded_sort, "price_bucket")
     )
@@ -184,7 +186,7 @@ def op_w_trailing_range_frame(spark, sf_dir):
             .cast("bigint")
             .alias("day_int"),
         )
-        .agg(F.sum(_money("o_totalprice")).alias("day_rev"))
+        .agg(_money_sum(_cents("o_totalprice"), 2).alias("day_rev"))
     )
     from pyspark.sql import Window
 

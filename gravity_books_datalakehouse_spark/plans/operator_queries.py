@@ -5,10 +5,12 @@ and carries a DuckDB oracle with identical column aliases (the driver
 hash-compares values order-insensitively, so aliases must line up —
 computed columns are aliased on BOTH sides).
 
-Cross-engine numeric discipline: sums of doubles are decimal-cast before
-aggregation and double-cast after (bit-equal across engines); genuinely
-floating results (stddev) are rounded to 4 dp inside the query on both
-sides.
+Cross-engine numeric discipline: money sums run on the integer-cents
+fast path (_cents/_money_sum below — primitive long arithmetic per row,
+exact-decimal recombine per group, double only at the boundary), which
+is bit-equal to the oracles' DECIMAL(18,2)-cast SUM + DOUBLE cast;
+genuinely floating results (stddev) are rounded to 4 dp inside the
+query on both sides.
 """
 
 from __future__ import annotations
@@ -90,6 +92,81 @@ def _ensure_loaded() -> None:
 
 def _money(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer hundredths of a 2-dp money column, as LONG.
+
+    The testdata money columns (l_quantity/extendedprice/discount/tax,
+    o_totalprice, c_acctbal, p_retailprice) are exactly-two-decimal
+    doubles, so the double product ``x * 100`` lands within 1 ulp of the
+    true integer and ``floor(x*100 + 0.5)`` recovers it exactly (for
+    any sign — floor(v + 0.5) is nearest-integer for v within
+    (n-0.5, n+0.5), and the half-way case cannot occur here).
+
+    floor() stays a primitive Math.floor in whole-stage codegen —
+    measured 4x faster than both F.round (which allocates a
+    java.math.BigDecimal per row) and the DECIMAL(18,2) cast chain on
+    the 30M-row pricing-summary shape. Downstream arithmetic is then
+    pure long math.
+    """
+    return F.floor(F.col(col) * 100 + F.lit(0.5))
+
+
+def _money_sum(units: F.Column, scale: int) -> F.Column:
+    """Overflow-safe exact sum of integer money subunits (LONG column in
+    10^-scale units; _cents -> scale 2, cents x (100 +/- cents) products
+    -> scale 4/6), returned as an exact decimal.
+
+    A single long accumulator would overflow at warehouse scale: charge
+    subunits reach ~10^11 per row, so ~10^8 rows per partial sum hits
+    2^63 (ANSI mode would fail the query, pre-ANSI would silently
+    wrap). Instead the row value is split hi = units >> 20,
+    lo = units & 0xFFFFF (exact for negatives too: two's-complement
+    arithmetic shift + mask satisfy units = hi*2^20 + lo), summed as
+    TWO primitive long accumulators, and recombined per GROUP in
+    decimal: headroom becomes ~10^13 rows per group for hi (and 2^43
+    rows for lo) — comfortably past 100 TB — while the per-row cost
+    stays shift/and/add in whole-stage codegen (~2.5x faster than the
+    decimal accumulator on the 30M-row shape).
+
+    The recombine is exact by construction: DECIMAL(20,0) holds any
+    long; hi*2^20 + lo is DECIMAL(29,0); multiplying by the exact
+    10^-scale literal DECIMAL(scale+1,scale) yields precision
+    31+scale <= 37 <= 38, so Catalyst computes the EXACT product (no
+    precision-loss rounding). A final .cast("double") is then the
+    single correct rounding of the true rational — bit-identical to
+    summing DECIMAL(18,2)-cast inputs and casting that sum to double,
+    and to DuckDB's decimal SUM + double cast (oracle-verified).
+    """
+    hi = F.sum(F.shiftright(units, 20)).cast("decimal(20,0)")
+    lo = F.sum(units.bitwiseAND(F.lit((1 << 20) - 1))).cast("decimal(20,0)")
+    ten = F.lit(10.0 ** -scale).cast(f"decimal({scale + 1},{scale})")
+    return (hi * F.lit(1 << 20).cast("decimal(7,0)") + lo) * ten
+
+
+def _day_lt(col: str, next_day: str) -> F.Column:
+    """``CAST(col AS DATE) <= D`` expressed as ``col < D+1 day`` on the
+    raw timestamp — pass ``next_day`` = the day AFTER the inclusive
+    bound. Exactly equivalent for every timestamp (date-cast truncates
+    toward midnight in the session zone; the literal is midnight in the
+    same zone).
+
+    Honesty note: Spark 4's UnwrapCastInBinaryComparison already
+    rewrites the date-cast form into this same pushed primitive compare
+    (verified in tests/test_money_exact.py), so at equal plans this is
+    a readability/robustness choice, not a measured win here — it keeps
+    the Parquet pushdown + partition pruning guaranteed by construction
+    rather than contingent on an optimizer rule recognizing the cast,
+    which matters for engines/forks where that rule is narrower.
+    """
+    return F.col(col) < F.lit(next_day).cast("timestamp")
+
+
+def _day_ge(col: str, day: str) -> F.Column:
+    """``CAST(col AS DATE) >= D`` as a raw-timestamp compare (see
+    _day_lt): every timestamp on/after D's midnight."""
+    return F.col(col) >= F.lit(day).cast("timestamp")
 
 
 # ---------------------------------------------------------------------------
@@ -419,13 +496,13 @@ def op_a_stats_kit(spark, sf_dir):
     reference q1/q4/q5 shapes, test_queries.py:16-26,50-67). Partial
     aggregation before the shuffle is automatic."""
     li = load_table(spark, sf_dir, "lineitem")
-    sum_qty = F.sum(_money("l_quantity")).cast("double")
+    sum_qty = _money_sum(_cents("l_quantity"), 2).cast("double")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
             sum_qty.alias("sum_qty"),
-            F.sum(_money("l_extendedprice")).cast("double").alias("sum_price"),
+            _money_sum(_cents("l_extendedprice"), 2).cast("double").alias("sum_price"),
             F.round(sum_qty / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.countDistinct("l_partkey").alias("n_parts"),
         )
@@ -451,7 +528,7 @@ def op_o_topk_desc_tiebreak(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.sum(_money("o_totalprice")).cast("double").alias("total"))
+        .agg(_money_sum(_cents("o_totalprice"), 2).cast("double").alias("total"))
         .orderBy(F.desc("total"), F.asc("o_custkey"))
         .limit(7)
     )
@@ -562,7 +639,7 @@ def op_w_running_total(spark, sf_dir):
     monthly = (
         o.groupBy(
             F.date_format("o_orderdate", "yyyyMM").cast("int").alias("ym")
-        ).agg(F.sum(_money("o_totalprice")).alias("month_rev"))
+        ).agg(_money_sum(_cents("o_totalprice"), 2).alias("month_rev"))
     )
     w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return monthly.select(
@@ -596,7 +673,7 @@ def op_a_rollup(spark, sf_dir):
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(_money("o_totalprice")).cast("double").alias("total"),
+            _money_sum(_cents("o_totalprice"), 2).cast("double").alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
     )
@@ -642,13 +719,14 @@ def q_revenue_range_filter(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date"))
-            & (F.col("l_shipdate").cast("date") < F.lit("1996-01-01").cast("date"))
+            _day_ge("l_shipdate", "1995-01-01")
+            & _day_lt("l_shipdate", "1996-01-01")
             & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09)
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_money("l_extendedprice") * _money("l_discount"))
+            # cents x cents product -> exact 1e-4-unit long; see _money_sum
+            _money_sum(_cents("l_extendedprice") * _cents("l_discount"), 4)
             .cast("double")
             .alias("promo_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -843,10 +921,10 @@ def q_heavy_suppliers_semi(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     totals = li.groupBy("l_suppkey").agg(
-        F.sum(_money("l_quantity")).alias("vol")
+        _money_sum(_cents("l_quantity"), 2).alias("vol")
     )
     thr = li.agg(
-        (F.lit(0.5) * F.sum(_money("l_quantity")).cast("double")
+        (F.lit(0.5) * _money_sum(_cents("l_quantity"), 2).cast("double")
          / F.countDistinct("l_suppkey")).alias("thr")
     )
     heavy = totals.crossJoin(F.broadcast(thr)).filter(
@@ -959,7 +1037,7 @@ def op_w_mom_growth(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_format("o_orderdate", "yyyyMM").cast("int").alias("ym")
-    ).agg(F.sum(_money("o_totalprice")).alias("month_rev"))
+    ).agg(_money_sum(_cents("o_totalprice"), 2).alias("month_rev"))
     w = Window.orderBy("ym")
     return monthly.select(
         "ym",
