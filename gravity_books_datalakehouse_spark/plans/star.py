@@ -24,9 +24,11 @@ Physical shape at 100 TB: fact-side joins to every dim are broadcast
 is lineitem ⋈ orders on orderkey, which AQE handles (and bucketing both
 tables by orderkey would eliminate — see plans/medallion.py).
 
-Money math: measures are cast DECIMAL(18,2) before SUM and the final
-aggregate cast back to DOUBLE, making Spark and DuckDB produce bit-equal
-results (double summation order would otherwise differ cross-engine).
+Money math: measure aggregates run on the integer-cents fast path
+(operator_queries._cents/_money_sum — primitive long per-row arithmetic,
+exact-decimal recombine per group, DOUBLE only at the boundary), which
+is bit-equal to DuckDB's DECIMAL(18,2)-cast SUM + DOUBLE cast (double
+summation order would otherwise differ cross-engine).
 """
 
 from __future__ import annotations
@@ -46,6 +48,19 @@ from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
 def _money(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
+
+
+def _cents_sum(col: str) -> F.Column:
+    """Exact money sum on the integer-cents fast path (see
+    operator_queries._cents/_money_sum): bit-identical to
+    F.sum(_money(col)).cast("double") at primitive-long per-row cost
+    over the cached fact."""
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        _cents,
+        _money_sum,
+    )
+
+    return _money_sum(_cents(col), 2).cast("double")
 
 
 #: Measured columnar-cache footprint of one fact row (4 int SKs + 4
@@ -276,7 +291,7 @@ def q1_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("year_val", "month_val", "month_name")
         .agg(
             F.count("part_sk").alias("num_sold"),
-            F.sum(_money("extendedprice")).cast("double").alias("revenue"),
+            _cents_sum("extendedprice").alias("revenue"),
         )
         .coalesce(1)
         .sortWithinPartitions("year_val", "month_val")
@@ -334,15 +349,18 @@ def q3_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of the whole fact stream into a 5-row dim lookup.
     """
     s = build_star(spark, sf_dir)
-    # Narrow decimal operands keep the per-row multiply long-backed:
-    # decimal(12,2) x decimal(3,2) -> decimal(16,4) (<= 18 digits, no
-    # Decimal128), vs the naive decimal(18,2) x decimal(18,2) ->
-    # decimal(37,4) 128-bit slow path. Exact for TPC-H money values
-    # (extendedprice < 1e10, discount in [0,1)), so the DuckDB oracle
-    # (which computes the same exact rationals) still hash-matches.
-    net = F.sum(
-        F.col("extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(3,2)") - F.col("discount").cast("decimal(3,2)"))
+    # Integer-cents fast path (operator_queries._cents/_money_sum): the
+    # per-row multiply is pure long math — price_cents x (100 -
+    # disc_cents) in exact 1e-4 units — replacing the earlier narrowed
+    # decimal(12,2) x decimal(3,2) form. Exact for TPC-H money values,
+    # so the DuckDB oracle (same exact rationals) still hash-matches.
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        _cents,
+        _money_sum,
+    )
+
+    net = _money_sum(
+        _cents("extendedprice") * (F.lit(100) - _cents("discount")), 4
     ).cast("double")
     top5 = (
         s["fact_sales"]
@@ -382,7 +400,7 @@ def q4_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer_sk",
         )
         .groupBy("nation_name")
-        .agg(F.sum(_money("extendedprice")).cast("double").alias("total_sales"))
+        .agg(_cents_sum("extendedprice").alias("total_sales"))
         .coalesce(1)
         .sortWithinPartitions(F.desc("total_sales"), F.asc("nation_name"))
     )
