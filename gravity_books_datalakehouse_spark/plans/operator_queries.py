@@ -758,9 +758,9 @@ def q_top_urgent_orders(spark, sf_dir):
     )
     c = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
-    value = F.sum(
-        _money("l_extendedprice")
-        * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
+    # integer-cents fast path: exact 1e-4-unit long product per row
+    value = _money_sum(
+        _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")), 4
     ).cast("double")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -881,8 +881,9 @@ def q_nation_pair_flows(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    revenue = F.sum(
-        _money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
+    # integer-cents fast path: exact 1e-4-unit long product per row
+    revenue = _money_sum(
+        _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")), 4
     ).cast("double")
     return (
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -963,10 +964,13 @@ def q_market_share_by_year(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    price = _money("l_extendedprice")
-    zero = F.lit(0).cast("decimal(18,2)")
-    europe = F.sum(F.when(F.col("r_name") == "EUROPE", price).otherwise(zero)).cast("double")
-    total = F.sum(price).cast("double")
+    # conditional sum on the integer-cents fast path: the CASE picks a
+    # long (cents or 0), both branches primitive in codegen
+    price_c = _cents("l_extendedprice")
+    europe = _money_sum(
+        F.when(F.col("r_name") == "EUROPE", price_c).otherwise(F.lit(0)), 2
+    ).cast("double")
+    total = _money_sum(price_c, 2).cast("double")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
