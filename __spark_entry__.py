@@ -32,11 +32,17 @@ _PRIORITY_HEAD = [
     # The full-registry witness sweep completed in round 6 (every entry has
     # a green row in some CORRECTNESS_r*.json); rotation is now freshness
     # maintenance. This head = the 5 star queries (plans REWORKED this
-    # round: exchange-free q2 aggregate, local-sort endings) + all 12
-    # entries last witnessed in round 1 + all 9 last witnessed in round 2
-    # + 19 of the 45 last witnessed in round 3 + 5 older entries required
-    # for family coverage (op_split/op_scd2/op_fk/op_unpivot/op_outliers).
-    # Round-8 rotation: the remaining 26 round-3 entries
+    # round: exchange-free q2 aggregate, local-sort endings, and the
+    # integer-cents measure aggregates) + 5 cents-path-converted q_
+    # queries + all 12 entries last witnessed in round 1 + all 9 last
+    # witnessed in round 2 + 13 of the 45 last witnessed in round 3 + 6
+    # older entries required for family coverage
+    # (op_split/op_scd2/op_fk/op_unpivot/op_outliers). The other
+    # cents-converted queries (q_pricing_summary, q_market_share_by_year,
+    # q_profit_by_nation_year, q_promo_revenue) ride in the round-3
+    # block below; the rest were hash-verified at sf0.01 AND sf0.1 by
+    # this round's in-repo verify runs.
+    # Round-8 rotation: the remaining 31 round-3 entries
     # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
     # text_unigram_logprob, pipeline_curate_corpus, sim_ivf_topk,
     # sim_quantized_topk, op_grouped_agg_weighted_avg,
@@ -45,6 +51,8 @@ _PRIORITY_HEAD = [
     # text_bm25_topk, text_hybrid_rrf_topk, op_expectations_check,
     # ev_funnel_signup_click_purchase, op_j_range_bucketed,
     # op_w_trailing_range_frame, op_merge_upsert_snapshot, op_cap_per_source,
+    # dedup_simhash, mm_frame_sample, ev_tumbling_hourly,
+    # op_sample_temperature_mix, sim_lsh_bucketed_topk,
     # q_pricing_summary-siblings) then start on the 43 round-5 entries.
     # --- changed this round: the five reference-parity star queries ---
     "star_q1_monthly_sales",
@@ -52,6 +60,12 @@ _PRIORITY_HEAD = [
     "star_q3_top5_customers",
     "star_q4_sales_by_nation",
     "star_q5_priority_popularity",
+    # --- changed this round: integer-cents revenue aggregates ---
+    "q_nation_pair_flows",
+    "q_top_urgent_orders",
+    "q_returned_item_customers",
+    "q_large_volume_customers",
+    "q_small_qty_revenue",
     # --- last witnessed round 1 (all 12) ---
     "op_s1_scan_projection",
     "op_p2_rename",
@@ -75,7 +89,7 @@ _PRIORITY_HEAD = [
     "text_token_stats",
     "text_chunk_documents",
     "sim_lsh_multiprobe_topk",
-    # --- last witnessed round 3 (19 of 45; rest queued for round 8) ---
+    # --- last witnessed round 3 (13 of 45; rest queued for round 8) ---
     "q_market_share_by_year",
     "q_pricing_summary",
     "q_profit_by_nation_year",
@@ -84,15 +98,10 @@ _PRIORITY_HEAD = [
     "dedup_minhash_lsh_pairs",
     "dedup_jaccard_verify",
     "dedup_lsh_banded_pairs",
-    "dedup_simhash",
     "sim_topk_cosine_bruteforce",
-    "sim_lsh_bucketed_topk",
     "mm_payload_metadata",
-    "mm_frame_sample",
-    "ev_tumbling_hourly",
     "ev_sessionize",
     "op_sample_hash_bernoulli",
-    "op_sample_temperature_mix",
     "pipeline_curation_verdict",
     # --- family-coverage fills (oldest available member per family) ---
     "op_sketch_approx_stats",
