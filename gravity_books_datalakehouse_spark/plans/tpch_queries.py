@@ -30,23 +30,13 @@ from gravity_books_datalakehouse_spark.plans.operator_queries import (
 )
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
-def _one() -> F.Column:
-    # built lazily: F.lit at module import would require a live SparkContext
-    return F.lit(1).cast("decimal(18,2)")
-
-
-def _disc_price() -> F.Column:
-    """l_extendedprice * (1 - l_discount), exact: scale 2+2 = 4."""
-    return (_money("l_extendedprice") * (_one() - _money("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-
-
 def _disc_price_u() -> F.Column:
-    """_disc_price in exact 1e-4-unit LONGs — the codegen-primitive form
-    for hot aggregates: ``_money_sum(_disc_price_u(), 4)`` is
-    bit-identical to the decimal ``F.sum(_disc_price())`` (both round
-    the same exact rational once) at ~4x the per-row throughput."""
+    """l_extendedprice * (1 - l_discount) in exact 1e-4-unit LONGs — the
+    codegen-primitive form for hot aggregates: ``_money_sum(
+    _disc_price_u(), 4)`` is bit-identical to summing the DECIMAL(18,2)
+    -cast product (both round the same exact rational once; see the
+    oracle SQL, which spells that decimal form) at ~4x the per-row
+    throughput."""
     return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
 
 
@@ -745,16 +735,17 @@ def q_promo_revenue(spark, sf_dir):
     numerator and unconditional denominator in ONE aggregation pass
     (no self-join, no second scan). The ship-date range pushes into the
     lineitem Parquet scan before the part join; both sums stay exact
-    DECIMAL(18,4) and the ratio is one double division at the end.
+    (1e-4-unit long products, decimal recombine per group) and the
+    ratio is one double division at the end.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-11-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    zero = F.lit(0).cast("decimal(18,4)")
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero)
+    # integer-cents fast path, CASE branches picking long units or 0
+    promo = _money_sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price_u()).otherwise(F.lit(0)), 4
     ).cast("double")
     total = _money_sum(_disc_price_u(), 4).cast("double")
     return (
