@@ -364,10 +364,10 @@ def op_w_gap_fill_forward(spark, sf_dir):
         o.select(
             "o_orderpriority",
             F.col("o_orderdate").cast("date").alias("d"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            _cents("o_totalprice").alias("p_c"),
         )
         .groupBy("o_orderpriority", "d")
-        .agg(F.sum("p").cast("double").alias("rev"))
+        .agg(_money_sum(F.col("p_c"), 2).cast("double").alias("rev"))
     )
     bounds = daily.groupBy("o_orderpriority").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
@@ -533,7 +533,7 @@ def q_customer_rfm_segments(spark, sf_dir):
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        _money_sum(_cents("o_totalprice"), 2).cast("double").alias("monetary"),
     )
     r = F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
     f = F.ntile(5).over(Window.orderBy(F.desc("n_orders"), F.asc("o_custkey")))
@@ -585,7 +585,7 @@ def q_revenue_pareto(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        _money_sum(_cents("o_totalprice"), 2).alias("rev")
     )
     w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
         Window.unboundedPreceding, 0
