@@ -626,24 +626,53 @@ def q_revenue_pareto(spark, sf_dir):
 )
 def q_order_to_ship_lag(spark, sf_dir):
     """Fulfilment latency per order priority: median/p90 days between
-    order and line shipment — the operational SLA rollup. Discrete
-    percentiles over integer day differences keep the statistic
-    bit-identical cross-engine; one fact join (AQE-managed) and a
-    per-priority sort-aggregate over integer lags."""
+    order and line shipment — the operational SLA rollup.
+
+    The discrete percentile is computed from a (priority, lag_days)
+    HISTOGRAM, not percentile_disc over raw rows: lag is a small-domain
+    integer, so the fact collapses map-side to <= priorities x lags
+    partial counts before the one tiny shuffle, and the percentile is
+    the smallest lag whose cume_dist >= p over the cumulative counts.
+    percentile_disc would instead buffer EVERY row's value inside an
+    ObjectHashAggregate per group — at 100 TB that is an executor OOM,
+    and even at 30M rows it is the query's dominant cost. The
+    cume_dist >= p selection (double compare, same as Spark's own
+    percentile_disc rule — fuzz-verified bit-equal in
+    tests/test_percentile_hist.py) keeps the statistic bit-identical
+    to the DuckDB quantile_disc oracle."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     lag = F.datediff(
         F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
     )
-    return (
+    counts = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("o_orderpriority", lag.alias("lag_days"))
-        .groupBy("o_orderpriority")
+        .groupBy("o_orderpriority", "lag_days")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = counts.select(
+        "o_orderpriority",
+        "lag_days",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    cd = F.col("cum").cast("double") / F.col("n").cast("double")
+    return (
+        cum.groupBy("o_orderpriority")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_days)")
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.min(F.when(cd >= F.lit(0.5), F.col("lag_days")))
             .cast("bigint").alias("median_lag_days"),
-            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_days)")
+            F.min(F.when(cd >= F.lit(0.9), F.col("lag_days")))
             .cast("bigint").alias("p90_lag_days"),
         )
         .transform(bounded_sort, "o_orderpriority")
