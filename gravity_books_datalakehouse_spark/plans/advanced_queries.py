@@ -649,42 +649,28 @@ def q_order_to_ship_lag(spark, sf_dir):
     and even at 30M rows it is the query's dominant cost. The
     cume_dist >= p selection (double compare, same as Spark's own
     percentile_disc rule — fuzz-verified bit-equal in
-    tests/test_percentile_hist.py) keeps the statistic bit-identical
+    tests/test_percentile_hist.py; shared operator
+    operators/percentile_hist.py) keeps the statistic bit-identical
     to the DuckDB quantile_disc oracle."""
-    from pyspark.sql import Window
+    from gravity_books_datalakehouse_spark.operators.percentile_hist import (
+        grouped_disc_percentiles,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     lag = F.datediff(
         F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
     )
-    counts = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("o_orderpriority", lag.alias("lag_days"))
-        .groupBy("o_orderpriority", "lag_days")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    gaps = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", lag.alias("lag_days")
     )
-    w_cum = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("lag_days")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    stats = grouped_disc_percentiles(
+        gaps, ["o_orderpriority"], "lag_days", [0.5, 0.9],
+        ["median_lag_days", "p90_lag_days"], n_alias="n_lines",
     )
-    w_all = Window.partitionBy("o_orderpriority")
-    cum = counts.select(
+    return stats.select(
         "o_orderpriority",
-        "lag_days",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-    cd = F.col("cum").cast("double") / F.col("n").cast("double")
-    return (
-        cum.groupBy("o_orderpriority")
-        .agg(
-            F.max("n").cast("bigint").alias("n_lines"),
-            F.min(F.when(cd >= F.lit(0.5), F.col("lag_days")))
-            .cast("bigint").alias("median_lag_days"),
-            F.min(F.when(cd >= F.lit(0.9), F.col("lag_days")))
-            .cast("bigint").alias("p90_lag_days"),
-        )
-        .transform(bounded_sort, "o_orderpriority")
-    )
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("median_lag_days").cast("bigint").alias("median_lag_days"),
+        F.col("p90_lag_days").cast("bigint").alias("p90_lag_days"),
+    ).transform(bounded_sort, "o_orderpriority")

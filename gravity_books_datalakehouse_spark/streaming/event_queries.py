@@ -582,7 +582,9 @@ def ev_funnel_time_to_convert(spark, sf_dir):
     companion to the count funnel, computed over the same staged
     conditional aggregations. DISCRETE percentiles over integer seconds
     keep the statistic bit-identical cross-engine. Per-user gaps reuse
-    one user_id-partitioned shuffle; the final reduce is a single row."""
+    one user_id-partitioned shuffle; the final reduce runs over the
+    bounded gap-seconds histogram, not the raw per-user rows (see
+    operators/percentile_hist.py), and emits a single row."""
     e = load_events(spark, sf_dir)
     s = (
         e.groupBy("user_id")
@@ -609,17 +611,35 @@ def ev_funnel_time_to_convert(spark, sf_dir):
             (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("c2p"),
         )
     )
-    return gaps.agg(
-        F.count("s2c").cast("bigint").alias("n_clicked"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s2c)")
-        .cast("bigint").alias("median_signup_to_click_s"),
-        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY s2c)")
-        .cast("bigint").alias("p90_signup_to_click_s"),
-        F.count("c2p").cast("bigint").alias("n_purchased"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c2p)")
-        .cast("bigint").alias("median_click_to_purchase_s"),
-        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c2p)")
-        .cast("bigint").alias("p90_click_to_purchase_s"),
+    # Exact discrete percentiles via the gap-value HISTOGRAM
+    # (operators/percentile_hist.py): a global percentile_disc would
+    # buffer every user's gap in ONE aggregate — unbounded at scale —
+    # while the histogram is bounded by the distinct-seconds domain.
+    from gravity_books_datalakehouse_spark.operators.percentile_hist import (
+        global_disc_percentiles,
+    )
+
+    s2c_stats = global_disc_percentiles(
+        gaps, "s2c", [0.5, 0.9],
+        ["median_signup_to_click_s", "p90_signup_to_click_s"],
+        n_alias="n_clicked",
+    )
+    c2p_stats = global_disc_percentiles(
+        gaps, "c2p", [0.5, 0.9],
+        ["median_click_to_purchase_s", "p90_click_to_purchase_s"],
+        n_alias="n_purchased",
+    )
+    return s2c_stats.crossJoin(c2p_stats).select(
+        F.col("n_clicked").cast("bigint").alias("n_clicked"),
+        F.col("median_signup_to_click_s").cast("bigint")
+        .alias("median_signup_to_click_s"),
+        F.col("p90_signup_to_click_s").cast("bigint")
+        .alias("p90_signup_to_click_s"),
+        F.col("n_purchased").cast("bigint").alias("n_purchased"),
+        F.col("median_click_to_purchase_s").cast("bigint")
+        .alias("median_click_to_purchase_s"),
+        F.col("p90_click_to_purchase_s").cast("bigint")
+        .alias("p90_click_to_purchase_s"),
     )
 
 

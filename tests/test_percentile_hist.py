@@ -61,6 +61,53 @@ def test_histogram_percentile_matches_percentile_disc(spark):
     assert got == ref
 
 
+def test_grouped_operator_matches_percentile_disc(spark):
+    from gravity_books_datalakehouse_spark.operators.percentile_hist import (
+        grouped_disc_percentiles,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        Row(g=g, x=rng.randint(0, 15))
+        for g in range(4)
+        for _ in range(rng.choice([10, 33, 100]))
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.g: (r.n, r.p50, r.p90)
+        for r in grouped_disc_percentiles(
+            df, ["g"], "x", [0.5, 0.9], ["p50", "p90"]
+        ).collect()
+    }
+    ref = {
+        r.g: (r.n, r.p50, r.p90)
+        for r in df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY x)").alias("p90"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_global_operator_null_and_empty_semantics(spark):
+    from gravity_books_datalakehouse_spark.operators.percentile_hist import (
+        global_disc_percentiles,
+    )
+
+    # NULLs excluded from count and percentiles, like percentile_disc
+    df = spark.createDataFrame(
+        [Row(x=v) for v in [1, None, 3, None, 5]],
+        schema="x bigint",
+    )
+    r = global_disc_percentiles(df, "x", [0.5], ["p50"]).collect()[0]
+    assert (r.n, r.p50) == (3, 3)
+    # all-NULL column: count 0, percentile NULL (single row, not empty)
+    empty = spark.createDataFrame([Row(x=None)], schema="x bigint")
+    r2 = global_disc_percentiles(empty, "x", [0.5], ["p50"]).collect()
+    assert len(r2) == 1 and (r2[0].n, r2[0].p50) == (0, None)
+
+
 def test_histogram_percentile_constant_and_skewed_groups(spark):
     rows = (
         [Row(g=0, x=7)] * 50                       # constant group
