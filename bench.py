@@ -275,6 +275,7 @@ SF1_QUERIES = (
     "q_pricing_summary",          # full-scan aggregate (lineitem only)
     "q_large_volume_customers",   # TPC-H q18: wide join + HAVING semi-join
     "q_order_to_ship_lag",        # fact join + discrete percentiles
+    "q_nation_pair_flows",        # TPC-H q7: two dim chains, AQE-managed joins
 )
 
 
