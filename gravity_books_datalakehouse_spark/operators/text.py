@@ -135,6 +135,47 @@ def text_token_stats(spark, sf_dir):
 
 
 @register(
+    "text_length_profile_by_source",
+    f"""SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(quantile_disc(len({TOKS_SQL}), 0.5) AS BIGINT)
+                AS p50_tokens,
+              CAST(quantile_disc(len({TOKS_SQL}), 0.9) AS BIGINT)
+                AS p90_tokens
+       FROM documents
+       GROUP BY source
+       ORDER BY source""",
+)
+def text_length_profile_by_source(spark, sf_dir):
+    """Per-source token-length distribution profile (median / p90 doc
+    length) — the first report a corpus curator pulls before setting
+    length filters or mixture weights. Exact discrete percentiles via
+    the bounded (source, n_tokens) histogram
+    (operators/percentile_hist.py): the corpus collapses map-side to
+    |sources| x |distinct lengths| counts, so the profile costs the
+    same at 10^6 or 10^11 documents — a raw percentile_disc would
+    buffer every document's length per source."""
+    from gravity_books_datalakehouse_spark.operators.percentile_hist import (
+        grouped_disc_percentiles,
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    stats = grouped_disc_percentiles(
+        docs, ["source"], "n_tokens", [0.5, 0.9],
+        ["p50_tokens", "p90_tokens"], n_alias="n_docs",
+    )
+    return stats.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("p50_tokens").cast("bigint").alias("p50_tokens"),
+        F.col("p90_tokens").cast("bigint").alias("p90_tokens"),
+    ).transform(bounded_sort, "source")
+
+
+@register(
     "text_quality_scores",
     f"""SELECT doc_id, n_chars,
               ROUND(CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE)
