@@ -52,7 +52,7 @@ _PRIORITY_HEAD = [
     # ev_funnel_signup_click_purchase, op_j_range_bucketed,
     # op_w_trailing_range_frame, op_merge_upsert_snapshot, op_cap_per_source,
     # dedup_simhash, mm_frame_sample, ev_tumbling_hourly,
-    # op_sample_temperature_mix, sim_lsh_bucketed_topk,
+    # op_sample_temperature_mix, sim_lsh_bucketed_topk, text_chunk_documents,
     # q_pricing_summary-siblings) then start on the 43 round-5 entries.
     # --- changed this round: the five reference-parity star queries ---
     "star_q1_monthly_sales",
@@ -87,7 +87,7 @@ _PRIORITY_HEAD = [
     "op_f_date_dim_kit",
     "op_set_union_intersect_except",
     "text_token_stats",
-    "text_chunk_documents",
+    "text_length_profile_by_source",  # NEW round 7 — histogram percentiles
     "sim_lsh_multiprobe_topk",
     # --- last witnessed round 3 (13 of 45; rest queued for round 8) ---
     "q_market_share_by_year",
