@@ -23,7 +23,9 @@ SHOW = {
     "ev_sessionize": "session_window stateful aggregation; single shuffle on user_id.",
     "op_asof_join_prev_purchase": "As-of join as union + one per-key window pass (no pairwise inequality-join blowup); single shuffle on user_id.",
     "q_nation_pair_flows": "Two dimension chains off one fact scan, every join broadcast; single aggregation shuffle on the nation pair.",
-    "q_pricing_summary": "Scan-bandwidth-bound: 7-of-11-column ReadSchema, pushed date predicate, partial aggregation collapses each partition to <=6 groups before one tiny shuffle.",
+    "q_pricing_summary": "Scan-bandwidth-bound: 7-of-11-column ReadSchema, pushed timestamp predicate, integer-cents FLOOR projections (round 7 — no per-row decimal), partial aggregation collapses each partition to <=6 groups before one tiny shuffle.",
+    "q_large_volume_customers": "ShuffledHashJoin on both fact joins (round 7 hints): the 30M-row lineitem probe side is never sorted; build sides are the HAVING-filtered heavy-orders set and its key list — no SortMergeJoin in the plan.",
+    "q_order_to_ship_lag": "Discrete percentiles from the (priority, lag_days) HISTOGRAM (round 7): map-side partial agg collapses the fact to <=priorities x lags counts before one small shuffle; no ObjectHashAggregate buffering raw values.",
     "op_j_range_bucketed": "Time-range join bucketized to an equi-join on (user, 10-min epoch) — no BroadcastNestedLoopJoin anywhere; residual range predicate filters the 2x candidate fan-out.",
     "op_w_trailing_range_frame": "Daily pre-aggregation BEFORE the window: the range-frame exchange carries one row per nation x day, not one per order.",
     "text_chunk_documents": "Zero-shuffle narrow stage: sequence -> posexplode -> substring, all inside WholeStageCodegen; chunking cost is pure scan bandwidth.",

@@ -437,3 +437,32 @@ def test_min_cost_supplier_single_fact_exchange(spark):
     # exactly one hashpartitioning exchange on the fact side: the window
     # reuses the aggregate's distribution instead of re-exchanging
     assert plan.lower().count("exchange hashpartitioning") <= 1
+
+
+def test_q18_join_back_never_sorts_the_fact(spark):
+    """Round-7 reshape: q_large_volume_customers' shuffle_hash hints must
+    hold — the heavy-semi filter and the orders-to-lineitem join-back
+    plan as ShuffledHashJoin (bounded build sides), with NO SortMergeJoin
+    anywhere: a SMJ here would sort the full fact on the join key."""
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        q_large_volume_customers,
+    )
+
+    plan = _executed_plan(q_large_volume_customers(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ship_lag_percentiles_run_on_the_histogram(spark):
+    """Round-7 reshape: q_order_to_ship_lag's percentiles must come from
+    the (priority, lag) histogram — partial+final HashAggregate pair
+    collapsing the fact BEFORE the windows, and no ObjectHashAggregate
+    (the raw-value-buffering percentile_disc path) anywhere."""
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        q_order_to_ship_lag,
+    )
+
+    plan = _executed_plan(q_order_to_ship_lag(spark, SF_SMOKE))
+    assert "ObjectHashAggregate" not in plan
+    assert "Window" in plan
