@@ -615,31 +615,37 @@ def ev_funnel_time_to_convert(spark, sf_dir):
     # (operators/percentile_hist.py): a global percentile_disc would
     # buffer every user's gap in ONE aggregate — unbounded at scale —
     # while the histogram is bounded by the distinct-seconds domain.
+    # Both metrics ride ONE pass over gaps: each user row explodes to
+    # (metric, value) pairs, the percentile runs per metric, and the
+    # two stat rows pivot back to the single-row report (an all-NULL
+    # metric simply has no histogram rows: count coalesces to 0 and the
+    # percentiles stay NULL, exactly like percentile_disc).
     from gravity_books_datalakehouse_spark.operators.percentile_hist import (
-        global_disc_percentiles,
+        grouped_disc_percentiles,
     )
 
-    s2c_stats = global_disc_percentiles(
-        gaps, "s2c", [0.5, 0.9],
-        ["median_signup_to_click_s", "p90_signup_to_click_s"],
-        n_alias="n_clicked",
+    pairs = gaps.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("s2c").alias("metric"), F.col("s2c").alias("v")),
+                F.struct(F.lit("c2p").alias("metric"), F.col("c2p").alias("v")),
+            )
+        ).alias("mv")
+    ).select("mv.metric", "mv.v").filter(F.col("v").isNotNull())
+    stats = grouped_disc_percentiles(
+        pairs, ["metric"], "v", [0.5, 0.9], ["p50", "p90"], n_alias="n"
     )
-    c2p_stats = global_disc_percentiles(
-        gaps, "c2p", [0.5, 0.9],
-        ["median_click_to_purchase_s", "p90_click_to_purchase_s"],
-        n_alias="n_purchased",
-    )
-    return s2c_stats.crossJoin(c2p_stats).select(
-        F.col("n_clicked").cast("bigint").alias("n_clicked"),
-        F.col("median_signup_to_click_s").cast("bigint")
-        .alias("median_signup_to_click_s"),
-        F.col("p90_signup_to_click_s").cast("bigint")
-        .alias("p90_signup_to_click_s"),
-        F.col("n_purchased").cast("bigint").alias("n_purchased"),
-        F.col("median_click_to_purchase_s").cast("bigint")
-        .alias("median_click_to_purchase_s"),
-        F.col("p90_click_to_purchase_s").cast("bigint")
-        .alias("p90_click_to_purchase_s"),
+
+    def pick(metric, col):
+        return F.max(F.when(F.col("metric") == metric, F.col(col)))
+
+    return stats.agg(
+        F.coalesce(pick("s2c", "n"), F.lit(0)).cast("bigint").alias("n_clicked"),
+        pick("s2c", "p50").cast("bigint").alias("median_signup_to_click_s"),
+        pick("s2c", "p90").cast("bigint").alias("p90_signup_to_click_s"),
+        F.coalesce(pick("c2p", "n"), F.lit(0)).cast("bigint").alias("n_purchased"),
+        pick("c2p", "p50").cast("bigint").alias("median_click_to_purchase_s"),
+        pick("c2p", "p90").cast("bigint").alias("p90_click_to_purchase_s"),
     )
 
 
