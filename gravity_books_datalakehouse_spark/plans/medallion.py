@@ -95,13 +95,20 @@ def run_silver(spark: SparkSession, lake_dir: str) -> dict[str, str]:
         "o_orderpriority",
     )
 
-    # cleaned_lineitem — measures with derived net/gross amounts
+    # cleaned_lineitem — measures with derived net/gross amounts.
+    # net_price on the integer-cents path (operator_queries._cents):
+    # the 1e-4-unit long product is < 2^53, so .cast("double")/1e4 is
+    # the single correct rounding of the exact rational — bit-identical
+    # to the decimal-multiply-then-cast form it replaces, at primitive
+    # per-row cost (this is the ETL write path: at warehouse scale the
+    # per-row BigDecimal multiply is the silver layer's dominant CPU).
+    from gravity_books_datalakehouse_spark.plans.operator_queries import _cents
+
+    net_units = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     cleaned_lineitem = b["lineitem"].select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        (F.col("l_extendedprice").cast("decimal(18,2)")
-         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
-        .cast("double").alias("net_price"),
+        (net_units.cast("double") / F.lit(10000.0)).alias("net_price"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
     )
 
