@@ -94,7 +94,7 @@ def _money(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
 
 
-def _cents(col: str) -> F.Column:
+def _cents(col: str, scale: int = 2) -> F.Column:
     """Exact integer hundredths of a 2-dp money column, as LONG.
 
     The testdata money columns (l_quantity/extendedprice/discount/tax,
@@ -109,8 +109,11 @@ def _cents(col: str) -> F.Column:
     java.math.BigDecimal per row) and the DECIMAL(18,2) cast chain on
     the 30M-row pricing-summary shape. Downstream arithmetic is then
     pure long math.
+
+    ``scale`` generalizes to other exactly-k-dp columns (events.value
+    is exactly 4-dp → ``_cents("value", 4)`` gives exact 1e-4 units).
     """
-    return F.floor(F.col(col) * 100 + F.lit(0.5))
+    return F.floor(F.col(col) * (10 ** scale) + F.lit(0.5))
 
 
 def _money_sum(units: F.Column, scale: int) -> F.Column:

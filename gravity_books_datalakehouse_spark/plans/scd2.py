@@ -71,7 +71,11 @@ def lookup_at(dim_scd2: DataFrame, natural_key: str, at_ts) -> DataFrame:
     )
 
 
-from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.plans.operator_queries import (
+    _cents,
+    _money_sum,
+    register,
+)
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
 
@@ -198,7 +202,7 @@ def op_scd2_temporal_join(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            _money_sum(_cents("value", 4), 4).cast("double").alias("total_value"),
         )
         .orderBy("priority_at_purchase")
     )

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.plans.operator_queries import (
+    _cents,
+    _money_sum,
+    register,
+)
 
 
 def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +104,7 @@ def ev_tumbling_hourly(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            _money_sum(_cents("value", 4), 4).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
@@ -164,7 +168,7 @@ def ev_type_value_stats(spark, sf_dir):
     """Per-type rollup over the full stream history (count, distinct
     users, exact-decimal value sums)."""
     e = load_events(spark, sf_dir)
-    sv = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    sv = _money_sum(_cents("value", 4), 4).cast("double")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
@@ -674,8 +678,8 @@ def ev_user_ltv_topk(spark, sf_dir):
     exact-decimal sum), then TakeOrderedAndProject — the top-k never
     sorts the full user set. first/last_seen ride the same aggregate."""
     e = load_events(spark, sf_dir)
-    ltv = F.sum(
-        F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,4)"))
+    ltv = _money_sum(
+        F.when(F.col("event_type") == "purchase", _cents("value", 4)), 4
     ).cast("double")
     return (
         e.groupBy("user_id")

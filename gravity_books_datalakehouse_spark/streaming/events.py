@@ -19,6 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import (
+    _cents,
+    _money_sum,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -64,7 +69,7 @@ def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            _money_sum(_cents("value", 4), 4).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
