@@ -94,7 +94,6 @@ _PRIORITY_HEAD = [
     "q_pricing_summary",
     "q_profit_by_nation_year",
     "q_promo_revenue",
-    "q_sole_blame_suppliers",
     "dedup_minhash_lsh_pairs",
     "dedup_jaccard_verify",
     "dedup_lsh_banded_pairs",
@@ -103,13 +102,21 @@ _PRIORITY_HEAD = [
     "ev_sessionize",
     "op_sample_hash_bernoulli",
     "pipeline_curation_verdict",
-    # --- family-coverage fills (oldest available member per family) ---
-    "op_sketch_approx_stats",
+    # --- family-coverage fills ---
+    # The sketch/outlier family slots moved to their HASH-VERIFIED members
+    # (op_sketch_countmin_terms, op_outliers_mad) — the rows-only twins
+    # (op_sketch_approx_stats, op_outliers_mad_tdigest) already carry
+    # r04/r05 driver rows and pytest oracles, and a 50-entry window slot
+    # is better spent on a hard hash check. q_sole_blame_suppliers
+    # (witnessed r03) moved to the round-8 queue to make room for the
+    # NEW round-7 Z-order layout pruning report.
+    "op_sketch_countmin_terms",
     "op_split_stratified_exact",
     "op_scd2_priority_history",
     "op_fk_orphan_audit",
     "op_unpivot_roundtrip",
-    "op_outliers_mad_tdigest",
+    "op_outliers_mad",
+    "op_layout_zorder_prune",  # NEW round 7
 ]
 
 

@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         kmeans,
         countmin,
         expectations,
+        layout,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,
