@@ -96,7 +96,7 @@ _PRIORITY_HEAD = [
     "q_promo_revenue",
     "dedup_minhash_lsh_pairs",
     "dedup_jaccard_verify",
-    "dedup_lsh_banded_pairs",
+    "dedup_semantic_kmeans",  # NEW round 7 (displaces dedup_lsh_banded_pairs, witnessed r05)
     "sim_topk_cosine_bruteforce",
     "mm_payload_metadata",
     "ev_sessionize",

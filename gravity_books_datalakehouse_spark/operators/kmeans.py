@@ -132,6 +132,13 @@ def kmeans_refine(
     return _assign(e, kmeans_fit(spark, e, k, n_iter))
 
 
+def _lloyd_ctes(k: int = K, n_iter: int = N_ITER) -> str:
+    """The unrolled Lloyd CTE chain through ``aF`` (the final per-vector
+    assignment against the fitted centroids) — shared by the refine
+    rollup oracle and the semantic-dedup oracle below."""
+    return ",\n".join(_lloyd_parts(k, n_iter))
+
+
 def _lloyd_oracle_sql(k: int = K, n_iter: int = N_ITER) -> str:
     """DuckDB oracle: the SAME deterministic Lloyd fit, unrolled as a
     fixed CTE chain (init = vec_id < k; per sweep: argmin assignment on
@@ -156,6 +163,16 @@ def _lloyd_oracle_sql(k: int = K, n_iter: int = N_ITER) -> str:
     SF ever mismatches, diff per-sweep assignments against the numpy
     oracle (tests/test_kmeans.py) to locate the flipped vector rather
     than loosening the rounding."""
+    return (
+        _lloyd_ctes(k, n_iter)
+        + """
+SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+       ROUND(SUM(d2), 3) AS inertia
+FROM aF GROUP BY cid ORDER BY cid"""
+    )
+
+
+def _lloyd_parts(k: int, n_iter: int) -> list[str]:
     parts = [
         """WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -184,7 +201,7 @@ c{i} AS (
   SELECT c.cid, c.dim, COALESCE(u.x, c.x) AS x
   FROM c{i - 1} c LEFT JOIN u{i} u ON u.cid = c.cid AND u.dim = c.dim)"""
         )
-    # final assignment against the fitted centroids, then the rollup
+    # final assignment against the fitted centroids
     parts.append(
         f"""dF AS (
   SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS d2
@@ -197,13 +214,7 @@ aF AS (
     FROM dF)
   WHERE rn = 1)"""
     )
-    return (
-        ",\n".join(parts)
-        + """
-SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
-       ROUND(SUM(d2), 3) AS inertia
-FROM aF GROUP BY cid ORDER BY cid"""
-    )
+    return parts
 
 
 @register("sim_kmeans_refine", _lloyd_oracle_sql())
@@ -214,6 +225,21 @@ def sim_kmeans_refine(spark, sf_dir):
     (``_lloyd_oracle_sql``); tests/test_kmeans.py additionally verifies
     the fit against a numpy Lloyd oracle with the identical init and
     update rules, and that refinement never increases total inertia."""
+    final = _fitted_assignment(spark, sf_dir)
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("d2"), 3).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _fitted_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cluster_id, d2) against the memoized
+    deterministic fit — the shared entry point for every query that
+    consumes the fitted model (refine rollup, semantic dedup)."""
     from gravity_books_datalakehouse_spark.plans._cache import (
         evict_other_scales,
         session_key,
@@ -226,12 +252,124 @@ def sim_kmeans_refine(spark, sf_dir):
     if key not in _MODEL_CACHE:
         evict_other_scales(_MODEL_CACHE, key)
         _MODEL_CACHE[key] = kmeans_fit(spark, _EMB_CACHE[key])
-    final = _assign(_EMB_CACHE[key], _MODEL_CACHE[key])
+    return _assign(_EMB_CACHE[key], _MODEL_CACHE[key])
+
+
+#: Semantic-dup cosine threshold, applied to the 6-dp-rounded score on
+#: both engines (same value and guard as similarity._NEAR_DUP_TAU; the
+#: within-cluster cosine p99 is ~0.34-0.35 on this corpus, so the cut
+#: flags a real ~1% tail at every SF without drowning the report).
+SEMANTIC_TAU = 0.35
+
+_SEMANTIC_SQL = (
+    _lloyd_ctes()
+    + f""",
+pr AS (
+  SELECT a1.cid AS cluster_id,
+         a1.vec_id AS vec_a, a2.vec_id AS vec_b,
+         ROUND(
+           list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+           6) AS cos_sim
+  FROM aF a1
+  JOIN aF a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+  JOIN embeddings ea ON ea.vec_id = a1.vec_id
+  JOIN embeddings eb ON eb.vec_id = a2.vec_id),
+dup AS (SELECT * FROM pr WHERE cos_sim >= {SEMANTIC_TAU}),
+m AS (SELECT cid AS cluster_id, COUNT(*) AS n_members FROM aF GROUP BY cid),
+g AS (SELECT cluster_id, COUNT(*) AS n_dup_pairs,
+             COUNT(DISTINCT vec_b) AS n_dropped
+      FROM dup GROUP BY cluster_id)
+SELECT m.cluster_id,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(g.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(g.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(m.n_members - COALESCE(g.n_dropped, 0) AS BIGINT) AS n_kept
+FROM m LEFT JOIN g ON m.cluster_id = g.cluster_id
+ORDER BY m.cluster_id"""
+)
+
+
+@register("dedup_semantic_kmeans", _SEMANTIC_SQL)
+def dedup_semantic_kmeans(spark, sf_dir):
+    """Semantic dedup, SemDeDup-shape (Abbas et al. 2023, public): find
+    near-duplicate *meanings* by comparing embeddings only WITHIN their
+    k-means cluster, never across the whole corpus. Pairs with 6-dp
+    cosine >= {tau} are semantic dups; the keep-first rule drops the
+    larger-id member (the pairwise form of cluster-representative
+    selection, same convention as pipeline_curate_corpus). Report:
+    per-cluster members / dup pairs / dropped / kept.
+
+    Why the clustering step is the whole point at 100 TB: all-pairs
+    cosine is O(n^2); bucketing by a k-centroid quantizer bounds the
+    candidate set to within-cluster pairs — O(sum c_i^2), tunable via k
+    (and a per-cluster size cap at production scale; with n/k members
+    per cluster the pair count drops by ~k). Cross-cluster near-dups
+    are ignored BY DESIGN — the SemDeDup approximation, not a silent
+    limitation. The LSH-bucketed twin (dedup_embedding_near_dup)
+    catches high-cosine pairs regardless of cluster; this variant's
+    cluster scope is what makes per-group representative selection and
+    diversity-preserving pruning possible.
+
+    Plan: the fitted k x d model is session-memoized (driver model
+    state); assignment is the zero-shuffle literal-centroid argmin; the
+    self-join keys on cluster_id so Spark hash-partitions candidates,
+    and the report aggregates to k rows. Hash-verified against the
+    unrolled Lloyd CTE oracle extended with the same pair/cut/rollup
+    relational blocks.
+    """
+    assign = _fitted_assignment(spark, sf_dir).select(
+        "vec_id", "embedding", "cluster_id"
+    )
+    from gravity_books_datalakehouse_spark.operators.similarity import cosine
+
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        "cluster_id",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("cluster_id").alias("cb"),
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "cluster_id",
+            "vec_a",
+            "vec_b",
+            F.round(cosine("va", "vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMANTIC_TAU)
+    )
+    members = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    dropped = dup.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        F.countDistinct("vec_b").cast("bigint").alias("n_dropped"),
+    )
     return (
-        final.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.sum("d2"), 3).alias("inertia"),
+        members.join(dropped, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("bigint").alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias(
+                "n_dropped"
+            ),
+            (
+                F.col("n_members")
+                - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).cast("bigint").alias("n_kept"),
         )
         .orderBy("cluster_id")
     )

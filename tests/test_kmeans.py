@@ -66,3 +66,63 @@ def test_kmeans_refinement_reduces_inertia(spark, emb):
     init_only = kmeans_refine(spark, df, n_iter=0).agg(F.sum("d2")).collect()[0][0]
     assert refined <= init_only + 1e-9
     assert refined < init_only * 0.95  # and it actually moved
+
+
+def test_semantic_dedup_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.operators.kmeans import (
+        _SEMANTIC_SQL, dedup_semantic_kmeans,
+    )
+    from tests.conftest import SF_CORRECT, assert_matches_oracle
+
+    assert_matches_oracle(
+        dedup_semantic_kmeans(spark, SF_CORRECT), duck, _SEMANTIC_SQL
+    )
+
+
+def test_semantic_dedup_invariants(spark):
+    """Per-cluster bookkeeping: kept + dropped == members, dropped never
+    exceeds pair count, and the cluster sizes add up to the corpus."""
+    from gravity_books_datalakehouse_spark.operators.kmeans import (
+        dedup_semantic_kmeans,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = dedup_semantic_kmeans(spark, SF_CORRECT).collect()
+    n = spark.read.parquet(SF_CORRECT + "/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == n
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_members"]
+        assert r["n_dropped"] <= r["n_dup_pairs"] or r["n_dup_pairs"] == 0
+        assert 0 <= r["n_dropped"] < r["n_members"] or r["n_members"] == 0
+
+
+def test_semantic_dedup_flags_planted_exact_duplicate(spark, tmp_path):
+    """An exact duplicate vector MUST be flagged: identical embeddings
+    land in the same cluster (identical distances, min-cid tie rule) and
+    score cosine exactly 1.0 >= tau, so the larger id is dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.operators.kmeans import (
+        dedup_semantic_kmeans,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    src = e.filter(F.col("vec_id") == 100).select(
+        F.col("embedding").alias("dup_vec")
+    )
+    planted = e.crossJoin(F.broadcast(src)).select(
+        "vec_id",
+        F.when(F.col("vec_id") == 401, F.col("dup_vec"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    alt = str(tmp_path / "alt")
+    os.makedirs(alt)
+    planted.write.parquet(os.path.join(alt, "embeddings.parquet"))
+
+    rows = dedup_semantic_kmeans(spark, alt).collect()
+    assert sum(r["n_dup_pairs"] for r in rows) >= 1
+    assert sum(r["n_dropped"] for r in rows) >= 1
