@@ -40,6 +40,8 @@ SHOW = {
     "text_substring_dedup_rewrite": "Owner resolution + coverage explode are dup-set-sized (never corpus-sized); token anti-join co-keyed with the positional explode; one ordered collect_list per rewritten doc.",
     "sim_ann_recall_report": "Both eval legs bounded: |Q| probes broadcast for exact ground truth; candidate leg reuses the signature-keyed bucket join — no N x N anywhere.",
     "pipeline_epoch_shuffle": "Rank windows partitioned by (epoch, hex-nibble shard) — corpus/16 rows per window, no global sort; hash projection is scan-side.",
+    "op_layout_zorder_prune": "Morton derivation is pure shift/mask projection inside WholeStageCodegen (round 7); both layouts ride one explode into a map-side-collapsing HashAggregate on <=128 (layout, file) cells; 2-column ReadSchema; no sort, no window, exchanges carry aggregated cells only.",
+    "dedup_semantic_kmeans": "Assignment is the zero-shuffle literal-centroid argmin fold (round 7); the candidate self-join keys on cluster_id (within-cluster pairs only, never N x N); the report aggregates to k rows.",
 }
 
 
