@@ -97,7 +97,10 @@ _PRIORITY_HEAD = [
     "dedup_minhash_lsh_pairs",
     "dedup_jaccard_verify",
     "dedup_semantic_kmeans",  # NEW round 7 (displaces dedup_lsh_banded_pairs, witnessed r05)
-    "sim_topk_cosine_bruteforce",
+    # NEW round 7 (displaces sim_topk_cosine_bruteforce, witnessed r03 —
+    # the MMR candidate leg recomputes that exact brute-force top-k, so
+    # the swap loses no coverage).
+    "sim_mmr_rerank",
     "mm_payload_metadata",
     "ev_sessionize",
     "op_sample_hash_bernoulli",

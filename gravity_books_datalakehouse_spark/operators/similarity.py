@@ -699,3 +699,166 @@ def sim_ann_recall_report(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-rank: greedy maximal-marginal-relevance selection over
+# each query's cosine top-candidates — the standard answer (Carbonell &
+# Goldstein 1998, public) to "my nearest neighbors are 12 copies of the
+# same document". Used in curation for diverse few-shot/example selection
+# and in retrieval to de-redundify result lists.
+
+_MMR_CAND = 12   #: cosine candidates per query fed to the greedy stage
+_MMR_K = 5       #: selected (re-ranked) results per query
+_MMR_LAMBDA = 0.7  #: relevance weight; 1-lambda weighs redundancy
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy MMR as a fixed CTE chain (same discipline as the
+    Lloyd oracle in kmeans.py: a FIXED iteration count makes the greedy
+    fixpoint SQL-expressible and hash-verifiable).
+
+    Cross-engine determinism: candidate ranking reuses the full-precision
+    cosine + vec_id tiebreak that sim_topk_cosine_bruteforce already
+    hash-verifies; each greedy argmax ranks on the 6-dp-ROUNDED score
+    with a vec_id tiebreak, so a ~1e-15 float drift between engines
+    cannot flip a pick."""
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    cos_ab = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    parts = [
+        f"""WITH cand AS (
+  SELECT qid, nid, rel FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS_SQL} AS rel,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rnk
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < {_TOPK_QUERIES} AND a.vec_id != b.vec_id)
+  WHERE rnk <= {_MMR_CAND}),
+cp AS (
+  SELECT c1.qid, c1.nid AS na, c2.nid AS nb, {cos_ab} AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.qid = c2.qid AND c1.nid != c2.nid
+  JOIN embeddings ea ON ea.vec_id = c1.nid
+  JOIN embeddings eb ON eb.vec_id = c2.nid),
+s1 AS (
+  SELECT qid, nid, 1 AS rank, {lam} * rel AS score FROM (
+    SELECT qid, nid, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY ROUND({lam} * rel, 6) DESC, nid ASC) AS rn
+    FROM cand) WHERE rn = 1),
+sel1 AS (SELECT qid, nid FROM s1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""m{i} AS (
+  SELECT c.qid, c.nid, c.rel, MAX(p.sim) AS ms
+  FROM cand c
+  LEFT JOIN sel{i - 1} x ON x.qid = c.qid AND x.nid = c.nid
+  JOIN cp p ON p.qid = c.qid AND p.na = c.nid
+  JOIN sel{i - 1} s ON s.qid = p.qid AND s.nid = p.nb
+  WHERE x.nid IS NULL
+  GROUP BY c.qid, c.nid, c.rel),
+s{i} AS (
+  SELECT qid, nid, {i} AS rank, {lam} * rel - {mu} * ms AS score FROM (
+    SELECT qid, nid, rel, ms,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY ROUND({lam} * rel - {mu} * ms, 6) DESC,
+                                       nid ASC) AS rn
+    FROM m{i}) WHERE rn = 1),
+sel{i} AS (SELECT qid, nid FROM sel{i - 1} UNION ALL SELECT qid, nid FROM s{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, nid, rank, score FROM s{i}" for i in range(1, _MMR_K + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT qid, rank, nid, ROUND(score, 6) AS mmr_score
+FROM ({union})
+ORDER BY qid, rank"""
+    )
+
+
+@register("sim_mmr_rerank", _mmr_oracle_sql())
+def sim_mmr_rerank(spark, sf_dir):
+    """Greedy MMR re-rank of each query's cosine top-{cand} down to a
+    diverse top-{k}: step 1 takes the most relevant candidate; every
+    later step takes argmax of lambda*rel - (1-lambda)*max-similarity-
+    to-already-selected (6-dp-rounded score, vec_id tiebreak).
+
+    Scale shape: the expensive part is the candidate top-{cand}, which
+    reuses the bounded-query broadcast pattern (no corpus shuffle); the
+    greedy stage then operates on |Q| x {cand} rows and |Q| x {cand}^2
+    candidate-pair sims — BOUNDED frames independent of corpus size, so
+    the five unrolled anti-join/argmax steps cost k tiny stages, never
+    a data-sized shuffle. At 100 TB you'd swap the exact candidate leg
+    for the LSH/IVF one (same contract); the greedy stage is unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va")).filter(
+        F.col("qid") < _TOPK_QUERIES
+    )
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("nid"))
+    cand = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine("va", "vb").alias("rel"), "vb")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MMR_CAND)
+        .drop("rnk")
+    )
+    c1 = cand.select("qid", F.col("nid").alias("na"), F.col("vb").alias("va2"))
+    c2 = cand.select(
+        F.col("qid").alias("q2"), F.col("nid").alias("nb"), F.col("vb").alias("vb2")
+    )
+    cp = (
+        c1.join(c2, (F.col("qid") == F.col("q2")) & (F.col("na") != F.col("nb")))
+        .select("qid", "na", "nb", cosine("va2", "vb2").alias("sim"))
+    )
+    cand = cand.drop("vb")
+
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    pick = Window.partitionBy("qid").orderBy(F.desc("rscore"), F.asc("nid"))
+
+    s1 = (
+        cand.withColumn("score", F.lit(lam) * F.col("rel"))
+        .withColumn("rscore", F.round("score", 6))
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("qid", "nid", F.lit(1).alias("rank"), "score")
+    )
+    steps = [s1]
+    selected = s1.select("qid", "nid")
+    for i in range(2, _MMR_K + 1):
+        psel = cp.join(
+            selected.select("qid", F.col("nid").alias("nb")), ["qid", "nb"]
+        ).select("qid", "na", "sim")
+        mi = (
+            cand.join(selected, ["qid", "nid"], "left_anti")
+            .join(psel, (cand.qid == psel.qid) & (F.col("nid") == F.col("na")))
+            .drop(psel.qid)
+            .groupBy("qid", "nid", "rel")
+            .agg(F.max("sim").alias("ms"))
+        )
+        si = (
+            mi.withColumn("score", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms"))
+            .withColumn("rscore", F.round("score", 6))
+            .withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("qid", "nid", F.lit(i).alias("rank"), "score")
+        )
+        steps.append(si)
+        selected = selected.unionByName(si.select("qid", "nid"))
+
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "qid", "rank", "nid", F.round("score", 6).alias("mmr_score")
+    ).orderBy("qid", "rank")

@@ -77,3 +77,72 @@ def test_quantized_cosine_tracks_full_precision(spark):
     rows = joined.collect()
     assert len(rows) == 50
     assert all(abs(r.cos_sim_q - r.cos_full) < 0.02 for r in rows)
+
+
+def test_mmr_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        _mmr_oracle_sql, sim_mmr_rerank,
+    )
+    from tests.conftest import SF_CORRECT, assert_matches_oracle
+
+    assert_matches_oracle(sim_mmr_rerank(spark, SF_CORRECT), duck, _mmr_oracle_sql())
+
+
+def test_mmr_contract(spark):
+    """Structure: 5 ranks per query, no repeats, rank-1 == the cosine
+    top-1 (step 1 of greedy MMR is pure relevance)."""
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        _MMR_K, sim_mmr_rerank, sim_topk_cosine_bruteforce,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = sim_mmr_rerank(spark, SF_CORRECT).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    top1 = {
+        r["qid"]: r["nid"]
+        for r in sim_topk_cosine_bruteforce(spark, SF_CORRECT).collect()
+        if r["rank"] == 1
+    }
+    for qid, sel in by_q.items():
+        assert sorted(r["rank"] for r in sel) == list(range(1, _MMR_K + 1))
+        nids = [r["nid"] for r in sel]
+        assert len(set(nids)) == _MMR_K
+        assert next(r["nid"] for r in sel if r["rank"] == 1) == top1[qid]
+
+
+def test_mmr_selection_is_more_diverse_than_topk(spark):
+    """The point of MMR: across queries, the selected set's mean pairwise
+    cosine must be lower than the plain cosine top-k's."""
+    import numpy as np
+
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        sim_mmr_rerank, sim_topk_cosine_bruteforce,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(
+            SF_CORRECT + "/embeddings.parquet"
+        ).collect()
+    }
+
+    def mean_pairwise(sel_by_q):
+        sims = []
+        for nids in sel_by_q.values():
+            for i in range(len(nids)):
+                for j in range(i + 1, len(nids)):
+                    a, b = emb[nids[i]], emb[nids[j]]
+                    sims.append(
+                        float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                    )
+        return sum(sims) / len(sims)
+
+    mmr, topk = {}, {}
+    for r in sim_mmr_rerank(spark, SF_CORRECT).collect():
+        mmr.setdefault(r["qid"], []).append(int(r["nid"]))
+    for r in sim_topk_cosine_bruteforce(spark, SF_CORRECT).collect():
+        topk.setdefault(r["qid"], []).append(int(r["nid"]))
+    assert mean_pairwise(mmr) < mean_pairwise(topk)
