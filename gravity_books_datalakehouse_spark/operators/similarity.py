@@ -804,6 +804,12 @@ def sim_mmr_rerank(spark, sf_dir):
     )
     b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
     w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("nid"))
+    # localCheckpoint (the repo's iterative-op idiom, cf. components.py):
+    # the greedy unroll below references cand/cp/selected once per step,
+    # and without truncation the logical plan RE-EXPANDS the whole prior
+    # lineage each round — a ~5000-node physical plan by step 5. The
+    # checkpointed frames are |Q| x 12 and |Q| x 144 rows (model-sized,
+    # never corpus-sized), so materializing them is free at any SF.
     cand = (
         F.broadcast(a)
         .crossJoin(b)
@@ -812,6 +818,7 @@ def sim_mmr_rerank(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _MMR_CAND)
         .drop("rnk")
+        .localCheckpoint()
     )
     c1 = cand.select("qid", F.col("nid").alias("na"), F.col("vb").alias("va2"))
     c2 = cand.select(
@@ -820,6 +827,7 @@ def sim_mmr_rerank(spark, sf_dir):
     cp = (
         c1.join(c2, (F.col("qid") == F.col("q2")) & (F.col("na") != F.col("nb")))
         .select("qid", "na", "nb", cosine("va2", "vb2").alias("sim"))
+        .localCheckpoint()
     )
     cand = cand.drop("vb")
 
@@ -854,7 +862,7 @@ def sim_mmr_rerank(spark, sf_dir):
             .select("qid", "nid", F.lit(i).alias("rank"), "score")
         )
         steps.append(si)
-        selected = selected.unionByName(si.select("qid", "nid"))
+        selected = selected.unionByName(si.select("qid", "nid")).localCheckpoint()
 
     out = steps[0]
     for s in steps[1:]:
