@@ -146,3 +146,21 @@ def test_mmr_selection_is_more_diverse_than_topk(spark):
     for r in sim_topk_cosine_bruteforce(spark, SF_CORRECT).collect():
         topk.setdefault(r["qid"], []).append(int(r["nid"]))
     assert mean_pairwise(mmr) < mean_pairwise(topk)
+
+
+def test_mmr_plan_stays_truncated(spark):
+    """Regression guard: without the per-step localCheckpoint the greedy
+    unroll re-expands the whole lineage every step (~5400 physical nodes
+    by step 5). The checkpointed form stays ~160 lines."""
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        sim_mmr_rerank,
+    )
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        sim_mmr_rerank(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("\n") < 1000
