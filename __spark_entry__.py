@@ -94,7 +94,9 @@ _PRIORITY_HEAD = [
     "q_pricing_summary",
     "q_profit_by_nation_year",
     "q_promo_revenue",
-    "dedup_minhash_lsh_pairs",
+    # NEW round 7 (displaces dedup_minhash_lsh_pairs, witnessed r03 —
+    # dedup_jaccard_verify exercises the same shingle/pair machinery).
+    "op_snapshot_diff",
     "dedup_jaccard_verify",
     "dedup_semantic_kmeans",  # NEW round 7 (displaces dedup_lsh_banded_pairs, witnessed r05)
     # NEW round 7 (displaces sim_topk_cosine_bruteforce, witnessed r03 —

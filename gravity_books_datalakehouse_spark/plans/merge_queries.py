@@ -105,3 +105,95 @@ def op_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_DEL_COND = "o_orderstatus = 'M' AND o_orderkey % 3 = 0"
+
+
+@register(
+    "op_snapshot_diff",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < DATE '{_CUT}'
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+    ),
+    final AS (
+      SELECT * FROM merged
+      WHERE NOT COALESCE(({_DEL_COND}), FALSE)
+    ),
+    diff AS (
+      SELECT CASE
+               WHEN o.o_orderkey IS NULL THEN 'inserted'
+               WHEN n.o_orderkey IS NULL THEN 'deleted'
+               WHEN o.o_orderstatus != n.o_orderstatus
+                 OR o.o_totalprice != n.o_totalprice
+                 OR o.o_custkey != n.o_custkey THEN 'updated'
+               ELSE 'unchanged'
+             END AS change_type
+      FROM base o FULL OUTER JOIN final n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+)
+def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshot VERSIONS: base (v1) -> MERGE
+    an increment (v2) -> targeted DELETE (v3), then classify every key
+    by full-outer-joining v1 against the latest version — inserted /
+    updated / deleted / unchanged counts, i.e. the table_changes()
+    report Delta's CDF produces, computed from plain time travel.
+
+    The diff itself is the scale-relevant operator: one full outer join
+    keyed on the table key (hash-partitioned both sides, no broadcast
+    needed at any SF) + a map-side-collapsing 4-group aggregate. The
+    oracle replays all three table states relationally (the merge's
+    NOT EXISTS + UNION ALL, the delete's NULL-safe predicate), so the
+    versioning semantics — not just the plumbing — are hash-verified.
+    """
+    from gravity_books_datalakehouse_spark.sources.snapshots import (
+        delete_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    table_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"gravity-diff-demo-{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    write_snapshot(_base(orders), table_dir)
+    merge_snapshot(_increment(orders), table_dir, ["o_orderkey"])
+    delete_where(spark, table_dir, _DEL_COND)
+
+    old = read_snapshot(spark, table_dir, version=1).alias("o")
+    new = read_snapshot(spark, table_dir).alias("n")
+    joined = old.join(
+        new, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("inserted"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_custkey") != F.col("n.o_custkey")),
+            F.lit("updated"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("change_type")
+    )

@@ -168,3 +168,45 @@ def test_delete_where_null_predicate_keeps_row(spark, table):
     _, n = delete_where(spark, table, "s = 'gone'")
     assert n == 1
     assert {r.id for r in read_snapshot(spark, table).collect()} == {2, 3}
+
+
+def test_snapshot_diff_oracle_and_semantics(spark, duck):
+    """op_snapshot_diff: oracle parity plus the CDF bookkeeping — every
+    base key is accounted for, inserts come only from the increment's
+    post-cutoff keys, deletes only from the delete predicate."""
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.plans.merge_queries import (
+        _base, _increment, op_snapshot_diff,
+    )
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        oracle_sql,
+    )
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT, assert_matches_oracle
+
+    df = op_snapshot_diff(spark, SF_CORRECT)
+    assert_matches_oracle(df, duck, oracle_sql()["op_snapshot_diff"])
+
+    counts = {r["change_type"]: r["n_rows"] for r in df.collect()}
+    orders = load_table(spark, SF_CORRECT, "orders")
+    n_base = _base(orders).count()
+    inc_keys = _increment(orders).select("o_orderkey")
+    n_inserted_expect = inc_keys.join(
+        _base(orders).select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count()
+    # deletes hit only merged keys with status M and key % 3 == 0; those
+    # all come from the increment (it forces status M), minus inserted
+    # ones that were deleted again
+    assert counts["inserted"] + counts["deleted"] + counts.get(
+        "updated", 0
+    ) + counts.get("unchanged", 0) == n_base + n_inserted_expect - (
+        # inserted-then-deleted keys appear in NEITHER side of the diff
+        # except as 'inserted' rows missing: they were never in base and
+        # are not in final, so the full outer join drops them entirely.
+        inc_keys.filter(F.col("o_orderkey") % 3 == 0)
+        .join(_base(orders).select("o_orderkey"), "o_orderkey", "left_anti")
+        .count()
+    )
+    assert counts["deleted"] > 0 and counts["inserted"] > 0
+    assert counts["updated"] > 0 and counts["unchanged"] > 0
