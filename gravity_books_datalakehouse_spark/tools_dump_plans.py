@@ -41,8 +41,9 @@ SHOW = {
     "sim_ann_recall_report": "Both eval legs bounded: |Q| probes broadcast for exact ground truth; candidate leg reuses the signature-keyed bucket join — no N x N anywhere.",
     "pipeline_epoch_shuffle": "Rank windows partitioned by (epoch, hex-nibble shard) — corpus/16 rows per window, no global sort; hash projection is scan-side.",
     "op_layout_zorder_prune": "Morton derivation is pure shift/mask projection inside WholeStageCodegen (round 7); both layouts ride one explode into a map-side-collapsing HashAggregate on <=128 (layout, file) cells; 2-column ReadSchema; no sort, no window, exchanges carry aggregated cells only.",
-    "dedup_semantic_kmeans": "Assignment is the zero-shuffle literal-centroid argmin fold (round 7); the candidate self-join keys on cluster_id (within-cluster pairs only, never N x N); the report aggregates to k rows.",
+    "dedup_semantic_kmeans": "The (id, vec, cluster, norm) assignment is checkpointed once, hash-partitioned on cluster_id (the scan below is that materialization; the zero-shuffle argmin fold ran before it); the candidate self-join keys on cluster_id (within-cluster pairs only, never N x N), pair cost is one dot fold (norms precomputed per vector); the report aggregates to k rows.",
     "sim_mmr_rerank": "Candidate leg = the bounded-query broadcast (no corpus shuffle); every later frame is |Q| x 12 or smaller, so the 5 unrolled greedy steps are tiny-stage joins/windows independent of corpus size (round 7).",
+    "op_snapshot_diff": "CDF report: one full outer join keyed on the table key (hash-partitioned both sides, broadcast-free at any SF) + a map-side 4-group aggregate over the change classification (round 7).",
 }
 
 
