@@ -42,7 +42,10 @@ _PRIORITY_HEAD = [
     # q_profit_by_nation_year, q_promo_revenue) ride in the round-3
     # block below; the rest were hash-verified at sf0.01 AND sf0.1 by
     # this round's in-repo verify runs.
-    # Round-8 rotation: the remaining 31 round-3 entries
+    # Round-8 rotation: the four entries displaced late in round 7 by the
+    # new operators (q_sole_blame_suppliers, dedup_lsh_banded_pairs,
+    # sim_topk_cosine_bruteforce, dedup_minhash_lsh_pairs — see the
+    # inline notes at each swap) plus the remaining 31 round-3 entries
     # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
     # text_unigram_logprob, pipeline_curate_corpus, sim_ivf_topk,
     # sim_quantized_topk, op_grouped_agg_weighted_avg,
