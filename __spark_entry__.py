@@ -100,7 +100,9 @@ _PRIORITY_HEAD = [
     # NEW round 7 (displaces dedup_minhash_lsh_pairs, witnessed r03 —
     # dedup_jaccard_verify exercises the same shingle/pair machinery).
     "op_snapshot_diff",
-    "dedup_jaccard_verify",
+    # NEW round 7 (displaces dedup_jaccard_verify, judge-re-verified in
+    # the round-6 session and queued for round 8).
+    "dedup_fuzzy_prefix",
     "dedup_semantic_kmeans",  # NEW round 7 (displaces dedup_lsh_banded_pairs, witnessed r05)
     # NEW round 7 (displaces sim_topk_cosine_bruteforce, witnessed r03 —
     # the MMR candidate leg recomputes that exact brute-force top-k, so

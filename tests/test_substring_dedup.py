@@ -118,3 +118,56 @@ def test_substring_spans_property_planted_duplicates(spark):
         assert sa.span_len == block_len == sb.span_len
 
     run()
+
+
+def test_fuzzy_prefix_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        dedup_fuzzy_prefix,
+    )
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        oracle_sql,
+    )
+    from tests.conftest import SF_CORRECT, assert_matches_oracle
+
+    assert_matches_oracle(
+        dedup_fuzzy_prefix(spark, SF_CORRECT),
+        duck,
+        oracle_sql()["dedup_fuzzy_prefix"],
+    )
+
+
+def test_fuzzy_prefix_finds_planted_typo_dup(spark, tmp_path):
+    """A same-block copy with 2 character edits inside the key MUST be
+    flagged; a copy whose FIRST block characters differ must not (the
+    documented blocking approximation)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _FUZZY_MAX_LEV, dedup_fuzzy_prefix,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    base = docs.filter(F.col("doc_id") == 7).collect()[0]
+    t = base["text"]
+    typo = t[:10] + "xy" + t[12:]          # 2 edits inside the 24-char key
+    other_block = "zzzz" + t[4:]           # block prefix broken
+    extra = spark.createDataFrame(
+        [
+            (900001, typo, base["lang"], base["source"], len(typo)),
+            (900002, other_block, base["lang"], base["source"], len(other_block)),
+        ],
+        docs.schema,
+    )
+    alt = str(tmp_path / "alt")
+    os.makedirs(alt)
+    docs.unionByName(extra).write.parquet(os.path.join(alt, "documents.parquet"))
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["lev"]
+        for r in dedup_fuzzy_prefix(spark, alt).collect()
+    }
+    assert (7, 900001) in pairs and pairs[(7, 900001)] == 2 <= _FUZZY_MAX_LEV
+    assert not any(900002 in p for p in pairs)
