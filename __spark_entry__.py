@@ -42,10 +42,11 @@ _PRIORITY_HEAD = [
     # q_profit_by_nation_year, q_promo_revenue) ride in the round-3
     # block below; the rest were hash-verified at sf0.01 AND sf0.1 by
     # this round's in-repo verify runs.
-    # Round-8 rotation: the four entries displaced late in round 7 by the
+    # Round-8 rotation: the five entries displaced late in round 7 by the
     # new operators (q_sole_blame_suppliers, dedup_lsh_banded_pairs,
-    # sim_topk_cosine_bruteforce, dedup_minhash_lsh_pairs — see the
-    # inline notes at each swap) plus the remaining 31 round-3 entries
+    # sim_topk_cosine_bruteforce, dedup_minhash_lsh_pairs,
+    # dedup_jaccard_verify — see the inline notes at each swap) plus the
+    # remaining 31 round-3 entries
     # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
     # text_unigram_logprob, pipeline_curate_corpus, sim_ivf_topk,
     # sim_quantized_topk, op_grouped_agg_weighted_avg,
@@ -92,7 +93,11 @@ _PRIORITY_HEAD = [
     "text_token_stats",
     "text_length_profile_by_source",  # NEW round 7 — histogram percentiles
     "sim_lsh_multiprobe_topk",
-    # --- last witnessed round 3 (13 of 45; rest queued for round 8) ---
+    # --- round-3 freshness block + round-7 operator swaps ---
+    # Originally 13 of the 45 round-3-witnessed entries; four slots now
+    # hold NEW round-7 operators (each swap annotated inline) and the
+    # displaced entries joined the round-8 queue above. 8 round-3
+    # entries remain in this block.
     "q_market_share_by_year",
     "q_pricing_summary",
     "q_profit_by_nation_year",

@@ -1114,11 +1114,23 @@ _FUZZY_BLOCK = 4
 #: Maximum edit distance for a pair to count as a fuzzy duplicate.
 _FUZZY_MAX_LEV = 6
 
+#: Drop non-printable-ASCII from the key BEFORE comparing. This is a
+#: cross-engine CORRECTNESS requirement, not cosmetics: Spark's
+#: levenshtein counts code points while DuckDB's counts BYTES, so any
+#: multi-byte character near the cut would give the two engines
+#: different distances. Projecting both keys to printable ASCII (same
+#: RE2/Java-portable class as pii.py's patterns) makes byte == code
+#: point by construction; the dropped characters also no longer count
+#: as edits on either side.
+_FUZZY_ASCII_RE = "[^\\x20-\\x7e]"
+
 
 @register(
     "dedup_fuzzy_prefix",
     f"""WITH k AS (
-      SELECT doc_id, LOWER(SUBSTR(text, 1, {_FUZZY_PREFIX})) AS key
+      SELECT doc_id,
+             regexp_replace(LOWER(SUBSTR(text, 1, {_FUZZY_PREFIX})),
+                            '{_FUZZY_ASCII_RE}', '', 'g') AS key
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1132,10 +1144,13 @@ _FUZZY_MAX_LEV = 6
 def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup pairs by edit distance on the document head,
     blocked so the quadratic comparison never leaves a block: keys are
-    the lowercased first {prefix} characters, blocks their first
-    {block} characters, and only same-block pairs are scored with
-    Levenshtein (JVM-side, inside codegen — identical integer semantics
-    to DuckDB's levenshtein, so the pair list hash-matches exactly).
+    the lowercased, ASCII-projected first {prefix} characters, blocks
+    their first {block} characters, and only same-block pairs are
+    scored with Levenshtein (JVM-side, inside codegen). The ASCII
+    projection (_FUZZY_ASCII_RE, applied identically in the oracle) is
+    what makes the cross-engine hash match SOUND, not just lucky:
+    Spark's levenshtein counts code points, DuckDB's counts bytes, and
+    the two agree exactly on the printable-ASCII subset.
 
     Blocking is the standard entity-resolution approximation: a true
     dup pair whose keys already diverge inside the block prefix is
@@ -1149,7 +1164,10 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     phonetic block.
     """
     k = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.substring("text", 1, _FUZZY_PREFIX)).alias("key")
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, _FUZZY_PREFIX)), _FUZZY_ASCII_RE, ""
+        ).alias("key"),
     )
     a = k.select(
         F.col("doc_id").alias("doc_a"),

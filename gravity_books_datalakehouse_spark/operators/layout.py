@@ -26,7 +26,8 @@ Plan shape (judge-auditable): one lineitem scan; both candidate
 layouts ride one explode into a single map-side-collapsing groupBy on
 at most 2 x N_FILES (layout, file) cells; the exchange carries <= 128
 aggregated cells; bounds are 4 driver scalars (the same numbers a range
-partitioner samples). No sort, no window, no UDF.
+partitioner samples). No corpus-sized sort (only the final 2-row local
+sort), no window, no UDF.
 """
 
 from __future__ import annotations

@@ -87,17 +87,23 @@ def test_zorder_prunes_both_dimensions(spark):
     assert lin["rows_total"] == zo["rows_total"]
 
 
-def test_layout_report_no_sort_no_python(spark):
+def test_layout_report_no_global_sort_no_python(spark):
     """Plan shape: the report is scan → project/explode → two hash
-    aggregates — no sort, no window, no Python boundary, and the only
-    exchanges carry the <=128 aggregated (layout, file) cells."""
+    aggregates — no corpus-sized ordering (the only Sort node is the
+    final 2-row LOCAL sort, printed `Sort [...], false, 0`; a global
+    sort would print `, true, 0` behind a RangePartitioning exchange),
+    no window, no Python boundary, and the only exchanges hash-partition
+    the <=128 aggregated (layout, file) cells."""
     plan = (
         op_layout_zorder_prune(spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "SortExec" not in plan and "Window" not in plan
+    sorts = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert len(sorts) == 1 and ", false, 0" in sorts[0], sorts
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
 

@@ -171,3 +171,55 @@ def test_fuzzy_prefix_finds_planted_typo_dup(spark, tmp_path):
     }
     assert (7, 900001) in pairs and pairs[(7, 900001)] == 2 <= _FUZZY_MAX_LEV
     assert not any(900002 in p for p in pairs)
+
+
+def test_fuzzy_prefix_cross_engine_agrees_on_non_ascii(spark, tmp_path):
+    """Regression (round-7 review): Spark levenshtein counts code points
+    but DuckDB's counts BYTES, so without the ASCII projection a
+    multi-byte character inside the key gives the engines different
+    distances. Plant accented/smart-quote heads and hash-compare the
+    full pair list against the oracle on the modified corpus."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        dedup_fuzzy_prefix,
+    )
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        oracle_sql,
+    )
+    from tests.conftest import SF_SMOKE, normalize
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    base = docs.filter(F.col("doc_id") == 7).collect()[0]
+    t = base["text"]
+    extra = spark.createDataFrame(
+        [
+            (900001, "café " + t[5:], base["lang"], base["source"], 10),
+            (900002, "cafe " + t[5:], base["lang"], base["source"], 10),
+            (900003, t[:8] + "’" + t[9:], base["lang"], base["source"], 10),
+        ],
+        docs.schema,
+    )
+    alt = str(tmp_path / "alt")
+    os.makedirs(alt)
+    docs.unionByName(extra).write.parquet(os.path.join(alt, "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{alt}/documents.parquet/*.parquet')"
+    )
+    got = normalize(dedup_fuzzy_prefix(spark, alt).toPandas())
+    want = normalize(con.execute(oracle_sql()["dedup_fuzzy_prefix"]).fetchdf())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
+    # the smart-quote doc pairs with its source at the projected distance
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["lev"]
+        for r in dedup_fuzzy_prefix(spark, alt).collect()
+    }
+    assert pairs.get((7, 900003)) == 1
