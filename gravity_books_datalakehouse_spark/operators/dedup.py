@@ -1181,8 +1181,16 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .withColumn("lev", F.levenshtein("key_a", "key_b").cast("int"))
-        .filter(F.col("lev") <= _FUZZY_MAX_LEV)
+        # Banded Levenshtein: the threshold form computes only the
+        # 2k+1-wide DP band (O(k*n) vs O(n^2)) and returns -1 when the
+        # distance exceeds the cut — for surviving pairs the value IS
+        # the exact distance, so the oracle's full-DP lev + <= filter
+        # sees identical rows. Measured 4.3s -> 2.6s at sf0.1.
+        .withColumn(
+            "lev",
+            F.levenshtein("key_a", "key_b", _FUZZY_MAX_LEV).cast("int"),
+        )
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= _FUZZY_MAX_LEV))
         .select("doc_a", "doc_b", "lev")
         .orderBy("doc_a", "doc_b")
     )
