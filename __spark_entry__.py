@@ -42,11 +42,11 @@ _PRIORITY_HEAD = [
     # q_profit_by_nation_year, q_promo_revenue) ride in the round-3
     # block below; the rest were hash-verified at sf0.01 AND sf0.1 by
     # this round's in-repo verify runs.
-    # Round-8 rotation: the five entries displaced late in round 7 by the
+    # Round-8 rotation: the six entries displaced late in round 7 by the
     # new operators (q_sole_blame_suppliers, dedup_lsh_banded_pairs,
     # sim_topk_cosine_bruteforce, dedup_minhash_lsh_pairs,
-    # dedup_jaccard_verify — see the inline notes at each swap) plus the
-    # remaining 31 round-3 entries
+    # dedup_jaccard_verify, ev_sessionize — see the inline notes at each
+    # swap) plus the remaining 31 round-3 entries
     # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
     # text_unigram_logprob, pipeline_curate_corpus, sim_ivf_topk,
     # sim_quantized_topk, op_grouped_agg_weighted_avg,
@@ -114,7 +114,9 @@ _PRIORITY_HEAD = [
     # the swap loses no coverage).
     "sim_mmr_rerank",
     "mm_payload_metadata",
-    "ev_sessionize",
+    # NEW round 7 (displaces ev_sessionize, witnessed r03; it joins the
+    # round-8 queue with the other five displaced entries).
+    "ev_attribution_touch",
     "op_sample_hash_bernoulli",
     "pipeline_curation_verdict",
     # --- family-coverage fills ---

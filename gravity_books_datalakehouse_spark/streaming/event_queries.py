@@ -753,3 +753,104 @@ def ev_type_transition_matrix(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+#: Attribution lookback (7 days) in microseconds — the RANGE-frame bound
+#: over the unique epoch-micros ordering key (both engines frame as
+#: [ep - LOOKBACK, ep - 1], i.e. strictly-before within the window).
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "ev_attribution_touch",
+    f"""WITH t AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+                     RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING
+                           AND 1 PRECEDING) AS lt,
+             first_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+                     RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING
+                           AND 1 PRECEDING) AS ft
+      FROM events),
+    p AS (SELECT COALESCE(lt, 'direct') AS lt, COALESCE(ft, 'direct') AS ft,
+                 value
+          FROM t WHERE event_type = 'purchase'),
+    u AS (SELECT 'first_touch' AS role, ft AS touch_type, value FROM p
+          UNION ALL
+          SELECT 'last_touch' AS role, lt AS touch_type, value FROM p)
+    SELECT role, touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+    FROM u GROUP BY role, touch_type
+    ORDER BY role, touch_type""",
+)
+def ev_attribution_touch(spark, sf_dir):
+    """Marketing-style first-/last-touch attribution: each purchase's
+    value is credited to the user's earliest (first-touch) and most
+    recent (last-touch) NON-purchase event inside a 7-day lookback;
+    purchases with no touch in the window credit 'direct'. Report:
+    (role, touch_type) -> purchases attributed + exact value.
+
+    Determinism contract: the window orders by epoch MICROS, which this
+    testdata keeps globally unique (asserted in the schema-drift tests'
+    world); the RANGE frame [ep-7d, ep-1] is identical integer
+    arithmetic on both engines, so first/last picks cannot diverge.
+    Value totals ride the integer-cents fast path (events.value is
+    exactly 4-dp).
+
+    Scale: ONE window shuffle on user_id computes both touches (two
+    window functions over the same frame share a single WindowExec);
+    the explode doubles only the purchase rows, and the aggregate
+    collapses map-side to <= 2 x (#event_types + 1) cells.
+    """
+    from pyspark.sql import Window
+
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    e = load_events(spark, sf_dir).withColumn("ep", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-_ATTR_LOOKBACK_US, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    p = (
+        e.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("ft", F.first(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("lt"), F.lit("direct")).alias("lt"),
+            F.coalesce(F.col("ft"), F.lit("direct")).alias("ft"),
+            "value",
+        )
+    )
+    return (
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("first_touch").alias("role"),
+                        F.col("ft").alias("touch_type"),
+                    ),
+                    F.struct(
+                        F.lit("last_touch").alias("role"),
+                        F.col("lt").alias("touch_type"),
+                    ),
+                )
+            ).alias("r"),
+            "value",
+        )
+        .select("r.role", "r.touch_type", "value")
+        .groupBy("role", "touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            _money_sum(_cents("value", 4), 4)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .transform(bounded_sort, "role", "touch_type")
+    )

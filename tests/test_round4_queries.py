@@ -159,3 +159,56 @@ def test_ann_recall_report_consistency(spark):
         rec = getattr(r, f"recall_at_{_TOPK}")
         assert 0.0 <= rec <= 1.0
         assert abs(rec - r.n_hits / _TOPK) < 1e-6
+
+
+def test_attribution_touch_oracle(spark, duck):
+    import importlib
+
+    from tests.conftest import SF_CORRECT, assert_matches_oracle
+
+    m = importlib.import_module("__spark_entry__")
+    assert_matches_oracle(
+        m.queries()["ev_attribution_touch"](spark, SF_CORRECT),
+        duck,
+        m.oracle_sql()["ev_attribution_touch"],
+    )
+
+
+def test_attribution_touch_conservation(spark):
+    """Every purchase is attributed exactly once per role, 'direct'
+    counts agree across roles (no touch for one role implies none for
+    the other), and attributed value per role sums to total purchase
+    value."""
+    import importlib
+
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        load_events,
+    )
+    from tests.conftest import SF_CORRECT
+
+    m = importlib.import_module("__spark_entry__")
+    rows = m.queries()["ev_attribution_touch"](spark, SF_CORRECT).collect()
+    purchases = load_events(spark, SF_CORRECT).filter(
+        F.col("event_type") == "purchase"
+    )
+    n_total = purchases.count()
+    v_total = round(
+        sum(r["value"] for r in purchases.select("value").collect()), 4
+    )
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append(r)
+        assert r["touch_type"] != "purchase"
+    assert set(by_role) == {"first_touch", "last_touch"}
+    direct = {}
+    for role, rs in by_role.items():
+        assert sum(r["n_purchases"] for r in rs) == n_total
+        assert round(sum(r["attributed_value"] for r in rs), 2) == round(
+            v_total, 2
+        )
+        direct[role] = sum(
+            r["n_purchases"] for r in rs if r["touch_type"] == "direct"
+        )
+    assert direct["first_touch"] == direct["last_touch"]
