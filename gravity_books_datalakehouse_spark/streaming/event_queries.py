@@ -819,8 +819,14 @@ def ev_attribution_touch(spark, sf_dir):
     )
     touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
     p = (
-        e.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
-        .withColumn("ft", F.first(touch, ignorenulls=True).over(w))
+        # both touches in ONE select: identical window specs expressed in
+        # the same projection fuse into a single Window operator (two
+        # chained withColumns plan two Window passes over the sort).
+        e.select(
+            "*",
+            F.last(touch, ignorenulls=True).over(w).alias("lt"),
+            F.first(touch, ignorenulls=True).over(w).alias("ft"),
+        )
         .filter(F.col("event_type") == "purchase")
         .select(
             F.coalesce(F.col("lt"), F.lit("direct")).alias("lt"),

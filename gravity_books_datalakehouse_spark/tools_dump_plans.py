@@ -44,7 +44,8 @@ SHOW = {
     "dedup_semantic_kmeans": "The (id, vec, cluster, norm) assignment is checkpointed once, hash-partitioned on cluster_id (the scan below is that materialization; the zero-shuffle argmin fold ran before it); the candidate self-join keys on cluster_id (within-cluster pairs only, never N x N), pair cost is one dot fold (norms precomputed per vector); the report aggregates to k rows.",
     "sim_mmr_rerank": "Candidate leg = the bounded-query broadcast (no corpus shuffle); every later frame is |Q| x 12 or smaller, so the 5 unrolled greedy steps are tiny-stage joins/windows independent of corpus size (round 7).",
     "op_snapshot_diff": "CDF report: one full outer join keyed on the table key (hash-partitioned both sides, broadcast-free at any SF) + a map-side 4-group aggregate over the change classification (round 7).",
-    "dedup_fuzzy_prefix": "Entity-resolution blocking: the self-join keys on the 4-char block prefix (equi-join shuffle, never a cross product); Levenshtein runs JVM-side inside codegen on the bounded within-block pairs (round 7).",
+    "dedup_fuzzy_prefix": "Entity-resolution blocking: the self-join keys on the 4-char block prefix (equi-join shuffle, never a cross product); banded Levenshtein runs JVM-side inside codegen on the bounded within-block pairs (round 7).",
+    "ev_attribution_touch": "ONE user_id window pass computes both touches (first/last share a WindowExec over the same RANGE frame); the explode doubles only purchase rows and the aggregate collapses map-side to <=10 cells (round 7).",
 }
 
 
