@@ -42,11 +42,11 @@ _PRIORITY_HEAD = [
     # q_profit_by_nation_year, q_promo_revenue) ride in the round-3
     # block below; the rest were hash-verified at sf0.01 AND sf0.1 by
     # this round's in-repo verify runs.
-    # Round-8 rotation: the six entries displaced late in round 7 by the
+    # Round-8 rotation: the seven entries displaced late in round 7 by the
     # new operators (q_sole_blame_suppliers, dedup_lsh_banded_pairs,
     # sim_topk_cosine_bruteforce, dedup_minhash_lsh_pairs,
-    # dedup_jaccard_verify, ev_sessionize — see the inline notes at each
-    # swap) plus the remaining 31 round-3 entries
+    # dedup_jaccard_verify, ev_sessionize, q_promo_revenue — see the
+    # inline notes at each swap) plus the remaining 31 round-3 entries
     # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
     # text_unigram_logprob, pipeline_curate_corpus, sim_ivf_topk,
     # sim_quantized_topk, op_grouped_agg_weighted_avg,
@@ -101,7 +101,11 @@ _PRIORITY_HEAD = [
     "q_market_share_by_year",
     "q_pricing_summary",
     "q_profit_by_nation_year",
-    "q_promo_revenue",
+    # NEW round 7 (displaces q_promo_revenue, witnessed r03 — its only
+    # round-7 change is the shared _cents/_money_sum helpers, which eight
+    # other head entries witness; it joins the round-8 queue at the same
+    # age the other round-7 displacements carry).
+    "q_basket_copurchase_lift",
     # NEW round 7 (displaces dedup_minhash_lsh_pairs, witnessed r03 —
     # dedup_jaccard_verify exercises the same shingle/pair machinery).
     "op_snapshot_diff",

@@ -674,3 +674,128 @@ def q_order_to_ship_lag(spark, sf_dir):
         F.col("median_lag_days").cast("bigint").alias("median_lag_days"),
         F.col("p90_lag_days").cast("bigint").alias("p90_lag_days"),
     ).transform(bounded_sort, "o_orderpriority")
+
+
+@register(
+    "q_basket_copurchase_lift",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+       cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+               FROM items GROUP BY 1),
+       pairs AS (
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                CAST(COUNT(*) AS BIGINT) AS pair_cnt
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2)
+       SELECT p.part_a, p.part_b, pa.p_name AS name_a, pb.p_name AS name_b,
+              p.pair_cnt, ca.c AS cnt_a, cb.c AS cnt_b,
+              CAST(p.pair_cnt * n.n_orders AS DOUBLE) / (ca.c * cb.c) AS lift,
+              CAST(p.pair_cnt AS DOUBLE) / ca.c AS conf_a_to_b
+       FROM pairs p
+       CROSS JOIN n
+       JOIN cnt ca ON ca.l_partkey = p.part_a
+       JOIN cnt cb ON cb.l_partkey = p.part_b
+       JOIN part pa ON pa.p_partkey = p.part_a
+       JOIN part pb ON pb.p_partkey = p.part_b
+       WHERE p.pair_cnt >= 2
+       ORDER BY lift DESC, p.part_a, p.part_b
+       LIMIT 50""",
+)
+def q_basket_copurchase_lift(spark, sf_dir):
+    """Market-basket co-purchase association: the top-50 part pairs by
+    lift among pairs bought together in >= 2 orders, with confidence —
+    the bookstore "customers who bought X also bought Y" rollup the
+    reference's retail schema begs for but never ships (SURVEY.md §2
+    has no co-occurrence shape; test_queries.py stops at top-sellers).
+
+    Plan shape — pair generation WITHOUT an all-pairs self-join:
+    baskets are built with one ``collect_set`` groupBy on l_orderkey
+    (map-side partial, one shuffle), then pairs come from a double
+    ``explode`` of each basket against itself filtered ``a <= b`` — a
+    NARROW per-row expansion bounded by basket_size², never a shuffle
+    join. The diagonal rows (a = b, exactly one per basket member since
+    the basket is a set) double as the per-part order counts, so ONE
+    aggregate over the exploded stream serves both the pair support and
+    the marginal counts. The marginals are then read off the diagonal
+    with two window passes over the aggregated co-occurrence matrix
+    (``max(case when a=b)`` partitioned by part_a, then by part_b) —
+    deliberately NOT a re-derivation from lineitem: filter pushdown
+    specializes each re-derived branch's Exchange subtree, so Catalyst
+    cannot ReuseExchange them and the fact would be scanned + exploded
+    three times (measured on the first cut of this query). The window
+    form shuffles only the matrix (|pairs| ~ Σ basket², orders of
+    magnitude below the fact), and the fact is scanned exactly twice:
+    once for baskets, once for the count-only n_orders branch. Lift =
+    pair_cnt * N / (cnt_a * cnt_b) is pure integer math until a single
+    IEEE division (bit-identical to the oracle); the final top-50 is a
+    TakeOrderedAndProject on (lift DESC, part_a, part_b) — fully
+    parallel, no global sort.
+
+    Scale notes: the explode is quadratic in BASKET size, not corpus
+    size — baskets are order line counts (<= 13 parts in this data;
+    bounded by order UI/business rules in any retail schema), so the
+    expansion is a small constant per order. The pair-count aggregate
+    keys on (part_a, part_b) — the natural co-occurrence matrix
+    partitioning, uniform under hash unless one part is in a large
+    share of ALL orders (a promo SKU); the min-support filter sits
+    directly on the aggregate output so only surviving pairs reach the
+    marginal-count joins. Part names arrive via two broadcast dim
+    joins at the very end, on <= 50 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    n_orders = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    occ = (
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .where(F.col("part_a") <= F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+    )
+    from pyspark.sql import Window
+
+    diag = F.max(
+        F.when(F.col("part_a") == F.col("part_b"), F.col("pair_cnt"))
+    )
+    pairs = occ.select(
+        "part_a",
+        "part_b",
+        "pair_cnt",
+        diag.over(Window.partitionBy("part_a")).alias("cnt_a"),
+        diag.over(Window.partitionBy("part_b")).alias("cnt_b"),
+    ).where((F.col("part_a") < F.col("part_b")) & (F.col("pair_cnt") >= 2))
+    names = part.select("p_partkey", "p_name")
+    return (
+        pairs.join(F.broadcast(n_orders))
+        .join(
+            F.broadcast(names.withColumnRenamed("p_name", "name_a")),
+            F.col("part_a") == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+        .join(
+            F.broadcast(names.withColumnRenamed("p_name", "name_b")),
+            F.col("part_b") == F.col("p_partkey"),
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "name_a",
+            "name_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            (
+                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+            (F.col("pair_cnt").cast("double") / F.col("cnt_a")).alias(
+                "conf_a_to_b"
+            ),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )
