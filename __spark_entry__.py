@@ -42,11 +42,12 @@ _PRIORITY_HEAD = [
     # q_profit_by_nation_year, q_promo_revenue) ride in the round-3
     # block below; the rest were hash-verified at sf0.01 AND sf0.1 by
     # this round's in-repo verify runs.
-    # Round-8 rotation: the seven entries displaced late in round 7 by the
+    # Round-8 rotation: the eight entries displaced late in round 7 by the
     # new operators (q_sole_blame_suppliers, dedup_lsh_banded_pairs,
     # sim_topk_cosine_bruteforce, dedup_minhash_lsh_pairs,
-    # dedup_jaccard_verify, ev_sessionize, q_promo_revenue — see the
-    # inline notes at each swap) plus the remaining 31 round-3 entries
+    # dedup_jaccard_verify, ev_sessionize, q_promo_revenue,
+    # q_small_qty_revenue — see the inline notes at each swap) plus the
+    # remaining 31 round-3 entries
     # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
     # text_unigram_logprob, pipeline_curate_corpus, sim_ivf_topk,
     # sim_quantized_topk, op_grouped_agg_weighted_avg,
@@ -69,7 +70,11 @@ _PRIORITY_HEAD = [
     "q_top_urgent_orders",
     "q_returned_item_customers",
     "q_large_volume_customers",
-    "q_small_qty_revenue",
+    # NEW round 7 (displaces q_small_qty_revenue, witnessed r06 — its
+    # round-7 change is the shared _cents/_money_sum helpers, witnessed
+    # by the seven sibling cents-path q_ entries in this head; it joins
+    # the round-8 queue).
+    "op_graph_pagerank",
     # --- last witnessed round 1 (all 12) ---
     "op_s1_scan_projection",
     "op_p2_rename",

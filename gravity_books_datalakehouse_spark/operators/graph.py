@@ -1,0 +1,199 @@
+"""Graph centrality over the co-purchase graph — iterative PageRank.
+
+Corpus-curation pipelines use link-graph centrality as a document
+quality signal (the Common Crawl lineage: PageRank / harmonic
+centrality over the web host graph decides crawl priority and feeds
+quality filters). The same operator over this schema's natural graph —
+parts connected when bought together in >= 2 orders — is the retail
+reading: globally central products, not merely high-degree ones
+(beyond-reference; the reference's analytics stop at per-group
+aggregates, SURVEY.md §2.4, test_queries/test_queries.py has no graph
+shape).
+
+Algorithm: Page et al. 1999, damping d = 0.85, FIXED 5 power-iteration
+sweeps from the uniform vector — fixed, not run-to-convergence, so the
+computation is a deterministic function of the data and a DuckDB
+oracle can replay it exactly as an unrolled CTE chain (the same
+fixed-sweep contract as the Lloyd oracle, operators/kmeans.py). The
+symmetrized co-purchase graph has no dangling nodes (every node in the
+edge set has degree >= 1 and, by symmetry, in-degree >= 1), so the
+update needs no dangling-mass redistribution term and every node
+receives mass every sweep:
+
+    r'(v) = 0.15/N + 0.85 * sum_{u -> v} r(u) / deg(u)
+
+Scale shape (the part that matters at 100 TB):
+
+- Pair generation is the basket-explode form (see
+  plans/advanced_queries.q_basket_copurchase_lift): a narrow per-order
+  expansion bounded by basket size squared, NEVER an all-pairs
+  self-join of the item set.
+- The edge list is localCheckpoint'ed ONCE, pre-joined with the
+  out-degree (one shuffle on src) — per sweep, only the rank vector
+  (one row per NODE, two small columns) shuffles to meet the stationary
+  edge partitioning; the edge side never moves again. This is the
+  canonical partitioned-adjacency PageRank layout.
+- Each sweep ends in ``localCheckpoint()``: without it the lineage
+  grows by a join + aggregate per sweep and Catalyst re-analyzes a
+  nested plan (the dedup_semantic_kmeans / sim_mmr_rerank lesson —
+  a guard test pins the final plan size).
+- N reaches the per-row update via a broadcast one-row aggregate, not
+  a driver collect.
+
+Float caveat (same contract as the kmeans oracle): per-node sums run
+in a different order on each engine, so ranks drift ~1e-15 relative,
+compounding mildly over 5 sweeps. Both engines round to 6 dp before
+the final ordering; with ranks of order 1/N >= 1e-6 at any plausible
+SF for the support->=2 graph, the rounding boundary is ~7 orders above
+the drift. Verified hash-identical at sf0.001/0.01/0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+DAMPING = 0.85
+N_SWEEPS = 5
+MIN_SUPPORT = 2
+TOP_K = 20
+
+
+def copurchase_edges(li: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame:
+    """Symmetric directed edge list (src, dst) of parts co-purchased in
+    >= ``min_support`` orders. Basket-explode pair generation: cost is
+    sum(basket^2) over orders, not |items|^2."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    pairs = (
+        baskets.select(F.explode("parts").alias("pa"), "parts")
+        .select("pa", F.explode("parts").alias("pb"))
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_support)
+    )
+    return pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+
+
+def pagerank(edges: DataFrame, n_sweeps: int = N_SWEEPS) -> DataFrame:
+    """(node, degree, r) after ``n_sweeps`` fixed power iterations over a
+    symmetric edge list with no dangling nodes. Edge list + degree are
+    checkpointed once; only the node-sized rank vector moves per sweep."""
+    # materialize the (possibly expensive) upstream pair pipeline ONCE:
+    # deg, the adjacency build, n_nodes, and the final degree join all
+    # derive from it — without this checkpoint each re-runs the full
+    # basket-explode (measured 11.6 s -> 4 s at sf0.1)
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    # stationary adjacency: (src, dst, d), partitioned by src, reused
+    # unchanged every sweep
+    adj = edges.join(deg, "src").localCheckpoint()
+    n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .join(F.broadcast(n_nodes))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("r"))
+    )
+    for _ in range(n_sweeps):
+        contrib = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
+        )
+        ranks = (
+            contrib.join(F.broadcast(n_nodes))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(1.0 - DAMPING) / F.col("n")
+                    + F.lit(DAMPING) * F.col("mass")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.join(
+        deg.select(F.col("src").alias("node"), F.col("d").alias("degree")),
+        "node",
+    )
+
+
+def _pagerank_ctes() -> str:
+    """Unrolled fixed-sweep oracle: r0 = uniform, r{k+1} from r{k} by the
+    exact update rule. Mirrors pagerank() sweep for sweep."""
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL
+          SELECT pb AS src, pa AS dst FROM pairs),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn)"""
+    ]
+    for k in range(N_SWEEPS):
+        ctes.append(
+            f"""r{k + 1} AS (
+  SELECT e.dst AS node,
+         0.15 / MAX(nn.n) + 0.85 * SUM(p.r / deg.d) AS r
+  FROM edges e
+  JOIN r{k} p ON p.node = e.src
+  JOIN deg ON deg.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst)"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+_PAGERANK_SQL = (
+    _pagerank_ctes()
+    + f"""
+SELECT r.node AS part_key, p.p_name AS part_name, deg.d AS degree,
+       ROUND(r.r, 6) AS pagerank
+FROM r{N_SWEEPS} r
+JOIN deg ON deg.src = r.node
+JOIN part p ON p.p_partkey = r.node
+ORDER BY ROUND(r.r, 6) DESC, r.node
+LIMIT {TOP_K}"""
+)
+
+
+@register("op_graph_pagerank", _PAGERANK_SQL)
+def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most central parts in the support->=2 co-purchase graph by
+    5-sweep PageRank (damping 0.85), with part name and graph degree.
+    Final ordering on the 6-dp-rounded rank with part-key tiebreak runs
+    as a TakeOrderedAndProject; the <=20-row name lookup is a broadcast
+    join at the very end."""
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    ranks = pagerank(edges)
+    names = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            F.col("degree"),
+            F.round(F.col("r"), 6).alias("pagerank"),
+        )
+        .join(
+            F.broadcast(names), F.col("part_key") == F.col("p_partkey")
+        )
+        .select(
+            "part_key",
+            F.col("p_name").alias("part_name"),
+            "degree",
+            "pagerank",
+        )
+        .orderBy(F.desc("pagerank"), F.asc("part_key"))
+        .limit(TOP_K)
+    )

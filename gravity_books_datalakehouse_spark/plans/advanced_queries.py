@@ -711,22 +711,23 @@ def q_basket_copurchase_lift(spark, sf_dir):
 
     Plan shape — pair generation WITHOUT an all-pairs self-join:
     baskets are built with one ``collect_set`` groupBy on l_orderkey
-    (map-side partial, one shuffle), then pairs come from a double
-    ``explode`` of each basket against itself filtered ``a <= b`` — a
-    NARROW per-row expansion bounded by basket_size², never a shuffle
-    join. The diagonal rows (a = b, exactly one per basket member since
-    the basket is a set) double as the per-part order counts, so ONE
-    aggregate over the exploded stream serves both the pair support and
-    the marginal counts. The marginals are then read off the diagonal
-    with two window passes over the aggregated co-occurrence matrix
-    (``max(case when a=b)`` partitioned by part_a, then by part_b) —
-    deliberately NOT a re-derivation from lineitem: filter pushdown
-    specializes each re-derived branch's Exchange subtree, so Catalyst
-    cannot ReuseExchange them and the fact would be scanned + exploded
-    three times (measured on the first cut of this query). The window
-    form shuffles only the matrix (|pairs| ~ Σ basket², orders of
-    magnitude below the fact), and the fact is scanned exactly twice:
-    once for baskets, once for the count-only n_orders branch. Lift =
+    (map-side partial, one shuffle) and ``localCheckpoint``'ed ONCE —
+    the single fact materialization that all three downstream consumers
+    (pair counts, per-part marginals, the n_orders scalar) read, so the
+    fact is scanned exactly once and nothing is re-derived (filter
+    pushdown specializes re-derived branches' Exchange subtrees, so
+    Catalyst cannot ReuseExchange them: the first cut paid 3 scans + 3
+    explode pipelines). Pairs come from a double ``explode`` of each
+    basket against itself filtered ``a < b`` — a NARROW per-row
+    expansion bounded by basket_size², never a shuffle join — and the
+    min-support filter sits DIRECTLY on the pair aggregate, so only
+    surviving pairs (a tiny set) reach the marginal joins. The
+    marginals are one single-explode aggregate (node-sized output);
+    both marginal joins are left to AQE, which broadcasts whichever
+    runtime side is small. (A previous form read the marginals off the
+    co-occurrence diagonal with two window passes; that shuffled AND
+    sorted the full ~Σ basket² matrix twice before the support filter
+    could shrink it — measured 2.3 s vs 1.7 s at sf0.1.) Lift =
     pair_cnt * N / (cnt_a * cnt_b) is pure integer math until a single
     IEEE division (bit-identical to the oracle); the final top-50 is a
     TakeOrderedAndProject on (lift DESC, part_a, part_b) — fully
@@ -738,46 +739,46 @@ def q_basket_copurchase_lift(spark, sf_dir):
     expansion is a small constant per order. The pair-count aggregate
     keys on (part_a, part_b) — the natural co-occurrence matrix
     partitioning, uniform under hash unless one part is in a large
-    share of ALL orders (a promo SKU); the min-support filter sits
-    directly on the aggregate output so only surviving pairs reach the
-    marginal-count joins. Part names arrive via two broadcast dim
-    joins at the very end, on <= 50 rows."""
+    share of ALL orders (a promo SKU). Part names arrive via dim joins
+    on the post-support pair set at the very end."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
 
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
-    )
+    ).localCheckpoint()
     n_orders = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
-    occ = (
+    cnt = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pairs = (
         baskets.select(F.explode("parts").alias("part_a"), "parts")
         .select("part_a", F.explode("parts").alias("part_b"))
-        .where(F.col("part_a") <= F.col("part_b"))
+        .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 2)
     )
-    from pyspark.sql import Window
-
-    diag = F.max(
-        F.when(F.col("part_a") == F.col("part_b"), F.col("pair_cnt"))
-    )
-    pairs = occ.select(
-        "part_a",
-        "part_b",
-        "pair_cnt",
-        diag.over(Window.partitionBy("part_a")).alias("cnt_a"),
-        diag.over(Window.partitionBy("part_b")).alias("cnt_b"),
-    ).where((F.col("part_a") < F.col("part_b")) & (F.col("pair_cnt") >= 2))
     names = part.select("p_partkey", "p_name")
     return (
-        pairs.join(F.broadcast(n_orders))
+        pairs.join(
+            cnt.select(F.col("pk").alias("part_a"), F.col("c").alias("cnt_a")),
+            "part_a",
+        )
         .join(
-            F.broadcast(names.withColumnRenamed("p_name", "name_a")),
+            cnt.select(F.col("pk").alias("part_b"), F.col("c").alias("cnt_b")),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .join(
+            names.withColumnRenamed("p_name", "name_a"),
             F.col("part_a") == F.col("p_partkey"),
         )
         .drop("p_partkey")
         .join(
-            F.broadcast(names.withColumnRenamed("p_name", "name_b")),
+            names.withColumnRenamed("p_name", "name_b"),
             F.col("part_b") == F.col("p_partkey"),
         )
         .select(

@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
         countmin,
         expectations,
         layout,
+        graph,
     )
     from gravity_books_datalakehouse_spark.streaming import (  # noqa: F401
         event_queries,

@@ -62,19 +62,19 @@ def test_copurchase_semantics(spark):
 
 
 def test_copurchase_plan_shape(spark):
-    """The fact is scanned exactly twice (baskets + the count-only
-    n_orders branch) — the marginals must come from the diagonal window
-    over the co-occurrence matrix, NOT re-derivations of lineitem
+    """The fact is materialized ONCE (the baskets localCheckpoint) and
+    every downstream consumer — pair counts, marginals, n_orders —
+    reads that RDD: no lineitem re-scan may appear in the final plan
     (filter pushdown specializes re-derived branches so Catalyst cannot
     reuse their exchanges; the first cut of this query paid 3 scans +
-    3 explode pipelines). Final ordering is a TakeOrderedAndProject."""
+    3 explode pipelines). No window over the pre-support co-occurrence
+    matrix either (a prior form sorted the full matrix twice: 2.3 s vs
+    1.7 s at sf0.1). Final ordering is a TakeOrderedAndProject."""
     qs, _ = _registry()
-    plan = (
-        qs["q_basket_copurchase_lift"](spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("lineitem.parquet") == 2
+    df = qs["q_basket_copurchase_lift"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 0
+    assert "ExistingRDD" in plan  # all consumers read the checkpoint
+    assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan

@@ -1,0 +1,79 @@
+"""PageRank over the co-purchase graph (operators/graph.py): oracle
+parity plus the mass-conservation invariants the hash can't articulate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.operators.graph import (
+    DAMPING,
+    copurchase_edges,
+    pagerank,
+)
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+
+def _registry():
+    import __spark_entry__ as m
+
+    return m.queries(), m.oracle_sql()
+
+
+def test_pagerank_matches_oracle(spark, duck):
+    qs, osql = _registry()
+    assert_matches_oracle(
+        qs["op_graph_pagerank"](spark, SF_CORRECT),
+        duck,
+        osql["op_graph_pagerank"],
+    )
+
+
+def test_pagerank_mass_conservation(spark):
+    """On the symmetrized dangling-free graph the rank vector stays a
+    probability distribution: sum == 1 every sweep (up to float drift),
+    and every node holds at least the teleport floor (1-d)/N."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    ranks = pagerank(copurchase_edges(li)).collect()
+    n = len(ranks)
+    assert n > 0
+    total = sum(r.r for r in ranks)
+    assert abs(total - 1.0) < 1e-9
+    floor = (1.0 - DAMPING) / n
+    assert all(r.r >= floor - 1e-12 for r in ranks)
+    # degree column is the true adjacency degree
+    deg = {
+        r.src: r.n
+        for r in copurchase_edges(li)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(r.degree == deg[r.node] for r in ranks)
+
+
+def test_pagerank_favors_central_hub(spark):
+    """A star (hub connected to k spokes, spokes only to the hub) must
+    rank the hub strictly above every spoke — centrality, not a degree
+    echo of the input row counts."""
+    edges = spark.createDataFrame(
+        [(0, v) for v in range(1, 6)] + [(v, 0) for v in range(1, 6)],
+        "src int, dst int",
+    )
+    got = {r.node: r.r for r in pagerank(edges).collect()}
+    hub, spokes = got[0], [got[v] for v in range(1, 6)]
+    assert all(hub > s for s in spokes)
+    # spokes are symmetric: identical ranks bit-for-bit
+    assert len({repr(s) for s in spokes}) == 1
+
+
+def test_pagerank_plan_stays_bounded(spark):
+    """Each sweep ends in localCheckpoint, so the final plan must be
+    sweep-count-independent (the unrolled-loop lineage lesson:
+    sim_mmr_rerank went ~5400 plan nodes without truncation)."""
+    qs, _ = _registry()
+    plan = str(
+        qs["op_graph_pagerank"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    )
+    assert len(plan.splitlines()) < 60
