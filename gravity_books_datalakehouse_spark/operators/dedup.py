@@ -1173,6 +1173,15 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         F.col("key").alias("key_a"),
         F.substring("key", 1, _FUZZY_BLOCK).alias("blk"),
+        # Explicit-count repartition on the block key: the pair stage is
+        # tiny in BYTES (24-char keys) but quadratic in COMPUTE, so AQE's
+        # byte-based coalescing (and a single-split input file) would run
+        # every block's DP loop in ONE task. The explicit count pins the
+        # block-key shuffle the blocking design calls for anyway; AQE
+        # never coalesces a user-specified partition count. Measured
+        # 4.1 s -> 1.5 s at sf0.1 on local[8].
+    ).repartition(
+        max(spark.sparkContext.defaultParallelism, 8), "blk"
     )
     b = k.select(
         F.col("doc_id").alias("doc_b"),

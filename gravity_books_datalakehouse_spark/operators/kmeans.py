@@ -57,32 +57,38 @@ def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     single in-row fold takes argmin via struct ordering (min d2, tie →
     min cid). No crossJoin row fan-out, no per-vector groupBy: at any
     corpus size the assignment is a narrow map stage."""
-    centarr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in sorted(cents.items())
-        ]
-    )
-
-    def cand(c):
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                c.getField("cvec"),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # The whole argmin rides in as ONE SQL expression string: the
+    # obvious F.array(F.struct(F.lit(...)...)) + python-lambda fold
+    # form issues a py4j round trip per scalar and per lambda node —
+    # ~1.3 s of pure driver-side expression building per _assign call
+    # at k=16, d=64, and the fit calls _assign every sweep (fit-paying
+    # query measured 11.7 s -> 6.8 s at sf0.1; the reuse path, which
+    # builds the assignment twice more, 1.35 s -> 0.48 s).
+    # CAST('<repr>' AS DOUBLE) parses with Java's correctly-rounded
+    # Double.parseDouble, and Python's repr is the shortest round-trip
+    # form, so every literal — and therefore every distance and every
+    # assignment — is bit-identical to the F.lit(float) form it
+    # replaces. Fold semantics unchanged: least() on the (d2, cid)
+    # struct = min d2, tie -> min cid.
+    centarr = ",".join(
+        "named_struct('cid',{cid},'cvec',array({vals}))".format(
+            cid=int(cid),
+            vals=",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec),
         )
-        return F.struct(d2.alias("d2"), c.getField("cid").alias("cid"))
-
-    init = F.struct(
-        F.lit(float("inf")).alias("d2"), F.lit(2**31 - 1).alias("cid")
+        for cid, vec in sorted(cents.items())
     )
-    best = F.aggregate(centarr, init, lambda acc, c: F.least(acc, cand(c)))
+    best = F.expr(
+        f"""aggregate(
+          array({centarr}),
+          named_struct('d2', CAST('Infinity' AS DOUBLE), 'cid', 2147483647),
+          (acc, c) -> least(acc, named_struct(
+            'd2', aggregate(
+                    zip_with(embedding, c.cvec,
+                             (x, y) -> (CAST(x AS DOUBLE) - y)
+                                       * (CAST(x AS DOUBLE) - y)),
+                    CAST(0.0 AS DOUBLE), (a2, x2) -> a2 + x2),
+            'cid', c.cid)))"""
+    )
     return e.select(
         "vec_id",
         "embedding",
@@ -248,7 +254,20 @@ def _fitted_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = session_key(spark, sf_dir)
     if key not in _EMB_CACHE:
         evict_other_scales(_EMB_CACHE, key)
-        _EMB_CACHE[key] = load_table(spark, sf_dir, "embeddings").persist()
+        # Repartition the cached corpus to the session's parallelism:
+        # the argmin fold is a Catalyst higher-order function
+        # (interpreted, not codegen'd — the dominant per-row cost), and
+        # a single-split embeddings file would otherwise run every
+        # sweep's fold in ONE task (measured: the 5-sweep fit drops
+        # ~1.6 s -> ~0.5 s at sf0.1 on local[8]). Summation order in
+        # the centroid means shifts with the layout; the oracle's
+        # documented rounding margins (~1e-13 drift vs 3-dp rounding)
+        # already cover exactly this, re-verified at all three SFs.
+        _EMB_CACHE[key] = (
+            load_table(spark, sf_dir, "embeddings")
+            .repartition(max(spark.sparkContext.defaultParallelism, 8))
+            .persist()
+        )
     if key not in _MODEL_CACHE:
         evict_other_scales(_MODEL_CACHE, key)
         _MODEL_CACHE[key] = kmeans_fit(spark, _EMB_CACHE[key])
