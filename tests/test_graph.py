@@ -66,6 +66,53 @@ def test_pagerank_favors_central_hub(spark):
     assert len({repr(s) for s in spokes}) == 1
 
 
+def test_triangles_matches_oracle(spark, duck):
+    qs, osql = _registry()
+    assert_matches_oracle(
+        qs["op_graph_triangles"](spark, SF_CORRECT),
+        duck,
+        osql["op_graph_triangles"],
+    )
+
+
+def test_triangles_brute_force(spark):
+    """Triangle counts and clustering coefficients against a pure-python
+    recount of the same graph at smoke scale."""
+    from itertools import combinations
+
+    from gravity_books_datalakehouse_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    qs, _ = _registry()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    und = {
+        (r.src, r.dst)
+        for r in copurchase_edges(li).collect()
+        if r.src < r.dst
+    }
+    adj: dict[int, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri_per_node: dict[int, int] = {}
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            if v < w:  # u<v<w counted once
+                for n in (u, v, w):
+                    tri_per_node[n] = tri_per_node.get(n, 0) + 1
+    rows = qs["op_graph_triangles"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    want_order = sorted(
+        tri_per_node.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: len(rows)]
+    assert [(r.part_key, r.triangles) for r in rows] == want_order
+    for r in rows:
+        d = len(adj[r.part_key])
+        assert r.degree == d
+        assert abs(r.clustering_coeff - 2 * r.triangles / (d * (d - 1))) == 0.0
+
+
 def test_pagerank_plan_stays_bounded(spark):
     """Each sweep ends in localCheckpoint, so the final plan must be
     sweep-count-independent (the unrolled-loop lineage lesson:
