@@ -46,6 +46,9 @@ SHOW = {
     "op_snapshot_diff": "CDF report: one full outer join keyed on the table key (hash-partitioned both sides, broadcast-free at any SF) + a map-side 4-group aggregate over the change classification (round 7).",
     "dedup_fuzzy_prefix": "Entity-resolution blocking: the self-join keys on the 4-char block prefix (equi-join shuffle, never a cross product); banded Levenshtein runs JVM-side inside codegen on the bounded within-block pairs (round 7).",
     "ev_attribution_touch": "ONE user_id window pass computes both touches (first/last share a WindowExec over the same RANGE frame); the explode doubles only purchase rows and the aggregate collapses map-side to <=10 cells (round 7).",
+    "q_basket_copurchase_lift": "Basket-explode pair generation (narrow, bounded by basket^2 — no self-join of the item set); the single fact materialization (baskets localCheckpoint) feeds pair counts, marginals, and n_orders, so lineitem never re-scans; min-support filter sits ON the pair aggregate before any join; TakeOrderedAndProject(50) finishes (round 7).",
+    "op_graph_pagerank": "Stationary adjacency: edges+degree checkpointed once (the ExistingRDD scans), so each of the 5 sweeps shuffles ONLY the node-sized rank vector into the edge partitioning; N rides a broadcast one-row aggregate; final TakeOrderedAndProject(20) (round 7).",
+    "op_graph_triangles": "Compact-forward u<v<w: two vertex-keyed equi-joins over the canonical checkpointed edge list — no direction-doubled wedges, no cross join; per-node rollup is a 3|T|-row explode into a map-side-collapsing count (round 7).",
 }
 
 
