@@ -800,3 +800,116 @@ def q_basket_copurchase_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(50)
     )
+
+
+@register(
+    "op_drift_psi_events",
+    """WITH v AS (
+         SELECT event_type,
+                CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0
+                     ELSE 1 END AS cur,
+                LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin
+         FROM events WHERE value IS NOT NULL),
+       types AS (SELECT DISTINCT event_type FROM v),
+       spine AS (SELECT t.event_type, CAST(r.range AS INT) AS bin
+                 FROM types t, range(10) r),
+       cnt AS (SELECT event_type, bin,
+                      SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS nref,
+                      SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS ncur
+               FROM v GROUP BY 1, 2),
+       cells AS (SELECT s.event_type, s.bin,
+                        COALESCE(c.nref, 0) AS nref,
+                        COALESCE(c.ncur, 0) AS ncur
+                 FROM spine s LEFT JOIN cnt c
+                   ON c.event_type = s.event_type AND c.bin = s.bin),
+       tot AS (SELECT event_type,
+                      SUM(nref) AS tref, SUM(ncur) AS tcur
+               FROM cells GROUP BY 1)
+       SELECT c.event_type,
+              CAST(t.tref AS BIGINT) AS n_ref,
+              CAST(t.tcur AS BIGINT) AS n_cur,
+              ROUND(SUM(
+                ((c.nref + 1.0) / (t.tref + 10)
+                 - (c.ncur + 1.0) / (t.tcur + 10))
+                * LN(((c.nref + 1.0) / (t.tref + 10))
+                     / ((c.ncur + 1.0) / (t.tcur + 10)))), 6) AS psi,
+              ROUND(SUM(
+                ((c.nref + 1.0) / (t.tref + 10)
+                 - (c.ncur + 1.0) / (t.tcur + 10))
+                * LN(((c.nref + 1.0) / (t.tref + 10))
+                     / ((c.ncur + 1.0) / (t.tcur + 10)))), 6) >= 0.1
+                AS drift_flag
+       FROM cells c JOIN tot t ON t.event_type = c.event_type
+       GROUP BY c.event_type, t.tref, t.tcur
+       ORDER BY c.event_type""",
+)
+def op_drift_psi_events(spark, sf_dir):
+    """Population Stability Index per event type: the training-data
+    drift monitor. The event-value distribution in the CURRENT window
+    (second half of the month) is compared against the REFERENCE window
+    (first half) over 10 fixed-width value bins; PSI = sum over bins of
+    (p_i - q_i) * ln(p_i / q_i) with add-one smoothing so empty bins
+    contribute finitely. The standard industry reading: psi < 0.1
+    stable, >= 0.1 drifting — the flag is derived from the ROUNDED psi
+    so both engines decide it from the identical value.
+
+    Plan shape — ONE fact scan, one chain, no self-joins: the partial
+    aggregate collapses the scan map-side to <= types x 10 cells (the
+    shuffle carries <= 100 rows at ANY corpus size), then a per-type
+    rollup gathers (tref, tcur, cell list) in one row per type and a
+    bounded in-row fold (<= 10 elements) sums the PSI terms. Absent
+    bins never materialize: each would contribute the CONSTANT
+    smoothing-only term, so the fold adds (10 - |present|) x term(0,0)
+    in closed form — algebraically identical to the oracle's dense
+    spine (the oracle keeps the relational spine/join form, which is
+    what a SQL engine wants; totals over the dense spine equal totals
+    over present cells since absent cells hold zeros).
+
+    Float caveat (house margin style): ln() differs across engines by
+    <= 1 ulp and the 10-term sum order varies (collect_list order is
+    partition-dependent), so psi drifts ~1e-15; rounding at 6 dp sits
+    ~9 orders above the drift, and the drift FLAG is derived from the
+    rounded value on both engines. The binning itself
+    (floor(value/50) on IEEE doubles) is bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("cur"),
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+    cnt = v.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).alias("nref"),
+        F.sum(F.when(F.col("cur") == 1, 1).otherwise(0)).alias("ncur"),
+    )
+    per = cnt.groupBy("event_type").agg(
+        F.sum("nref").alias("tref"),
+        F.sum("ncur").alias("tcur"),
+        F.collect_list(F.struct("nref", "ncur")).alias("cells"),
+    )
+
+    def term(nr, nc):
+        p = (nr + 1.0) / (F.col("tref") + 10)
+        q = (nc + 1.0) / (F.col("tcur") + 10)
+        return (p - q) * F.log(p / q)
+
+    psi_raw = F.aggregate(
+        "cells",
+        F.lit(0.0),
+        lambda acc, c: acc + term(c.getField("nref"), c.getField("ncur")),
+    ) + (F.lit(10) - F.size("cells")) * term(F.lit(0), F.lit(0))
+    return (
+        per.select(
+            "event_type",
+            F.col("tref").cast("bigint").alias("n_ref"),
+            F.col("tcur").cast("bigint").alias("n_cur"),
+            F.round(psi_raw, 6).alias("psi"),
+        )
+        .withColumn("drift_flag", F.col("psi") >= 0.1)
+        .transform(bounded_sort, "event_type")
+    )
