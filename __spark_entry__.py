@@ -42,11 +42,12 @@ _PRIORITY_HEAD = [
     # q_profit_by_nation_year, q_promo_revenue) ride in the round-3
     # block below; the rest were hash-verified at sf0.01 AND sf0.1 by
     # this round's in-repo verify runs.
-    # Round-8 rotation: the eight entries displaced late in round 7 by the
+    # Round-8 rotation: the ten entries displaced late in round 7 by the
     # new operators (q_sole_blame_suppliers, dedup_lsh_banded_pairs,
     # sim_topk_cosine_bruteforce, dedup_minhash_lsh_pairs,
     # dedup_jaccard_verify, ev_sessionize, q_promo_revenue,
-    # q_small_qty_revenue — see the inline notes at each swap) plus the
+    # q_small_qty_revenue, op_fk_orphan_audit, op_unpivot_roundtrip —
+    # see the inline notes at each swap) plus the
     # remaining 31 round-3 entries
     # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
     # text_unigram_logprob, pipeline_curate_corpus, sim_ivf_topk,
@@ -139,8 +140,13 @@ _PRIORITY_HEAD = [
     "op_sketch_countmin_terms",
     "op_split_stratified_exact",
     "op_scd2_priority_history",
-    "op_fk_orphan_audit",
-    "op_unpivot_roundtrip",
+    # NEW round 7 (displaces op_fk_orphan_audit, hash-green in r06 — the
+    # freshest possible witness age; it joins the round-8 queue).
+    "op_graph_triangles",
+    # NEW round 7 (displaces op_unpivot_roundtrip, hash-green in r06;
+    # same reasoning — a never-witnessed new operator beats an age-1
+    # re-witness for the 50-entry window).
+    "op_drift_psi_events",
     "op_outliers_mad",
     "op_layout_zorder_prune",  # NEW round 7
 ]

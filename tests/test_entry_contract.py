@@ -37,11 +37,14 @@ def test_first_50_entries_cover_every_family_with_oracles():
     oracles = entry_mod.oracle_sql()
     head = list(qs)[:50]
     # op_asof/op_udtf/op_cap rotated out of the window in round 4 (witnessed
-    # green in CORRECTNESS_r03); they remain judge-verified in the tail.
+    # green in CORRECTNESS_r03); op_fk/op_unpivot rotated out late in round
+    # 7 (both hash-green in CORRECTNESS_r06, the freshest possible age) to
+    # make room for the never-witnessed graph/drift operators. All remain
+    # judge-verified in the tail.
     families = [
         "star_", "q_", "dedup_", "sim_", "mm_", "ev_", "text_",
         "op_sample", "op_split", "pipeline_", "op_j", "op_a", "op_w",
-        "op_f", "op_sketch", "op_scd2", "op_fk", "op_unpivot", "op_outliers",
+        "op_f", "op_sketch", "op_scd2", "op_graph", "op_drift", "op_outliers",
     ]
     for fam in families:
         assert any(n.startswith(fam) for n in head), f"family {fam} absent from first 50"
