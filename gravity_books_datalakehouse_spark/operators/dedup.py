@@ -27,7 +27,7 @@ identically to the underlying 128-bit integer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gravity_books_datalakehouse_spark.plans._cache import (
@@ -1202,4 +1202,199 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("lev") >= 0) & (F.col("lev") <= _FUZZY_MAX_LEV))
         .select("doc_a", "doc_b", "lev")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered set-similarity self-join (the AllPairs/PPJoin family:
+# Bayardo et al., WWW 2007; Vernica et al., SIGMOD 2010 for the
+# distributed form). The missing algorithmic leg between exact hashing
+# and probabilistic LSH: an EXACT similarity join — every pair above the
+# threshold is returned, none below — whose candidate stage is still
+# subquadratic. The trick: order each document's token set by global
+# document frequency (rarest first); two sets with cosine >= t MUST
+# share a token inside each one's short "prefix" of that ordering, so
+# joining prefixes on the token catches every qualifying pair while the
+# common, bucket-exploding tokens never become join keys.
+
+#: Cosine threshold t = 4/5. Kept rational so every pruning and
+#: acceptance decision is exact integer arithmetic on both engines:
+#:   feasibility   25*min(l_a,l_b) >= 16*max(l_a,l_b)   (l_min >= t^2 l_max)
+#:   prefix length p(l) = l - ceil(16*l/25) + 1          (l - alpha + 1)
+#:   acceptance    25*o^2 >= 16*l_a*l_b                  (o >= t*sqrt(la*lb))
+_PPJOIN_NUM2 = 16  # t^2 numerator
+_PPJOIN_DEN2 = 25  # t^2 denominator
+
+#: (applicationId, sf_dir) -> persisted distinct (doc_id, bigram) sets,
+#: repartitioned by doc_id like the 3-shingle cache (same rationale).
+_BIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cached_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = session_key(spark, sf_dir)
+    if key not in _BIGRAM_CACHE:
+        evict_other_scales(_BIGRAM_CACHE, key)
+        _BIGRAM_CACHE[key] = (
+            shingles(load_table(spark, sf_dir, "documents"), k=2)
+            .repartition("doc_id")
+            .persist()
+        )
+    return _BIGRAM_CACHE[key]
+
+
+#: DuckDB twin of the distinct word-bigram sets (k=2 sibling of
+#: operators.text.SHINGLES_SQL).
+_BIGRAMS_SQL = f"""
+  tok2 AS (
+    SELECT doc_id,
+           unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS pos
+    FROM documents
+  ),
+  bg_raw AS (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+             AS shingle
+    FROM tok2
+  ),
+  bgd AS (SELECT DISTINCT doc_id, shingle FROM bg_raw WHERE shingle IS NOT NULL)
+"""
+
+_PPJOIN_SQL = f"""WITH {_BIGRAMS_SQL},
+  sz AS (SELECT doc_id, COUNT(*) AS l FROM bgd GROUP BY doc_id),
+  dfreq AS (SELECT shingle, COUNT(*) AS df FROM bgd GROUP BY shingle),
+  pfx AS (
+    SELECT g.doc_id, g.shingle, s.l
+    FROM bgd g
+    JOIN dfreq d ON d.shingle = g.shingle
+    JOIN sz s ON s.doc_id = g.doc_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY d.df, g.shingle)
+            <= s.l - ({_PPJOIN_NUM2} * s.l + {_PPJOIN_DEN2 - 1}) // {_PPJOIN_DEN2} + 1
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.l AS la, b.l AS lb
+    FROM pfx a
+    JOIN pfx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    WHERE {_PPJOIN_DEN2} * LEAST(a.l, b.l) >= {_PPJOIN_NUM2} * GREATEST(a.l, b.l)
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, c.la, c.lb, COUNT(*) AS o
+    FROM cand c
+    JOIN bgd x ON x.doc_id = c.doc_a
+    JOIN bgd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY c.doc_a, c.doc_b, c.la, c.lb
+  )
+  SELECT doc_a, doc_b,
+         CAST(la AS BIGINT) AS size_a,
+         CAST(lb AS BIGINT) AS size_b,
+         CAST(o AS BIGINT) AS n_common,
+         ROUND(o / SQRT(la * lb), 6) AS cos_sim
+  FROM inter
+  WHERE {_PPJOIN_DEN2} * o * o >= {_PPJOIN_NUM2} * la * lb"""
+
+
+@register("dedup_prefix_cosine_pairs", _PPJOIN_SQL)
+def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-cosine similarity self-join (threshold 0.8) over word
+    bigram sets, with AllPairs/PPJoin prefix filtering.
+
+    Why bigrams: the synthetic corpus draws from a small vocabulary, so
+    unigram SETS of unrelated documents overlap heavily (measured median
+    pairwise cosine ~0.9 at sf0.01) while bigram sets separate cleanly
+    (planted near-dups >= 0.95, everything else <= 0.23) — and the same
+    holds for real web text, which is why n-gram features are the dedup
+    standard. The wide margin also de-risks the one float in the query:
+    the acceptance DECISION is exact integer math; only the reported
+    cos_sim column is floating point (sqrt + divide are IEEE
+    correctly-rounded, so both engines agree bitwise).
+
+    Plan shape, in fact-table order of cost:
+      1. bigram sets: one distinct shuffle, cached partitioned by doc_id
+         (shared with any other bigram consumer this session).
+      2. df annotate: groupBy(shingle) + join back — one shuffle pair on
+         the token; the df table is vocabulary-sized (sublinear, Heaps'
+         law) but NOT assumed broadcastable.
+      3. prefix cut: row_number over (doc_id | df, shingle) — one
+         exchange on doc_id; set size via count over the same partition
+         (no extra exchange). No dense global token rank is ever
+         materialized: the PER-DOC ordering only needs (df, token)
+         pairs, which kills the single-task global-rank window a naive
+         port would use.
+      4. candidate join: prefix x prefix on the token. Prefix tokens
+         are the RAREST ~36% of each set (t=0.8), so bucket sizes are
+         small by construction — the frequency ordering is the
+         anti-skew device, not an extra trick. Size-feasibility
+         (25*lmin >= 16*lmax) prunes before distinct.
+      5. verify: exact overlap counted ONLY on candidates (the
+         generate-then-verify split, same as dedup_jaccard_verify);
+         Catalyst folds the shingle equality into the second join's
+         keys, so there is no per-pair cartesian.
+
+    Unlike MinHash/LSH (probabilistic recall) this returns EVERY pair
+    with cosine >= t exactly — the right tool when the dedup decision
+    must be auditable. Cost grows with how common the prefix tokens
+    are, not with corpus^2.
+    """
+    bg = _cached_bigrams(spark, sf_dir)
+    dfreq = bg.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    annotated = bg.join(dfreq, "shingle")
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_doc = Window.partitionBy("doc_id")
+    pfx = (
+        annotated.withColumn("l", F.count(F.lit(1)).over(w_doc))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(
+            F.col("rn")
+            <= F.col("l")
+            - F.expr(
+                f"({_PPJOIN_NUM2} * l + {_PPJOIN_DEN2 - 1}) div {_PPJOIN_DEN2}"
+            )
+            + 1
+        )
+        .select("doc_id", "shingle", "l")
+    )
+    a = pfx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle").alias("sh_a"),
+        F.col("l").alias("la"),
+    )
+    b = pfx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle").alias("sh_b"),
+        F.col("l").alias("lb"),
+    )
+    cand = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(
+            F.lit(_PPJOIN_DEN2) * F.least("la", "lb")
+            >= F.lit(_PPJOIN_NUM2) * F.greatest("la", "lb")
+        )
+        .select("doc_a", "doc_b", "la", "lb")
+        .distinct()
+    )
+    x = bg.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_x"))
+    y = bg.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_y"))
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(F.col("sh_x") == F.col("sh_y"))
+        .groupBy("doc_a", "doc_b", "la", "lb")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    return (
+        inter.filter(
+            F.lit(_PPJOIN_DEN2) * F.col("o") * F.col("o")
+            >= F.lit(_PPJOIN_NUM2) * F.col("la") * F.col("lb")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("la").cast("bigint").alias("size_a"),
+            F.col("lb").cast("bigint").alias("size_b"),
+            F.col("o").cast("bigint").alias("n_common"),
+            F.round(F.col("o") / F.sqrt(F.col("la") * F.col("lb")), 6).alias(
+                "cos_sim"
+            ),
+        )
     )

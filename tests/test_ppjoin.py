@@ -1,0 +1,111 @@
+"""Prefix-filtered set-similarity join (dedup_prefix_cosine_pairs).
+
+The contract under test is EXACTNESS: unlike the LSH legs, the PPJoin
+form must return every pair with set-cosine >= t and nothing below —
+the prefix filter is a lossless pruning, not an approximation. So the
+hard test here is a from-first-principles all-pairs recomputation in
+plain Python, not just the DuckDB oracle (which shares the CTE shape).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.operators.dedup import (
+    _PPJOIN_DEN2,
+    _PPJOIN_NUM2,
+    _PPJOIN_SQL,
+    _cached_bigrams,
+    dedup_prefix_cosine_pairs,
+)
+
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+
+def _bigram_sets(sf_dir: str) -> dict[int, frozenset[str]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    out: dict[int, frozenset[str]] = {}
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", text.strip().lower())
+        grams = frozenset(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        if grams:
+            out[doc_id] = grams
+    return out
+
+
+def _brute_force_pairs(sets: dict[int, frozenset[str]]) -> set[tuple]:
+    """All-pairs exact set cosine >= t, integer acceptance rule as in
+    the operator: t^2 = NUM2/DEN2, accept iff DEN2*o^2 >= NUM2*la*lb."""
+    ids = sorted(sets)
+    found = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            o = len(sets[a] & sets[b])
+            la, lb = len(sets[a]), len(sets[b])
+            if _PPJOIN_DEN2 * o * o >= _PPJOIN_NUM2 * la * lb:
+                found.add((a, b, la, lb, o))
+    return found
+
+
+def test_ppjoin_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        dedup_prefix_cosine_pairs(spark, SF_CORRECT), duck, _PPJOIN_SQL
+    )
+
+
+def test_ppjoin_exact_vs_brute_force(spark):
+    """No false negatives from the prefix filter, no false positives
+    from the verify stage — the result IS the all-pairs answer."""
+    sets = _bigram_sets(SF_SMOKE)
+    want = _brute_force_pairs(sets)
+    got_rows = dedup_prefix_cosine_pairs(spark, SF_SMOKE).collect()
+    got = {
+        (r.doc_a, r.doc_b, r.size_a, r.size_b, r.n_common) for r in got_rows
+    }
+    assert got == want
+    assert len(want) > 0, "smoke corpus should contain planted near-dups"
+    # reported cosine agrees with the definition
+    for r in got_rows:
+        assert r.cos_sim == pytest.approx(
+            r.n_common / math.sqrt(r.size_a * r.size_b), abs=1e-6
+        )
+        assert r.cos_sim >= math.sqrt(_PPJOIN_NUM2 / _PPJOIN_DEN2) - 1e-9
+
+
+def test_ppjoin_prefix_actually_prunes(spark):
+    """The prefix relation must be materially smaller than the full
+    bigram relation (t=0.8 keeps ~36% of each set + 1), otherwise the
+    candidate join degenerates toward all-pairs-on-shared-token."""
+    bg = _cached_bigrams(spark, SF_CORRECT)
+    n_all = bg.count()
+    sz = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("l"))
+    n_prefix = (
+        sz.select(
+            F.sum(
+                F.col("l")
+                - F.expr(
+                    f"({_PPJOIN_NUM2} * l + {_PPJOIN_DEN2 - 1})"
+                    f" div {_PPJOIN_DEN2}"
+                )
+                + 1
+            ).alias("p")
+        ).collect()[0]["p"]
+    )
+    assert n_prefix < 0.5 * n_all
+
+
+def test_ppjoin_plan_has_no_cartesian(spark):
+    plan = dedup_prefix_cosine_pairs(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
