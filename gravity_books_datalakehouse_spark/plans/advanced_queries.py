@@ -913,3 +913,114 @@ def op_drift_psi_events(spark, sf_dir):
         .withColumn("drift_flag", F.col("psi") >= 0.1)
         .transform(bounded_sort, "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier / skyline (Börzsönyi et al., ICDE 2001 "The Skyline
+# Operator"): the non-dominated set under maximize-revenue /
+# minimize-avg-discount. The operator SQL engines lack natively and the
+# canonical example of a query whose naive form is an O(n²) self-join.
+
+_SKYLINE_SQL = """WITH agg AS (
+    SELECT l_suppkey AS s_suppkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+               (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_u,
+           (SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * 1000000)
+             // COUNT(*) AS d_u,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+  )
+  SELECT a.s_suppkey, s.s_name, a.revenue,
+         a.d_u / 100000000.0 AS avg_discount,
+         CAST(a.n AS BIGINT) AS n_lineitems
+  FROM agg a
+  JOIN supplier s ON s.s_suppkey = a.s_suppkey
+  WHERE NOT EXISTS (
+    SELECT 1 FROM agg b
+    WHERE b.rev_u >= a.rev_u AND b.d_u <= a.d_u
+      AND (b.rev_u > a.rev_u OR b.d_u < a.d_u)
+  )
+  ORDER BY a.revenue DESC, a.s_suppkey"""
+
+
+@register("op_skyline_suppliers", _SKYLINE_SQL)
+def op_skyline_suppliers(spark, sf_dir):
+    """Supplier Pareto frontier: suppliers not dominated on (revenue
+    max, average discount min) — "who earns the most while discounting
+    the least", the efficiency frontier a sourcing team acts on.
+
+    Both dominance coordinates are EXACT integers so the frontier
+    membership decision is engine-independent: revenue in 1e-4-unit
+    longs (the _cents fast path) and average discount as
+    ``(Σ disc_cents · 10⁶) div n`` — integer division, never a float
+    that could straddle a rounding boundary. The only floats are
+    display columns derived from those integers by one IEEE division.
+
+    Plan shape: ONE fact shuffle (groupBy l_suppkey) reduces 100 TB of
+    lineitem to a supplier-DIMENSION-sized frame; the skyline sweep is
+    then two window minima over that bounded frame — the same
+    dim-bounded-window contract as the surrogate-key windows:
+
+      m_gt = MIN(d_u) OVER (ORDER BY rev_u DESC
+                            RANGE UNBOUNDED PRECEDING .. 1 PRECEDING)
+             — the best discount among STRICTLY higher-revenue
+             suppliers (cross-engine frame parity verified in
+             tests/test_skyline.py);
+      m_eq = MIN(d_u) OVER (PARTITION BY rev_u)
+             — the best discount at the SAME revenue.
+
+    p is on the frontier iff m_gt is NULL or > d_u (nobody with more
+    revenue discounts as little) AND m_eq == d_u (nobody with equal
+    revenue discounts strictly less). Exact metric ties survive on
+    both sides, matching the NOT-EXISTS dominance definition the
+    oracle states independently (its O(n²) self-join is affordable at
+    oracle scale only — the window form is O(n log n)).
+
+    At 100 TB with a NON-dimension entity (e.g. per-document skyline)
+    the sweep generalizes to the classic distributed 2-D skyline:
+    range-partition on rev_u, per-partition local frontier, then merge
+    under the partition-boundary prefix minima — same algebra, no
+    global window. Not needed while the grouped side is a dimension.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev_u_row = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    agg = (
+        li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            _money_sum(rev_u_row, 4).cast("double").alias("revenue"),
+            F.sum(rev_u_row).alias("rev_u"),
+            F.sum(_cents("l_discount")).alias("d_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("d_u", F.expr("(d_sum * 1000000) div n"))
+    )
+    w_gt = Window.orderBy(F.col("rev_u").desc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_eq = Window.partitionBy("rev_u")
+    frontier = (
+        agg.withColumn("m_gt", F.min("d_u").over(w_gt))
+        .withColumn("m_eq", F.min("d_u").over(w_eq))
+        .filter(
+            (F.col("m_gt").isNull() | (F.col("m_gt") > F.col("d_u")))
+            & (F.col("m_eq") == F.col("d_u"))
+        )
+    )
+    return (
+        frontier.join(F.broadcast(s), "s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            "revenue",
+            (F.col("d_u") / F.lit(100000000.0)).alias("avg_discount"),
+            F.col("n").cast("bigint").alias("n_lineitems"),
+        )
+        .transform(bounded_sort, F.desc("revenue"), F.asc("s_suppkey"))
+    )
