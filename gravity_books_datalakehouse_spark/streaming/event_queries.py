@@ -860,3 +860,133 @@ def ev_attribution_touch(spark, sf_dir):
         )
         .transform(bounded_sort, "role", "touch_type")
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA control chart (Roberts 1959; the NIST/SEMATECH e-handbook form)
+# with an arithmetic twist that makes it cross-engine EXACT: lambda=1/2
+# gives dyadic weights 2^-j, and truncating the memory at 24 trailing
+# hours keeps every weighted sum an exact bigint — the alert DECISION
+# never touches a float.
+
+#: Trailing window length (hours) and the dyadic weight normalizer:
+#: sum_{j=1..24} 2^(24-j) = 2^24 - 1.
+_EWMA_LAGS = 24
+_EWMA_NORM = 2**_EWMA_LAGS - 1
+
+#: Minimum absolute count for an alert: a 2x-over-baseline rule on a
+#: 1-or-2-count hour is noise, not a burst (standard control-chart
+#: low-count guard). Integer, so the flag stays an exact decision.
+_EWMA_MIN_COUNT = 5
+
+#: S = sum_j x_{t-j} * 2^(24-j) as an exact integer (bigint-safe to
+#: ~10^9 events/hour). Both engines build it from the same 24 lag()
+#: reads of one window pass.
+_EWMA_S_SQL = " + ".join(
+    f"COALESCE(lag(x, {j}) OVER w, 0) * {2 ** (_EWMA_LAGS - j)}"
+    for j in range(1, _EWMA_LAGS + 1)
+)
+
+
+@register(
+    "ev_ewma_control",
+    f"""WITH hourly AS (
+         SELECT event_type,
+                time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       bounds AS (
+         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+       spine AS (
+         SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+       filled AS (
+         SELECT s.event_type, s.h, COALESCE(hh.x, 0) AS x
+         FROM spine s LEFT JOIN hourly hh
+           ON s.event_type = hh.event_type AND s.h = hh.h),
+       weighted AS (
+         SELECT event_type, h, x,
+                {_EWMA_S_SQL} AS s,
+                lag(x, {_EWMA_LAGS}) OVER w AS x_oldest
+         FROM filled
+         WINDOW w AS (PARTITION BY event_type ORDER BY h))
+       SELECT event_type, h AS window_start, x,
+              ROUND(s / {_EWMA_NORM}.0, 6) AS ewma,
+              x >= {_EWMA_MIN_COUNT} AND x * {_EWMA_NORM} > 2 * s AS alert_flag
+       FROM weighted
+       WHERE x_oldest IS NOT NULL
+       ORDER BY event_type, window_start""",
+)
+def ev_ewma_control(spark, sf_dir):
+    """Per-type EWMA control chart over the gap-filled hourly event
+    series: flag hours whose count exceeds TWICE the exponentially
+    weighted trailing baseline (lambda = 1/2, memory truncated at 24 h,
+    current hour excluded so the baseline is a forecast) AND clears the
+    absolute low-count guard (x >= _EWMA_MIN_COUNT — a 2x rule on a
+    2-count hour is noise, not a burst).
+
+    The exactness trick: with lambda = 1/2 the weights are 2^-j, so
+    S = sum_{{j=1..24}} x_(t-j) * 2^(24-j) is an exact INTEGER and the
+    alert rule ``x * (2^24 - 1) > 2 * S`` is pure bigint comparison —
+    no float can sit on the decision boundary (contrast the PSI
+    monitor, which must round-then-flag). The displayed ewma is the
+    one IEEE division S / (2^24 - 1), identical in both engines. Any
+    other lambda would trade this for a rounding tolerance; the
+    truncation at 24 lags is what keeps the weight set finite and the
+    sum in one window pass.
+
+    Plan shape: events collapse map-side to (type, hour) cells — the
+    ONLY event-sized stage; the spine join and the 24-lag window run
+    on the bucket-cardinality frame (types x hours), partitioned by
+    event_type with a single per-partition sort feeding all 24 lag
+    reads. At 100 TB the hot aggregation is the same one exchange as
+    any hourly rollup; the chart itself is metadata-sized.
+    """
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    s = None
+    for j in range(1, _EWMA_LAGS + 1):
+        term = F.coalesce(F.lag("x", j).over(w), F.lit(0)) * F.lit(
+            2 ** (_EWMA_LAGS - j)
+        )
+        s = term if s is None else s + term
+    weighted = filled.select(
+        "event_type",
+        "h",
+        "x",
+        s.alias("s"),
+        F.lag("x", _EWMA_LAGS).over(w).alias("x_oldest"),
+    )
+    return (
+        weighted.filter(F.col("x_oldest").isNotNull())
+        .select(
+            "event_type",
+            F.col("h").alias("window_start"),
+            "x",
+            F.round(F.col("s") / F.lit(float(_EWMA_NORM)), 6).alias("ewma"),
+            (
+                (F.col("x") >= F.lit(_EWMA_MIN_COUNT))
+                & (F.col("x") * F.lit(_EWMA_NORM) > F.lit(2) * F.col("s"))
+            ).alias("alert_flag"),
+        )
+        .orderBy("event_type", "window_start")
+    )

@@ -78,3 +78,65 @@ def test_psi_plan_single_fact_scan(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_ewma_matches_oracle(spark, duck):
+    qs, osql = _registry()
+    assert_matches_oracle(
+        qs["ev_ewma_control"](spark, SF_CORRECT),
+        duck,
+        osql["ev_ewma_control"],
+    )
+
+
+def test_ewma_first_principles(spark):
+    """Recompute the truncated-dyadic EWMA and the alert rule in pure
+    python over the gap-filled hourly series and demand bit-equality:
+    the weighted sum S is an exact integer, so there is no tolerance —
+    the operator's ewma must equal S/(2^24-1) and the flag must equal
+    the integer comparison, row for row."""
+    import datetime
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _EWMA_LAGS,
+        _EWMA_MIN_COUNT,
+        _EWMA_NORM,
+    )
+
+    qs, _ = _registry()
+    rows = qs["ev_ewma_control"](spark, SF_SMOKE).collect()
+    raw = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "ts")
+        .collect()
+    )
+    series: dict[str, dict[datetime.datetime, int]] = {}
+    for r in raw:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        series.setdefault(r.event_type, {})
+        series[r.event_type][h] = series[r.event_type].get(h, 0) + 1
+    want = {}
+    for et, buckets in series.items():
+        h0, h1 = min(buckets), max(buckets)
+        spine = []
+        h = h0
+        while h <= h1:
+            spine.append(buckets.get(h, 0))
+            h += datetime.timedelta(hours=1)
+        for t in range(_EWMA_LAGS, len(spine)):
+            s = sum(
+                spine[t - j] * (2 ** (_EWMA_LAGS - j))
+                for j in range(1, _EWMA_LAGS + 1)
+            )
+            x = spine[t]
+            want[(et, h0 + datetime.timedelta(hours=t))] = (
+                x,
+                round(s / _EWMA_NORM, 6),
+                x >= _EWMA_MIN_COUNT and x * _EWMA_NORM > 2 * s,
+            )
+    got = {
+        (r.event_type, r.window_start): (r.x, r.ewma, r.alert_flag)
+        for r in rows
+    }
+    assert got == want
+    assert len(got) > 3000  # ~30 days x 24 h x types, minus warmup
