@@ -412,3 +412,93 @@ def pipeline_epoch_shuffle(spark, sf_dir):
         )
         .orderBy("epoch", "shard", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted reservoir sampling without replacement (Efraimidis & Spirakis
+# 2006, "A-Res"): each row draws u ~ U(0,1) from its content hash and is
+# ranked by key = u^(1/w); the top-k keys ARE a weighted sample without
+# replacement. The weighted generalization of op_sample_exact_k — the
+# length-proportional draw a token-budgeted corpus sample needs (sampling
+# DOCUMENTS uniformly under-represents long documents' tokens).
+
+_ARES_K = 50
+_ARES_SEED = "ares"
+#: 13 md5 nibbles = 52 uniform bits -> u = (m + 0.5) / 2^52 is EXACT in
+#: a double (m + 0.5 needs 53 significand bits; /2^52 is a scale by a
+#: power of two), so both engines rank the identical u.
+_ARES_NIBBLES = 13
+_ARES_DENOM = float(2**52)
+
+
+def _hex52_sql(expr: str) -> str:
+    """DuckDB twin of conv(substring(md5(...),1,13),16,10): nibble-
+    assembled 52-bit integer (countmin.py's _bucket_sql pattern)."""
+    nib = (
+        lambda i: "(strpos('0123456789abcdef', "
+        f"substr(md5('{_ARES_SEED}:' || {expr}), {i + 1}, 1)) - 1)"
+    )
+    return " + ".join(
+        f"({nib(i)}::BIGINT << {4 * (_ARES_NIBBLES - 1 - i)})"
+        for i in range(_ARES_NIBBLES)
+    )
+
+
+@register(
+    "op_sample_weighted_ares",
+    f"""WITH keyed AS (
+          SELECT doc_id, source, lang, n_chars,
+                 ln(({_hex52_sql('CAST(doc_id AS VARCHAR)')} + 0.5)
+                    / {_ARES_DENOM!r}) / n_chars AS k
+          FROM documents)
+        SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM keyed
+        ORDER BY k DESC, doc_id
+        LIMIT {_ARES_K}""",
+)
+def op_sample_weighted_ares(spark, sf_dir):
+    """Exactly-k sample where selection probability scales with document
+    LENGTH (weight = n_chars), via the A-Res key ln(u)/w ranked
+    descending (monotone twin of u^(1/w), numerically tamer).
+
+    Determinism story: u comes from 52 md5 bits of the doc_id —
+    (m + 0.5)/2^52 is bit-exact in both engines (see _ARES_NIBBLES) —
+    so the ONE cross-engine float risk is the libm ln() (JVM Math.log
+    vs DuckDB's libm may differ in the last ulp). A 1-ulp key
+    difference flips the sample only if two keys straddle the rank-k
+    boundary within ~1e-16 relative — with corpus-scale key gaps
+    (~1e-3 at 500 docs) this is the same data-dependent margin the
+    Lloyd-oracle documents (kmeans.py); verified at all three SFs, and
+    the doc_id tiebreak removes any equal-key ambiguity.
+
+    Plan shape: per-row projection (hash, ln, divide) then
+    TakeOrderedAndProject — each partition keeps a local k-heap, the
+    driver merges k-row heaps: no shuffle, no global sort, O(k) driver
+    memory at 100 TB, same as op_sample_exact_k. This is why A-Res
+    beats the textbook 'single reservoir' form in a distributed
+    engine: the key ranking is embarrassingly parallel and the
+    reservoir merge is just top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_ARES_SEED}:"), F.col("doc_id").cast("string"))),
+            1,
+            _ARES_NIBBLES,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.log((m + F.lit(0.5)) / F.lit(_ARES_DENOM)) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            key.alias("__k"),
+        )
+        .orderBy(F.desc("__k"), "doc_id")
+        .limit(_ARES_K)
+        .drop("__k")
+    )

@@ -57,3 +57,42 @@ def test_split_is_disjoint_and_exhaustive(spark):
     assert total == d.count()  # every doc in exactly one split
     splits = {r.split for r in out.collect()}
     assert splits <= {"train", "val", "test"}
+
+
+def test_weighted_ares_matches_python(spark):
+    """Recompute the A-Res selection in pure python (hashlib md5 +
+    math.log) and demand the identical top-50 set; also pin the length
+    bias (weighted sample mean n_chars must exceed the corpus mean) and
+    the O(k) plan shape (TakeOrderedAndProject, no exchange)."""
+    import math
+
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _ARES_DENOM,
+        _ARES_K,
+        _ARES_NIBBLES,
+        _ARES_SEED,
+        op_sample_weighted_ares,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keyed = []
+    for r in docs:
+        hx = hashlib.md5(f"{_ARES_SEED}:{r.doc_id}".encode()).hexdigest()
+        m = int(hx[:_ARES_NIBBLES], 16)
+        keyed.append((math.log((m + 0.5) / _ARES_DENOM) / r.n_chars, -r.doc_id, r))
+    keyed.sort(reverse=True)
+    want = {t[2].doc_id for t in keyed[:_ARES_K]}
+
+    out = op_sample_weighted_ares(spark, SF_SMOKE)
+    got_rows = out.collect()
+    assert {r.doc_id for r in got_rows} == want
+    assert len(got_rows) == _ARES_K
+
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    sample_mean = sum(r.n_chars for r in got_rows) / len(got_rows)
+    assert sample_mean > corpus_mean
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
