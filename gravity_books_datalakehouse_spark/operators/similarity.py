@@ -870,3 +870,103 @@ def sim_mmr_rerank(spark, sf_dir):
     return out.select(
         "qid", "rank", "nid", F.round("score", 6).alias("mmr_score")
     ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (the contrastive-training data op: Schroff et al.
+# 2015 triplet semi-hard selection; DPR/SimCSE-style retrieval negatives):
+# for each query, the most-similar vectors with a DIFFERENT label, plus
+# the triplet margin against the query's best same-label positive. The
+# rows a training pipeline feeds straight into a triplet/InfoNCE loss.
+
+_HARDNEG_SQL = f"""WITH scored AS (
+    SELECT a.vec_id AS qid, a.label AS q_label,
+           b.vec_id AS nid, b.label AS n_label,
+           {_COS_SQL} AS cos
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < {_TOPK_QUERIES} AND a.vec_id != b.vec_id
+  ),
+  pos AS (
+    SELECT qid, MAX(cos) AS pos_best
+    FROM scored WHERE n_label = q_label GROUP BY qid
+  ),
+  neg AS (
+    SELECT qid, q_label, nid, n_label, cos,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, nid ASC) AS rank
+    FROM scored WHERE n_label != q_label
+  )
+  SELECT n.qid, n.q_label, n.nid, n.n_label, n.rank,
+         ROUND(n.cos, 6) AS cos_neg,
+         ROUND(p.pos_best - n.cos, 6) AS margin,
+         n.cos > p.pos_best AS is_violating
+  FROM neg n JOIN pos p ON p.qid = n.qid
+  WHERE n.rank <= {_TOPK}
+  ORDER BY n.qid, n.rank"""
+
+
+@register("sim_hard_negatives", _HARDNEG_SQL)
+def sim_hard_negatives(spark, sf_dir):
+    """Top-{k} hard negatives per query with triplet margins: for each
+    bounded query vector, the most-cosine-similar OTHER-label vectors
+    (the negatives a contrastive loss learns the most from), each
+    carrying ``margin = best_same_label_cosine − negative_cosine`` and
+    an ``is_violating`` flag (negative closer than the best positive —
+    the pairs that actively break a max-margin embedding).
+
+    Float discipline: cosine is the same in-order double fold on both
+    engines (bit-identical, see _dot/_COS_SQL); margin is a DIFFERENCE
+    of two such values and is_violating a raw comparison of them, so
+    the flag is engine-exact without any rounding epsilon; display
+    columns round at 6 dp as usual.
+
+    Plan shape: the |Q|-row query side broadcasts against ONE corpus
+    scan (no corpus shuffle, same contract as the brute-force
+    baseline); positives and negatives are two aggregations of that
+    joined stream, re-joined on the |Q|-row key. Labeled the exact
+    baseline: at 100 TB the negative stream feeds from an ANN
+    candidate stage (sim_lsh_bucketed_topk / sim_ivf_topk) instead of
+    the full scan — identical downstream algebra.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("va"),
+    ).filter(F.col("qid") < _TOPK_QUERIES)
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("vb"),
+    )
+    scored = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "q_label", "nid", "n_label", cosine("va", "vb").alias("cos"))
+    )
+    pos = (
+        scored.filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("qid")
+        .agg(F.max("cos").alias("pos_best"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    neg = (
+        scored.filter(F.col("n_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+    )
+    return (
+        neg.join(F.broadcast(pos), "qid")
+        .select(
+            "qid",
+            "q_label",
+            "nid",
+            "n_label",
+            "rank",
+            F.round("cos", 6).alias("cos_neg"),
+            F.round(F.col("pos_best") - F.col("cos"), 6).alias("margin"),
+            (F.col("cos") > F.col("pos_best")).alias("is_violating"),
+        )
+        .orderBy("qid", "rank")
+    )

@@ -164,3 +164,62 @@ def test_mmr_plan_stays_truncated(spark):
         .toString()
     )
     assert plan.count("\n") < 1000
+
+
+def test_hard_negatives_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        _HARDNEG_SQL,
+        sim_hard_negatives,
+    )
+    from tests.conftest import SF_CORRECT, assert_matches_oracle
+
+    assert_matches_oracle(
+        sim_hard_negatives(spark, SF_CORRECT), duck, _HARDNEG_SQL
+    )
+
+
+def test_hard_negatives_first_principles(spark):
+    """Numpy recomputation: per query, the top-5 other-label neighbors
+    by cosine, the best same-label positive, margins, and the violation
+    flag — all must match the operator exactly (selection and flags are
+    discrete; scores to 6 dp)."""
+    import numpy as np
+
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        _TOPK,
+        _TOPK_QUERIES,
+        sim_hard_negatives,
+    )
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
+    got = sim_hard_negatives(spark, SF_SMOKE).collect()
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(_TOPK_QUERIES))
+    for qid, items in by_q.items():
+        va, ql = vecs[qid]
+        scored = [
+            (cos(va, v), nid, lab)
+            for nid, (v, lab) in vecs.items()
+            if nid != qid
+        ]
+        pos_best = max(c for c, _, lab in scored if lab == ql)
+        negs = sorted(
+            ((c, nid, lab) for c, nid, lab in scored if lab != ql),
+            key=lambda t: (-t[0], t[1]),
+        )[:_TOPK]
+        assert [r.rank for r in sorted(items, key=lambda r: r.rank)] == list(
+            range(1, _TOPK + 1)
+        )
+        for r, (c, nid, lab) in zip(sorted(items, key=lambda r: r.rank), negs):
+            assert (r.nid, r.n_label) == (nid, lab)
+            assert abs(r.cos_neg - round(c, 6)) <= 1e-6
+            assert abs(r.margin - round(pos_best - c, 6)) <= 1e-6
+            assert r.is_violating == (c > pos_best)
+            assert r.n_label != r.q_label
