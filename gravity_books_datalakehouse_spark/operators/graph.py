@@ -50,7 +50,7 @@ the drift. Verified hash-identical at sf0.001/0.01/0.1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gravity_books_datalakehouse_spark.plans.operator_queries import register
@@ -298,4 +298,116 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pagerank"), F.asc("part_key"))
         .limit(TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Community detection: synchronous label propagation (Raghavan, Albert &
+# Kumara 2007), FIXED 4 sweeps so the computation is a deterministic
+# function of the data (same fixed-sweep oracle contract as PageRank
+# above and the Lloyd oracle in kmeans.py). Unlike PageRank this is
+# PURE INTEGER math — neighbor-label counts and min-label tiebreaks —
+# so the oracle comparison has zero float-drift surface.
+
+LP_SWEEPS = 4
+
+
+def label_propagation(edges: DataFrame, n_sweeps: int = LP_SWEEPS) -> DataFrame:
+    """(node, lab) after ``n_sweeps`` synchronous LPA sweeps over a
+    symmetric edge list: init lab(v) = v; each sweep every node adopts
+    its neighbors' most frequent label, smallest label on ties. The
+    deterministic synchronous variant — no RNG order, no async races —
+    which is what makes it oracle-replayable; the known cost is that
+    synchronous LPA can two-cycle on bipartite structure, which a fixed
+    sweep count renders harmless (the sweep-4 state is well-defined
+    either way).
+
+    Scale shape mirrors pagerank(): the edge list is checkpointed once
+    and stays put; per sweep only the node-sized (node, lab) vector
+    shuffles to meet it, then one (dst, lab)-keyed count and one
+    dst-partitioned argmin window. Label skew late in convergence
+    (giant communities) concentrates the count's reduce side — the
+    standard mitigation (count is already a two-phase partial agg;
+    window keys on dst, not lab) is in place by construction."""
+    edges = edges.localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(n_sweeps):
+        counts = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "lab")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def _labelprop_ctes() -> str:
+    """Unrolled fixed-sweep LPA oracle over the same co-purchase edges."""
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL
+          SELECT pb AS src, pa AS dst FROM pairs),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""
+    ]
+    for k in range(LP_SWEEPS):
+        ctes.append(
+            f"""l{k + 1} AS (
+  SELECT node, lab FROM (
+    SELECT e.dst AS node, p.lab, COUNT(*) AS c
+    FROM edges e JOIN l{k} p ON p.node = e.src
+    GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                             ORDER BY c DESC, lab ASC) = 1)"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+_LABELPROP_SQL = (
+    _labelprop_ctes()
+    + f"""
+SELECT lab AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_part,
+       MAX(node) AS max_part
+FROM l{LP_SWEEPS}
+GROUP BY lab
+ORDER BY n_members DESC, community"""
+)
+
+
+@register("op_graph_label_prop", _LABELPROP_SQL)
+def op_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase communities by 4-sweep synchronous label propagation:
+    one row per surviving community label with member count and the
+    member-id range — the graph-clustering companion to
+    op_graph_pagerank (centrality) and op_graph_triangles (density).
+    The final rollup is community-cardinality-sized; ordering is a
+    bounded sort."""
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    labels = label_propagation(edges)
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").alias("min_part"),
+            F.max("node").alias("max_part"),
+        )
+        .transform(bounded_sort, F.desc("n_members"), F.asc("community"))
     )

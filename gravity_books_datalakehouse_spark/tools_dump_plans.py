@@ -49,6 +49,12 @@ SHOW = {
     "q_basket_copurchase_lift": "Basket-explode pair generation (narrow, bounded by basket^2 — no self-join of the item set); the single fact materialization (baskets localCheckpoint) feeds pair counts, marginals, and n_orders, so lineitem never re-scans; min-support filter sits ON the pair aggregate before any join; TakeOrderedAndProject(50) finishes (round 7).",
     "op_graph_pagerank": "Stationary adjacency: edges+degree checkpointed once (the ExistingRDD scans), so each of the 5 sweeps shuffles ONLY the node-sized rank vector into the edge partitioning; N rides a broadcast one-row aggregate; final TakeOrderedAndProject(20) (round 7).",
     "op_graph_triangles": "Compact-forward u<v<w: two vertex-keyed equi-joins over the canonical checkpointed edge list — no direction-doubled wedges, no cross join; per-node rollup is a 3|T|-row explode into a map-side-collapsing count (round 7).",
+    "dedup_prefix_cosine_pairs": "PPJoin prefix filter: the candidate self-join keys on the RAREST ~36% of each bigram set (df-ascending prefix) — frequency ordering IS the anti-skew device; no dense global token rank (per-doc windows only), size-feasibility folded into the join, verify counts overlap on candidates only; no cartesian anywhere (round 7).",
+    "op_skyline_suppliers": "ONE fact shuffle (groupBy l_suppkey) reduces lineitem to a supplier-dim frame; the Pareto sweep is two window minima over that bounded frame (desc RANGE frame for strictly-higher revenue + equal-revenue partition min) with exact integer dominance keys; broadcast name join; bounded sort (round 7).",
+    "ev_ewma_control": "Events collapse map-side to (type, hour) cells — the only event-sized stage; spine join and all 24 lag reads ride ONE per-type sort on the bucket-cardinality frame; the alert rule is exact bigint comparison, no float on the decision path (round 7).",
+    "op_sample_weighted_ares": "A-Res weighted top-k as TakeOrderedAndProject over a per-row projection (hash, ln, divide): per-partition k-heaps merged on the driver — no shuffle, no global sort, O(k) driver memory (round 7).",
+    "sim_hard_negatives": "Bounded query side broadcasts against ONE corpus scan; positives and negatives are two aggregations of that joined stream re-joined on the |Q|-row key; margins/flags from bit-identical cosine folds (round 7).",
+    "op_graph_label_prop": "Stationary checkpointed edges; per sweep only the node-sized (node,lab) vector shuffles, then a two-phase (dst,lab) count and a dst-partitioned argmax window; pure integer updates — zero float surface (round 7).",
 }
 
 

@@ -124,3 +124,58 @@ def test_pagerank_plan_stays_bounded(spark):
         .optimizedPlan()
     )
     assert len(plan.splitlines()) < 60
+
+
+def test_labelprop_matches_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.operators.graph import (
+        _LABELPROP_SQL,
+        op_graph_label_prop,
+    )
+
+    assert_matches_oracle(
+        op_graph_label_prop(spark, SF_CORRECT), duck, _LABELPROP_SQL
+    )
+
+
+def test_labelprop_pure_python_recount(spark):
+    """Replay the synchronous 4-sweep LPA in plain python over the same
+    co-purchase edges and demand the identical community partition —
+    the update is pure integer argmax (count desc, label asc), so the
+    match is exact, no tolerance."""
+    from collections import Counter, defaultdict
+
+    from gravity_books_datalakehouse_spark.operators.graph import (
+        LP_SWEEPS,
+        copurchase_edges,
+        op_graph_label_prop,
+    )
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = [
+        (r.src, r.dst) for r in copurchase_edges(li).collect()
+    ]
+    nbrs = defaultdict(list)
+    for s, d in edges:
+        nbrs[d].append(s)
+    lab = {v: v for v in nbrs}
+    for _ in range(LP_SWEEPS):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = Counter(lab[u] for u in ns)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    want = Counter(lab.values())
+    got_rows = op_graph_label_prop(spark, SF_SMOKE).collect()
+    got = {r.community: r.n_members for r in got_rows}
+    assert got == dict(want)
+    # communities partition the node set
+    assert sum(got.values()) == len(nbrs)
+    # per-community id range is consistent
+    mins = defaultdict(set)
+    for v, l in lab.items():
+        mins[l].add(v)
+    for r in got_rows:
+        assert r.min_part == min(mins[r.community])
+        assert r.max_part == max(mins[r.community])
