@@ -1398,3 +1398,123 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy coverage-maximizing corpus selection (submodular maximization:
+# Nemhauser, Wolsey & Fisher 1978's (1-1/e) greedy; the data-selection
+# reading is facility-location / coverage pruning as in Wei et al. 2015,
+# "Submodularity in data subset selection"). Pick K documents that
+# together cover the most DISTINCT shingles — the "most representative
+# K docs" primitive behind diversity-aware corpus pruning.
+
+_COVERAGE_K = 5
+
+
+def _coverage_oracle_sql() -> str:
+    """Unrolled greedy chain (fixed K — the Lloyd/MMR oracle contract).
+    Pure integer argmax (gain DESC, doc_id ASC), zero float surface."""
+    parts = [
+        f"""WITH {SHINGLES_SQL},
+tot AS (SELECT doc_id, COUNT(*) AS gain FROM shd GROUP BY doc_id),
+s1 AS (SELECT doc_id, gain FROM tot ORDER BY gain DESC, doc_id LIMIT 1),
+cov1 AS (SELECT DISTINCT d.shingle FROM shd d JOIN s1 ON s1.doc_id = d.doc_id),
+sel1 AS (SELECT doc_id FROM s1)"""
+    ]
+    for i in range(2, _COVERAGE_K + 1):
+        parts.append(
+            f"""g{i} AS (
+  SELECT d.doc_id, COUNT(*) AS gain
+  FROM shd d
+  LEFT JOIN cov{i - 1} c ON c.shingle = d.shingle
+  LEFT JOIN sel{i - 1} x ON x.doc_id = d.doc_id
+  WHERE c.shingle IS NULL AND x.doc_id IS NULL
+  GROUP BY d.doc_id),
+s{i} AS (SELECT doc_id, gain FROM g{i} ORDER BY gain DESC, doc_id LIMIT 1),
+cov{i} AS (SELECT shingle FROM cov{i - 1}
+           UNION
+           SELECT d.shingle FROM shd d JOIN s{i} ON s{i}.doc_id = d.doc_id),
+sel{i} AS (SELECT doc_id FROM sel{i - 1} UNION ALL SELECT doc_id FROM s{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, doc_id, gain FROM s{i}"
+        for i in range(1, _COVERAGE_K + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+steps AS ({union})
+SELECT step, doc_id, CAST(gain AS BIGINT) AS new_shingles,
+       CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+FROM steps
+ORDER BY step"""
+    )
+
+
+@register("pipeline_greedy_coverage", _coverage_oracle_sql())
+def pipeline_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy K-document coverage maximization over distinct 3-shingles:
+    step i picks the document adding the most not-yet-covered shingles
+    (ties to the smallest doc_id). The classic (1−1/e)-approximate
+    greedy for a monotone submodular objective — and since each step's
+    gain counts only NEWLY covered shingles, the running sum of gains
+    IS the covered-set size, so the whole report is exact integers.
+
+    Plan shape per step (K fixed, small): one pass over the cached
+    shingle table with two anti-joins — against the selected doc set
+    (K rows) and the covered shingle set (K docs' shingles) — both
+    broadcast-sized by construction, then a per-doc count and a
+    1-row TakeOrderedAndProject argmax. Selected/covered frames are
+    localCheckpoint'ed per step (the MMR lineage lesson). At 100 TB
+    the same loop stands — each step is one corpus scan — and the
+    standard accelerations (CELF lazy evaluation, stochastic-greedy
+    subsampling) drop scans without changing the contract; K corpus
+    passes is the honest cost of exact greedy.
+    """
+    sh = _cached_shingles(spark, sf_dir)
+    s = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("gain"))
+        .orderBy(F.desc("gain"), F.asc("doc_id"))
+        .limit(1)
+        .localCheckpoint()
+    )
+    steps = [s.select(F.lit(1).alias("step"), "doc_id", "gain")]
+    covered = (
+        sh.join(s.select("doc_id"), "doc_id")
+        .select("shingle")
+        .distinct()
+        .localCheckpoint()
+    )
+    selected = s.select("doc_id").localCheckpoint()
+    for i in range(2, _COVERAGE_K + 1):
+        gains = (
+            sh.join(selected, "doc_id", "left_anti")
+            .join(covered, "shingle", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+        )
+        s = (
+            gains.orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        steps.append(s.select(F.lit(i).alias("step"), "doc_id", "gain"))
+        covered = (
+            covered.unionByName(
+                sh.join(s.select("doc_id"), "doc_id").select("shingle")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        selected = selected.unionByName(s.select("doc_id")).localCheckpoint()
+    out = steps[0]
+    for fr in steps[1:]:
+        out = out.unionByName(fr)
+    w = Window.orderBy("step")
+    return out.select(
+        "step",
+        "doc_id",
+        F.col("gain").cast("bigint").alias("new_shingles"),
+        F.sum("gain").over(w).cast("bigint").alias("covered_total"),
+    ).orderBy("step")

@@ -109,3 +109,72 @@ def test_ppjoin_plan_has_no_cartesian(spark):
     plan = dedup_prefix_cosine_pairs(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# --------------------------------------------------------------------------
+# Greedy coverage selection (pipeline_greedy_coverage) — shares the
+# shingle machinery under test in this module.
+
+
+def test_greedy_coverage_matches_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _coverage_oracle_sql,
+        pipeline_greedy_coverage,
+    )
+
+    assert_matches_oracle(
+        pipeline_greedy_coverage(spark, SF_CORRECT),
+        duck,
+        _coverage_oracle_sql(),
+    )
+
+
+def test_greedy_coverage_python_replay(spark):
+    """Replay the greedy argmax in pure python over 3-shingle sets and
+    demand the identical selection, gains, and running coverage; pin
+    the submodular diminishing-returns invariant (non-increasing
+    gains)."""
+    import re as _re
+
+    import duckdb as _duckdb
+
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _COVERAGE_K,
+        pipeline_greedy_coverage,
+    )
+
+    con = _duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    sets = {}
+    for doc_id, text in docs:
+        toks = _re.split(r"\s+", text.strip().lower())
+        s = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if s:
+            sets[doc_id] = s
+    covered: set[str] = set()
+    chosen: set[int] = set()
+    want = []
+    for step in range(1, _COVERAGE_K + 1):
+        best = max(
+            ((len(s - covered), -d) for d, s in sets.items() if d not in chosen
+             and len(s - covered) > 0),
+            default=None,
+        )
+        assert best is not None
+        gain, neg_d = best
+        d = -neg_d
+        covered |= sets[d]
+        chosen.add(d)
+        want.append((step, d, gain, len(covered)))
+    got = [
+        (r.step, r.doc_id, r.new_shingles, r.covered_total)
+        for r in pipeline_greedy_coverage(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    gains = [g for _, _, g, _ in got]
+    assert gains == sorted(gains, reverse=True)  # diminishing returns
