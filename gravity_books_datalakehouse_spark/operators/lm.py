@@ -284,3 +284,106 @@ def text_ccnet_buckets(spark, sf_dir):
         .select("lang", bucket.alias("bucket"), "n_docs", "total_chars", "avg_logprob")
         .orderBy("lang", "b")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf's-law fit: OLS regression of ln(freq) on ln(rank) over each
+# language's top tokens. The corpus-health diagnostic (natural text has
+# slope ~ -1; synthetic/boilerplate-heavy corpora deviate) — and the
+# registry's least-squares representative: the whole regression is
+# classic sufficient-statistic aggregation (n, Σx, Σy, Σxy, Σx², Σy²)
+# in one pass, the map-side-reducible form any distributed OLS uses.
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "text_zipf_ols",
+    f"""WITH tf AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT lang, unnest({TOKS_SQL}) AS tok FROM documents)
+      GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, f,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok ASC)
+               AS rnk
+      FROM tf
+      QUALIFY rnk <= {_ZIPF_TOP}),
+    xy AS (
+      SELECT lang, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM ranked),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM xy GROUP BY lang)
+    SELECT lang, n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    ORDER BY lang""",
+)
+def text_zipf_ols(spark, sf_dir):
+    """Per-language Zipf fit: OLS of ln(freq) on ln(rank) over the top
+    {top} tokens, reporting slope (Zipf exponent, ~ -1 for natural
+    text), intercept, and r².
+
+    Determinism: the top-{top} SELECTION is pure integers (freq desc,
+    token asc tiebreak), so both engines regress the same points; the
+    sufficient statistics are five SUMs over <= {top} doubles whose
+    summation-order drift (~1e-13) sits ~9 orders below the 4-dp
+    rounding. The one structural float risk — a rank flip from libm
+    ln() — does not exist because ln never participates in any
+    ordering or selection, only in the sums.
+
+    Plan shape: token-frequency groupBy (the corpus-sized stage,
+    map-side partial agg on (lang, tok)); the rank window and the
+    regression run on <= langs x {top} rows. The sufficient-statistic
+    form is the point: ONE aggregation pass yields the regression —
+    no iterative solver, no driver-side math, and at 100 TB the same
+    six partial sums stream through any number of executors.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("lang", F.explode(tokens_col()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("tok"))
+    ranked = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            "lang",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "lang",
+        n.alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    ).orderBy("lang")

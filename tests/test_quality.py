@@ -149,3 +149,57 @@ def test_cap_per_source(spark, tmp_path):
     out = {r.source: r for r in op_cap_per_source(spark, sf).collect()}
     assert out["huge"].n_capped == _CAP
     assert out["tiny"].n_capped == 4
+
+
+def test_zipf_ols_first_principles(spark, duck):
+    """OLS sufficient statistics vs a plain-python regression over the
+    same deterministically selected (rank, freq) points, plus the
+    oracle hash gate."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb as _duckdb
+
+    from gravity_books_datalakehouse_spark.operators.lm import (
+        _ZIPF_TOP,
+        text_zipf_ols,
+    )
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        oracle_sql,
+    )
+    from tests.conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(
+        text_zipf_ols(spark, SF_CORRECT), duck, oracle_sql()["text_zipf_ols"]
+    )
+
+    con = _duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    freq: dict[str, Counter] = {}
+    for lang, text in docs:
+        freq.setdefault(lang, Counter()).update(
+            re.split(r"\s+", text.strip().lower())
+        )
+    got = {r.lang: r for r in text_zipf_ols(spark, SF_SMOKE).collect()}
+    assert set(got) == set(freq)
+    for lang, cnt in freq.items():
+        pts = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP]
+        xs = [math.log(i + 1) for i in range(len(pts))]
+        ys = [math.log(f) for _, f in pts]
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        r = got[lang]
+        assert r.n_terms == n
+        assert abs(r.zipf_slope - round(slope, 4)) <= 1e-4
+        assert abs(r.intercept - round((sy - slope * sx) / n, 4)) <= 1e-4
+        assert abs(r.r2 - round(r2, 4)) <= 1e-4
+        assert r.zipf_slope < 0  # frequency decreases in rank
