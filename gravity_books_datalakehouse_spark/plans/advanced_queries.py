@@ -1024,3 +1024,215 @@ def op_skyline_suppliers(spark, sf_dir):
         )
         .transform(bounded_sort, F.desc("revenue"), F.asc("s_suppkey"))
     )
+
+
+# --------------------------------------------------------------------------
+# Categorical-distribution profiling: Shannon entropy / Gini-Simpson per
+# column — the source-skew diagnostic a curation pipeline reads before
+# choosing mixture weights (a column whose normalized entropy collapses
+# toward 0 is dominated by one value; toward 1 is balanced).
+
+_ENTROPY_COLS = ("lang", "source")
+
+
+@register(
+    "op_profile_entropy",
+    f"""WITH stacked AS (
+      SELECT 'lang' AS column_name, lang AS val FROM documents
+      UNION ALL
+      SELECT 'source' AS column_name, source AS val FROM documents),
+    counts AS (
+      SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM stacked GROUP BY 1, 2),
+    tot AS (
+      SELECT column_name, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS k
+      FROM counts GROUP BY 1)
+    SELECT t.column_name,
+           CAST(t.n AS BIGINT) AS n_rows,
+           t.k AS n_distinct,
+           ROUND(-SUM((c.c / t.n) * ln(c.c / t.n)), 6) AS entropy,
+           CASE WHEN t.k = 1 THEN NULL
+                ELSE ROUND(-SUM((c.c / t.n) * ln(c.c / t.n)) / ln(t.k), 6)
+           END AS norm_entropy,
+           ROUND(1 - SUM((c.c / t.n) * (c.c / t.n)), 6) AS gini_simpson
+    FROM counts c JOIN tot t ON t.column_name = c.column_name
+    GROUP BY t.column_name, t.n, t.k
+    ORDER BY t.column_name""",
+)
+def op_profile_entropy(spark, sf_dir):
+    """Shannon entropy, normalized entropy (H/ln k), and Gini-Simpson
+    index per profiled categorical column, from ONE table scan: the
+    columns stack through a single explode into (column, value) rows,
+    collapse map-side to value counts, and the three indices are sums
+    over the ≤|domain| count rows. Float discipline: every term is
+    (c/n)·ln(c/n) on exact integer inputs; summation-order drift
+    (~1e-15) sits 9 orders below the 6-dp rounding — the PSI monitor's
+    contract. Deequ-profile companion to op_profile_columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    stacked = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"), F.col(c).alias("val")
+                    )
+                    for c in _ENTROPY_COLS
+                ]
+            )
+        ).alias("e")
+    ).select("e.column_name", "e.val")
+    counts = stacked.groupBy("column_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = counts.groupBy("column_name").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = counts.join(tot, "column_name")
+    p = F.col("c") / F.col("n")
+    h = -F.sum(p * F.log(p))
+    return (
+        j.groupBy("column_name", "n", "k")
+        .agg(
+            F.round(h, 6).alias("entropy"),
+            F.when(F.col("k") == 1, F.lit(None)              )
+            .otherwise(F.round(h / F.log(F.col("k").cast("double")), 6))
+            .alias("norm_entropy"),
+            F.round(F.lit(1) - F.sum(p * p), 6).alias("gini_simpson"),
+        )
+        .select(
+            "column_name",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("k").alias("n_distinct"),
+            "entropy",
+            "norm_entropy",
+            "gini_simpson",
+        )
+        .transform(bounded_sort, "column_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorization (robust cleaning): clamp a measure to its per-group
+# [p05, p95] discrete percentiles and report the effect. Everything —
+# thresholds AND clamped means — derives from ONE value histogram, so
+# the fact scans exactly once (the percentile_hist discipline) and all
+# decisions are integer-exact.
+
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+@register(
+    "op_winsorize_quantity",
+    f"""WITH hist AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT flag, q, cnt,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY q
+                            ROWS UNBOUNDED PRECEDING) AS run,
+             SUM(cnt) OVER (PARTITION BY flag) AS n
+      FROM hist),
+    thr AS (
+      SELECT flag, MAX(n) AS n,
+             MIN(CASE WHEN run / (1.0 * n) >= {_WINSOR_LO} THEN q END) AS p05,
+             MIN(CASE WHEN run / (1.0 * n) >= {_WINSOR_HI} THEN q END) AS p95
+      FROM cum GROUP BY flag)
+    SELECT h.flag AS l_returnflag,
+           CAST(t.n AS BIGINT) AS n,
+           t.p05 AS p05_qty, t.p95 AS p95_qty,
+           ROUND(SUM(h.q * h.cnt) / (1.0 * t.n), 6) AS mean_qty,
+           ROUND(SUM(LEAST(GREATEST(h.q, t.p05), t.p95) * h.cnt)
+                 / (1.0 * t.n), 6) AS mean_qty_winsorized,
+           CAST(SUM(CASE WHEN h.q < t.p05 OR h.q > t.p95
+                         THEN h.cnt ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM hist h JOIN thr t ON t.flag = h.flag
+    GROUP BY h.flag, t.n, t.p05, t.p95
+    ORDER BY h.flag""",
+)
+def op_winsorize_quantity(spark, sf_dir):
+    """Per-returnflag winsorized quantity report: p05/p95 discrete
+    percentiles (the percentile_hist cume-rule on the integer quantity
+    histogram), mean before/after clamping, and how many rows the clamp
+    touched.
+
+    The histogram IS the whole computation: the fact collapses
+    map-side to <=|flags|x50 cells in one scan; thresholds come from
+    the cumulative window over those cells (same cume_dist>=p double
+    comparison percentile_disc applies, see operators/percentile_hist)
+    and the clamped mean is Σ clamp(v)·cnt over the SAME cells — no
+    second fact pass, no per-row buffering, integer-exact sums with
+    one final IEEE division per output cell."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # localCheckpoint: the histogram feeds BOTH the threshold branch and
+    # the clamped-mean aggregate — without it Spark recomputes the
+    # subtree and the fact scans twice (the plan test pins one scan).
+    # The checkpointed frame is <=|flags|x50 rows, metadata-sized.
+    hist = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("flag", "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    w_cum = (
+        Window.partitionBy("flag").orderBy("q").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "q",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("run"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qual = F.col("run") / (F.lit(1.0) * F.col("n"))
+    thr = cum.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(qual >= _WINSOR_LO, F.col("q"))).alias("p05"),
+        F.min(F.when(qual >= _WINSOR_HI, F.col("q"))).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("q"), F.col("p05")), F.col("p95"))
+    return (
+        hist.join(F.broadcast(thr), "flag")
+        .groupBy(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n"),
+            F.col("p05").alias("p05_qty"),
+            F.col("p95").alias("p95_qty"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("q") * F.col("cnt")) / (F.lit(1.0) * F.col("n")), 6
+            ).alias("mean_qty"),
+            F.round(
+                F.sum(clamped * F.col("cnt")) / (F.lit(1.0) * F.col("n")), 6
+            ).alias("mean_qty_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("q") < F.col("p05")) | (F.col("q") > F.col("p95")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_clamped"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n"),
+            "p05_qty",
+            "p95_qty",
+            "mean_qty",
+            "mean_qty_winsorized",
+            "n_clamped",
+        )
+        .transform(bounded_sort, "l_returnflag")
+    )

@@ -1,0 +1,108 @@
+"""Distribution profiling (op_profile_entropy) and robust cleaning
+(op_winsorize_quantity): oracle parity plus pure-python recomputation."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+
+from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+    op_profile_entropy,
+    op_winsorize_quantity,
+)
+from gravity_books_datalakehouse_spark.plans.operator_queries import oracle_sql
+
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+
+def test_entropy_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        op_profile_entropy(spark, SF_CORRECT),
+        duck,
+        oracle_sql()["op_profile_entropy"],
+    )
+
+
+def test_entropy_first_principles(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, source FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    got = {r.column_name: r for r in op_profile_entropy(spark, SF_SMOKE).collect()}
+    for idx, name in [(0, "lang"), (1, "source")]:
+        cnt = Counter(r[idx] for r in rows)
+        n = sum(cnt.values())
+        h = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        gini = 1 - sum((c / n) ** 2 for c in cnt.values())
+        r = got[name]
+        assert (r.n_rows, r.n_distinct) == (n, len(cnt))
+        assert abs(r.entropy - round(h, 6)) <= 1e-6
+        assert abs(r.norm_entropy - round(h / math.log(len(cnt)), 6)) <= 1e-6
+        assert abs(r.gini_simpson - round(gini, 6)) <= 1e-6
+        # bounds: 0 <= H <= ln k (normalized in [0, 1])
+        assert 0.0 <= r.norm_entropy <= 1.0
+
+
+def test_winsorize_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        op_winsorize_quantity(spark, SF_CORRECT),
+        duck,
+        oracle_sql()["op_winsorize_quantity"],
+    )
+
+
+def test_winsorize_first_principles(spark):
+    """Recompute thresholds with the cume_dist>=p rule, the clamped
+    mean, and the clamp count in pure python per returnflag."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT l_returnflag, CAST(l_quantity AS BIGINT) "
+        f"FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    by_flag: dict[str, list[int]] = {}
+    for f, q in rows:
+        by_flag.setdefault(f, []).append(q)
+    got = {r.l_returnflag: r for r in op_winsorize_quantity(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_flag)
+    for f, qs in by_flag.items():
+        qs.sort()
+        n = len(qs)
+
+        def pct(p):
+            run = 0
+            cnt = Counter(qs)
+            for v in sorted(cnt):
+                run += cnt[v]
+                if run / n >= p:
+                    return v
+            raise AssertionError
+
+        p05, p95 = pct(0.05), pct(0.95)
+        clamped = [min(max(q, p05), p95) for q in qs]
+        r = got[f]
+        assert (r.p05_qty, r.p95_qty, r.n) == (p05, p95, n)
+        assert abs(r.mean_qty - round(sum(qs) / n, 6)) <= 1e-6
+        assert abs(r.mean_qty_winsorized - round(sum(clamped) / n, 6)) <= 1e-6
+        assert r.n_clamped == sum(1 for q in qs if q < p05 or q > p95)
+        # the clamp touches at most ~10% of rows by construction
+        assert r.n_clamped <= 0.11 * n
+        assert p05 <= r.mean_qty_winsorized <= p95
+
+
+def test_winsorize_single_fact_scan(spark):
+    """Thresholds AND clamped means both derive from ONE checkpointed
+    histogram: the fact parquet is scanned only inside the checkpoint
+    job, so the query plan itself must contain ZERO lineitem scans —
+    both consumers read the metadata-sized ExistingRDD instead."""
+    plan = (
+        op_winsorize_quantity(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("lineitem.parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
