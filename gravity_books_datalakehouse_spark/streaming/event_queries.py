@@ -990,3 +990,122 @@ def ev_ewma_control(spark, sf_dir):
         )
         .orderBy("event_type", "window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency by sweep-line: +1/-1 boundary events from the 30-min
+# sessions, a running sum, and per-day peaks. The classic interval-
+# stabbing question ("how many sessions were open at once?") answered
+# without any interval join — and the distributed-prefix-sum pattern is
+# the point at scale: a per-DAY running sum plus a calendar-bounded
+# carry of previous days' totals equals the global running sum, so no
+# single task ever sorts the whole boundary stream.
+
+
+@register(
+    "ev_peak_concurrency",
+    """WITH flagged AS (
+         SELECT user_id, ts::TIMESTAMP AS ts,
+                CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                       OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       numbered AS (
+         SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM flagged),
+       sess AS (
+         SELECT user_id, sess_id, MIN(ts) AS s, MAX(ts) AS e
+         FROM numbered GROUP BY user_id, sess_id),
+       b AS (SELECT s AS ts, 1 AS delta FROM sess
+             UNION ALL
+             SELECT e AS ts, -1 AS delta FROM sess),
+       run AS (
+         SELECT ts, delta, CAST(ts AS DATE) AS day,
+                SUM(delta) OVER (ORDER BY ts, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+         FROM b),
+       mx AS (SELECT day, MAX(conc) AS peak FROM run GROUP BY day)
+       SELECT strftime(m.day, '%Y-%m-%d') AS day,
+              CAST(SUM(CASE WHEN r.delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_sessions_started,
+              CAST(m.peak AS BIGINT) AS peak_concurrency,
+              MIN(CASE WHEN r.conc = m.peak THEN r.ts END) AS peak_at
+       FROM run r JOIN mx m ON m.day = r.day
+       GROUP BY m.day, m.peak
+       ORDER BY day""",
+)
+def ev_peak_concurrency(spark, sf_dir):
+    """Per-day peak number of simultaneously open sessions, with when
+    the peak was first reached and how many sessions started that day.
+
+    Sweep-line semantics: each session contributes +1 at its first
+    event and -1 at its last; ordering ties as (ts, delta DESC) so a
+    session opening at the instant another closes counts as concurrent
+    (and the per-row running value is order-invariant under any
+    remaining tie, since tied rows share ts and the day MAX is taken
+    after all +1s at that instant). Pure integers + exact timestamps —
+    zero float surface.
+
+    Scale shape — the distributed prefix sum: the oracle states the
+    global running sum; this plan computes the SAME numbers as
+      carry(day) + per-day running
+    where the per-day running sums are ordinary day-partitioned
+    windows over the session-boundary stream (already aggregated from
+    events, two rows per session) and carry is a prefix sum of per-day
+    totals over the CALENDAR-bounded day table (the dim-bounded-window
+    contract, same as the SK windows). No global sort, no single-task
+    window over the data-sized stream; sessions crossing midnight are
+    handled by the carry, not lost."""
+    from pyspark.sql import Window
+
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    e = load_events(spark, sf_dir)
+    sess = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    b = (
+        sess.select(F.col("s").alias("ts"), F.lit(1).alias("delta"))
+        .unionByName(sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
+        .withColumn("day", F.to_date("ts"))
+    )
+    w_run = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = b.withColumn("run_in_day", F.sum("delta").over(w_run))
+    day_tot = b.groupBy("day").agg(F.sum("delta").alias("tot"))
+    w_carry = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(w_carry), F.lit(0)).alias("carry")
+    )
+    conc = run.join(F.broadcast(carry), "day").withColumn(
+        "conc", F.col("carry") + F.col("run_in_day")
+    )
+    w_day = Window.partitionBy("day")
+    peaked = conc.withColumn("peak", F.max("conc").over(w_day))
+    return (
+        peaked.groupBy("day", "peak")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sessions_started"),
+            F.min(F.when(F.col("conc") == F.col("peak"), F.col("ts"))).alias(
+                "peak_at"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions_started",
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            "peak_at",
+        )
+        .transform(bounded_sort, "day")
+    )

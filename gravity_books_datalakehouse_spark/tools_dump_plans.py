@@ -55,6 +55,10 @@ SHOW = {
     "op_sample_weighted_ares": "A-Res weighted top-k as TakeOrderedAndProject over a per-row projection (hash, ln, divide): per-partition k-heaps merged on the driver — no shuffle, no global sort, O(k) driver memory (round 7).",
     "sim_hard_negatives": "Bounded query side broadcasts against ONE corpus scan; positives and negatives are two aggregations of that joined stream re-joined on the |Q|-row key; margins/flags from bit-identical cosine folds (round 7).",
     "op_graph_label_prop": "Stationary checkpointed edges; per sweep only the node-sized (node,lab) vector shuffles, then a two-phase (dst,lab) count and a dst-partitioned argmax window; pure integer updates — zero float surface (round 7).",
+    "pipeline_greedy_coverage": "Each greedy step: one pass over the cached shingle table with two broadcast-sized anti-joins (selected docs, covered shingles) and a 1-row TakeOrderedAndProject argmax; selected/covered checkpointed per step so the lineage stays flat (round 7).",
+    "text_zipf_ols": "Token-frequency groupBy is the only corpus-sized stage (map-side partial agg); rank window and the six sufficient-statistic SUMs run on <= langs x 100 rows — one-pass distributed OLS, no solver (round 7).",
+    "op_winsorize_quantity": "Fact scans ONCE into the checkpointed (flag, qty) histogram; thresholds (cume window) and clamped means both read the metadata-sized ExistingRDD — zero parquet rescan, zero per-row buffering (round 7).",
+    "ev_peak_concurrency": "Sweep-line with a distributed prefix sum: day-partitioned running windows over the session-boundary stream + a calendar-bounded carry window; no global sort of the boundary stream anywhere (round 7).",
 }
 
 

@@ -140,3 +140,62 @@ def test_ewma_first_principles(spark):
     }
     assert got == want
     assert len(got) > 3000  # ~30 days x 24 h x types, minus warmup
+
+
+def test_peak_concurrency_matches_oracle(spark, duck):
+    qs, osql = _registry()
+    assert_matches_oracle(
+        qs["ev_peak_concurrency"](spark, SF_CORRECT),
+        duck,
+        osql["ev_peak_concurrency"],
+    )
+
+
+def test_peak_concurrency_sweep_replay(spark):
+    """Pure-python sweep-line over the same 30-min-gap sessions: global
+    running sum with the (ts, +1-before--1) tie rule, per-day peaks,
+    first-reached timestamps, and session-start counts — all exact."""
+    import datetime
+    from collections import defaultdict
+
+    qs, _ = _registry()
+    raw = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in raw:
+        by_user[r.user_id].append(r.ts)
+    gap = datetime.timedelta(minutes=30)
+    bounds = []
+    for ts_list in by_user.values():
+        ts_list.sort()
+        start = prev = ts_list[0]
+        for t in ts_list[1:]:
+            if t - prev > gap:
+                bounds.append((start, prev))
+                start = t
+            prev = t
+        bounds.append((start, prev))
+    events = [(s, 1) for s, _ in bounds] + [(e, -1) for _, e in bounds]
+    events.sort(key=lambda p: (p[0], -p[1]))  # +1 before -1 at equal ts
+    conc = 0
+    per_day = {}
+    for ts, d in events:
+        conc += d
+        day = ts.date().isoformat()
+        st = per_day.setdefault(day, {"peak": -1, "at": None, "started": 0})
+        if d == 1:
+            st["started"] += 1
+        if conc > st["peak"]:
+            st["peak"], st["at"] = conc, ts
+    got = {
+        r.day: (r.n_sessions_started, r.peak_concurrency, r.peak_at)
+        for r in qs["ev_peak_concurrency"](spark, SF_SMOKE).collect()
+    }
+    want = {
+        day: (st["started"], st["peak"], st["at"]) for day, st in per_day.items()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(bounds)
