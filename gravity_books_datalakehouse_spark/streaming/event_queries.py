@@ -1109,3 +1109,224 @@ def ev_peak_concurrency(spark, sf_dir):
         )
         .transform(bounded_sort, "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap self-join: which user pairs are repeatedly online at
+# the same time? The range x range join SQL engines special-case (DuckDB
+# runs the oracle's inequality join as an IEJoin) and Spark would
+# naively plan as a nested loop — bucketization turns it into an
+# equi-join without losing a single pair.
+
+
+@register(
+    "op_j_interval_overlap",
+    """WITH flagged AS (
+         SELECT user_id, ts::TIMESTAMP AS ts,
+                CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                       OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       numbered AS (
+         SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM flagged),
+       sess AS (
+         SELECT user_id, sess_id, MIN(ts) AS s, MAX(ts) AS e
+         FROM numbered GROUP BY user_id, sess_id),
+       pairs AS (
+         SELECT a.user_id AS ua, b.user_id AS ub
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+       SELECT ua AS user_a, ub AS user_b,
+              CAST(COUNT(*) AS BIGINT) AS n_overlaps
+       FROM pairs GROUP BY ua, ub
+       ORDER BY n_overlaps DESC, user_a, user_b
+       LIMIT 20""",
+)
+def op_j_interval_overlap(spark, sf_dir):
+    """Top-20 co-active user pairs: counts of OVERLAPPING session pairs
+    (closed intervals [first_event, last_event] from the 30-min-gap
+    sessions). The interval x interval join the suite's range-bucketed
+    join (point-in-range, op_j_range_bucketed) doesn't cover.
+
+    Lossless bucketization: each session explodes to the HOURS it
+    covers; two sessions overlap at instant t only if both cover t's
+    hour, so the hour equi-join finds every overlapping pair — the
+    residual overlap predicate then removes same-bucket non-overlaps,
+    and the DISTINCT collapses pairs that share several hours. The
+    oracle states the pure inequality join (DuckDB plans it as an
+    IEJoin), so the bucketed rewrite is verified against the direct
+    range-join semantics, not against itself.
+
+    Scale: shuffle keys on the hour bucket — time-skew (everyone
+    online at 9am) is the known hot spot, mitigated the standard way
+    (finer buckets or bucket+user_id salt). Explosion cost is
+    hours-per-session, bounded by the session gap rule here; for
+    open-ended intervals the production form segments long intervals
+    first. Session identity is (user_id, session_start) — unique
+    since a user's sessions are disjoint; no synthetic id, so the
+    plan stays deterministic under any partitioning."""
+    from pyspark.sql import Window as _W  # noqa: F401  (parity with oracle shape)
+
+    e = load_events(spark, sf_dir)
+    sess = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .select("user_id", "s", "e")
+    )
+    buckets = sess.select(
+        "user_id",
+        "s",
+        "e",
+        F.explode(
+            F.expr("sequence(date_trunc('hour', s), date_trunc('hour', e), interval 1 hour)")
+        ).alias("h"),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("ua"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        F.col("h").alias("ha"),
+    )
+    b = buckets.select(
+        F.col("user_id").alias("ub"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.col("h").alias("hb"),
+    )
+    pairs = (
+        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("ua") < F.col("ub")))
+        .filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        .select("ua", "sa", "ub", "sb")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), F.asc("user_a"), F.asc("user_b"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence-pattern detection (MATCH_RECOGNIZE-lite): encode each
+# session's ordered event types as a character string and count regex
+# matches — subsequence funnels, bursts, recovery shapes — per session.
+# The row-pattern-matching feature class (SQL:2016 MATCH_RECOGNIZE,
+# Flink CEP) reduced to the relational engine's own primitives: one
+# ordered string build per session, then pure string-function scans.
+
+#: (name, regex) — regexes restricted to the syntax subset where Java
+#: (Spark) and RE2 (DuckDB) agree, incl. non-overlapping left-to-right
+#: match counting (parity probed for each shape in tests).
+_PATTERNS = (
+    ("funnel_signup_click_purchase", "s.*c.*p"),
+    ("click_burst_3plus", "ccc+"),
+    ("error_then_purchase", "e[^p]*p"),
+)
+
+_PATTERN_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{name}' AS pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(seq, '{rx}')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_matched,
+           CAST(SUM(len(regexp_extract_all(seq, '{rx}'))) AS BIGINT)
+             AS total_matches
+    FROM seqs"""
+    for name, rx in _PATTERNS
+)
+
+
+@register(
+    "ev_pattern_match",
+    f"""WITH flagged AS (
+         SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts,
+                CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                       OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       numbered AS (
+         SELECT user_id, event_id, event_type, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM flagged),
+       seqs AS (
+         SELECT user_id, sess_id,
+                string_agg(substr(event_type, 1, 1), ''
+                           ORDER BY ts, event_id) AS seq
+         FROM numbered GROUP BY user_id, sess_id)
+    SELECT * FROM ({_PATTERN_ORACLE})
+    ORDER BY pattern""",
+)
+def ev_pattern_match(spark, sf_dir):
+    """Per-pattern session counts for event-sequence shapes: the
+    signup→click→purchase subsequence funnel, 3+ click bursts, and
+    error-then-purchase recovery — each as a regex over the session's
+    event-initial string (types click/view/purchase/signup/error have
+    distinct initials).
+
+    Determinism: the per-session string orders by (ts, event_id) —
+    total and engine-independent; match counts are non-overlapping
+    left-to-right in BOTH engines (Java Matcher.find == RE2
+    extract_all for this syntax subset — parity probed per pattern in
+    tests/test_drift.py). Counts are then pure integers.
+
+    Plan shape: one session_window aggregation builds the strings
+    (collect_list of (ts, event_id, ch) structs, array_sort inside the
+    aggregate row — the sort is per-SESSION, bounded by session
+    length, never a shuffle); the three pattern counts ride ONE pass
+    over the session-cardinality frame and stack via an in-row explode
+    to 3 aggregate rows. At 100 TB this is the cheap alternative to a
+    CEP engine for retrospective pattern analytics; streaming
+    detection would move the same regex onto
+    transformWithState/applyInPandasWithState."""
+    e = load_events(spark, sf_dir)
+    sess = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+        )
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda x: x.getField("ch"),
+                ),
+            ).alias("seq")
+        )
+    )
+    per_pattern = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pattern"),
+                F.regexp_count("seq", F.lit(rx)).alias("m"),
+            )
+            for name, rx in _PATTERNS
+        ]
+    )
+    stacked = sess.select(F.explode(per_pattern).alias("e")).select(
+        "e.pattern", "e.m"
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        stacked.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sessions_matched"),
+            F.sum("m").cast("bigint").alias("total_matches"),
+        )
+        .transform(bounded_sort, "pattern")
+    )

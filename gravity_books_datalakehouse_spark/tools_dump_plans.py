@@ -59,6 +59,8 @@ SHOW = {
     "text_zipf_ols": "Token-frequency groupBy is the only corpus-sized stage (map-side partial agg); rank window and the six sufficient-statistic SUMs run on <= langs x 100 rows — one-pass distributed OLS, no solver (round 7).",
     "op_winsorize_quantity": "Fact scans ONCE into the checkpointed (flag, qty) histogram; thresholds (cume window) and clamped means both read the metadata-sized ExistingRDD — zero parquet rescan, zero per-row buffering (round 7).",
     "ev_peak_concurrency": "Sweep-line with a distributed prefix sum: day-partitioned running windows over the session-boundary stream + a calendar-bounded carry window; no global sort of the boundary stream anywhere (round 7).",
+    "op_j_interval_overlap": "Range x range join as a lossless hour-bucket equi-join (overlap => shared covered hour) + residual overlap predicate + pair DISTINCT — no BroadcastNestedLoopJoin; the oracle states the direct inequality join (round 7).",
+    "ev_pattern_match": "One session_window aggregation builds the event-initial strings (per-session array_sort inside the aggregate row); the three regex counts ride one pass over the session-cardinality frame, stacked by an in-row explode (round 7).",
 }
 
 

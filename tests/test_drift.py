@@ -199,3 +199,112 @@ def test_peak_concurrency_sweep_replay(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == len(bounds)
+
+
+def test_interval_overlap_matches_oracle(spark, duck):
+    qs, osql = _registry()
+    assert_matches_oracle(
+        qs["op_j_interval_overlap"](spark, SF_CORRECT),
+        duck,
+        osql["op_j_interval_overlap"],
+    )
+
+
+def test_interval_overlap_python_replay_and_plan(spark):
+    """Quadratic python recount of overlapping session pairs (the
+    semantics the bucketed equi-join must reproduce losslessly), plus
+    a plan check that no nested-loop/cartesian join sneaked in."""
+    import datetime
+    from collections import defaultdict
+
+    qs, _ = _registry()
+    raw = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in raw:
+        by_user[r.user_id].append(r.ts)
+    gap = datetime.timedelta(minutes=30)
+    sess = []
+    for u, ts_list in by_user.items():
+        ts_list.sort()
+        start = prev = ts_list[0]
+        for t in ts_list[1:]:
+            if t - prev > gap:
+                sess.append((u, start, prev))
+                start = t
+            prev = t
+        sess.append((u, start, prev))
+    counts = defaultdict(int)
+    for i, (ua, sa, ea) in enumerate(sess):
+        for ub, sb, eb in sess[i + 1 :]:
+            if ua == ub:
+                continue
+            x, y = (ua, ub) if ua < ub else (ub, ua)
+            if sa <= eb and sb <= ea:
+                counts[(x, y)] += 1
+    want = sorted(
+        ((n, a, b) for (a, b), n in counts.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    df = qs["op_j_interval_overlap"](spark, SF_SMOKE)
+    got = [(r.n_overlaps, r.user_a, r.user_b) for r in df.collect()]
+    assert got == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_pattern_match_matches_oracle(spark, duck):
+    qs, osql = _registry()
+    assert_matches_oracle(
+        qs["ev_pattern_match"](spark, SF_CORRECT),
+        duck,
+        osql["ev_pattern_match"],
+    )
+
+
+def test_pattern_match_python_replay(spark):
+    """Rebuild the session event-initial strings in python ((ts,
+    event_id) order), count non-overlapping regex matches with re, and
+    demand identical aggregates — also re-probing Java/RE2 parity on
+    exactly the shipped patterns."""
+    import datetime
+    import re
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _PATTERNS,
+    )
+
+    qs, _ = _registry()
+    raw = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in raw:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type[0]))
+    gap = datetime.timedelta(minutes=30)
+    seqs = []
+    for evs in by_user.values():
+        evs.sort()
+        cur = [evs[0]]
+        for t in evs[1:]:
+            if t[0] - cur[-1][0] > gap:
+                seqs.append("".join(ch for _, _, ch in cur))
+                cur = []
+            cur.append(t)
+        seqs.append("".join(ch for _, _, ch in cur))
+    got = {r.pattern: r for r in qs["ev_pattern_match"](spark, SF_SMOKE).collect()}
+    assert set(got) == {name for name, _ in _PATTERNS}
+    for name, rx in _PATTERNS:
+        matches = [len(re.findall(rx, s)) for s in seqs]
+        r = got[name]
+        assert r.n_sessions == len(seqs)
+        assert r.n_sessions_matched == sum(1 for m in matches if m > 0)
+        assert r.total_matches == sum(matches)
