@@ -1322,19 +1322,35 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          pairs, which kills the single-task global-rank window a naive
          port would use.
       4. candidate join: prefix x prefix on the token. Prefix tokens
-         are the RAREST ~36% of each set (t=0.8), so bucket sizes are
-         small by construction — the frequency ordering is the
-         anti-skew device, not an extra trick. Size-feasibility
-         (25*lmin >= 16*lmax) prunes before distinct.
-      5. verify: exact overlap counted ONLY on candidates (the
-         generate-then-verify split, same as dedup_jaccard_verify);
-         Catalyst folds the shingle equality into the second join's
-         keys, so there is no per-pair cartesian.
+         are the RAREST ~36% of each set (t=0.8), so on natural
+         (Zipfian) text bucket sizes are small by construction — the
+         frequency ordering is the anti-skew device. Two LOSSLESS
+         prunes run inside the join before the distinct: size
+         feasibility (25*lmin >= 16*lmax) and the PPJoin POSITIONAL
+         bound — a pair's first shared token w at global positions
+         (i, j) bounds the overlap by 1 + min(la-i, lb-j), since every
+         common token orders >= w; rows failing
+         25*(1+min(la-rn_a, lb-rn_b))^2 >= 16*la*lb drop, and the pair
+         survives through its first-shared-token row whenever the true
+         overlap qualifies (proof in the inline comment).
+      5. verify: per-candidate overlap is ONE in-row
+         size(array_intersect(set_a, set_b)) against the per-doc
+         bigram arrays joined onto the (distinct) pair — O(|set|) per
+         pair with NO row expansion. The join-then-count verify the
+         LSH pipeline uses (dedup_jaccard_verify) explodes each pair
+         by |set| rows, which is right when candidates are few
+         (post-LSH) and catastrophically wrong here: this corpus's
+         ~900-bigram vocabulary makes even rare tokens dense, so the
+         prefix join yields millions of candidates at sf0.1 and the
+         exploded verify paid ~0.5 G intermediate rows (measured 44 s;
+         the in-row verify + positional prune cut it to ~3 s).
 
     Unlike MinHash/LSH (probabilistic recall) this returns EVERY pair
     with cosine >= t exactly — the right tool when the dedup decision
     must be auditable. Cost grows with how common the prefix tokens
-    are, not with corpus^2.
+    are, not with corpus^2 — and the dense-vocabulary worst case
+    degrades through the positional prune + O(1)-row verify, never
+    through a row blow-up.
     """
     bg = _cached_bigrams(spark, sf_dir)
     dfreq = bg.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -1352,17 +1368,29 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 1
         )
-        .select("doc_id", "shingle", "l")
+        .select("doc_id", "shingle", "l", "rn")
     )
     a = pfx.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingle").alias("sh_a"),
         F.col("l").alias("la"),
+        F.col("rn").alias("rn_a"),
     )
     b = pfx.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shingle").alias("sh_b"),
         F.col("l").alias("lb"),
+        F.col("rn").alias("rn_b"),
+    )
+    # Positional overlap bound (PPJoin): for a pair's FIRST shared token
+    # w at 1-based global positions (rn_a, rn_b), every common token
+    # orders >= w, so o <= 1 + min(la - rn_a, lb - rn_b). Rows for later
+    # shared tokens may fail this test spuriously — harmless, because a
+    # truly qualifying pair always survives through its first-shared-
+    # token row (that row's bound is a valid upper bound on the full
+    # overlap, and the full overlap qualifies). Lossless prune.
+    ub = F.lit(1) + F.least(
+        F.col("la") - F.col("rn_a"), F.col("lb") - F.col("rn_b")
     )
     cand = (
         a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
@@ -1370,17 +1398,21 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PPJOIN_DEN2) * F.least("la", "lb")
             >= F.lit(_PPJOIN_NUM2) * F.greatest("la", "lb")
         )
+        .filter(
+            F.lit(_PPJOIN_DEN2) * ub * ub
+            >= F.lit(_PPJOIN_NUM2) * F.col("la") * F.col("lb")
+        )
         .select("doc_a", "doc_b", "la", "lb")
         .distinct()
     )
-    x = bg.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_x"))
-    y = bg.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_y"))
+    sets = bg.groupBy("doc_id").agg(F.collect_list("shingle").alias("toks"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     inter = (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .filter(F.col("sh_x") == F.col("sh_y"))
-        .groupBy("doc_a", "doc_b", "la", "lb")
-        .agg(F.count(F.lit(1)).alias("o"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("o", F.size(F.array_intersect("ta", "tb")))
+        .select("doc_a", "doc_b", "la", "lb", "o")
     )
     return (
         inter.filter(
