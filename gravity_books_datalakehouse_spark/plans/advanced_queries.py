@@ -1236,3 +1236,118 @@ def op_winsorize_quantity(spark, sf_dir):
         )
         .transform(bounded_sort, "l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization across sources (the microarray-era batch-effect
+# correction — Bolstad et al. 2003 — reread as corpus curation: make
+# every source's length distribution comparable by mapping each
+# document's WITHIN-SOURCE quantile onto the POOLED distribution).
+# Every mapping decision is exact integer arithmetic: the target
+# quantile r/n_s meets the pooled cumulative R_j/N as R_j*n_s >= r*N.
+
+
+@register(
+    "op_quantile_normalize_lengths",
+    """WITH pooled AS (
+      SELECT n_chars AS v,
+             SUM(COUNT(*)) OVER (ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) AS r_cum
+      FROM documents GROUP BY n_chars),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents),
+    mapped AS (
+      SELECT source, n_chars, ns,
+             (SELECT MIN(p.v) FROM pooled p
+              WHERE p.r_cum * ranked.ns >= ranked.r * (SELECT n FROM tot))
+               AS v_mapped
+      FROM ranked)
+    SELECT source,
+           CAST(MAX(ns) AS BIGINT) AS n_docs,
+           ROUND(SUM(n_chars) / (1.0 * MAX(ns)), 6) AS mean_len_raw,
+           ROUND(SUM(v_mapped) / (1.0 * MAX(ns)), 6) AS mean_len_mapped,
+           ROUND(SUM(ABS(v_mapped - n_chars)) / (1.0 * MAX(ns)), 6)
+             AS mean_abs_shift
+    FROM mapped
+    GROUP BY source
+    ORDER BY source""",
+)
+def op_quantile_normalize_lengths(spark, sf_dir):
+    """Quantile-normalize document lengths across sources: each doc's
+    within-source rank quantile r/n_s maps to the smallest pooled
+    length whose cumulative share reaches it, and the per-source report
+    shows how far each source's distribution sat from the pooled one
+    (mean_abs_shift ~ 0 means the source was already representative).
+
+    Exactness: ranks, cumulative counts, and the meeting rule
+    R_j·n_s ≥ r·N are all integers — no float participates in any
+    mapping decision; the three means are exact integer sums with one
+    final IEEE division.
+
+    Plan shape: per-source rank windows distribute on source; the
+    pooled cumulative histogram is VALUE-DOMAIN-sized (document length
+    caps bound it at any corpus size) and rides into the per-row
+    lookup as a broadcast-collected literal array — the same
+    model-state-sized collect contract as the k-means centroids
+    (kmeans.py), NOT a data-sized collect. The in-row lookup is
+    element_at(filter(lit_array, R*ns >= r*N), 1): O(|domain|) per
+    row inside codegen, zero joins, zero extra shuffles. The oracle
+    spells the same rule as a correlated MIN subquery."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pooled_rows = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("v")
+        .collect()
+    )
+    run = 0
+    entries = []
+    for row in pooled_rows:
+        run += row["c"]
+        entries.append((int(row["v"]), run))
+    n_total = run
+    lit_pooled = F.array(
+        *[
+            F.struct(F.lit(v).alias("v"), F.lit(rc).alias("rc"))
+            for v, rc in entries
+        ]
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_src = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_src).alias("ns"),
+    )
+    hit = F.filter(
+        lit_pooled,
+        lambda s: s.getField("rc") * F.col("ns") >= F.col("r") * F.lit(n_total),
+    )
+    mapped = ranked.withColumn("v_mapped", F.element_at(hit, 1).getField("v"))
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_docs"),
+            F.round(F.sum("n_chars") / (F.lit(1.0) * F.max("ns")), 6).alias(
+                "mean_len_raw"
+            ),
+            F.round(F.sum("v_mapped") / (F.lit(1.0) * F.max("ns")), 6).alias(
+                "mean_len_mapped"
+            ),
+            F.round(
+                F.sum(F.abs(F.col("v_mapped") - F.col("n_chars")))
+                / (F.lit(1.0) * F.max("ns")),
+                6,
+            ).alias("mean_abs_shift"),
+        )
+        .transform(bounded_sort, "source")
+    )

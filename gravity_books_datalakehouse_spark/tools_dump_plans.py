@@ -61,6 +61,7 @@ SHOW = {
     "ev_peak_concurrency": "Sweep-line with a distributed prefix sum: day-partitioned running windows over the session-boundary stream + a calendar-bounded carry window; no global sort of the boundary stream anywhere (round 7).",
     "op_j_interval_overlap": "Range x range join as a lossless hour-bucket equi-join (overlap => shared covered hour) + residual overlap predicate + pair DISTINCT — no BroadcastNestedLoopJoin; the oracle states the direct inequality join (round 7).",
     "ev_pattern_match": "One session_window aggregation builds the event-initial strings (per-session array_sort inside the aggregate row); the three regex counts ride one pass over the session-cardinality frame, stacked by an in-row explode (round 7).",
+    "op_quantile_normalize_lengths": "Per-source rank windows distribute on source; the value-domain-bounded pooled cumulative histogram rides as a broadcast literal array into an in-row integer lookup — zero joins, zero extra shuffles; all mapping decisions integer-exact (round 7).",
 }
 
 

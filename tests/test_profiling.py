@@ -106,3 +106,71 @@ def test_winsorize_single_fact_scan(spark):
     )
     assert plan.count("lineitem.parquet") == 0
     assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_quantile_normalize_matches_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_quantile_normalize_lengths,
+    )
+
+    assert_matches_oracle(
+        op_quantile_normalize_lengths(spark, SF_CORRECT),
+        duck,
+        oracle_sql()["op_quantile_normalize_lengths"],
+    )
+
+
+def test_quantile_normalize_python_replay(spark):
+    """Replay the integer mapping rule in python (within-source rank ->
+    smallest pooled value whose cumulative count meets r*N/ns) and pin
+    the defining property: sources of equal size map onto the SAME
+    pooled multiset, so their mean_len_mapped values coincide."""
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_quantile_normalize_lengths,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, doc_id, n_chars "
+        f"FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    pooled = sorted(v for _, _, v in rows)
+    n_total = len(pooled)
+    cum = []
+    run = 0
+    for v in sorted(set(pooled)):
+        run += pooled.count(v)
+        cum.append((v, run))
+    by_src = defaultdict(list)
+    for s, d, v in rows:
+        by_src[s].append((v, d))
+    want = {}
+    for s, docs in by_src.items():
+        docs.sort()
+        ns = len(docs)
+        mapped = []
+        for r, (v, _) in enumerate(docs, start=1):
+            mv = next(pv for pv, rc in cum if rc * ns >= r * n_total)
+            mapped.append((v, mv))
+        want[s] = (
+            ns,
+            round(sum(v for v, _ in mapped) / ns, 6),
+            round(sum(m for _, m in mapped) / ns, 6),
+            round(sum(abs(m - v) for v, m in mapped) / ns, 6),
+        )
+    got = {
+        r.source: (
+            r.n_docs,
+            round(r.mean_len_raw, 6),
+            round(r.mean_len_mapped, 6),
+            round(r.mean_abs_shift, 6),
+        )
+        for r in op_quantile_normalize_lengths(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    sizes = {v[0] for v in got.values()}
+    if len(sizes) == 1:  # equal-size sources -> identical mapped multiset
+        assert len({v[2] for v in got.values()}) == 1
