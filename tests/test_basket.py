@@ -78,3 +78,77 @@ def test_copurchase_plan_shape(spark):
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_item_item_cf_matches_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        q_item_item_similarity,
+    )
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        oracle_sql,
+    )
+
+    assert_matches_oracle(
+        q_item_item_similarity(spark, SF_CORRECT),
+        duck,
+        oracle_sql()["q_item_item_similarity"],
+    )
+
+
+def test_item_item_cf_python_replay(spark):
+    """Recompute the cosine neighborhoods from scratch: distinct
+    (order, part) pairs, co-purchase counts with support>=2, cosine
+    c_ij/sqrt(c_i*c_j), top-20 query items by frequency, top-5
+    neighbors each with (sim desc, neighbor asc) ties."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb as _duckdb
+
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        _CF_MIN_SUPPORT,
+        _CF_TOP_ITEMS,
+        _CF_TOP_NEIGHBORS,
+        q_item_item_similarity,
+    )
+
+    con = _duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey "
+        f"FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    orders = defaultdict(set)
+    freq: Counter = Counter()
+    for ok, pk in rows:
+        orders[ok].add(pk)
+        freq[pk] += 1
+    cab: Counter = Counter()
+    for parts in orders.values():
+        sp = sorted(parts)
+        for i, a in enumerate(sp):
+            for b in sp[i + 1 :]:
+                cab[(a, b)] += 1
+    cab = {k: v for k, v in cab.items() if v >= _CF_MIN_SUPPORT}
+    topq = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_CF_TOP_ITEMS]
+    want = []
+    for q, cq in topq:
+        nbrs = []
+        for (a, b), c in cab.items():
+            if a == q:
+                nbrs.append((b, c))
+            elif b == q:
+                nbrs.append((a, c))
+        scored = sorted(
+            ((c / math.sqrt(cq * freq[nb]), nb, c) for nb, c in nbrs),
+            key=lambda t: (-t[0], t[1]),
+        )[:_CF_TOP_NEIGHBORS]
+        for r, (sim, nb, c) in enumerate(scored, start=1):
+            want.append((q, nb, r, c, round(sim, 6)))
+    got = [
+        (r.part_key, r.neighbor_key, r.rank, r.n_cobuys, r.cosine_sim)
+        for r in q_item_item_similarity(spark, SF_SMOKE).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    for _, _, _, _, sim in got:
+        assert 0.0 < sim <= 1.0
