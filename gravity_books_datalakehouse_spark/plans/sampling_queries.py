@@ -502,3 +502,178 @@ def op_sample_weighted_ares(spark, sf_dir):
         .limit(_ARES_K)
         .drop("__k")
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocated stratified sampling (Neyman 1934): a fixed budget k
+# splits across strata proportionally to N_h * S_h — big AND internally
+# varied strata get more of the sample, which minimizes the variance of
+# the stratified mean estimator. The statistics-grade upgrade over the
+# equal-rate stratified sampler.
+
+_NEYMAN_K = 60
+
+
+@register(
+    "op_sample_neyman",
+    f"""WITH stats AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             SUM(n_chars) AS sx,
+             SUM(n_chars * n_chars) AS sxx
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, nh,
+             nh * SQRT((nh * sxx - sx * sx) / (1.0 * nh * (nh - 1))) AS wh
+      FROM stats),
+    tot AS (SELECT SUM(wh) AS wt, CAST(SUM(nh) AS BIGINT) AS n FROM w),
+    shares AS (
+      SELECT lang, nh, {_NEYMAN_K} * wh / (SELECT wt FROM tot) AS share
+      FROM w),
+    base AS (
+      SELECT lang, nh, share,
+             CAST(FLOOR(share) AS BIGINT) AS n_base,
+             share - FLOOR(share) AS frac
+      FROM shares),
+    rem AS (SELECT {_NEYMAN_K} - SUM(n_base) AS r FROM base),
+    alloc AS (
+      SELECT lang, nh,
+             n_base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, lang)
+                                <= (SELECT r FROM rem)
+                           THEN 1 ELSE 0 END AS n_h
+      FROM base),
+    ranked AS (
+      SELECT d.doc_id, d.lang, d.n_chars, a.n_h,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rnk
+      FROM documents d JOIN alloc a ON a.lang = d.lang)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rnk <= n_h
+    ORDER BY lang, doc_id""",
+)
+def op_sample_neyman(spark, sf_dir):
+    """Stratified sample of exactly {k} documents with NEYMAN
+    allocation: stratum h (language) receives n_h ∝ N_h·S_h seats
+    (floor + largest-remainder for the leftovers, fractional-part ties
+    to the smaller lang), then the within-stratum draw is the
+    content-hash exact-k rule (md5 order — stable under repartitioning
+    and engine choice).
+
+    Determinism: N_h, Σx, Σx² are exact integers; S_h is one IEEE
+    sqrt/divide per stratum (engine-identical); the single
+    order-sensitive float is the 5-term total Σ N_h·S_h, whose
+    summation-order drift (~1e-16 relative) would flip an allocation
+    only if a share's fractional part sat within ~1e-15 of a
+    largest-remainder boundary — the same measured-margin contract as
+    the A-Res sampler and the Lloyd oracle; verified at all three SFs.
+
+    Plan shape: one stats aggregate (map-side partial, strata-sized
+    output), the allocation arithmetic on the STRATA-bounded frame
+    (its window orders 5 rows — dim-bounded-window contract), one
+    broadcast of the allocation into the per-stratum rank window
+    (partitioned by lang, distributes), and a filter. At 100 TB:
+    identical — the only full-data stages are the stats aggregate and
+    the rank window, both key-partitioned."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    w = stats.withColumn(
+        "wh",
+        F.col("nh")
+        * F.sqrt(
+            (F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.lit(1.0) * F.col("nh") * (F.col("nh") - 1))
+        ),
+    )
+    tot = w.agg(F.sum("wh").alias("wt"))
+    base = (
+        w.join(F.broadcast(tot))
+        .withColumn("share", F.lit(_NEYMAN_K) * F.col("wh") / F.col("wt"))
+        .withColumn("n_base", F.floor("share").cast("bigint"))
+        .withColumn("frac", F.col("share") - F.floor("share"))
+    )
+    rem = base.agg(
+        (F.lit(_NEYMAN_K) - F.sum("n_base")).alias("r")
+    )
+    w_rank = Window.orderBy(F.desc("frac"), F.asc("lang"))
+    alloc = (
+        base.join(F.broadcast(rem))
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn(
+            "n_h",
+            F.col("n_base")
+            + F.when(F.col("pos") <= F.col("r"), 1).otherwise(0),
+        )
+        .select("lang", "n_h")
+    )
+    w_sel = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(alloc), "lang")
+        .withColumn("rnk", F.row_number().over(w_sel))
+        .where(F.col("rnk") <= F.col("n_h"))
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("lang", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Group-holdout split: assign whole SOURCES to train/eval, not documents.
+# The leakage-safe evaluation design — near-duplicates cluster within a
+# source (mirrors, boilerplate, re-crawls), so a doc-hash split puts one
+# copy in train and its twin in eval and the eval score is contaminated
+# (the dedup-vs-eval effect of Lee et al. 2021). Holding out at the
+# group boundary removes that channel by construction.
+
+_HOLDOUT_RATE = 0.8  # sources hashed below this stay in train
+
+
+@register(
+    "op_split_source_holdout",
+    f"""SELECT source,
+              CASE WHEN substring(md5(source), 1, 4)
+                        < '{rate_threshold_hex(_HOLDOUT_RATE)}'
+                   THEN 'train' ELSE 'eval' END AS split,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM documents
+       GROUP BY source
+       ORDER BY source""",
+)
+def op_split_source_holdout(spark, sf_dir):
+    """Per-source train/eval assignment by GROUP hash: every document
+    of a source shares its source's split, so intra-source
+    near-duplicates can never straddle the boundary — the leakage-safe
+    counterpart to op_split_train_eval's per-document split (which is
+    the right tool only AFTER cross-source dedup). Same determinism
+    contract as every sampler here: the assignment is a pure function
+    of the source string, stable under repartitioning, engine choice,
+    and scale. One scan, one strata-sized aggregate; the split column
+    is a projection, so downstream consumers filter on it with zero
+    extra cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        hash_fraction_hex(F.col("source")) < rate_threshold_hex(_HOLDOUT_RATE),
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "source",
+            split.alias("split"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("source")
+    )

@@ -96,3 +96,90 @@ def test_weighted_ares_matches_python(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_neyman_allocation_python_replay(spark):
+    """Recompute the full Neyman pipeline in python — exact integer
+    stratum stats, N_h*S_h weights, floor + largest-remainder seats,
+    md5-order within-stratum draw — and demand the identical sample;
+    pin sum(n_h) == k and that allocation favors bigger/more varied
+    strata (n_h ordered like N_h*S_h)."""
+    import math
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _NEYMAN_K,
+        op_sample_neyman,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append((r.doc_id, r.n_chars))
+    weights = {}
+    for lang, docs in by_lang.items():
+        nh = len(docs)
+        sx = sum(v for _, v in docs)
+        sxx = sum(v * v for _, v in docs)
+        weights[lang] = nh * math.sqrt((nh * sxx - sx * sx) / (nh * (nh - 1)))
+    wt = sum(weights.values())
+    shares = {l: _NEYMAN_K * w / wt for l, w in weights.items()}
+    n_h = {l: int(math.floor(s)) for l, s in shares.items()}
+    r = _NEYMAN_K - sum(n_h.values())
+    for l in sorted(shares, key=lambda l: (-(shares[l] - math.floor(shares[l])), l))[:r]:
+        n_h[l] += 1
+    want = set()
+    for lang, docs in by_lang.items():
+        sel = sorted(
+            docs, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+        )[: n_h[lang]]
+        want.update((d, lang) for d, _ in sel)
+    got_rows = op_sample_neyman(spark, SF_SMOKE).collect()
+    got = {(r.doc_id, r.lang) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == _NEYMAN_K
+    counts = defaultdict(int)
+    for _, lang in got:
+        counts[lang] += 1
+    assert dict(counts) == n_h
+    # monotone: seat order tracks weight order (up to the +-1 remainder)
+    by_w = sorted(weights, key=weights.get)
+    for a, b in zip(by_w, by_w[1:]):
+        assert counts[a] <= counts[b] + 1
+
+
+def test_source_holdout_python_replay(spark):
+    """Group-hash replay: each source's split is md5(source) vs the
+    0.8 threshold; every document inherits its source's split (leakage
+    safety is structural), and the assignment is identical across
+    scales because it depends only on the source string."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _HOLDOUT_RATE,
+        op_split_source_holdout,
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(_HOLDOUT_RATE)
+    got = {r.source: r for r in op_split_source_holdout(spark, SF_SMOKE).collect()}
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert {r.source for r in docs} == set(got)
+    for r in docs:
+        want = (
+            "train"
+            if hashlib.md5(r.source.encode()).hexdigest()[:4] < thr
+            else "eval"
+        )
+        assert got[r.source].split == want
+        assert got[r.source].n_docs == r["count"]
+    # both splits populated at the shipped rate on this source universe
+    splits = {v.split for v in got.values()}
+    assert splits == {"train", "eval"}
