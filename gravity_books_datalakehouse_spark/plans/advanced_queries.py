@@ -1334,11 +1334,17 @@ def op_quantile_normalize_lengths(spark, sf_dir):
     from pyspark.sql import Window
 
     entries, n_total = _pooled_cum(spark, sf_dir)
-    lit_pooled = F.array(
-        *[
-            F.struct(F.lit(v).alias("v"), F.lit(rc).alias("rc"))
-            for v, rc in entries
-        ]
+    # ONE SQL expression string, not per-struct Column objects: the
+    # value-domain histogram has O(100s) of entries and building it as
+    # F.array(F.struct(F.lit, F.lit), ...) pays one py4j round trip per
+    # literal (~1.5 s of pure driver time at sf0.1 — the kmeans
+    # expression-build lesson, operators/kmeans.py).
+    lit_pooled = F.expr(
+        "array("
+        + ",".join(
+            f"struct({v}L as v, {rc}L as rc)" for v, rc in entries
+        )
+        + ")"
     )
     w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     w_src = Window.partitionBy("source")
