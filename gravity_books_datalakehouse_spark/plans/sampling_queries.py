@@ -677,3 +677,160 @@ def op_split_source_holdout(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (the large-scale bootstrap: per-row
+# independent Poisson(1) replica weights instead of resampling — the
+# form that streams, Chamandy et al. / Google's "Estimating Uncertainty
+# for Massive Data Streams", 2012). Twist that makes it hash-gateable:
+# the Poisson draw is the inverse CDF applied to 52 exact md5 bits, the
+# CDF thresholds are SHARED decimal literals, and each replica's
+# Σw·x / Σw runs on INTEGER sums — so every replica mean is bit-identical
+# across engines and the CI is a deterministic function of the data.
+
+_BOOT_B = 40           #: bootstrap replicas
+_BOOT_WMAX = 6         #: Poisson(1) inverse-CDF truncation (P(w>6) ~ 8e-5)
+#: Poisson(1) CDF: u < _BOOT_CDF[k] => w = k (u from 52 md5 bits).
+_BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _boot_w_sql(u_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {u_expr} < {t!r} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {cases} ELSE {_BOOT_WMAX} END)"
+
+
+def _hex52_boot_sql() -> str:
+    """52-bit uniform from md5('boot:' || b || ':' || doc_id), nibble-
+    assembled (the _hex52_sql pattern with the replica index in the
+    seed)."""
+    arg = "('boot:' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))"
+    nib = (
+        lambda i: "(strpos('0123456789abcdef', "
+        f"substr(md5{arg}, {i + 1}, 1)) - 1)"
+    )
+    bits = " + ".join(
+        f"({nib(i)}::BIGINT << {4 * (_ARES_NIBBLES - 1 - i)})"
+        for i in range(_ARES_NIBBLES)
+    )
+    return f"(({bits}) + 0.5) / {_ARES_DENOM!r}"
+
+
+@register(
+    "op_bootstrap_ci_mean_len",
+    f"""WITH reps AS (
+      SELECT b, doc_id, n_chars, {_boot_w_sql(_hex52_boot_sql())} AS w
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)),
+    means AS (
+      SELECT b, SUM(w * n_chars) / (1.0 * SUM(w)) AS m
+      FROM reps GROUP BY b),
+    ranked AS (
+      SELECT m,
+             ROW_NUMBER() OVER (ORDER BY m) AS rnk,
+             COUNT(*) OVER () AS nb
+      FROM means),
+    pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(n_chars) / (1.0 * COUNT(*)) AS mean_len
+           FROM documents)
+    SELECT pt.n AS n_docs,
+           ROUND(pt.mean_len, 6) AS mean_len,
+           ROUND(MIN(CASE WHEN rnk * 40 >= nb THEN m END), 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN rnk * 40 >= 39 * nb THEN m END), 6) AS ci_hi,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicas
+    FROM ranked CROSS JOIN pt
+    GROUP BY pt.n, pt.mean_len""",
+)
+def op_bootstrap_ci_mean_len(spark, sf_dir):
+    """95% Poisson-bootstrap confidence interval for the corpus mean
+    document length, fully deterministic: replica weights are the
+    Poisson(1) inverse CDF on 52 exact md5 bits of (replica, doc_id)
+    with shared literal thresholds (truncated at w={wmax} — part of
+    the spec, applied identically on both engines), each replica mean
+    is Σw·x/Σw on INTEGER sums (order-independent, one IEEE division),
+    and the CI bounds are the 2.5%/97.5% discrete percentiles of the
+    {b} replica means via the cume rule rnk·40 ≥ nb / rnk·40 ≥ 39·nb —
+    pure integer comparisons.
+
+    Scale shape: the replica explode is a narrow ×{b} projection with
+    map-side partial aggregation, so the shuffle carries {b} partial
+    rows per task, not {b}× the data; the replica-mean frame is
+    {b} rows. This is WHY the Poisson form beats classic resampling in
+    a distributed engine: no per-replica shuffles, no resampled
+    copies, one pass. The statistic here is the mean; any linear
+    statistic rides the same plan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.select(
+        "doc_id", "n_chars", F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b")
+    )
+    m = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            _ARES_NIBBLES,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (m + F.lit(0.5)) / F.lit(_ARES_DENOM)
+    w = F.lit(_BOOT_WMAX)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("n_chars"))
+                / (F.lit(1.0) * F.sum("w"))
+            ).alias("m")
+        )
+    )
+    w_rank = Window.orderBy("m")
+    ranked = means.select(
+        "m",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    ci = ranked.agg(
+        F.round(
+            F.min(F.when(F.col("rnk") * 40 >= F.col("nb"), F.col("m"))), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.min(
+                F.when(F.col("rnk") * 40 >= 39 * F.col("nb"), F.col("m"))
+            ),
+            6,
+        ).alias("ci_hi"),
+    )
+    pt = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("n_chars") / (F.lit(1.0) * F.count(F.lit(1))), 6
+        ).alias("mean_len"),
+    )
+    return pt.join(ci).select(
+        "n_docs",
+        "mean_len",
+        "ci_lo",
+        "ci_hi",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicas"),
+    )

@@ -183,3 +183,53 @@ def test_source_holdout_python_replay(spark):
     # both splits populated at the shipped rate on this source universe
     splits = {v.split for v in got.values()}
     assert splits == {"train", "eval"}
+
+
+def test_bootstrap_ci_python_replay(spark):
+    """Full deterministic replay: hash-derived Poisson(1) weights from
+    the shared literal CDF, integer replica sums, and the discrete-
+    percentile CI rule — every number must match exactly; also pin the
+    statistical sanity (point mean strictly inside a positive-width
+    CI)."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _ARES_DENOM,
+        _ARES_NIBBLES,
+        _BOOT_B,
+        _BOOT_CDF,
+        _BOOT_WMAX,
+        op_bootstrap_ci_mean_len,
+    )
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    means = []
+    for b in range(_BOOT_B):
+        sw = swx = 0
+        for r in docs:
+            hx = hashlib.md5(f"boot:{b}:{r.doc_id}".encode()).hexdigest()
+            u = (int(hx[:_ARES_NIBBLES], 16) + 0.5) / _ARES_DENOM
+            w = _BOOT_WMAX
+            for k, t in enumerate(_BOOT_CDF):
+                if u < t:
+                    w = k
+                    break
+            sw += w
+            swx += w * r.n_chars
+        means.append(swx / (1.0 * sw))
+    means.sort()
+    nb = len(means)
+    ci_lo = round(next(m for i, m in enumerate(means, 1) if i * 40 >= nb), 6)
+    ci_hi = round(
+        next(m for i, m in enumerate(means, 1) if i * 40 >= 39 * nb), 6
+    )
+    row = op_bootstrap_ci_mean_len(spark, SF_SMOKE).collect()[0]
+    assert row.n_replicas == _BOOT_B
+    assert row.n_docs == len(docs)
+    assert row.mean_len == round(sum(r.n_chars for r in docs) / len(docs), 6)
+    assert row.ci_lo == ci_lo
+    assert row.ci_hi == ci_hi
+    assert row.ci_lo < row.mean_len < row.ci_hi
+    assert row.ci_hi - row.ci_lo > 0
