@@ -1492,3 +1492,147 @@ def q_item_item_similarity(spark, sf_dir):
         )
         .orderBy("part_key", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov drift test per source: the EDF
+# distance sup_x |F_s(x) - F_pool(x)|, computed entirely in integers —
+# the exact companion to the binned PSI monitor (op_drift_psi_events).
+# D's numerator |R_s(v)*N - R_p(v)*n_s| is an integer at every domain
+# value, so the max, its argmax, and even the alpha=0.05 significance
+# flag (squared critical-value comparison with the 1.358^2 = 1.844164
+# literal as an exact rational) never touch a float.
+
+_KS_CRIT2_NUM = 1844164  #: 1.358^2 * 1e6 — two-sided alpha=0.05
+_KS_CRIT2_DEN = 1000000
+
+
+@register(
+    "op_ks_drift_by_source",
+    f"""WITH domain AS (
+      SELECT n_chars AS v,
+             SUM(COUNT(*)) OVER (ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) AS rp
+      FROM documents GROUP BY n_chars),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+             FROM documents GROUP BY source),
+    scum AS (
+      SELECT source, n_chars AS v,
+             SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) AS rs
+      FROM documents GROUP BY source, n_chars),
+    spine AS (
+      SELECT s.source, s.ns, d.v, d.rp,
+             COALESCE(
+               (SELECT MAX(rs) FROM scum c
+                WHERE c.source = s.source AND c.v <= d.v), 0) AS rs
+      FROM srcs s CROSS JOIN domain d),
+    dev AS (
+      SELECT source, ns, v,
+             ABS(rs * (SELECT n FROM tot) - rp * ns) AS dnum
+      FROM spine),
+    best AS (
+      SELECT source, ns, dnum, v,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY dnum DESC, v ASC) AS rnk
+      FROM dev)
+    SELECT b.source,
+           b.ns AS n_docs,
+           ROUND(b.dnum / (1.0 * b.ns * (SELECT n FROM tot)), 6) AS ks_d,
+           CAST(b.v AS BIGINT) AS at_value,
+           {_KS_CRIT2_DEN} * b.dnum::HUGEINT * b.dnum::HUGEINT
+             > {_KS_CRIT2_NUM} * (b.ns + (SELECT n FROM tot))::HUGEINT
+               * b.ns * (SELECT n FROM tot) AS drift_flag
+    FROM best b WHERE b.rnk = 1
+    ORDER BY b.source""",
+)
+def op_ks_drift_by_source(spark, sf_dir):
+    """Per-source exact two-sample KS statistic against the pooled
+    length distribution: D = sup_v |F_source(v) − F_pool(v)|, its
+    argmax value, and the α=0.05 significance flag.
+
+    Exactness end to end: both EDFs evaluate as integer cumulative
+    counts on the shared value domain, the deviation numerator
+    |R_s·N − R_p·n_s| is an integer, the sup and its argmax are
+    integer selections, and the significance test squares the
+    asymptotic critical value D > 1.358·√((n_s+N)/(n_s·N)) into
+    10⁶·D_num² > 1.358²·10⁶·(n_s+N)·n_s·N — DECIMAL-exact on both
+    engines (the only "float" is the shared rational literal). Unlike
+    PSI (binned, smoothed) this is the exact distribution test; the
+    two flags catch different drift shapes.
+
+    Plan shape: two value-histogram aggregates (map-side collapsing,
+    domain-sized outputs) + per-source cumulative windows; the source
+    EDF back-fills onto the pooled domain through a sources×domain
+    frame — STRATA×DOMAIN-bounded (the calendar-spine contract), never
+    corpus-sized; the fill is last(ignorenulls) over the value order,
+    not a per-row subquery (the oracle spells the same fill as a
+    correlated MAX for independence)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    domain = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rp",
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("v", "rp")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    scum = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rs",
+            F.sum("c").over(
+                Window.partitionBy("source")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("source", "v", "rs")
+    )
+    spine = (
+        srcs.crossJoin(F.broadcast(domain))
+        .join(scum, ["source", "v"], "left")
+        .withColumn(
+            "rs_f",
+            F.coalesce(
+                F.last("rs", ignorenulls=True).over(
+                    Window.partitionBy("source")
+                    .orderBy("v")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    dev = spine.join(F.broadcast(tot)).withColumn(
+        "dnum", F.abs(F.col("rs_f") * F.col("n") - F.col("rp") * F.col("ns"))
+    )
+    w_best = Window.partitionBy("source").orderBy(F.desc("dnum"), F.asc("v"))
+    best = dev.withColumn("rnk", F.row_number().over(w_best)).where(
+        F.col("rnk") == 1
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return best.select(
+        "source",
+        F.col("ns").alias("n_docs"),
+        F.round(
+            F.col("dnum") / (F.lit(1.0) * F.col("ns") * F.col("n")), 6
+        ).alias("ks_d"),
+        F.col("v").cast("bigint").alias("at_value"),
+        (
+            F.lit(_KS_CRIT2_DEN) * d38(F.col("dnum")) * d38(F.col("dnum"))
+            > F.lit(_KS_CRIT2_NUM)
+            * d38(F.col("ns") + F.col("n"))
+            * d38(F.col("ns"))
+            * d38(F.col("n"))
+        ).alias("drift_flag"),
+    ).transform(bounded_sort, "source")

@@ -65,6 +65,7 @@ SHOW = {
     "q_item_item_similarity": "Basket-explode pair counts + order-frequency off one distinct (order,part) projection; the top-20 query list broadcasts into the scored join so the rank window partitions on <=20 keys; cosine is IEEE divide+sqrt on exact integers — engine-exact ranking (round 7).",
     "op_sample_neyman": "One stats aggregate (map-side partial, strata-sized), allocation arithmetic + largest-remainder window on the STRATA-bounded frame, broadcast allocation into the per-stratum md5-order rank window; only full-data stages are the stats agg and the rank window (round 7).",
     "op_bootstrap_ci_mean_len": "Poisson-bootstrap replica explode is a narrow xB projection collapsing map-side to B partial rows per task (never Bx the data through the exchange); the replica-mean frame is B rows; integer Sw/Swx sums make every replica mean engine-exact (round 7).",
+    "op_ks_drift_by_source": "Two value-histogram aggregates (map-side collapsing, domain-sized) + per-source cumulative windows; source EDFs back-fill via last(ignorenulls) onto the strata x domain spine — never corpus-sized; sup/argmax/flag all integer selections (round 7).",
 }
 
 

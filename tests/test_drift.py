@@ -308,3 +308,71 @@ def test_pattern_match_python_replay(spark):
         assert r.n_sessions == len(seqs)
         assert r.n_sessions_matched == sum(1 for m in matches if m > 0)
         assert r.total_matches == sum(matches)
+
+
+def test_ks_drift_matches_oracle(spark, duck):
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_ks_drift_by_source,
+    )
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        oracle_sql,
+    )
+
+    assert_matches_oracle(
+        op_ks_drift_by_source(spark, SF_CORRECT),
+        duck,
+        oracle_sql()["op_ks_drift_by_source"],
+    )
+
+
+def test_ks_drift_python_replay(spark):
+    """Exact EDF replay: per source, the integer deviation
+    |R_s(v)*N - R_p(v)*n_s| over the pooled value domain, its max and
+    argmax, the scaled D, and the squared-critical-value flag — all
+    must match exactly (integers everywhere)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        _KS_CRIT2_DEN,
+        _KS_CRIT2_NUM,
+        op_ks_drift_by_source,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    pooled = Counter(r.n_chars for r in rows)
+    by_src = defaultdict(Counter)
+    for r in rows:
+        by_src[r.source][r.n_chars] += 1
+    n_total = len(rows)
+    domain = sorted(pooled)
+    got = {r.source: r for r in op_ks_drift_by_source(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_src)
+    for src, cnt in by_src.items():
+        ns = sum(cnt.values())
+        rp = rs = 0
+        best = (-1, None)
+        for v in domain:
+            rp += pooled[v]
+            rs += cnt.get(v, 0)
+            dnum = abs(rs * n_total - rp * ns)
+            if dnum > best[0]:
+                best = (dnum, v)
+        dnum, at_v = best
+        r = got[src]
+        assert (r.n_docs, r.at_value) == (ns, at_v)
+        assert abs(r.ks_d - round(dnum / (ns * n_total), 6)) <= 1e-6
+        want_flag = (
+            _KS_CRIT2_DEN * dnum * dnum
+            > _KS_CRIT2_NUM * (ns + n_total) * ns * n_total
+        )
+        assert r.drift_flag == want_flag
+        # flag consistency with the float form of the asymptotic rule
+        crit = 1.358 * math.sqrt((ns + n_total) / (ns * n_total))
+        assert want_flag == (dnum / (ns * n_total) > crit) or abs(
+            dnum / (ns * n_total) - crit
+        ) < 1e-9
