@@ -47,14 +47,15 @@ _PRIORITY_HEAD = [
     # sim_topk_cosine_bruteforce, dedup_minhash_lsh_pairs,
     # dedup_jaccard_verify, ev_sessionize, q_promo_revenue,
     # q_small_qty_revenue, op_fk_orphan_audit, op_unpivot_roundtrip —
-    # see the inline notes at each swap), the seventeen operators added
+    # see the inline notes at each swap), the nineteen operators added
     # after the final round-7 rotation (dedup_prefix_cosine_pairs,
     # op_skyline_suppliers, ev_ewma_control, op_sample_weighted_ares,
     # sim_hard_negatives, op_graph_label_prop, pipeline_greedy_coverage,
     # text_zipf_ols, op_profile_entropy, op_winsorize_quantity,
     # ev_peak_concurrency, op_j_interval_overlap, ev_pattern_match,
     # op_quantile_normalize_lengths, q_item_item_similarity,
-    # op_sample_neyman, op_split_source_holdout —
+    # op_sample_neyman, op_split_source_holdout,
+    # op_bootstrap_ci_mean_len, op_ks_drift_by_source —
     # all never driver-witnessed, first in line), plus the
     # remaining 31 round-3 entries
     # (op_j_inner_chain, op_a_rollup, text_lang_id, text_tfidf_top_terms,
