@@ -1441,6 +1441,12 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K docs" primitive behind diversity-aware corpus pruning.
 
 _COVERAGE_K = 5
+# Above this many covered shingles the per-step not-covered filter moves
+# from an InSet literal to a broadcast anti-join (see the docstring's
+# escape-hatch note). 200k string literals ≈ tens of MB of driver-side
+# expression state — about where rebuilding the plan each step starts to
+# cost more than shipping one broadcast hash set.
+_COVERED_LITERAL_MAX = 200_000
 
 
 def _coverage_oracle_sql() -> str:
@@ -1500,7 +1506,18 @@ def pipeline_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage growth; the kmeans literal-centroid contract). Each step
     is then exactly ONE job over the cached shingle table: two InSet
     filters → per-doc count → 1-row TakeOrderedAndProject argmax,
-    plus a shingle-list-sized collect of the winner. The first cut
+    plus a shingle-list-sized collect of the winner.
+
+    Literal-size escape hatch: the covered set grows with the K picks'
+    combined distinct shingles, and a giant InSet literal is real
+    driver-side expression state rebuilt per step. Past
+    ``_COVERED_LITERAL_MAX`` distinct covered shingles the step plan
+    switches to a broadcast left-anti join against a covered-shingles
+    DataFrame (same semantics, executor-side hash set, plan size O(1)),
+    and past the broadcast threshold Spark would shuffle that join —
+    the correct shape when "covered" itself outgrows one machine. At
+    this corpus the literal path always wins (≈3k shingles/doc, K=5 →
+    ≈15k literals), which is why it stays the default. The first cut
     kept selected/covered as checkpointed DataFrames — 3 eager jobs
     and ~23 scheduled stages per step (116 total, measured 3.4 s at
     sf0.1); the driver-state form runs ~10 tiny jobs (~1 s). At
@@ -1517,7 +1534,14 @@ def pipeline_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         gains = sh
         if selected:
             gains = gains.filter(~F.col("doc_id").isin(selected))
-        if covered:
+        if len(covered) > _COVERED_LITERAL_MAX:
+            cov_df = spark.createDataFrame(
+                [(s,) for s in covered], ["shingle"]
+            )
+            gains = gains.join(
+                F.broadcast(cov_df), "shingle", "left_anti"
+            )
+        elif covered:
             gains = gains.filter(~F.col("shingle").isin(list(covered)))
         top = (
             gains.groupBy("doc_id")

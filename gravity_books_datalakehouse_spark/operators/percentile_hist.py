@@ -46,9 +46,22 @@ def grouped_disc_percentiles(
     """Per-group exact discrete percentiles of ``value`` (one output row
     per key group: keys, n_alias, one column per p). Rows collapse to
     the per-group value histogram before any shuffle; the cumulative
-    window sorts spill-able histogram rows partitioned by the keys."""
+    window sorts spill-able histogram rows partitioned by the keys.
+
+    NULL values are excluded before the histogram, matching both
+    percentile_disc semantics and the global variant below — without the
+    filter a NULL cell would sort first in the cumulative window and
+    inflate ``_n``, shifting every percentile. Caveat vs a plain
+    ``GROUP BY``: a group whose values are ALL NULL disappears from this
+    output entirely (SQL would keep the key with NULL percentiles and
+    n=0); callers needing the empty-group spine should left-join this
+    result back onto the distinct keys."""
     keys = list(keys)
-    hist = df.groupBy(*keys, value).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(*keys, value)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy(value)

@@ -808,7 +808,7 @@ def q_basket_copurchase_lift(spark, sf_dir):
          SELECT event_type,
                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0
                      ELSE 1 END AS cur,
-                LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin
+                GREATEST(0, LEAST(CAST(FLOOR(value / 50) AS INT), 9)) AS bin
          FROM events WHERE value IS NOT NULL),
        types AS (SELECT DISTINCT event_type FROM v),
        spine AS (SELECT t.event_type, CAST(r.range AS INT) AS bin
@@ -879,9 +879,14 @@ def op_drift_psi_events(spark, sf_dir):
         )
         .otherwise(1)
         .alias("cur"),
-        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias(
-            "bin"
-        ),
+        # clamped BOTH ends (negative values -> bin 0) so the Spark fold
+        # and the oracle's range(10) spine agree on any value domain —
+        # without the floor clamp a negative value would fall off the
+        # oracle spine while still counting toward the Spark totals
+        F.greatest(
+            F.lit(0),
+            F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)),
+        ).alias("bin"),
     )
     cnt = v.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).alias("nref"),
@@ -1329,7 +1334,21 @@ def op_quantile_normalize_lengths(spark, sf_dir):
     (kmeans.py), NOT a data-sized collect. The in-row lookup is
     element_at(filter(lit_array, R*ns >= r*N), 1): O(|domain|) per
     row inside codegen, zero joins, zero extra shuffles. The oracle
-    spells the same rule as a correlated MIN subquery."""
+    spells the same rule as a correlated MIN subquery.
+
+    LARGE-DOMAIN ESCAPE HATCH (the collected-literal contract's bound):
+    the collect and the per-row linear scan are justified only while
+    the value domain stays model-state-sized — integer char lengths
+    here, |domain| ≈ 10³. Past ~10⁵ distinct values (tens of MB of
+    expression state, and the O(|domain|) in-row filter stops being
+    cheap) the scale-safe form is: (a) keep exactness with a
+    broadcast-joined CDF frame — sort-merge the per-source rank targets
+    against the pooled cumulative histogram on a range condition
+    (union the two sorted streams and forward-fill, the op_ks spine
+    shape below), no literal, no collect; or (b) for unbounded/float
+    domains, fixed-B binned quantiles (B ≈ 10⁴ equi-depth bins from
+    approx_quantile), which bounds the mapping error by the bin mass.
+    Neither changes the report schema."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -1568,7 +1587,21 @@ def op_ks_drift_by_source(spark, sf_dir):
     frame — STRATA×DOMAIN-bounded (the calendar-spine contract), never
     corpus-sized; the fill is last(ignorenulls) over the value order,
     not a per-row subquery (the oracle spells the same fill as a
-    correlated MAX for independence)."""
+    correlated MAX for independence).
+
+    LARGE-DOMAIN ESCAPE HATCH: the pooled cumulative uses ONE
+    unpartitioned Window.orderBy(v) — a single task, but over
+    HISTOGRAM rows, which integer char lengths bound at ~10³ here.
+    The contract breaks when |distinct v| itself outgrows one task
+    (~10⁷ histogram rows; unbounded domains — timestamps, float
+    lengths). Two scale-safe fallbacks, in preference order: (a) keep
+    the test exact with a two-pass distributed prefix sum — range-
+    partition the histogram by v, per-partition subtotals (tiny)
+    broadcast back as offsets, exactly the ev_peak_concurrency
+    carry pattern; (b) bin v into B ≈ 10⁴ equi-depth buckets first —
+    the binned D is a lower bound on the true D with error ≤ the max
+    bin mass (≈1/B), enough for a drift FLAG at any plausible alpha.
+    Schema unchanged either way."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

@@ -304,7 +304,21 @@ def q2_top10_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Aggregate-then-join, EXCHANGE-FREE aggregate: the fact cache is
     hash-partitioned on ``part_sk`` (see the build comment), so the
     groupBy plans as one full HashAggregate directly over the cache
-    scan — no partial/final split, no shuffle, no rank window. The
+    scan — no partial/final split, no shuffle, no rank window.
+
+    Exchange-free holds ONCE THE CACHE IS MATERIALIZED (i.e. from the
+    first executed star query onward) and is INDEPENDENT of the session
+    shape: ``hashpartitioning(part_sk, N)`` satisfies the aggregate's
+    ClusteredDistribution for ANY N, so no equality with
+    ``spark.sql.shuffle.partitions`` is required (pinned by
+    test_star_q2_aggregate_is_exchange_free, whose session's shuffle
+    partition count deliberately differs from the cache's). A STATIC
+    explain taken before any execution does show one conservative
+    ENSURE_REQUIREMENTS exchange: the un-materialized cache's subplan is
+    a non-final AdaptiveSparkPlan whose output partitioning Catalyst
+    can't yet see. That exchange never runs in practice — materializing
+    the cache (which the first action does) finalizes the subplan and
+    re-planning drops it. The
     dim-bounded counts then join dim_part for name/brand and the answer
     falls out of a single ``TakeOrderedAndProject(10)`` over |dim_part|
     joined rows — fully parallel, tree-reduced, no single-task sort.

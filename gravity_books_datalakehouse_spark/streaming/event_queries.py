@@ -141,7 +141,16 @@ def ev_sessionize(spark, sf_dir):
     streaming it maintains open sessions as state; in batch it compiles
     to the same gaps-and-islands the oracle spells out manually).
     Output is (start, last event, count); session_window.end = last+gap
-    is deliberately not emitted (engine-specific convention)."""
+    is deliberately not emitted (engine-specific convention).
+
+    Exact-boundary semantics (pinned by tests/test_session_boundary.py):
+    Spark MERGES two events whose gap is exactly the 30-minute gap
+    duration (windows [t, t+30m) and [t+30m, t+60m) touch and coalesce)
+    and splits only when gap > 30 minutes — the same rule as the
+    oracle's ``lag(ts) > INTERVAL '30 minutes'`` session break, so the
+    two engines agree on every gap including the boundary. The same
+    equivalence covers ev_peak_concurrency, op_j_interval_overlap and
+    ev_pattern_match, which reuse this sessionization shape."""
     e = load_events(spark, sf_dir)
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")

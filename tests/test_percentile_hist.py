@@ -90,6 +90,25 @@ def test_grouped_operator_matches_percentile_disc(spark):
     assert got == ref
 
 
+def test_grouped_operator_excludes_nulls(spark):
+    from gravity_books_datalakehouse_spark.operators.percentile_hist import (
+        grouped_disc_percentiles,
+    )
+
+    # group 0 mixes NULLs in; group 1 is all-NULL (drops from output)
+    rows = [
+        Row(g=0, x=v) for v in [10, None, 30, None, 50]
+    ] + [Row(g=1, x=None)]
+    df = spark.createDataFrame(rows, schema="g int, x bigint")
+    got = {
+        r.g: (r.n, r.p50)
+        for r in grouped_disc_percentiles(df, ["g"], "x", [0.5], ["p50"]).collect()
+    }
+    # NULLs neither count toward n nor shift the percentile (without the
+    # isNotNull filter this reads n=5, p50=10 — the NULL cell sorts first)
+    assert got == {0: (3, 30)}
+
+
 def test_global_operator_null_and_empty_semantics(spark):
     from gravity_books_datalakehouse_spark.operators.percentile_hist import (
         global_disc_percentiles,

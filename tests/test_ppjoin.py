@@ -178,3 +178,21 @@ def test_greedy_coverage_python_replay(spark):
     assert got == want
     gains = [g for _, _, g, _ in got]
     assert gains == sorted(gains, reverse=True)  # diminishing returns
+
+
+def test_greedy_coverage_antijoin_escape_hatch(spark, monkeypatch):
+    """Force the large-covered-set path (broadcast anti-join instead of
+    the InSet literal) and demand the identical selection — the two
+    not-covered filters must be semantically interchangeable."""
+    from gravity_books_datalakehouse_spark.operators import dedup
+
+    baseline = [
+        (r.step, r.doc_id, r.new_shingles, r.covered_total)
+        for r in dedup.pipeline_greedy_coverage(spark, SF_SMOKE).collect()
+    ]
+    monkeypatch.setattr(dedup, "_COVERED_LITERAL_MAX", 0)
+    via_join = [
+        (r.step, r.doc_id, r.new_shingles, r.covered_total)
+        for r in dedup.pipeline_greedy_coverage(spark, SF_SMOKE).collect()
+    ]
+    assert via_join == baseline
