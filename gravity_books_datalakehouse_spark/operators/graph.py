@@ -411,3 +411,126 @@ def op_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(bounded_sort, F.desc("n_members"), F.asc("community"))
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (Seidman 1983, "Network structure and minimum
+# degree"; the distributed peeling form is the standard Pregel/GraphX
+# kernel). The k-core is the maximal subgraph where every node keeps
+# degree >= k AFTER the deletions cascade — a much stronger cohesion
+# signal than raw degree (a hub wired to leaves has high degree and no
+# core membership). Corpus reading: the dense co-purchase core is the
+# "always bought together" backbone that survives any single product's
+# removal.
+
+# k=2 (the cyclic core): chosen so the statistic is non-trivial at
+# every test scale — the support>=2 co-purchase graph thins as SF grows
+# (survivors at k=2: 200 / 1535 / 5 across sf0.001/0.01/0.1; the 3-core
+# is already empty at sf0.1, which would make the oracle check vacuous).
+KCORE_K = 2
+KCORE_SWEEPS = 4
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K, n_sweeps: int = KCORE_SWEEPS) -> DataFrame:
+    """(node, d) for nodes surviving ``n_sweeps`` synchronous peels of
+    degree < ``k`` over a SYMMETRIC edge list; ``d`` is the residual
+    in-subgraph degree after the last peel.
+
+    Fixed sweeps, not run-to-convergence — the Lloyd/PageRank oracle
+    contract: the result is a deterministic function of the data that
+    an unrolled CTE chain replays exactly. (Peeling converges in at
+    most |V| sweeps; on real co-purchase graphs the support filter
+    makes 3-4 sweeps reach the fixpoint — if a caller needs the
+    guaranteed fixpoint, loop until the survivor count stops moving,
+    same per-sweep plan.)
+
+    Scale shape: the edge list is checkpointed once; each sweep is one
+    degree aggregate over the CURRENT subgraph (node-sized output) and
+    one semi-join filtering both endpoints — edges only ever shrink,
+    and nothing but (node, degree) pairs shuffle beyond the first
+    edge partition. Per-sweep localCheckpoint keeps the lineage flat
+    (the kmeans/MMR lesson)."""
+    e = edges.localCheckpoint()
+    for _ in range(n_sweeps):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+def _kcore_ctes(k: int = KCORE_K, n_sweeps: int = KCORE_SWEEPS) -> str:
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2),
+e0 AS (SELECT pa AS src, pb AS dst FROM pairs
+       UNION ALL
+       SELECT pb AS src, pa AS dst FROM pairs)"""
+    ]
+    for i in range(1, n_sweeps + 1):
+        ctes.append(
+            f"""k{i} AS (SELECT src FROM e{i - 1} GROUP BY src
+        HAVING COUNT(*) >= {k}),
+e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e
+         JOIN k{i} a ON a.src = e.src
+         JOIN k{i} b ON b.src = e.dst)"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+_KCORE_SQL = (
+    _kcore_ctes()
+    + f"""
+, full_deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY 1)
+SELECT c.src AS part_key, p.p_name AS part_name,
+       fd.d AS degree_full,
+       CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{KCORE_SWEEPS} c
+JOIN full_deg fd ON fd.src = c.src
+JOIN part p ON p.p_partkey = c.src
+GROUP BY c.src, p.p_name, fd.d
+ORDER BY core_degree DESC, part_key
+LIMIT 20"""
+)
+
+
+@register("op_graph_kcore", _KCORE_SQL)
+def op_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 members of the {k}-core of the support->=2 co-purchase
+    graph after 4 synchronous peel sweeps, with full vs residual
+    degree — the cohesion companion to op_graph_pagerank (centrality),
+    op_graph_triangles (local density) and op_graph_label_prop
+    (communities). Pure integer math end to end: degrees, the >= k
+    comparisons, and the survivor set have zero float surface, so the
+    oracle comparison needs no rounding margins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    full_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree_full")
+    )
+    core = kcore_peel(edges)
+    names = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        core.join(full_deg, core["node"] == full_deg["src"])
+        .join(names, F.col("node") == F.col("p_partkey"))
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            "degree_full",
+            "core_degree",
+        )
+        .orderBy(F.desc("core_degree"), F.asc("part_key"))
+        .limit(20)
+    )

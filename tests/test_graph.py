@@ -179,3 +179,57 @@ def test_labelprop_pure_python_recount(spark):
     for r in got_rows:
         assert r.min_part == min(mins[r.community])
         assert r.max_part == max(mins[r.community])
+
+
+# --------------------------------------------------------------------------
+# k-core (op_graph_kcore)
+
+
+def test_kcore_matches_oracle(spark, duck):
+    qs, osql = _registry()
+    assert_matches_oracle(
+        qs["op_graph_kcore"](spark, SF_CORRECT),
+        duck,
+        osql["op_graph_kcore"],
+    )
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """A triangle with a pendant chain hanging off it: the chain peels
+    away sweep by sweep (cascade, not a one-shot degree filter) and
+    only the triangle survives k=2 peeling, each member at residual
+    degree 2."""
+    from gravity_books_datalakehouse_spark.operators.graph import kcore_peel
+
+    # triangle 0-1-2, chain 2-3-4-5
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src int, dst int"
+    )
+    got = {r.node: r.core_degree for r in kcore_peel(edges, k=2, n_sweeps=4).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    # one sweep removes only node 5's edges; 4 still sees degree 1 later:
+    # after a single sweep the chain is NOT fully gone (cascade needed)
+    one = {r.node for r in kcore_peel(edges, k=2, n_sweeps=1).collect()}
+    assert {0, 1, 2}.issubset(one) and 4 in one and 5 not in one
+
+
+def test_kcore_degree_invariant(spark):
+    """Every surviving node's residual degree is >= k and <= its full
+    degree on the real corpus."""
+    from gravity_books_datalakehouse_spark.operators.graph import (
+        KCORE_K,
+        copurchase_edges,
+        kcore_peel,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    edges = copurchase_edges(li)
+    full = {
+        r.src: r.n
+        for r in edges.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    core = kcore_peel(edges).collect()
+    assert len(core) > 0
+    for r in core:
+        assert KCORE_K <= r.core_degree <= full[r.node]
