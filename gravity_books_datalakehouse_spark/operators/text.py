@@ -536,3 +536,108 @@ def text_lang_confusion(spark, sf_dir):
         )
         .orderBy("declared_lang", "predicted_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document n-gram novelty (memorization-risk profiling). The
+# within-doc repetition kit (text_repetition_stats) asks "does this doc
+# repeat itself"; this asks "does the CORPUS already contain this doc's
+# phrasing" — the document-level readout of the Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better")
+# memorization analysis: a doc whose 5-grams mostly occur elsewhere adds
+# little novel signal and raises verbatim-regurgitation risk.
+
+NOVELTY_K = 5  #: n-gram order — 5-grams are the standard memorization unit
+
+_NOVELTY_LEADS = " || ' ' || ".join(
+    ["tok"] + [f"lead(tok, {i}) OVER w5" for i in range(1, NOVELTY_K)]
+)
+
+_NOVELTY_SQL = f"""WITH tok5 AS (
+    SELECT doc_id,
+           unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS pos
+    FROM documents
+  ),
+  g_raw AS (
+    SELECT doc_id, {_NOVELTY_LEADS} AS g
+    FROM tok5
+    WINDOW w5 AS (PARTITION BY doc_id ORDER BY pos)
+  ),
+  gd AS (SELECT DISTINCT doc_id, g FROM g_raw WHERE g IS NOT NULL),
+  dfreq AS (SELECT g, COUNT(*) AS df FROM gd GROUP BY g),
+  per_doc AS (
+    SELECT gd.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+    FROM gd JOIN dfreq d ON d.g = gd.g
+    GROUP BY gd.doc_id
+  )
+  SELECT doc.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(1.0 - CAST(p.n_shared AS DOUBLE) / p.n_grams), 6)
+           AS mean_novelty,
+         CAST(SUM(CASE WHEN 2 * p.n_shared > p.n_grams THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_memorization_risk
+  FROM per_doc p
+  JOIN documents doc ON doc.doc_id = p.doc_id
+  GROUP BY doc.source
+  ORDER BY doc.source"""
+
+
+@register("text_ngram_novelty", _NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty profile over distinct 5-grams: a doc's novelty
+    is the share of its 5-grams occurring in NO other document; a doc
+    is memorization-risky when over half its 5-grams appear elsewhere
+    (the flag is the exact integer test 2*n_shared > n_grams). Docs
+    shorter than 5 tokens carry no 5-gram and drop from the profile.
+
+    Plan shape: one distinct-shingle build (shared sliding-window form
+    with the dedup kit, k=5), one vocabulary-sized df aggregate, one
+    join back on the gram, then a per-doc and a per-source rollup —
+    grams shuffle as strings once, counts after. At 100 TB the gram
+    join is the cost center and shards on the gram key; replacing the
+    exact df with a Count-Min lower bound (op_sketch_countmin_terms's
+    sketch) is the documented approximation if the exact pass ever
+    dominates.
+
+    Float caveat (house margin style): per-doc novelty is one
+    correctly-rounded IEEE division (exact integers in), identical on
+    both engines; AVG sums those doubles in engine-specific order, so
+    the mean drifts ~1e-15 against a 6-dp rounding boundary ~9 orders
+    coarser. The risk COUNT is pure integers."""
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    gd = shingles(docs, k=NOVELTY_K)
+    dfreq = gd.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        gd.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.avg(
+                    F.lit(1.0)
+                    - F.col("n_shared").cast("double") / F.col("n_grams")
+                ),
+                6,
+            ).alias("mean_novelty"),
+            F.sum(
+                F.when(F.lit(2) * F.col("n_shared") > F.col("n_grams"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_memorization_risk"),
+        )
+        .transform(bounded_sort, "source")
+    )

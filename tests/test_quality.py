@@ -203,3 +203,34 @@ def test_zipf_ols_first_principles(spark, duck):
         assert abs(r.intercept - round((sy - slope * sx) / n, 4)) <= 1e-4
         assert abs(r.r2 - round(r2, 4)) <= 1e-4
         assert r.zipf_slope < 0  # frequency decreases in rank
+
+
+# --------------------------------------------------------------------------
+# Cross-document n-gram novelty (text_ngram_novelty)
+
+
+def test_ngram_novelty_constructed_semantics(spark, tmp_path):
+    """A verbatim duplicate pair flags as memorization risk (novelty 0);
+    a unique doc scores novelty 1; a doc under 5 tokens drops out."""
+    import __spark_entry__ as m
+
+    rows = [
+        (1, "src_a", "alpha beta gamma delta epsilon zeta eta"),
+        (2, "src_a", "alpha beta gamma delta epsilon zeta eta"),  # verbatim dup
+        (3, "src_b", "one two three four five six seven eight"),  # unique
+        (4, "src_b", "too short"),                                # no 5-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("n_chars", F.length("text")).withColumn(
+        "lang", F.lit("en")
+    )
+    d = str(tmp_path / "novelty")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {
+        r.source: (r.n_docs, r.mean_novelty, r.n_memorization_risk)
+        for r in m.queries()["text_ngram_novelty"](spark, d).collect()
+    }
+    # src_a: both docs fully shared -> novelty 0, both risky
+    assert out["src_a"] == (2, 0.0, 2)
+    # src_b: only doc 3 has 5-grams; fully novel, not risky
+    assert out["src_b"] == (1, 1.0, 0)
