@@ -834,3 +834,73 @@ def op_bootstrap_ci_mean_len(spark, sf_dir):
         "ci_hi",
         F.lit(_BOOT_B).cast("bigint").alias("n_replicas"),
     )
+
+
+# --------------------------------------------------------------------------
+# Purged temporal split with an embargo gap (the time-series analog of
+# the group-holdout split above; de Prado 2018's "purged k-fold" in its
+# simplest two-way form). A plain ts < cutoff split leaks: sessions,
+# label windows, or near-duplicate events that STRADDLE the boundary put
+# near-identical information on both sides. Purging an embargo interval
+# around the cutoff guarantees a minimum temporal distance between any
+# train row and any eval row.
+
+_EMBARGO_CUTOFF = "2024-01-20 00:00:00"
+_EMBARGO_END = "2024-01-22 00:00:00"  # cutoff + 2-day embargo
+
+
+@register(
+    "op_split_time_embargo",
+    f"""WITH tagged AS (
+      SELECT event_type, user_id, ts,
+             CASE WHEN ts < TIMESTAMP '{_EMBARGO_CUTOFF}' THEN 'train'
+                  WHEN ts >= TIMESTAMP '{_EMBARGO_END}' THEN 'eval'
+                  ELSE 'purged' END AS split
+      FROM events)
+    SELECT split, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ts_max
+    FROM tagged
+    GROUP BY split, event_type
+    ORDER BY split, event_type""",
+)
+def op_split_time_embargo(spark, sf_dir):
+    """Two-way temporal split with a purged embargo zone: train strictly
+    before the cutoff, eval at least the embargo width after it, the
+    zone between dropped (reported as its own 'purged' split so the
+    discarded volume is auditable). The assignment is a pure function
+    of the timestamp — deterministic under repartitioning, engine, and
+    scale, like every splitter in this module. The report pins the
+    guarantee the hash can't articulate by inspection: max(train ts) <
+    cutoff <= embargo end <= min(eval ts) per event type.
+
+    One scan, one strata-sized aggregate (3 splits x |event types|);
+    timestamps are emitted as explicit second-precision strings on both
+    engines (the DATE-stringification gotcha). COUNT(DISTINCT user_id)
+    is the built-in two-phase distinct aggregate — exact, shuffle
+    bounded by distinct users per cell."""
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        load_events,
+    )
+
+    e = load_events(spark, sf_dir)
+    split = (
+        F.when(
+            F.col("ts") < F.lit(_EMBARGO_CUTOFF).cast("timestamp"), "train"
+        )
+        .when(F.col("ts") >= F.lit(_EMBARGO_END).cast("timestamp"), "eval")
+        .otherwise("purged")
+    )
+    return (
+        e.select("event_type", "user_id", "ts", split.alias("split"))
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_min"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_max"),
+        )
+        .orderBy("split", "event_type")
+    )

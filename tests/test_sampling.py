@@ -11,7 +11,7 @@ from gravity_books_datalakehouse_spark.plans.sampling_queries import (
     rate_threshold_hex,
 )
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_thresholds_are_fixed_width_hex():
@@ -233,3 +233,27 @@ def test_bootstrap_ci_python_replay(spark):
     assert row.ci_hi == ci_hi
     assert row.ci_lo < row.mean_len < row.ci_hi
     assert row.ci_hi - row.ci_lo > 0
+
+
+def test_time_embargo_guarantee(spark):
+    """The property the hash can't articulate: every train row ends
+    strictly before the cutoff, every eval row starts at or after the
+    embargo end, and train+purged+eval partition the events exactly."""
+    import __spark_entry__ as m
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _EMBARGO_CUTOFF,
+        _EMBARGO_END,
+    )
+
+    rows = m.queries()["op_split_time_embargo"](spark, SF_CORRECT).collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r)
+    assert set(by_split) <= {"train", "purged", "eval"}
+    assert max(r.ts_max for r in by_split["train"]) < _EMBARGO_CUTOFF
+    assert min(r.ts_min for r in by_split["eval"]) >= _EMBARGO_END
+    for r in by_split.get("purged", []):
+        assert _EMBARGO_CUTOFF <= r.ts_min and r.ts_max < _EMBARGO_END
+    total = sum(r.n_events for r in rows)
+    n_all = spark.read.parquet(f"{SF_CORRECT}/events.parquet").count()
+    assert total == n_all
