@@ -641,3 +641,85 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(bounded_sort, "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-vocabulary OOV profiling. text_vocab_growth measures how the
+# corpus vocabulary grows (Heaps' law); this answers the tokenizer
+# design question downstream of it: freeze the top-V corpus tokens as
+# the vocabulary and measure each source's out-of-vocabulary TOKEN rate
+# — the coverage/fertility tradeoff every fixed-vocab tokenizer makes,
+# and a per-source drift alarm (a source whose OOV rate spikes is
+# drifting away from the token distribution the vocab was fit on).
+
+OOV_VOCAB_SIZE = 500
+
+
+@register(
+    "text_vocab_oov_rate",
+    f"""WITH toks_all AS (
+      SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    vocab AS (
+      SELECT tok FROM toks_all
+      GROUP BY tok
+      QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+              <= {OOV_VOCAB_SIZE}),
+    tagged AS (
+      SELECT d.source, t.tok, v.tok IS NULL AS oov
+      FROM toks_all t
+      JOIN documents d ON d.doc_id = t.doc_id
+      LEFT JOIN vocab v ON v.tok = t.tok)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM tagged
+    GROUP BY source
+    ORDER BY source""",
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary token rate against the frozen top-V
+    corpus vocabulary (V=500, ties broken token-ASC so the cut is
+    deterministic on both engines). Token OCCURRENCES count, not
+    distinct types — OOV rate is a per-token cost model.
+
+    Plan shape: one token explode feeding both legs; the vocabulary is
+    TakeOrderedAndProject over the token-count aggregate (distributed
+    top-V, no global rank window) and enters the tagging join as a
+    BROADCAST (V is a constant — the vocab side is model-state-sized
+    at any corpus size, the literal-centroid contract in join form).
+    The per-source rollup is strata-sized. Exact integers everywhere;
+    the one division is correctly-rounded IEEE on identical inputs."""
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col()).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .transform(bounded_sort, "source")
+    )

@@ -234,3 +234,29 @@ def test_ngram_novelty_constructed_semantics(spark, tmp_path):
     assert out["src_a"] == (2, 0.0, 2)
     # src_b: only doc 3 has 5-grams; fully novel, not risky
     assert out["src_b"] == (1, 1.0, 0)
+
+
+def test_vocab_oov_rate_boundary_tie(spark, tmp_path, monkeypatch):
+    """The top-V cut breaks count ties token-ASC: with V=2 and three
+    tokens at equal frequency, 'aa'/'bb' enter the vocab and 'cc' is
+    OOV everywhere it occurs."""
+    from gravity_books_datalakehouse_spark.operators import text as text_ops
+    import __spark_entry__ as m
+
+    monkeypatch.setattr(text_ops, "OOV_VOCAB_SIZE", 2)
+    rows = [
+        (1, "s1", "aa bb cc"),
+        (2, "s2", "aa bb cc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("n_chars", F.length("text")).withColumn("lang", F.lit("en"))
+    d = str(tmp_path / "oov")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {
+        r.source: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in text_ops.text_vocab_oov_rate(spark, d).collect()
+    }
+    assert out == {
+        "s1": (3, 1, round(1 / 3, 6)),
+        "s2": (3, 1, round(1 / 3, 6)),
+    }
