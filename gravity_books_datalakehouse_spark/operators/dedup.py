@@ -1639,3 +1639,116 @@ def pipeline_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gain").cast("bigint").alias("new_shingles"),
         F.sum("gain").over(w).cast("bigint").alias("covered_total"),
     ).orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# Sorted Neighborhood Method (Hernández & Stolfo, SIGMOD 1995): sort
+# records by a key, slide a fixed window of W records, compare only
+# records that land within the same window. The third blocking geometry
+# next to equality blocking (dedup_fuzzy_prefix) and prefix filtering
+# (dedup_prefix_cosine_pairs) — its distinctive property is SKEW
+# IMMUNITY: a hot blocking key that explodes an equality block
+# quadratically (|block|^2 comparisons) still costs SNM exactly W-1
+# comparisons per record, because the window is fixed-width in RANK, not
+# in key cardinality.
+
+_SNM_KEY_LEN = 24  #: sort key = ASCII-projected lowercased head (fuzzy twin)
+_SNM_BUCKET = 2  #: rank windows partition by this key prefix (see note)
+_SNM_WINDOW = 8  #: compare records within W-1 ranks
+_SNM_MAX_LEV = 6  #: verify threshold, shared with dedup_fuzzy_prefix
+
+
+_SNM_SQL = f"""WITH k AS (
+      SELECT doc_id,
+             regexp_replace(LOWER(SUBSTR(text, 1, {_SNM_KEY_LEN})),
+                            '{_FUZZY_ASCII_RE}', '', 'g') AS key
+      FROM documents),
+    r AS (
+      SELECT doc_id, key, SUBSTR(key, 1, {_SNM_BUCKET}) AS bkt,
+             ROW_NUMBER() OVER (PARTITION BY SUBSTR(key, 1, {_SNM_BUCKET})
+                                ORDER BY key, doc_id) AS rn
+      FROM k)
+    SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+           GREATEST(a.doc_id, b.doc_id) AS doc_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.key, b.key) AS INT) AS lev
+    FROM r a
+    JOIN r b ON a.bkt = b.bkt
+            AND b.rn > a.rn AND b.rn < a.rn + {_SNM_WINDOW}
+    WHERE levenshtein(a.key, b.key) <= {_SNM_MAX_LEV}
+    ORDER BY doc_a, doc_b"""
+
+
+@register("dedup_sorted_neighborhood", _SNM_SQL)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by the Sorted Neighborhood Method: records sort on
+    the ASCII-projected 24-char head, a W=8 rank window slides over the
+    sort order, and in-window pairs verify with banded Levenshtein <= 6
+    (the dedup_fuzzy_prefix threshold — the two operators are the same
+    matcher under different blocking geometries, so their disagreement
+    is a direct blocking-recall measurement).
+
+    Scale shape: the rank window partitions by the key's 2-char prefix
+    — NO unpartitioned row_number over the corpus (the single-task
+    window the SNM literature's "global sort" would naively become).
+    Windows therefore never span a bucket boundary; that loses only
+    pairs whose keys differ in the FIRST TWO characters, which a
+    Levenshtein-<=6 pair of 24-char keys rarely does — and the
+    standard multi-pass SNM remedy (second pass on a rotated key)
+    composes as just another call. Within a bucket the W-window
+    self-join keys on the bucket with a rank-range predicate: per
+    record exactly W-1 candidates regardless of key skew — the
+    property equality blocking lacks. The window ordering (key,
+    doc_id) is a total order, so ranks, candidates, and survivors are
+    deterministic on both engines; Levenshtein agrees cross-engine on
+    the ASCII projection (the dedup_fuzzy_prefix soundness note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, _SNM_KEY_LEN)),
+            _FUZZY_ASCII_RE,
+            "",
+        ).alias("key"),
+    )
+    r = k.select(
+        "doc_id",
+        "key",
+        F.substring("key", 1, _SNM_BUCKET).alias("bkt"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bkt").orderBy("key", "doc_id")
+        ),
+    )
+    a = r.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.col("bkt").alias("bkt_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = r.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("key").alias("key_b"),
+        F.col("bkt").alias("bkt_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bkt_a") == F.col("bkt_b"))
+            & (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") < F.col("rn_a") + _SNM_WINDOW),
+        )
+        .withColumn(
+            "lev", F.levenshtein("key_a", "key_b", _SNM_MAX_LEV).cast("int")
+        )
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= _SNM_MAX_LEV))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            (F.col("rn_b") - F.col("rn_a")).cast("bigint").alias("rank_gap"),
+            "lev",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -196,3 +196,57 @@ def test_greedy_coverage_antijoin_escape_hatch(spark, monkeypatch):
         for r in dedup.pipeline_greedy_coverage(spark, SF_SMOKE).collect()
     ]
     assert via_join == baseline
+
+
+# --------------------------------------------------------------------------
+# Sorted Neighborhood Method (dedup_sorted_neighborhood)
+
+
+def test_snm_matches_oracle(spark, duck):
+    import __spark_entry__ as m
+
+    qs, osql = m.queries(), m.oracle_sql()
+    assert_matches_oracle(
+        qs["dedup_sorted_neighborhood"](spark, SF_CORRECT),
+        duck,
+        osql["dedup_sorted_neighborhood"],
+    )
+
+
+def test_snm_window_semantics(spark, tmp_path):
+    """Adjacent-in-sort near-dups pair up; records more than W-1 ranks
+    apart never compare even with identical keys' prefixes; candidate
+    degree is bounded by W-1 regardless of key skew."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _SNM_WINDOW,
+        dedup_sorted_neighborhood,
+    )
+
+    # 20 docs sharing the bucket prefix 'aa', keys ascending; doc 0 and
+    # doc 1 are near-identical (lev 1), doc 0 vs doc 19 identical heads
+    # would match on lev but sit 19 ranks apart -> outside the window.
+    rows = [(0, "s", "aardvark unique text zero")]
+    rows += [(1, "s", "aardvark unique text zeroo")]
+    rows += [
+        (i, "s", f"aa{chr(ord('b') + i)} filler document {i}")
+        for i in range(2, 19)
+    ]
+    rows += [(19, "s", "aardvark unique text zero")]  # dup of 0, far in id
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("n_chars", F.length("text")).withColumn("lang", F.lit("en"))
+    d = str(tmp_path / "snm")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_sorted_neighborhood(spark, d).collect()
+    }
+    # the three aardvark docs sort adjacently: all three pairs found
+    assert {(0, 1), (0, 19), (1, 19)} <= pairs
+    # degree bound: no record participates in more than W-1 pairs
+    from collections import Counter
+
+    deg = Counter()
+    for x, y in pairs:
+        deg[x] += 1
+        deg[y] += 1
+    assert max(deg.values()) <= 2 * (_SNM_WINDOW - 1)
