@@ -1669,3 +1669,81 @@ def op_ks_drift_by_source(spark, sf_dir):
             * d38(F.col("n"))
         ).alias("drift_flag"),
     ).transform(bounded_sort, "source")
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (Sweeney 2002): a released table is k-anonymous
+# over a quasi-identifier set when every QI combination covers >= k
+# rows. Training corpora ship with metadata tables; auditing the QI
+# cells BEFORE release is the governance gate that catches singleton
+# cells (one person per (segment, nation, balance-band) = re-identifiable).
+
+_KANON_K = 5
+
+
+@register(
+    "op_k_anonymity",
+    f"""WITH cells AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(FLOOR(c_acctbal / 1000.0) AS INT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS cell_k
+      FROM customer
+      GROUP BY 1, 2, 3)
+    SELECT seg AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           MIN(cell_k) AS min_cell_size,
+           CAST(SUM(CASE WHEN cell_k < {_KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unsafe_cells,
+           CAST(SUM(CASE WHEN cell_k < {_KANON_K} THEN cell_k ELSE 0 END)
+                AS BIGINT) AS n_exposed_rows,
+           MIN(cell_k) >= {_KANON_K} AS k_anonymous
+    FROM cells
+    GROUP BY seg
+    ORDER BY seg""",
+)
+def op_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier triple (market
+    segment, nation, account-balance band of width 1000): per segment,
+    the QI cell count, the smallest cell, how many cells fall under
+    k={_KANON_K}, how many ROWS those unsafe cells expose, and the
+    verdict flag. Pure integer counting — the only float is the
+    band cut FLOOR(acctbal/1000.0), exact in IEEE because a boundary
+    can only occur at whole multiples of 1000.00, which widen from
+    DECIMAL(15,2) to double exactly.
+
+    Plan shape: one scan collapsing map-side to the QI histogram
+    (|segments| x |nations| x |bands| cells — domain-bounded, the PSI
+    spine contract), then a segment-sized rollup. At 100 TB identical:
+    the shuffle carries cells, never customers. The remediation step
+    this report drives (suppress or generalize unsafe cells) is a
+    semi-join of the data against the unsafe cell list — cells, not
+    rows, move."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("band"),
+        )
+        .groupBy("seg", "nat", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_k"))
+    )
+    return (
+        cells.groupBy(F.col("seg").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.min("cell_k").alias("min_cell_size"),
+            F.sum(F.when(F.col("cell_k") < _KANON_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unsafe_cells"),
+            F.sum(
+                F.when(F.col("cell_k") < _KANON_K, F.col("cell_k")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_exposed_rows"),
+            (F.min("cell_k") >= _KANON_K).alias("k_anonymous"),
+        )
+        .transform(bounded_sort, "mktsegment")
+    )

@@ -174,3 +174,40 @@ def test_quantile_normalize_python_replay(spark):
     sizes = {v[0] for v in got.values()}
     if len(sizes) == 1:  # equal-size sources -> identical mapped multiset
         assert len({v[2] for v in got.values()}) == 1
+
+
+def test_k_anonymity_python_replay(spark):
+    """Recompute the QI histogram in pure python and demand identical
+    unsafe-cell accounting."""
+    import duckdb as _duckdb
+    from collections import Counter
+    import math
+
+    import __spark_entry__ as m
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        _KANON_K,
+    )
+    from tests.conftest import SF_CORRECT
+
+    con = _duckdb.connect()
+    rows = con.execute(
+        "SELECT c_mktsegment, c_nationkey, c_acctbal FROM "
+        f"read_parquet('{SF_CORRECT}/customer.parquet')"
+    ).fetchall()
+    con.close()
+    cells = Counter(
+        (seg, nat, math.floor(float(bal) / 1000.0)) for seg, nat, bal in rows
+    )
+    want = {}
+    for (seg, _, _), k in cells.items():
+        d = want.setdefault(seg, [0, 10**9, 0, 0])
+        d[0] += 1
+        d[1] = min(d[1], k)
+        if k < _KANON_K:
+            d[2] += 1
+            d[3] += k
+    got = {
+        r.mktsegment: [r.n_cells, r.min_cell_size, r.n_unsafe_cells, r.n_exposed_rows]
+        for r in m.queries()["op_k_anonymity"](spark, SF_CORRECT).collect()
+    }
+    assert got == want
