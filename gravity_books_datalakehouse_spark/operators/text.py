@@ -723,3 +723,81 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(bounded_sort, "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch packing report. Training batches pad every
+# sequence to the longest member; bucketing by length first (the
+# "bucketed batching" every LLM data loader implements) bounds the
+# padding waste by the bucket width. This report quantifies that
+# tradeoff on the actual corpus: per 32-token bucket, how many docs,
+# how many real tokens, and the padding fraction if batches form within
+# the bucket — against which a pytest pins the global-padding baseline.
+
+PAD_BUCKET_WIDTH = 32
+
+
+@register(
+    "text_length_bucket_padding",
+    f"""WITH lens AS (
+      SELECT len({TOKS_SQL}) AS n_tok FROM documents),
+    bucketed AS (
+      SELECT n_tok,
+             ((n_tok + {PAD_BUCKET_WIDTH - 1}) // {PAD_BUCKET_WIDTH})
+               * {PAD_BUCKET_WIDTH} AS bucket_max
+      FROM lens)
+    SELECT CAST(bucket_max AS BIGINT) AS bucket_max,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) * bucket_max AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(SUM(n_tok) AS DOUBLE) / (COUNT(*) * bucket_max),
+                 6) AS waste_frac
+    FROM bucketed
+    GROUP BY bucket_max
+    ORDER BY bucket_max""",
+)
+def text_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste profile under 32-token length bucketing: each doc
+    pads to its bucket ceiling ((n+31) div 32)*32 — pure integer
+    arithmetic, so buckets, capacities, and token sums are exact on
+    both engines; the waste fraction is one correctly-rounded IEEE
+    division per bucket row.
+
+    Plan shape: token counting is size(split(...)) — a projection, the
+    text never explodes — then a map-side collapse to the LENGTH
+    histogram (value-domain-bounded) and a bucket-count rollup. The
+    operational reading: total padded_tokens across buckets is the
+    compute cost of bucketed batching; the same corpus padded to its
+    global max costs n_docs * max_len — the pytest pins that bucketing
+    strictly wins whenever lengths vary."""
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = PAD_BUCKET_WIDTH
+    lens = docs.select(F.size(tokens_col()).alias("n_tok"))
+    bucketed = lens.withColumn(
+        "bucket_max",
+        F.expr(f"((n_tok + {w - 1}) div {w}) * {w}"),
+    )
+    return (
+        bucketed.groupBy("bucket_max")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("bucket_max").cast("bigint").alias("bucket_max"),
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") * F.col("bucket_max"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_max")),
+                6,
+            ).alias("waste_frac"),
+        )
+        .transform(bounded_sort, "bucket_max")
+    )

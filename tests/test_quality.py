@@ -260,3 +260,21 @@ def test_vocab_oov_rate_boundary_tie(spark, tmp_path, monkeypatch):
         "s1": (3, 1, round(1 / 3, 6)),
         "s2": (3, 1, round(1 / 3, 6)),
     }
+
+
+def test_length_bucket_padding_beats_global(spark):
+    """Bucketed padded capacity must be <= global-max padding, strictly
+    less when lengths vary; real-token totals must be conserved."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_CORRECT
+
+    rows = m.queries()["text_length_bucket_padding"](spark, SF_CORRECT).collect()
+    assert len(rows) > 1, "corpus should span multiple length buckets"
+    n_docs = sum(r.n_docs for r in rows)
+    n_tokens = sum(r.n_tokens for r in rows)
+    padded = sum(r.padded_tokens for r in rows)
+    global_padded = n_docs * max(r.bucket_max for r in rows)
+    assert n_tokens <= padded < global_padded
+    # per-bucket waste is bounded by the bucket width
+    for r in rows:
+        assert 0.0 <= r.waste_frac < 32.0 / r.bucket_max + 1e-9
