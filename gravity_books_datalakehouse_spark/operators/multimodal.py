@@ -227,3 +227,98 @@ def mm_payload_dedup(spark, sf_dir):
         .filter(F.col("n_copies") >= 2)
         .orderBy("payload_fp", "media_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio windowing plan: the segmentation step every audio feature
+# pipeline runs before the codec touches a byte (fixed windows with
+# overlap -> one feature-extraction task per window). The PLAN is pure
+# integer arithmetic over metadata — window offsets, not samples — so
+# it is exactly oracle-checkable even though the decode itself is
+# stubbed; a real deployment feeds these (doc_id, start, end) spans to
+# the mapInPandas decode kernel above.
+
+AUDIO_SAMPLE_RATE = 16000
+AUDIO_WINDOW = 8000  #: samples per window (0.5 s @ 16 kHz)
+AUDIO_HOP = 4000  #: hop (50% overlap)
+
+
+@register(
+    "mm_audio_window_plan",
+    f"""WITH audio AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             octet_length(encode(text)) * 8 AS n_samples
+      FROM documents
+      WHERE doc_id % 3 = 1),
+    planned AS (
+      SELECT doc_id, n_samples,
+             CASE WHEN n_samples < {AUDIO_WINDOW} THEN 1
+                  ELSE (n_samples - {AUDIO_WINDOW}) // {AUDIO_HOP} + 1
+             END AS n_windows
+      FROM audio),
+    exploded AS (
+      SELECT doc_id, n_samples,
+             unnest(generate_series(0, n_windows - 1)) AS w
+      FROM planned)
+    SELECT doc_id,
+           CAST(w AS INT) AS window_idx,
+           CAST(w * {AUDIO_HOP} AS BIGINT) AS start_sample,
+           CAST(LEAST(w * {AUDIO_HOP} + {AUDIO_WINDOW}, n_samples)
+                AS BIGINT) AS end_sample,
+           w * {AUDIO_HOP} + {AUDIO_WINDOW} > n_samples AS padded
+    FROM exploded
+    ORDER BY doc_id, window_idx""",
+)
+def mm_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window segmentation plan for the audio-typed
+    payloads (0.5 s windows, 50% hop at the synthetic 16 kHz):
+    one row per (doc, window) with exact sample offsets, the final
+    window clamped and flagged when it would read past the end; audio
+    shorter than one window yields a single padded window. Sample
+    counts derive from payload byte length (the metadata stand-in for
+    the stubbed codec's header parse — the plan logic is codec-free by
+    design).
+
+    Plan shape: a metadata projection (payload bytes never move),
+    integer window count per doc, then sequence+explode — output rows
+    proportional to total audio duration over hop, the plan's own
+    size. At 100 TB the window plan co-partitions with the payload
+    scan, so the downstream decode (mapInPandas over payload + spans)
+    reads each payload exactly once, map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = docs.where(F.col("doc_id") % 3 == 1).select(
+        "doc_id",
+        (F.length(F.encode(F.col("text"), "UTF-8")) * 8).alias("n_samples"),
+    )
+    planned = audio.withColumn(
+        "n_windows",
+        F.when(F.col("n_samples") < AUDIO_WINDOW, F.lit(1)).otherwise(
+            F.expr(f"(n_samples - {AUDIO_WINDOW}) div {AUDIO_HOP} + 1")
+        ),
+    )
+    return (
+        planned.select(
+            "doc_id",
+            "n_samples",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_windows").cast("int") - 1)
+            ).alias("window_idx"),
+        )
+        .select(
+            "doc_id",
+            "window_idx",
+            (F.col("window_idx").cast("bigint") * AUDIO_HOP).alias(
+                "start_sample"
+            ),
+            F.least(
+                F.col("window_idx").cast("bigint") * AUDIO_HOP + AUDIO_WINDOW,
+                F.col("n_samples").cast("bigint"),
+            ).alias("end_sample"),
+            (
+                F.col("window_idx").cast("bigint") * AUDIO_HOP + AUDIO_WINDOW
+                > F.col("n_samples")
+            ).alias("padded"),
+        )
+        .orderBy("doc_id", "window_idx")
+    )

@@ -54,3 +54,35 @@ def test_arrow_decode_matches_pandas_decode(spark):
     via_pandas = sorted(map(tuple, decode_media(docs).collect()))
     via_arrow = sorted(map(tuple, decode_media_arrow(docs).collect()))
     assert via_pandas == via_arrow
+
+
+def test_audio_window_plan_coverage_invariants(spark):
+    """Every audio doc's windows tile [0, n_samples] with hop-width
+    starts, the last window is clamped/padded correctly, and coverage
+    is gapless (next start <= previous end)."""
+    import __spark_entry__ as m
+    from gravity_books_datalakehouse_spark.operators.multimodal import (
+        AUDIO_HOP,
+        AUDIO_WINDOW,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = m.queries()["mm_audio_window_plan"](spark, SF_CORRECT).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, ws in by_doc.items():
+        ws.sort(key=lambda r: r.window_idx)
+        assert [w.window_idx for w in ws] == list(range(len(ws)))
+        for w in ws:
+            assert w.start_sample == w.window_idx * AUDIO_HOP
+            assert w.end_sample - w.start_sample <= AUDIO_WINDOW
+            assert w.padded == (w.end_sample - w.start_sample < AUDIO_WINDOW)
+        for prev, nxt in zip(ws, ws[1:]):
+            assert nxt.start_sample <= prev.end_sample  # overlap, no gap
+        # no unpadded continuation possible past the last window
+        last = ws[-1]
+        assert last.padded or (
+            last.end_sample - (last.window_idx + 1) * AUDIO_HOP < AUDIO_WINDOW
+        )
