@@ -1752,3 +1752,189 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Blocking-quality evaluation (the standard entity-resolution metrics:
+# reduction ratio and pairs completeness, e.g. Christen 2012, "Data
+# Matching"). Blocking schemes trade recall for subquadratic cost; this
+# report MEASURES that trade on a hash sample where exhaustive ground
+# truth is affordable, for the two geometries this module ships —
+# equality blocking (dedup_fuzzy_prefix's 4-char block) and the sorted
+# neighborhood window (dedup_sorted_neighborhood). The output drives the
+# blocking choice the way recall reports drive the ANN index choice
+# (sim_ann_recall_report — this is its entity-resolution sibling).
+
+_BQ_SAMPLE_RATE = 0.30  #: of documents, by md5(doc_id) — deterministic
+_BQ_NIBBLES = 4
+
+
+def _bq_sample_threshold() -> str:
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        rate_threshold_hex,
+    )
+
+    return rate_threshold_hex(_BQ_SAMPLE_RATE, _BQ_NIBBLES)
+
+
+def _bq_oracle_sql() -> str:
+    thr = _bq_sample_threshold()
+    return f"""WITH s AS (
+      SELECT doc_id,
+             regexp_replace(LOWER(SUBSTR(text, 1, {_SNM_KEY_LEN})),
+                            '{_FUZZY_ASCII_RE}', '', 'g') AS key
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, {_BQ_NIBBLES})
+            < '{thr}'),
+    n AS (SELECT COUNT(*) AS n_docs FROM s),
+    truth AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.key, b.key) <= {_SNM_MAX_LEV}),
+    blk AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM s a JOIN s b
+        ON SUBSTR(a.key, 1, {_FUZZY_BLOCK}) = SUBSTR(b.key, 1, {_FUZZY_BLOCK})
+       AND a.doc_id < b.doc_id),
+    r AS (
+      SELECT doc_id, SUBSTR(key, 1, {_SNM_BUCKET}) AS bkt,
+             ROW_NUMBER() OVER (PARTITION BY SUBSTR(key, 1, {_SNM_BUCKET})
+                                ORDER BY key, doc_id) AS rn
+      FROM s),
+    snm AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS da,
+             GREATEST(a.doc_id, b.doc_id) AS db
+      FROM r a JOIN r b
+        ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn < a.rn + {_SNM_WINDOW}),
+    m AS (
+      SELECT 'prefix_block' AS method, da, db FROM blk
+      UNION ALL
+      SELECT 'sorted_neighborhood', da, db FROM snm)
+    SELECT m.method,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_found,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE)
+                 / ((SELECT n_docs FROM n) * ((SELECT n_docs FROM n) - 1) / 2),
+                 6) AS reduction_ratio,
+           ROUND(CAST(SUM(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 6) AS pairs_completeness
+    FROM m
+    LEFT JOIN truth t ON t.da = m.da AND t.db = m.db
+    GROUP BY m.method
+    ORDER BY m.method"""
+
+
+@register("dedup_blocking_quality", _bq_oracle_sql())
+def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio + pairs completeness for the module's two
+    blocking geometries, measured against exhaustive ground truth
+    (banded Levenshtein <= 6 on the shared 24-char keys) over a
+    deterministic 30% md5(doc_id) sample. One row per method.
+
+    The ground-truth stage is a DELIBERATE bounded all-pairs join over
+    the sample — |S|^2/2 banded-Levenshtein calls is the definition of
+    exhaustive truth, affordable precisely because it runs on the hash
+    sample, never the corpus (the evaluation-on-a-sample contract every
+    blocking-quality audit uses; at 100 TB the sample rate drops, the
+    shape stands). Candidates per method replay the production
+    operators' own blocking rules ON THE SAMPLE, so completeness here
+    is an unbiased estimate of each geometry's recall in production.
+    Everything but the two 6-dp ratio divisions is exact integers."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        hash_fraction_hex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.where(
+        hash_fraction_hex(F.col("doc_id"), _BQ_NIBBLES)
+        < _bq_sample_threshold()
+    ).select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, _SNM_KEY_LEN)),
+            _FUZZY_ASCII_RE,
+            "",
+        ).alias("key"),
+    ).localCheckpoint()
+    n_docs = s.count()
+    total_pairs = n_docs * (n_docs - 1) // 2
+    a = s.select(F.col("doc_id").alias("da"), F.col("key").alias("ka"))
+    b = s.select(F.col("doc_id").alias("db"), F.col("key").alias("kb"))
+    truth = (
+        a.join(b, F.col("da") < F.col("db"))
+        .withColumn("lev", F.levenshtein("ka", "kb", _SNM_MAX_LEV))
+        .where((F.col("lev") >= 0) & (F.col("lev") <= _SNM_MAX_LEV))
+        .select("da", "db")
+        .localCheckpoint()
+    )
+    blk = (
+        a.withColumn("blk_a", F.substring("ka", 1, _FUZZY_BLOCK))
+        .join(
+            b.withColumn("blk_b", F.substring("kb", 1, _FUZZY_BLOCK)),
+            F.col("blk_a") == F.col("blk_b"),
+        )
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+    )
+    r = s.select(
+        "doc_id",
+        F.substring("key", 1, _SNM_BUCKET).alias("bkt"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.substring("key", 1, _SNM_BUCKET)).orderBy(
+                "key", "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    ra = r.select(
+        F.col("doc_id").alias("ia"), F.col("bkt").alias("ba"), F.col("rn").alias("rna")
+    )
+    rb = r.select(
+        F.col("doc_id").alias("ib"), F.col("bkt").alias("bb"), F.col("rn").alias("rnb")
+    )
+    snm = (
+        ra.join(
+            rb,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("rnb") > F.col("rna"))
+            & (F.col("rnb") < F.col("rna") + _SNM_WINDOW),
+        )
+        .select(
+            F.least("ia", "ib").alias("da"), F.greatest("ia", "ib").alias("db")
+        )
+    )
+    methods = blk.withColumn("method", F.lit("prefix_block")).unionByName(
+        snm.withColumn("method", F.lit("sorted_neighborhood"))
+    )
+    n_true = truth.count()
+    return (
+        methods.join(
+            truth.withColumn("is_true", F.lit(True)), ["da", "db"], "left"
+        )
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.lit(n_true).cast("bigint").alias("n_true_pairs"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_found"),
+        )
+        .select(
+            "method",
+            "n_candidates",
+            "n_true_pairs",
+            "n_true_found",
+            F.round(
+                F.lit(1.0) - F.col("n_candidates").cast("double") / total_pairs,
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_true_found").cast("double") / F.lit(n_true), 6
+            ).alias("pairs_completeness"),
+        )
+        .orderBy("method")
+    )

@@ -250,3 +250,18 @@ def test_snm_window_semantics(spark, tmp_path):
         deg[x] += 1
         deg[y] += 1
     assert max(deg.values()) <= 2 * (_SNM_WINDOW - 1)
+
+
+def test_blocking_quality_metrics_sane(spark):
+    """Both methods: candidates <= all pairs, found <= min(true,
+    candidates), ratios in [0,1]; ground truth is non-empty on the
+    planted-dup corpus."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["dedup_blocking_quality"](spark, SF_CORRECT).collect()
+    assert {r.method for r in rows} == {"prefix_block", "sorted_neighborhood"}
+    for r in rows:
+        assert r.n_true_pairs > 0
+        assert 0 <= r.n_true_found <= min(r.n_true_pairs, r.n_candidates)
+        assert 0.0 <= r.reduction_ratio <= 1.0
+        assert 0.0 <= r.pairs_completeness <= 1.0
