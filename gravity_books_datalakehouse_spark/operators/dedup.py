@@ -1938,3 +1938,151 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact set-containment join (quote / near-subset detection). Cosine
+# symmetric similarity (dedup_prefix_cosine_pairs) misses the A-quoted-
+# inside-B case: a short doc fully contained in a long one has low
+# cosine but containment |A∩B|/|A| ~ 1. The prefix principle adapts
+# asymmetrically (Chaudhuri et al. ICDE 2006's SSJoin / the PPJoin
+# containment variant): if |A∩B| >= t|A|, then A's prefix of its
+# (1-t)|A|+1 RAREST tokens must hit B somewhere — so A-prefix joins
+# B's FULL token relation, and common tokens never become join keys
+# from the A side.
+
+_CONTAIN_NUM = 9  #: t = 9/10 containment threshold
+_CONTAIN_DEN = 10
+
+_CONTAIN_SQL = f"""WITH {_BIGRAMS_SQL},
+  sz AS (SELECT doc_id, COUNT(*) AS l FROM bgd GROUP BY doc_id),
+  dfreq AS (SELECT shingle, COUNT(*) AS df FROM bgd GROUP BY shingle),
+  pfx AS (
+    SELECT g.doc_id, g.shingle, s.l
+    FROM bgd g
+    JOIN dfreq d ON d.shingle = g.shingle
+    JOIN sz s ON s.doc_id = g.doc_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY d.df, g.shingle)
+            <= s.l - ({_CONTAIN_NUM} * s.l + {_CONTAIN_DEN - 1}) // {_CONTAIN_DEN} + 1
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.l AS la
+    FROM pfx a
+    JOIN bgd b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    JOIN sz sb ON sb.doc_id = b.doc_id
+             AND {_CONTAIN_DEN} * sb.l >= {_CONTAIN_NUM} * a.l
+  ),
+  sets AS (SELECT doc_id, list(shingle) AS toks FROM bgd GROUP BY doc_id),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, c.la, len(sy.toks) AS lb,
+           len(list_intersect(sx.toks, sy.toks)) AS o
+    FROM cand c
+    JOIN sets sx ON sx.doc_id = c.doc_a
+    JOIN sets sy ON sy.doc_id = c.doc_b
+  )
+  SELECT doc_a, doc_b,
+         CAST(la AS BIGINT) AS size_a,
+         CAST(lb AS BIGINT) AS size_b,
+         CAST(o AS BIGINT) AS n_common,
+         ROUND(CAST(o AS DOUBLE) / la, 6) AS containment
+  FROM inter
+  WHERE {_CONTAIN_DEN} * o >= {_CONTAIN_NUM} * la
+  ORDER BY doc_a, doc_b"""
+
+
+@register("dedup_containment_pairs", _CONTAIN_SQL)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed containment pairs over word-bigram sets:
+    every ordered pair (A, B) with |A∩B| >= (9/10)|A|, A != B — the
+    quote/near-subset detector. The acceptance DECISION is the integer
+    test 10*o >= 9*la; only the reported containment column is a
+    correctly-rounded IEEE division.
+
+    Asymmetric prefix filter: A's candidate keys are only its
+    floor(|A|/10)+1 rarest bigrams (df order, lossless for containment
+    >= 9/10), but they probe B's FULL bigram relation — a qualifying
+    pair need share nothing inside B's prefix. Cost is
+    sum(df(token)) over prefix tokens, not sum(df^2) over all tokens.
+    Verify reuses the interned long-id sets and the in-row
+    size(array_intersect) form (the PPJoin verify lesson); both
+    CPU-bound stages pin their width past AQE byte-based coalescing.
+    The tid tie-break differs from the oracle's (df, shingle) order —
+    candidates may differ, the verified output cannot (any shared
+    total token order makes the prefix lossless)."""
+    bg = _cached_bigram_ids(spark, sf_dir)
+    p = spark.sparkContext.defaultParallelism
+    dfreq = bg.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
+    annotated = bg.join(dfreq, "tid")
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "tid")
+    w_doc = Window.partitionBy("doc_id")
+    pfx = (
+        annotated.withColumn("l", F.count(F.lit(1)).over(w_doc))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(
+            F.col("rn")
+            <= F.col("l")
+            - F.expr(
+                f"({_CONTAIN_NUM} * l + {_CONTAIN_DEN - 1}) div {_CONTAIN_DEN}"
+            )
+            + 1
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("tid").alias("t_a"),
+            F.col("l").alias("la"),
+        )
+        .repartition(p, "t_a")
+    )
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("lb_"))
+    full = bg.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tid").alias("t_b"),
+        F.col("lb_"),
+    )
+    # size feasibility folded into the candidate join: o <= |B|, so a
+    # container smaller than t|A| can never qualify — prunes before the
+    # distinct, same class of lossless cut as the PPJoin size filter
+    cand = (
+        pfx.join(
+            full,
+            (F.col("t_a") == F.col("t_b"))
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (
+                F.lit(_CONTAIN_DEN) * F.col("lb_")
+                >= F.lit(_CONTAIN_NUM) * F.col("la")
+            ),
+        )
+        .select("doc_a", "doc_b", "la")
+        .distinct()
+    )
+    sets = bg.groupBy("doc_id").agg(F.collect_list("tid").alias("toks"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.size("toks").alias("lb"),
+    )
+    inter = (
+        cand.repartition(p, "doc_a")
+        .join(sa, "doc_a")
+        .repartition(p, "doc_b")
+        .join(sb, "doc_b")
+        .withColumn("o", F.size(F.array_intersect("ta", "tb")))
+        .select("doc_a", "doc_b", "la", "lb", "o")
+    )
+    return (
+        inter.filter(
+            F.lit(_CONTAIN_DEN) * F.col("o") >= F.lit(_CONTAIN_NUM) * F.col("la")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("la").cast("bigint").alias("size_a"),
+            F.col("lb").cast("bigint").alias("size_b"),
+            F.col("o").cast("bigint").alias("n_common"),
+            F.round(F.col("o").cast("double") / F.col("la"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

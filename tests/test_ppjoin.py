@@ -265,3 +265,34 @@ def test_blocking_quality_metrics_sane(spark):
         assert 0 <= r.n_true_found <= min(r.n_true_pairs, r.n_candidates)
         assert 0.0 <= r.reduction_ratio <= 1.0
         assert 0.0 <= r.pairs_completeness <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Exact containment join (dedup_containment_pairs)
+
+
+def test_containment_exact_vs_brute_force(spark):
+    """Directed containment: no false negatives from the asymmetric
+    prefix filter, none from the size prune; acceptance is the integer
+    rule 10*o >= 9*la."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _CONTAIN_DEN,
+        _CONTAIN_NUM,
+        dedup_containment_pairs,
+    )
+
+    sets = _bigram_sets(SF_SMOKE)
+    want = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            o = len(sa & sb)
+            if _CONTAIN_DEN * o >= _CONTAIN_NUM * len(sa):
+                want.add((a, b, len(sa), len(sb), o))
+    got = {
+        (r.doc_a, r.doc_b, r.size_a, r.size_b, r.n_common)
+        for r in dedup_containment_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert want, "smoke corpus should contain near-subset pairs"
