@@ -39,11 +39,23 @@ _PRIORITY_HEAD = [
     #   2. the 10 entries those operators displaced late in round 7;
     #   3. op_drift_psi_events — re-witness: its bin expression gained a
     #      lower clamp on BOTH engines this round;
-    #   4. 20 of the remaining 31 round-3-witnessed entries.
-    # Round-9 queue: the last 9 round-3 entries
-    # (op_w_trailing_range_frame, op_merge_upsert_snapshot,
-    # op_cap_per_source, dedup_simhash, mm_frame_sample,
-    # ev_tumbling_hourly, op_sample_temperature_mix,
+    #   4. the 10 operators ADDED in round 8 (op_graph_kcore,
+    #      text_ngram_novelty, op_split_time_embargo,
+    #      text_vocab_oov_rate, dedup_sorted_neighborhood,
+    #      op_k_anonymity, text_length_bucket_padding,
+    #      mm_audio_window_plan, dedup_blocking_quality,
+    #      dedup_containment_pairs) — never witnessed by definition;
+    #   5. family-coverage fills (star/sketch/scd2/outliers);
+    #   6. 6 of the remaining 31 round-3-witnessed entries.
+    # Round-9 queue: the other round-3 entries (pipeline_curate_corpus,
+    # sim_quantized_topk, op_grouped_agg_weighted_avg,
+    # op_asof_join_prev_purchase, text_pii_redact,
+    # op_udtf_token_explode, text_repetition_stats, text_segment_dedup,
+    # text_bigram_logprob, text_bm25_topk, text_hybrid_rrf_topk,
+    # op_expectations_check, ev_funnel_signup_click_purchase,
+    # op_j_range_bucketed, op_w_trailing_range_frame,
+    # op_merge_upsert_snapshot, op_cap_per_source, dedup_simhash,
+    # mm_frame_sample, ev_tumbling_hourly, op_sample_temperature_mix,
     # sim_lsh_bucketed_topk, text_chunk_documents)
     # then the round-5-witnessed entries, oldest witness first.
     # --- 1. never-driver-witnessed round-7 operators (19) ---
@@ -79,27 +91,31 @@ _PRIORITY_HEAD = [
     "op_unpivot_roundtrip",
     # --- 3. changed this round (PSI bin clamp, both engines) ---
     "op_drift_psi_events",
-    # --- 4. round-3 freshness block (20 of the remaining 31) ---
+    # --- 4. NEW round-8 operators (never witnessed) ---
+    "op_graph_kcore",
+    "text_ngram_novelty",
+    "op_split_time_embargo",
+    "text_vocab_oov_rate",
+    "dedup_sorted_neighborhood",
+    "op_k_anonymity",
+    "text_length_bucket_padding",
+    "mm_audio_window_plan",
+    "dedup_blocking_quality",
+    "dedup_containment_pairs",
+    # --- 5. family-coverage fills (star/sketch/scd2/outliers have no
+    # representative above; all witnessed r7, the window rule is that
+    # every family keeps one oracle-backed row in the hard signal) ---
+    "star_q1_monthly_sales",
+    "op_sketch_countmin_terms",
+    "op_scd2_priority_history",
+    "op_outliers_mad",
+    # --- 6. round-3 freshness block (6 of the remaining 31) ---
     "op_j_inner_chain",
     "op_a_rollup",
     "text_lang_id",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
-    "pipeline_curate_corpus",
     "sim_ivf_topk",
-    "sim_quantized_topk",
-    "op_grouped_agg_weighted_avg",
-    "op_asof_join_prev_purchase",
-    "text_pii_redact",
-    "op_udtf_token_explode",
-    "text_repetition_stats",
-    "text_segment_dedup",
-    "text_bigram_logprob",
-    "text_bm25_topk",
-    "text_hybrid_rrf_topk",
-    "op_expectations_check",
-    "ev_funnel_signup_click_purchase",
-    "op_j_range_bucketed",
 ]
 
 

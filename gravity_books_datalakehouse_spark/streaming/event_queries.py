@@ -1339,3 +1339,91 @@ def ev_pattern_match(spark, sf_dir):
         )
         .transform(bounded_sort, "pattern")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC log application (the Debezium/Delta CDF shape): an ordered change
+# log of INSERT/UPDATE/DELETE operations per key folds to the current
+# snapshot by last-writer-wins. op_merge_upsert_snapshot covers the
+# single-batch MERGE; this covers the LOG form — many operations per key
+# in one batch, ordering inside the batch decides, deletes tombstone.
+# The event stream stands in as the log: signup=INSERT,
+# click/view/purchase=UPDATE (value payload), error=DELETE.
+
+_CDC_OP = """CASE event_type
+        WHEN 'signup' THEN 'insert'
+        WHEN 'error' THEN 'delete'
+        ELSE 'update' END"""
+
+
+@register(
+    "op_cdc_apply_log",
+    f"""WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             {_CDC_OP} AS op
+      FROM events),
+    ranked AS (
+      SELECT user_id, op, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM log)
+    SELECT user_id,
+           CAST(n_ops AS BIGINT) AS n_ops,
+           op AS last_op,
+           value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND op <> 'delete'
+    ORDER BY user_id""",
+)
+def op_cdc_apply_log(spark, sf_dir):
+    """Fold an intra-batch CDC log to the current snapshot: per key the
+    ordered (ts, event_id DESC) last operation wins; a last-op DELETE
+    tombstones the key out of the snapshot entirely. Survivors carry
+    their op count (audit), last operation, payload, and an explicit
+    string timestamp (both engines). The payload double passes through
+    UNROUNDED — it is carried, never aggregated, so both engines emit
+    the bit-identical value (a display ROUND would reintroduce the
+    cross-engine .xx5 half-up/half-even flip risk for nothing).
+
+    Plan shape: ONE window pass partitioned by the key — rank and op
+    count share the same partitioning, so the log shuffles once and
+    every key folds independently (the scale unit of CDC apply;
+    at 100 TB the same window runs per key-partition, and the
+    streaming form of this fold is transformWithState/ flatMapGroups
+    over the same key). The tie order (ts, event_id) is total, so
+    last-writer-wins is deterministic on both engines."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w_all = Window.partitionBy("user_id")
+    ranked = e.select(
+        "user_id", "ts", "event_id", "value", op.alias("op")
+    ).select(
+        "user_id",
+        "op",
+        "value",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_ops"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "user_id",
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+            F.col("op").alias("last_op"),
+            F.col("value").alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

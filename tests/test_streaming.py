@@ -334,3 +334,34 @@ def test_transform_with_state_running_user_spend(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_cdc_apply_log_python_replay(spark):
+    """Last-writer-wins fold recomputed in pure python: per key the
+    (ts, event_id)-max op decides; delete tombstones the key."""
+    import duckdb as _duckdb
+
+    import __spark_entry__ as m
+    from tests.conftest import SF_CORRECT
+
+    con = _duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, ts, event_id, event_type, value FROM "
+        f"read_parquet('{SF_CORRECT}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_user = {}
+    for uid, ts, eid, etype, val in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype, val))
+    want = {}
+    for uid, ops in by_user.items():
+        ops.sort()
+        ts, eid, etype, val = ops[-1]
+        op = {"signup": "insert", "error": "delete"}.get(etype, "update")
+        if op != "delete":
+            want[uid] = (len(ops), op, val)
+    got = {
+        r.user_id: (r.n_ops, r.last_op, r.last_value)
+        for r in m.queries()["op_cdc_apply_log"](spark, SF_CORRECT).collect()
+    }
+    assert got == want
