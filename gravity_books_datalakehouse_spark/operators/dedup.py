@@ -2086,3 +2086,91 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap matrix: which SOURCES duplicate each other. The
+# pairwise dedup operators answer "which documents"; curation decisions
+# (drop a crawl snapshot, dedup one feed against another, order the
+# dedup passes) need the source-level view — for each source pair, how
+# much of their shingle vocabularies they share (Jaccard over the
+# sources' distinct 3-shingle sets).
+
+@register(
+    "dedup_source_overlap_matrix",
+    f"""WITH {SHINGLES_SQL},
+    ss AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM shd s JOIN documents d ON d.doc_id = s.doc_id),
+    sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM ss a JOIN ss b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b,
+           CAST(za.n AS BIGINT) AS n_shingles_a,
+           CAST(zb.n AS BIGINT) AS n_shingles_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE)
+                 / (za.n + zb.n - p.n_shared), 6) AS jaccard
+    FROM pair p
+    JOIN sz za ON za.source = p.source_a
+    JOIN sz zb ON zb.source = p.source_b
+    ORDER BY source_a, source_b""",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle source×source overlap matrix: distinct-shingle
+    vocabulary sizes, shared count, and Jaccard per source pair —
+    the curation dashboard that decides which feeds to dedup against
+    which (a pair with high Jaccard is mirroring; near-zero means the
+    sources contribute independent content). Pure integer counts; one
+    IEEE division per of-the-|S|² output rows.
+
+    Plan shape: the corpus collapses to the DISTINCT (source, shingle)
+    relation first — vocabulary-sized per source, the only thing the
+    pair join ever sees; the token-keyed self-join then costs
+    sum(sources-per-shingle²) over the vocabulary, bounded by |S|² per
+    shingle and NEVER by document count. Output is |S|(|S|-1)/2 rows —
+    dashboard-sized at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _cached_shingles(spark, sf_dir)
+    ss = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint()
+    )
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), "shingle")
+    b = ss.select(F.col("source").alias("source_b"), "shingle")
+    pair = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_shingles_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_shingles_b"))
+    return (
+        pair.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shingles_a").cast("bigint").alias("n_shingles_a"),
+            F.col("n_shingles_b").cast("bigint").alias("n_shingles_b"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("n_shingles_a")
+                    + F.col("n_shingles_b")
+                    - F.col("n_shared")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

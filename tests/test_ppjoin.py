@@ -296,3 +296,33 @@ def test_containment_exact_vs_brute_force(spark):
     }
     assert got == want
     assert want, "smoke corpus should contain near-subset pairs"
+
+
+def test_source_overlap_matrix_python_replay(spark):
+    """Recompute two arbitrary cells from raw text and check the full
+    triangle's structural invariants."""
+    import re as _re
+
+    import duckdb as _duckdb
+
+    import __spark_entry__ as m
+
+    rows = m.queries()["dedup_source_overlap_matrix"](spark, SF_SMOKE).collect()
+    n_sources = len({r.source_a for r in rows} | {r.source_b for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    con = _duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    vocab = {}
+    for _, src, text in docs:
+        toks = _re.split(r"\s+", text.strip().lower())
+        vocab.setdefault(src, set()).update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    for r in rows[:2] + rows[-2:]:
+        sa, sb = vocab[r.source_a], vocab[r.source_b]
+        assert (r.n_shingles_a, r.n_shingles_b) == (len(sa), len(sb))
+        assert r.n_shared == len(sa & sb)
+        assert r.jaccard == round(len(sa & sb) / len(sa | sb), 6)
