@@ -119,3 +119,51 @@ def global_disc_percentiles(
             for p, a in zip(ps, aliases)
         ],
     )
+
+
+def grouped_weighted_disc_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    weight: str,
+    ps_rational: Sequence[tuple[int, int]],
+    aliases: Sequence[str],
+    w_alias: str = "w_total",
+) -> DataFrame:
+    """Per-group exact WEIGHTED discrete percentiles: the smallest value
+    whose cumulative weight share reaches p. The selection rule is the
+    integer cross-multiplication den*cum >= num*total (ps given as
+    rationals), so no float ever gates the choice — the weighted
+    generalization of the grouped variant above with zero comparison-
+    boundary risk. NULL values and NULL/non-positive weights are
+    excluded (a NULL weight is an absent observation, not a zero)."""
+    keys = list(keys)
+    hist = (
+        df.filter(F.col(value).isNotNull() & (F.col(weight) > 0))
+        .groupBy(*keys, value)
+        .agg(F.sum(weight).alias("wc"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        value,
+        F.sum("wc").over(w_cum).alias("_cum"),
+        F.sum("wc").over(w_all).alias("_w"),
+    )
+    return cum.groupBy(*keys).agg(
+        F.max("_w").cast("bigint").alias(w_alias),
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") * F.lit(den) >= F.lit(num) * F.col("_w"),
+                    F.col(value),
+                )
+            ).alias(a)
+            for (num, den), a in zip(ps_rational, aliases)
+        ],
+    )

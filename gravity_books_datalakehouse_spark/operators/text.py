@@ -801,3 +801,96 @@ def text_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(bounded_sort, "bucket_max")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-weighted length percentiles. The unweighted median doc length
+# answers "what does a typical DOCUMENT look like"; training cost lives
+# in TOKENS, so the curation question is "at what doc length does the
+# typical TOKEN live" — the token-weighted median, which a few long docs
+# can drag far above the doc median. Both are reported per source, from
+# one histogram pass each (operators/percentile_hist.py).
+
+
+@register(
+    "text_weighted_median_len",
+    f"""WITH lens AS (
+      SELECT source, n_chars,
+             len({TOKS_SQL}) AS n_tok
+      FROM documents),
+    hist AS (
+      SELECT source, n_chars,
+             COUNT(*) AS cnt, SUM(n_tok) AS wc
+      FROM lens WHERE n_tok > 0
+      GROUP BY source, n_chars),
+    cum AS (
+      SELECT source, n_chars,
+             SUM(cnt) OVER w AS c_cum,
+             SUM(SUM(cnt)) OVER (PARTITION BY source) AS c_tot,
+             SUM(wc) OVER w AS w_cum,
+             SUM(SUM(wc)) OVER (PARTITION BY source) AS w_tot
+      FROM hist
+      GROUP BY source, n_chars, cnt, wc
+      WINDOW w AS (PARTITION BY source ORDER BY n_chars
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT source,
+           CAST(MAX(w_tot) AS BIGINT) AS total_tokens,
+           MIN(CASE WHEN 2 * c_cum >= c_tot THEN n_chars END)
+             AS median_len_docs,
+           MIN(CASE WHEN 2 * w_cum >= w_tot THEN n_chars END)
+             AS median_len_tokens
+    FROM cum
+    GROUP BY source
+    ORDER BY source""",
+)
+def text_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-median vs TOKEN-weighted-median length: both
+    selections are pure integer cross-multiplications (2*cum >= total)
+    over one per-source length histogram, so no float gates either
+    choice. A token-median far above the doc-median flags a source
+    whose token mass concentrates in its longest documents — the
+    long-tail skew that sequence packing and length bucketing need to
+    know about (text_length_bucket_padding is the downstream report).
+
+    Plan shape: one scan, map-side collapse to the (source, length)
+    histogram carrying both the doc count and the token weight, one
+    per-source cumulative window over histogram rows, strata-sized
+    rollup."""
+    from pyspark.sql import Window as W
+
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", "n_chars", F.size(tokens_col()).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    hist = lens.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_tok").alias("wc")
+    )
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "n_chars",
+        F.sum("cnt").over(w_cum).alias("c_cum"),
+        F.sum("cnt").over(w_all).alias("c_tot"),
+        F.sum("wc").over(w_cum).alias("w_cum"),
+        F.sum("wc").over(w_all).alias("w_tot"),
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("w_tot").cast("bigint").alias("total_tokens"),
+            F.min(
+                F.when(F.lit(2) * F.col("c_cum") >= F.col("c_tot"), F.col("n_chars"))
+            ).alias("median_len_docs"),
+            F.min(
+                F.when(F.lit(2) * F.col("w_cum") >= F.col("w_tot"), F.col("n_chars"))
+            ).alias("median_len_tokens"),
+        )
+        .transform(bounded_sort, "source")
+    )

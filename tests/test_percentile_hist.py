@@ -145,3 +145,75 @@ def test_histogram_percentile_constant_and_skewed_groups(spark):
         for r in _hist_percentiles(df, [0.5, 0.9]).collect()
     }
     assert got == ref
+
+
+def test_grouped_weighted_percentiles(spark):
+    """Weighted median: the smallest value whose cumulative weight share
+    reaches 1/2, integer cross-multiplied; non-positive/NULL weights
+    excluded."""
+    from gravity_books_datalakehouse_spark.operators.percentile_hist import (
+        grouped_weighted_disc_percentiles,
+    )
+
+    rows = [
+        # group 0: value 10 carries weight 1, value 100 carries weight 9
+        # -> weighted median 100, even though the doc median would be 10
+        Row(g=0, x=10, w=1),
+        Row(g=0, x=100, w=9),
+        # group 1: equal weights -> first value reaching half
+        Row(g=1, x=1, w=5),
+        Row(g=1, x=2, w=5),
+        # excluded observations
+        Row(g=1, x=3, w=0),
+        Row(g=1, x=4, w=None),
+        Row(g=1, x=None, w=7),
+    ]
+    df = spark.createDataFrame(rows, schema="g int, x bigint, w bigint")
+    got = {
+        r.g: (r.w_total, r.p50)
+        for r in grouped_weighted_disc_percentiles(
+            df, ["g"], "x", "w", [(1, 2)], ["p50"]
+        ).collect()
+    }
+    assert got == {0: (10, 100), 1: (10, 1)}
+
+
+def test_weighted_median_len_replay(spark):
+    """Registry query: both medians recomputed in pure python from the
+    raw documents."""
+    import re as _re
+
+    import duckdb as _duckdb
+
+    import __spark_entry__ as m
+    from tests.conftest import SF_SMOKE
+
+    con = _duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, n_chars, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    per_src = {}
+    for src, n_chars, text in docs:
+        n_tok = len(_re.split(r"\s+", text.strip().lower()))
+        if n_tok > 0:
+            per_src.setdefault(src, []).append((n_chars, n_tok))
+    want = {}
+    for src, obs in per_src.items():
+        obs.sort()
+        c_tot, w_tot = len(obs), sum(w for _, w in obs)
+        c_cum = w_cum = 0
+        md = mt = None
+        for v, w in obs:
+            c_cum += 1
+            w_cum += w
+            if md is None and 2 * c_cum >= c_tot:
+                md = v
+            if mt is None and 2 * w_cum >= w_tot:
+                mt = v
+        want[src] = (w_tot, md, mt)
+    got = {
+        r.source: (r.total_tokens, r.median_len_docs, r.median_len_tokens)
+        for r in m.queries()["text_weighted_median_len"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
