@@ -1427,3 +1427,121 @@ def op_cdc_apply_log(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test on an A/B split (the experiment readout every
+# event pipeline ends in). The arm assignment is the deterministic md5
+# split every sampler in this repo uses; the metric is click→purchase
+# user conversion; and the α=0.05 two-sided significance flag is decided
+# ENTIRELY in integers: squaring z = (p̂₁-p̂₂)/√(p̂(1-p̂)(1/n₁+1/n₂)) and
+# clearing denominators gives
+#   10000·(c₁n₂-c₂n₁)²·N  vs  38416·(c₁+c₂)(N-c₁-c₂)·n₁n₂ ,  N=n₁+n₂
+# (1.96² = 38416/10000 as an exact rational) — the same
+# squared-critical-value trick as the KS drift flag, DECIMAL(38)-safe
+# for counts up to ~10⁶.
+
+_ZTEST_CRIT2_NUM = 38416  #: 1.96^2 * 1e4, two-sided alpha = 0.05
+_ZTEST_CRIT2_DEN = 10000
+
+
+@register(
+    "ev_ab_conversion_ztest",
+    f"""WITH arms AS (
+      SELECT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicked,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM events GROUP BY user_id),
+    per AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(purchased) AS BIGINT) AS c
+      FROM arms WHERE clicked = 1 GROUP BY arm),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             MAX(CASE WHEN arm = 'A' THEN c END) AS c_a,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             MAX(CASE WHEN arm = 'B' THEN c END) AS c_b
+      FROM per)
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           {_ZTEST_CRIT2_DEN}
+             * ((c_a * n_b - c_b * n_a)::HUGEINT
+                * (c_a * n_b - c_b * n_a)::HUGEINT)
+             * (n_a + n_b)
+           > {_ZTEST_CRIT2_NUM}
+             * ((c_a + c_b)::HUGEINT * (n_a + n_b - c_a - c_b))
+             * n_a * n_b AS significant
+    FROM wide""",
+)
+def ev_ab_conversion_ztest(spark, sf_dir):
+    """One-row A/B experiment readout: per-arm click→purchase user
+    conversion plus the exact-integer two-sided z-test flag at α=0.05.
+    Arms split 50/50 by the first md5 nibble of user_id (deterministic
+    under repartitioning, engine, and scale — the module's sampler
+    contract); a user converts if they purchased at least once among
+    click-having users. The flag comparison runs in DECIMAL(38) on both
+    engines; the two displayed rates are correctly-rounded IEEE
+    divisions of identical integers. Plan: one scan → per-user
+    two-flag rollup → 2-row arm aggregate → single-row pivot."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    e = load_events(spark, sf_dir)
+    arms = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicked"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchased"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    per = (
+        arms.where(F.col("clicked") == 1)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("purchased").cast("bigint").alias("c"),
+        )
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("c"))).alias("c_b"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diff = F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")
+    n_tot = F.col("n_a") + F.col("n_b")
+    c_tot = F.col("c_a") + F.col("c_b")
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(F.col("c_a").cast("double") / F.col("n_a"), 6).alias("rate_a"),
+        F.round(F.col("c_b").cast("double") / F.col("n_b"), 6).alias("rate_b"),
+        (
+            F.lit(_ZTEST_CRIT2_DEN) * d38(diff) * d38(diff) * d38(n_tot)
+            > F.lit(_ZTEST_CRIT2_NUM)
+            * d38(c_tot)
+            * d38(n_tot - c_tot)
+            * d38(F.col("n_a"))
+            * d38(F.col("n_b"))
+        ).alias("significant"),
+    )

@@ -365,3 +365,44 @@ def test_cdc_apply_log_python_replay(spark):
         for r in m.queries()["op_cdc_apply_log"](spark, SF_CORRECT).collect()
     }
     assert got == want
+
+
+def test_ab_ztest_python_replay(spark):
+    """Replay the arm split, conversion counts, and the float z-test in
+    python; the integer flag must agree with the float |z| >= 1.96
+    decision away from the knife-edge."""
+    import hashlib
+    import math
+
+    import duckdb as _duckdb
+
+    import __spark_entry__ as m
+    from tests.conftest import SF_CORRECT
+
+    con = _duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, event_type FROM "
+        f"read_parquet('{SF_CORRECT}/events.parquet')"
+    ).fetchall()
+    con.close()
+    users = {}
+    for uid, et in rows:
+        d = users.setdefault(uid, [0, 0])
+        if et == "click":
+            d[0] = 1
+        elif et == "purchase":
+            d[1] = 1
+    stats = {"A": [0, 0], "B": [0, 0]}
+    for uid, (clicked, purchased) in users.items():
+        if not clicked:
+            continue
+        arm = "A" if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8" else "B"
+        stats[arm][0] += 1
+        stats[arm][1] += purchased
+    (n_a, c_a), (n_b, c_b) = stats["A"], stats["B"]
+    r = m.queries()["ev_ab_conversion_ztest"](spark, SF_CORRECT).collect()[0]
+    assert (r.n_a, r.c_a, r.n_b, r.c_b) == (n_a, c_a, n_b, c_b)
+    p1, p2 = c_a / n_a, c_b / n_b
+    p = (c_a + c_b) / (n_a + n_b)
+    z = (p1 - p2) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    assert r.significant == (abs(z) >= 1.96) or abs(abs(z) - 1.96) < 1e-9
