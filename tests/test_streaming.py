@@ -404,5 +404,11 @@ def test_ab_ztest_python_replay(spark):
     assert (r.n_a, r.c_a, r.n_b, r.c_b) == (n_a, c_a, n_b, c_b)
     p1, p2 = c_a / n_a, c_b / n_b
     p = (c_a + c_b) / (n_a + n_b)
-    z = (p1 - p2) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
-    assert r.significant == (abs(z) >= 1.96) or abs(abs(z) - 1.96) < 1e-9
+    if p in (0.0, 1.0):
+        # degenerate pooled rate: the float z is 0/0, but the integer
+        # form is well-defined — both rates equal p, so diff = 0 and
+        # the flag must be False (0 > 0 fails)
+        assert (p1, p2) == (p, p) and r.significant is False
+    else:
+        z = (p1 - p2) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+        assert r.significant == (abs(z) >= 1.96) or abs(abs(z) - 1.96) < 1e-9
