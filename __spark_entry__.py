@@ -109,13 +109,15 @@ _PRIORITY_HEAD = [
     "op_sketch_countmin_terms",
     "op_scd2_priority_history",
     "op_outliers_mad",
-    # --- 6. round-3 freshness block (6 of the remaining 31) ---
+    # --- 6. late round-8 operators (never witnessed; displace four
+    # round-3 re-witnesses, which join the round-9 queue) ---
+    "op_cdc_apply_log",
+    "dedup_source_overlap_matrix",
+    "text_weighted_median_len",
+    "ev_ab_conversion_ztest",
+    # --- 7. round-3 freshness block (2 of the remaining 31) ---
     "op_j_inner_chain",
     "op_a_rollup",
-    "text_lang_id",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "sim_ivf_topk",
 ]
 
 
