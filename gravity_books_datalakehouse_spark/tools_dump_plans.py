@@ -66,6 +66,16 @@ SHOW = {
     "op_sample_neyman": "One stats aggregate (map-side partial, strata-sized), allocation arithmetic + largest-remainder window on the STRATA-bounded frame, broadcast allocation into the per-stratum md5-order rank window; only full-data stages are the stats agg and the rank window (round 7).",
     "op_bootstrap_ci_mean_len": "Poisson-bootstrap replica explode is a narrow xB projection collapsing map-side to B partial rows per task (never Bx the data through the exchange); the replica-mean frame is B rows; integer Sw/Swx sums make every replica mean engine-exact (round 7).",
     "op_ks_drift_by_source": "Two value-histogram aggregates (map-side collapsing, domain-sized) + per-source cumulative windows; source EDFs back-fill via last(ignorenulls) onto the strata x domain spine — never corpus-sized; sup/argmax/flag all integer selections (round 7).",
+    "op_graph_kcore": "Fixed-4-sweep peeling: edges checkpointed once; each sweep is one degree aggregate (node-sized) + two left-semi endpoint filters, edges shrink monotonically; pure integer math, TakeOrderedAndProject(20) (round 8).",
+    "dedup_sorted_neighborhood": "SNM: rank windows partition by the 2-char key prefix (no unpartitioned row_number); the W-window self-join keys on the bucket with a rank-range residual — W-1 candidates per record regardless of key skew; banded Levenshtein inside codegen (round 8).",
+    "dedup_containment_pairs": "Asymmetric containment prefix: A's rarest floor(|A|/10)+1 interned-long tokens probe B's FULL relation; size feasibility (10|B|>=9|A|) folds into the candidate join; verify is one in-row long-array intersect per pair with explicit-count stage widths (round 8).",
+    "text_ngram_novelty": "One distinct 5-gram build (shared sliding-window form), vocabulary-sized df aggregate, gram-keyed join back, then per-doc and per-source rollups — grams shuffle once as strings, counts after (round 8).",
+    "text_vocab_oov_rate": "Vocabulary = TakeOrderedAndProject(500) over the token-count aggregate (distributed top-V, no global rank window), then BROADCAST into the tagging join; per-source rollup strata-sized (round 8).",
+    "dedup_blocking_quality": "Ground truth is a documented bounded all-pairs over the 30% md5 SAMPLE only (BroadcastNestedLoop by design); both candidate legs replay the production blocking rules on the sample; metrics join truth on the pair key (round 8).",
+    "op_cdc_apply_log": "ONE window pass partitioned by the key: last-writer-wins rank and op count share the partitioning, so the log shuffles once and every key folds independently; delete tombstones filter post-rank (round 8).",
+    "dedup_source_overlap_matrix": "Corpus collapses to the DISTINCT (source, shingle) relation before the token-keyed self-join — cost bounded by vocabulary x sources-per-shingle^2, never document count; |S|(|S|-1)/2 output rows (round 8).",
+    "text_weighted_median_len": "Map-side collapse to the (source, length) histogram carrying BOTH doc count and token weight; one per-source cumulative window over histogram rows; both medians integer cross-multiplied selections (round 8).",
+    "ev_ab_conversion_ztest": "One scan -> per-user two-flag rollup -> 2-row arm aggregate -> single-row pivot; the significance flag is a DECIMAL(38) integer comparison, no float on the decision path (round 8).",
 }
 
 
