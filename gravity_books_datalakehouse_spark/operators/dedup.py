@@ -1695,13 +1695,19 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs whose keys differ in the FIRST TWO characters, which a
     Levenshtein-<=6 pair of 24-char keys rarely does — and the
     standard multi-pass SNM remedy (second pass on a rotated key)
-    composes as just another call. Within a bucket the W-window
-    self-join keys on the bucket with a rank-range predicate: per
-    record exactly W-1 candidates regardless of key skew — the
-    property equality blocking lacks. The window ordering (key,
-    doc_id) is a total order, so ranks, candidates, and survivors are
-    deterministic on both engines; Levenshtein agrees cross-engine on
-    the ASCII projection (the dedup_fuzzy_prefix soundness note)."""
+    composes as just another call. The W-window self-join keys on
+    (bucket, RANK BLOCK): ranks band into ceil(rn/W) blocks, the left
+    side probes its own and the next block (a 2x fan-out), and the
+    rank-range residual cuts to the true window — so the join work is
+    LINEAR in bucket size, W-1 candidates per record regardless of key
+    skew. (The first cut joined on the bucket alone with the rank
+    range as a residual: correct, but |bucket|² intermediate pairs —
+    a 20x documents replica probe hung on it; the block banding is
+    what makes the skew-immunity claim true in the PLAN, not just in
+    the output.) The window ordering (key, doc_id) is a total order,
+    so ranks, candidates, and survivors are deterministic on both
+    engines; Levenshtein agrees cross-engine on the ASCII projection
+    (the dedup_fuzzy_prefix soundness note)."""
     docs = load_table(spark, sf_dir, "documents")
     k = docs.select(
         "doc_id",
@@ -1721,22 +1727,28 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("bkt").orderBy("key", "doc_id")
         ),
     )
+    blk = F.expr(f"(rn - 1) div {_SNM_WINDOW}")
     a = r.select(
         F.col("doc_id").alias("id_a"),
         F.col("key").alias("key_a"),
         F.col("bkt").alias("bkt_a"),
         F.col("rn").alias("rn_a"),
+        # probe own block and the next: every (rn_a, rn_b) pair with
+        # rn_a < rn_b < rn_a + W has blk_b in {blk_a, blk_a + 1}
+        F.explode(F.array(blk, blk + 1)).alias("jblk_a"),
     )
     b = r.select(
         F.col("doc_id").alias("id_b"),
         F.col("key").alias("key_b"),
         F.col("bkt").alias("bkt_b"),
         F.col("rn").alias("rn_b"),
+        blk.alias("jblk_b"),
     )
     return (
         a.join(
             b,
             (F.col("bkt_a") == F.col("bkt_b"))
+            & (F.col("jblk_a") == F.col("jblk_b"))
             & (F.col("rn_b") > F.col("rn_a"))
             & (F.col("rn_b") < F.col("rn_a") + _SNM_WINDOW),
         )
