@@ -357,6 +357,99 @@ def _sf1_probe(spark, entry_mod) -> dict:
     return out
 
 
+# --- documents replica probe -------------------------------------------------
+# The sf~5 replica probe scales lineitem/orders; the text/dedup family's
+# scale story needs DOCUMENT COUNT to grow. 20 copies of documents with
+# offset doc_ids (each copy a verbatim duplicate set — the adversarial
+# dedup workload: every doc gains 19 true near-dup partners). This probe
+# caught a real bug on its first run (round 8): the SNM window join was
+# bucket-quadratic and hung here while green at sf0.1.
+DOCS_COPIES = 20
+DOCS_QUERIES = (
+    "text_token_stats",          # scan-shape baseline
+    "dedup_exact",               # digest groupBy under 20x duplication
+    "text_ngram_novelty",        # gram join with 20x df
+    "op_ks_drift_by_source",     # value-domain-bounded spine at 20x rows
+    "dedup_sorted_neighborhood",  # banded window join (spark-only: the
+                                  # oracle keeps the quadratic relational
+                                  # form, fine at sf0.01, not at 20x)
+)
+DOCS_SPARK_ONLY = {"dedup_sorted_neighborhood"}
+
+
+def _build_docs_copy(src_dir: str) -> str:
+    import shutil
+
+    import duckdb
+
+    dst = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench-docs"
+    )
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    src = os.path.abspath(os.path.join(src_dir, "documents.parquet"))
+    off = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    con.execute(
+        f"COPY (SELECT t.* REPLACE (t.doc_id + i.range * {off} AS doc_id) "
+        f"FROM read_parquet('{src}') t CROSS JOIN range({DOCS_COPIES}) i) "
+        f"TO '{dst}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    for t in TABLES:
+        if t == "documents":
+            continue
+        p = os.path.abspath(os.path.join(src_dir, f"{t}.parquet"))
+        if os.path.exists(p):
+            os.symlink(p, os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+def _docs_probe(spark, entry_mod) -> dict:
+    """Best-of-2 seconds for DOCS_QUERIES on the 20x documents replica:
+    {"copies": N, "sec": {name: [spark_s, duck_s|None, ratio|None]}}."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    d = _build_docs_copy(SF_DIR)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    out: dict = {"copies": DOCS_COPIES, "sec": {}}
+    for name in DOCS_QUERIES:
+        if name not in qs:
+            continue
+        s_best = d_best = None
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, d).toPandas()
+                dt = time.perf_counter() - t0
+                s_best = dt if s_best is None else min(s_best, dt)
+                if name in oracles and name not in DOCS_SPARK_ONLY:
+                    t0 = time.perf_counter()
+                    con.execute(oracles[name]).fetchall()
+                    dt = time.perf_counter() - t0
+                    d_best = dt if d_best is None else min(d_best, dt)
+        except Exception as exc:
+            print(f"# docs probe {name}: ERROR {exc}", file=sys.stderr)
+            continue
+        out["sec"][name] = [
+            round(s_best, 3),
+            round(d_best, 3) if d_best is not None else None,
+            round(s_best / d_best, 2) if d_best else None,
+        ]
+    con.close()
+    return out
+
+
 def _memory_pressure_probe() -> dict:
     """Graceful-degradation measurement on registry queries, per round.
 
@@ -705,6 +798,12 @@ def main() -> None:
         sf1 = {}
 
     try:
+        docs_probe = _docs_probe(spark, entry_mod)
+    except Exception as exc:
+        print(f"# docs probe failed: {exc}", file=sys.stderr)
+        docs_probe = {}
+
+    try:
         floors = _spark_fixed_floor(spark)
     except Exception as exc:
         print(f"# floor probe failed: {exc}", file=sys.stderr)
@@ -876,6 +975,7 @@ def main() -> None:
         ),
         # replica-set crossover measurement for three q_ shapes (~sf5)
         "sf1_probe": sf1 or None,
+        "docs_replica_probe": docs_probe or None,
         # the same star_/q_ subset re-run on multi-file (compacted) copies
         # of the driver tables, both engines: isolates the single-row-group
         # file layout from plan quality in the ratio above
@@ -943,6 +1043,7 @@ def main() -> None:
              "scaling_spark_vs_duckdb_sec": scaling,
              "compacted_star_q_subset": compacted,
              "sf1_probe": sf1,
+             "docs_replica_probe": docs_probe,
              "spark_fixed_floor_sec": floors,
              "spark_stage_floor_sec": stage_floor,
              "memory_pressure_probe": spill_probe,
