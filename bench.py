@@ -374,6 +374,12 @@ DOCS_QUERIES = (
                                   # oracle keeps the quadratic relational
                                   # form, fine at sf0.01, not at 20x)
 )
+# NOT probed, measured once round 8: dedup_fuzzy_prefix 87.9 s / 1.32 M
+# pairs (output-bound: the replica really contains that many qualifying
+# pairs); dedup_prefix_cosine_pairs's candidate stage scales k^2 under
+# k-fold verbatim duplication (~4.4 G rows at 20x) — intrinsic to the
+# exact answer; production order is dedup_exact FIRST, PPJoin on
+# survivors (see the operator docstring).
 DOCS_SPARK_ONLY = {"dedup_sorted_neighborhood"}
 
 

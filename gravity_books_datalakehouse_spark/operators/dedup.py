@@ -1400,6 +1400,17 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are, not with corpus^2 — and the dense-vocabulary worst case
     degrades through the positional prune + O(1)-row verify, never
     through a row blow-up.
+
+    Duplication-heavy corpora (ORDER the pipeline): under k-fold
+    verbatim duplication every df multiplies by k and the prefix-join
+    candidate stage scales by k² (measured: the 20x documents replica
+    probe pushes the sf0.1 candidate stage from ~11M to ~4.4G rows —
+    minutes, not seconds). That cost is intrinsic to the TRUE answer
+    (the duplicated corpus really contains ~k²/2 qualifying pairs per
+    original doc), so the production composition is dedup_exact FIRST
+    (digest groupBy, linear, removes verbatim copies) and PPJoin on
+    the canonical survivors — the standard dedup-pipeline ordering
+    this module's pipeline_curate_corpus already follows.
     """
     bg = _cached_bigram_ids(spark, sf_dir)
     dfreq = bg.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
