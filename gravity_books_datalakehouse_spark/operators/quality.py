@@ -445,3 +445,102 @@ def _register_manifest():
 
 
 pipeline_mixture_manifest = _register_manifest()
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture allocation: the curation step between scoring and
+# training — given a token budget, fill it greedily from the
+# highest-quality sources, splitting the straddling source pro rata. The
+# greedy order on a per-source quality signal is the fractional-knapsack
+# optimum for a budget constraint; allocations are pure integers.
+
+_MIX_BUDGET_NUM = 1  #: budget = 1/2 of total corpus tokens
+_MIX_BUDGET_DEN = 2
+
+
+def _mix_sql() -> str:
+    from gravity_books_datalakehouse_spark.operators.text import TOKS_SQL
+
+    return f"""WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len({TOKS_SQL})) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ok,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per_src),
+    ranked AS (
+      SELECT source, n_tokens, n_ok, n_docs,
+             SUM(n_tokens) OVER (ORDER BY n_ok * 1000000 // n_docs DESC,
+                                 source ROWS UNBOUNDED PRECEDING)
+               AS cum_tokens,
+             (SELECT t FROM tot) // {_MIX_BUDGET_DEN} * {_MIX_BUDGET_NUM}
+               AS budget
+      FROM per_src)
+    SELECT source,
+           n_tokens,
+           ROUND(CAST(n_ok AS DOUBLE) / n_docs, 6) AS quality_frac,
+           CAST(CASE
+             WHEN cum_tokens <= budget THEN n_tokens
+             WHEN cum_tokens - n_tokens < budget
+               THEN budget - (cum_tokens - n_tokens)
+             ELSE 0 END AS BIGINT) AS allocated_tokens
+    FROM ranked
+    ORDER BY source"""
+
+
+@register("pipeline_token_budget_mix", _mix_sql())
+def pipeline_token_budget_mix(spark, sf_dir):
+    """Greedy token-budget mixture: sources rank by quality (share of
+    non-short docs — integer rank key n_ok*10^6/n_docs with source-ASC
+    ties, so the ORDER is decided by integer division, never a float),
+    then fill half the corpus token budget best-first; the straddling
+    source gets exactly the remaining tokens, everything after gets 0.
+    The fractional-knapsack greedy is optimal for a budget constraint;
+    every allocation is exact integer arithmetic (the displayed
+    quality_frac is one correctly-rounded division).
+
+    Plan shape: one scan collapsing map-side to per-source sums, one
+    STRATA-sized running-sum window (|sources| rows — bounded at any
+    corpus size), broadcast scalar total. The output is the manifest a
+    sampler (op_sample_temperature_mix / op_cap_per_source) consumes."""
+    from pyspark.sql import Window as W
+
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+    from gravity_books_datalakehouse_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("n_chars") >= 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("t"))
+    rank_key = F.expr("n_ok * 1000000 div n_docs")
+    w = W.orderBy(F.desc(rank_key), F.asc("source")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    budget = F.expr(f"t div {_MIX_BUDGET_DEN} * {_MIX_BUDGET_NUM}")
+    ranked = (
+        per_src.join(F.broadcast(tot))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("budget", budget)
+    )
+    alloc = (
+        F.when(F.col("cum_tokens") <= F.col("budget"), F.col("n_tokens"))
+        .when(
+            F.col("cum_tokens") - F.col("n_tokens") < F.col("budget"),
+            F.col("budget") - (F.col("cum_tokens") - F.col("n_tokens")),
+        )
+        .otherwise(0)
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_ok").cast("double") / F.col("n_docs"), 6).alias(
+            "quality_frac"
+        ),
+        alloc.cast("bigint").alias("allocated_tokens"),
+    ).transform(bounded_sort, "source")

@@ -486,3 +486,24 @@ def test_ship_lag_percentiles_run_on_the_histogram(spark):
     plan = _executed_plan(q_order_to_ship_lag(spark, SF_SMOKE))
     assert "ObjectHashAggregate" not in plan
     assert "Window" in plan
+
+
+def test_snm_join_is_banded_equi_join(spark):
+    """The SNM window join must key on (bucket, rank-block) — the
+    round-8 fix for the bucket-quadratic residual form. Guard: the
+    physical join's equi-keys include the block column, and no
+    nested-loop join appears."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        dedup_sorted_neighborhood,
+    )
+
+    plan = (
+        dedup_sorted_neighborhood(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # the jblk band column participates in a hash-partitioned join key
+    assert "jblk" in plan

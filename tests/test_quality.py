@@ -278,3 +278,34 @@ def test_length_bucket_padding_beats_global(spark):
     # per-bucket waste is bounded by the bucket width
     for r in rows:
         assert 0.0 <= r.waste_frac < 32.0 / r.bucket_max + 1e-9
+
+
+def test_token_budget_mix_invariants(spark):
+    """Knapsack invariants: total allocation == budget (= total div 2),
+    allocation is monotone in the greedy quality order (full, then one
+    partial, then zeros), and no source exceeds its own tokens."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_CORRECT
+
+    rows = m.queries()["pipeline_token_budget_mix"](spark, SF_CORRECT).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = total // 2
+    assert sum(r.allocated_tokens for r in rows) == budget
+    for r in rows:
+        assert 0 <= r.allocated_tokens <= r.n_tokens
+    # in greedy order: fulls, at most one partial, then zeros
+    # round(), not int(): 0.37*1e6 can float to 369999.99..., and the
+    # reconstruction must match the operator's integer div key
+    order = sorted(
+        rows,
+        key=lambda r: (-round(r.quality_frac * 10**6), r.source),
+    )
+    state = "full"
+    for r in order:
+        if state == "full" and r.allocated_tokens == r.n_tokens:
+            continue
+        if state == "full" and 0 < r.allocated_tokens < r.n_tokens:
+            state = "zero"
+            continue
+        assert r.allocated_tokens == 0
+        state = "zero"
