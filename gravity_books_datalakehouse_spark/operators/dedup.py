@@ -2197,3 +2197,57 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-multiplicity histogram: the shape of the duplication, not
+# just its rate. dedup_rate_by_source reports HOW MUCH duplicates;
+# this reports HOW the copies distribute (a corpus where dups are
+# mostly pairs needs a different pipeline than one with 10k-copy
+# boilerplate groups — the latter is where quadratic verify stages die,
+# see dedup_prefix_cosine_pairs's duplication note).
+
+@register(
+    "dedup_multiplicity_histogram",
+    """WITH fp AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_fp,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY 1)
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) * n_copies AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (n_copies - 1) AS BIGINT) AS n_removable
+    FROM fp
+    GROUP BY n_copies
+    ORDER BY n_copies""",
+)
+def dedup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-duplicate group sizes: for each multiplicity,
+    how many content groups have exactly that many verbatim copies, the
+    documents they cover, and how many a keep-one dedup would remove.
+    Pure integer counting over the 16-byte content fingerprints — two
+    map-side-collapsing aggregates, the text never shuffles, output
+    bounded by the largest multiplicity."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = (
+        docs.select(F.md5(norm).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        fp.groupBy("n_copies")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .select(
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            "n_groups",
+            (F.col("n_groups") * F.col("n_copies"))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.col("n_groups") * (F.col("n_copies") - 1))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("n_copies")
+    )

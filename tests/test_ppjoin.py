@@ -326,3 +326,31 @@ def test_source_overlap_matrix_python_replay(spark):
         assert (r.n_shingles_a, r.n_shingles_b) == (len(sa), len(sb))
         assert r.n_shared == len(sa & sb)
         assert r.jaccard == round(len(sa & sb) / len(sa | sb), 6)
+
+
+def test_multiplicity_histogram_constructed(spark, tmp_path):
+    """3 copies of one doc + a pair + two uniques -> histogram rows for
+    multiplicities 1, 2, 3 with exact removable counts; whitespace-
+    normalized match groups '  hello   world ' with 'hello world'."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        dedup_multiplicity_histogram,
+    )
+
+    rows = [
+        (1, "s", "same text three times"),
+        (2, "s", "same text three times"),
+        (3, "s", "  same   text three  times "),
+        (4, "s", "a pair here"),
+        (5, "s", "a pair here"),
+        (6, "s", "unique one"),
+        (7, "s", "unique two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("n_chars", F.length("text")).withColumn("lang", F.lit("en"))
+    d = str(tmp_path / "mult")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.n_copies: (r.n_groups, r.n_docs, r.n_removable)
+        for r in dedup_multiplicity_histogram(spark, d).collect()
+    }
+    assert got == {1: (2, 2, 0), 2: (1, 2, 1), 3: (1, 3, 2)}
