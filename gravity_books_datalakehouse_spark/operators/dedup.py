@@ -2251,3 +2251,160 @@ def dedup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_copies")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality report: measured precision/recall of the MinHash banding
+# against exhaustive exact Jaccard on a hash sample — the probabilistic
+# sibling of dedup_blocking_quality (which evaluates the DETERMINISTIC
+# blocking geometries). The S-curve theory gives the EXPECTED recall at
+# a given similarity; this measures the realized one on the actual
+# corpus, which is what decides band/row tuning in production.
+
+_LSHQ_SAMPLE_RATE = 0.30
+_LSHQ_NIBBLES = 4
+#: Jaccard ground-truth threshold 1/3, decided in integers:
+#: J >= 1/3  <=>  3*o >= la + lb - o  <=>  4*o >= la + lb.
+_LSHQ_T_NUM = 1
+_LSHQ_T_DEN = 3
+
+
+def _lshq_threshold() -> str:
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        rate_threshold_hex,
+    )
+
+    return rate_threshold_hex(_LSHQ_SAMPLE_RATE, _LSHQ_NIBBLES)
+
+
+def _lshq_oracle_sql() -> str:
+    thr = _lshq_threshold()
+    return f"""WITH {SHINGLES_SQL},
+    s_ids AS (
+      SELECT doc_id FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, {_LSHQ_NIBBLES})
+            < '{thr}'),
+    shs AS (SELECT shd.* FROM shd JOIN s_ids USING (doc_id)),
+    sets AS (SELECT doc_id, list(shingle) AS toks, COUNT(*) AS l
+             FROM shs GROUP BY doc_id),
+    truth AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE ({_LSHQ_T_DEN} + 1) * len(list_intersect(a.toks, b.toks))
+            >= {_LSHQ_T_NUM} * (a.l + b.l)),
+    sig AS (
+      SELECT doc_id, p,
+             MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS sig
+      FROM shs
+      CROSS JOIN (SELECT unnest(generate_series(0, {NUM_PERM - 1})) AS p)
+      GROUP BY doc_id, p),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM sig a
+      JOIN sig b ON a.p = b.p AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    hit AS (
+      SELECT c.da, c.db, t.da IS NOT NULL AS is_true
+      FROM cand c LEFT JOIN truth t ON t.da = c.da AND t.db = c.db)
+    SELECT CAST((SELECT COUNT(*) FROM s_ids) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CASE WHEN COUNT(*) > 0 THEN
+             ROUND(CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) END AS precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+             ROUND(CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM truth), 6) END AS recall
+    FROM hit"""
+
+
+@register("dedup_lsh_quality_report", _lshq_oracle_sql())
+def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row realized precision/recall of the 8-band MinHash LSH
+    against exhaustive exact Jaccard >= 1/3 ground truth on a
+    deterministic 30% md5(doc_id) sample (the dedup_blocking_quality
+    rate; 15% left the sf0.01 sample with zero true pairs and a vacuous
+    recall). The truth DECISION is pure
+    integers (4*o >= la+lb); signatures are the same md5 minhash the
+    production candidate generator uses, restricted to the sample —
+    so recall here is an unbiased estimate of production recall at
+    this similarity cut.
+
+    The exhaustive truth stage is the documented bounded sample-only
+    all-pairs (the dedup_blocking_quality contract): |S|²/2 in-row
+    list intersections, affordable because |S| is sample-bounded at
+    any corpus size. Candidate and truth legs both derive from ONE
+    sample-filtered shingle relation."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        hash_fraction_hex,
+    )
+
+    sh = _cached_shingles(spark, sf_dir)
+    shs = sh.where(
+        hash_fraction_hex(F.col("doc_id"), _LSHQ_NIBBLES) < _lshq_threshold()
+    ).localCheckpoint()
+    sets = shs.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("toks"), F.count(F.lit(1)).alias("l")
+    )
+    n_docs = sets.count()
+    a = sets.select(
+        F.col("doc_id").alias("da"), F.col("toks").alias("ta"), F.col("l").alias("la")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("db"), F.col("toks").alias("tb"), F.col("l").alias("lb")
+    )
+    o = F.size(F.array_intersect("ta", "tb"))
+    truth = (
+        a.join(b, F.col("da") < F.col("db"))
+        .where(
+            F.lit(_LSHQ_T_DEN + 1) * o
+            >= F.lit(_LSHQ_T_NUM) * (F.col("la") + F.col("lb"))
+        )
+        .select("da", "db")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+    sigs = minhash_signatures(shs)
+    bands = sigs.select(
+        "doc_id", F.col("p").alias("band_idx"), F.col("sig").alias("band_key")
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("da"), "band_idx", "band_key"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("db"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    cand = (
+        ba.join(
+            bb,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("da") < F.col("db")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    hit = cand.join(
+        truth.withColumn("is_true", F.lit(True)), ["da", "db"], "left"
+    )
+    return hit.agg(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.lit(n_true).cast("bigint").alias("n_true_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("double")
+            / (F.lit(n_true) if n_true else F.lit(None).cast("long")),
+            6,
+        ).alias("recall"),
+    )

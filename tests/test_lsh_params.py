@@ -90,3 +90,17 @@ def test_r2_pairs_subset_of_r1_pairs(spark, doc_shingles):
         for r in banded_pairs(doc_shingles, 16, 2).collect()
     }
     assert r2 <= r1
+
+
+def test_lsh_quality_report_invariants(spark):
+    """Realized metrics are coherent: hits <= min(true, candidates);
+    recall 1.0 on this corpus (planted near-dups >= 0.95 similarity sit
+    far above the 8-band S-curve's 50% point); precision in (0, 1]."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_CORRECT
+
+    r = m.queries()["dedup_lsh_quality_report"](spark, SF_CORRECT).collect()[0]
+    assert r.n_true_pairs > 0 and r.n_candidates > 0
+    assert 0 <= r.n_hits <= min(r.n_true_pairs, r.n_candidates)
+    assert r.recall == 1.0  # planted dups are near-identical
+    assert 0.0 < r.precision <= 1.0
