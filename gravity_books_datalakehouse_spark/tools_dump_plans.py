@@ -76,6 +76,9 @@ SHOW = {
     "dedup_source_overlap_matrix": "Corpus collapses to the DISTINCT (source, shingle) relation before the token-keyed self-join — cost bounded by vocabulary x sources-per-shingle^2, never document count; |S|(|S|-1)/2 output rows (round 8).",
     "text_weighted_median_len": "Map-side collapse to the (source, length) histogram carrying BOTH doc count and token weight; one per-source cumulative window over histogram rows; both medians integer cross-multiplied selections (round 8).",
     "ev_ab_conversion_ztest": "One scan -> per-user two-flag rollup -> 2-row arm aggregate -> single-row pivot; the significance flag is a DECIMAL(38) integer comparison, no float on the decision path (round 8).",
+    "pipeline_token_budget_mix": "One map-side per-source aggregate + one STRATA-sized running-sum window (|sources| rows, bounded at any corpus size) + broadcast scalar total; allocation CASE is pure integers (round 8).",
+    "dedup_multiplicity_histogram": "Two map-side-collapsing aggregates over 16-byte content fingerprints; text never shuffles; output bounded by the largest multiplicity (round 8).",
+    "dedup_lsh_quality_report": "Sample-filtered shingle relation feeds BOTH legs; the exhaustive truth stage is the documented bounded sample-only all-pairs; candidates replay the production band join on the sample (round 8).",
 }
 
 
