@@ -1314,6 +1314,87 @@ def _pooled_cum(spark, sf_dir) -> tuple[list, int]:
     GROUP BY source
     ORDER BY source""",
 )
+def quantile_normalize_binned(spark, sf_dir, n_bins: int = 1024):
+    """The LARGE-DOMAIN escape hatch of op_quantile_normalize_lengths,
+    implemented (the registry query keeps the exact collected-histogram
+    path — right for this value domain; this variant is what you switch
+    to when |distinct values| outgrows model state).
+
+    Fixed-WIDTH binning over [min, max] — fully deterministic (two
+    scalar aggregates), unlike approx_percentile's partition-order-
+    sensitive sketch. The pooled CDF then lives on B bins: each doc's
+    within-source rank quantile maps to the upper edge of the first bin
+    whose cumulative share reaches it. The mapped value therefore
+    differs from the exact mapping by at most one bin width, and the
+    per-source report converges to the exact one as B grows (pinned by
+    the pytest). Same report schema; the only collect is the B-bounded
+    bin histogram (B is a constant — model-state-sized at ANY corpus
+    size or value domain)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(
+        F.min("n_chars"), F.max("n_chars")
+    ).collect()[0]
+    span = max(int(hi) - int(lo), 1)
+    # bin index in [0, n_bins): fixed width, integer arithmetic
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        ((F.col("n_chars") - F.lit(int(lo))) * n_bins / span).cast("int"),
+    )
+    hist_rows = (
+        docs.select(bin_col.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("b")
+        .collect()
+    )
+    run = 0
+    entries = []  # (bin upper-edge value, cumulative count)
+    for r in hist_rows:
+        run += r["c"]
+        upper = int(lo) + (int(r["b"]) + 1) * span // n_bins
+        entries.append((upper, run))
+    n_total = run
+    lit_pooled = F.expr(
+        "array("
+        + ",".join(f"struct({v}L as v, {rc}L as rc)" for v, rc in entries)
+        + ")"
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_src = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_src).alias("ns"),
+    )
+    hit = F.filter(
+        lit_pooled,
+        lambda s: s.getField("rc") * F.col("ns") >= F.col("r") * F.lit(n_total),
+    )
+    mapped = ranked.withColumn("v_mapped", F.element_at(hit, 1).getField("v"))
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_docs"),
+            F.round(F.sum("n_chars") / (F.lit(1.0) * F.max("ns")), 6).alias(
+                "mean_len_raw"
+            ),
+            F.round(F.sum("v_mapped") / (F.lit(1.0) * F.max("ns")), 6).alias(
+                "mean_len_mapped"
+            ),
+            F.round(
+                F.sum(F.abs(F.col("v_mapped") - F.col("n_chars")))
+                / (F.lit(1.0) * F.max("ns")),
+                6,
+            ).alias("mean_abs_shift"),
+        )
+        .orderBy("source")
+    )
+
+
 def op_quantile_normalize_lengths(spark, sf_dir):
     """Quantile-normalize document lengths across sources: each doc's
     within-source rank quantile r/n_s maps to the smallest pooled

@@ -211,3 +211,44 @@ def test_k_anonymity_python_replay(spark):
         for r in m.queries()["op_k_anonymity"](spark, SF_CORRECT).collect()
     }
     assert got == want
+
+
+def test_qnorm_binned_converges_to_exact(spark):
+    """The binned large-domain variant approaches the exact mapping as B
+    grows: mapped values stay within one bin width, and at B >= the
+    value span the report equals the exact operator's."""
+    import __spark_entry__ as m
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        quantile_normalize_binned,
+    )
+    from tests.conftest import SF_CORRECT
+
+    exact = {
+        r.source: (r.n_docs, r.mean_len_raw, r.mean_len_mapped)
+        for r in m.queries()["op_quantile_normalize_lengths"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    span = int(hi) - int(lo)
+    # coarse: mapped mean within one bin width of the exact mapped mean
+    coarse = {
+        r.source: r.mean_len_mapped
+        for r in quantile_normalize_binned(spark, SF_CORRECT, n_bins=64).collect()
+    }
+    width = span / 64
+    for src, (_, _, exact_mapped) in exact.items():
+        assert abs(coarse[src] - exact_mapped) <= width + 1
+    # fine: one bin per distinct value -> identical report
+    fine = {
+        r.source: (r.n_docs, r.mean_len_raw, r.mean_len_mapped)
+        for r in quantile_normalize_binned(
+            spark, SF_CORRECT, n_bins=max(span, 1)
+        ).collect()
+    }
+    for src in exact:
+        assert fine[src][0] == exact[src][0]
+        assert abs(fine[src][2] - exact[src][2]) <= 1.000001
