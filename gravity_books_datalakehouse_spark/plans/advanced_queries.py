@@ -1828,3 +1828,104 @@ def op_k_anonymity(spark, sf_dir):
         )
         .transform(bounded_sort, "mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Jeffreys-KL divergence matrix between per-source length
+# distributions — the drift toolkit's third leg: PSI monitors ONE
+# distribution over TIME, KS tests each source against the POOL, this
+# compares sources TO EACH OTHER (which feeds mixture design: two
+# sources with near-zero divergence are redundant coverage; a
+# high-divergence pair spans the length space). Jeffreys J(P,Q) =
+# sum (p-q)·ln(p/q) with add-one smoothing over the shared value domain.
+
+@register(
+    "op_kl_divergence_matrix",
+    """WITH cells AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    dom AS (SELECT DISTINCT n_chars AS v FROM documents),
+    dsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM dom),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             FROM documents GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, a.n AS na, b.source AS source_b, b.n AS nb
+      FROM srcs a JOIN srcs b ON a.source < b.source),
+    grid AS (
+      SELECT p.source_a, p.na, p.source_b, p.nb, dom.v,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+      FROM pairs p
+      CROSS JOIN dom
+      LEFT JOIN cells ca ON ca.source = p.source_a AND ca.v = dom.v
+      LEFT JOIN cells cb ON cb.source = p.source_b AND cb.v = dom.v)
+    SELECT source_a, source_b,
+           ROUND(SUM(
+             ((ca + 1.0) / (na + (SELECT d FROM dsz))
+              - (cb + 1.0) / (nb + (SELECT d FROM dsz)))
+             * LN(((ca + 1.0) / (na + (SELECT d FROM dsz)))
+                  / ((cb + 1.0) / (nb + (SELECT d FROM dsz))))), 6)
+             AS jeffreys_kl
+    FROM grid
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b""",
+)
+def op_kl_divergence_matrix(spark, sf_dir):
+    """Upper-triangle source-pair Jeffreys divergence over doc-length
+    histograms with add-one smoothing on the shared value domain. Every
+    count is exact; the float surface is ln over identical rationals
+    (≤1 ulp cross-engine) summed in engine-specific order (~1e-15
+    drift) against a 6-dp rounding boundary — the PSI margin contract.
+
+    Plan shape: one scan collapses map-side to (source, value) cells
+    (strata×domain-bounded); the pair grid is |S|²/2 × |domain| rows —
+    domain-bounded at ANY corpus size (the PSI spine contract squared
+    over strata, still dashboard-scale); two left joins fill absent
+    cells with zeros, so the smoothing term is uniform and exact. At an
+    unbounded value domain the same fixed-B binning escape hatch as
+    op_quantile_normalize_lengths applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dom = docs.select(F.col("n_chars").alias("v")).distinct()
+    dsz = dom.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = srcs.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    b = srcs.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    grid = (
+        pairs.crossJoin(F.broadcast(dom))
+        .join(
+            F.broadcast(
+                cells.select(
+                    F.col("source").alias("source_a"),
+                    "v",
+                    F.col("c").alias("ca"),
+                )
+            ),
+            ["source_a", "v"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                cells.select(
+                    F.col("source").alias("source_b"),
+                    "v",
+                    F.col("c").alias("cb"),
+                )
+            ),
+            ["source_b", "v"],
+            "left",
+        )
+        .join(F.broadcast(dsz))
+        .na.fill({"ca": 0, "cb": 0})
+    )
+    p = (F.col("ca") + 1.0) / (F.col("na") + F.col("d"))
+    q = (F.col("cb") + 1.0) / (F.col("nb") + F.col("d"))
+    return (
+        grid.groupBy("source_a", "source_b")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("jeffreys_kl"))
+        .transform(bounded_sort, "source_a", "source_b")
+    )

@@ -376,3 +376,45 @@ def test_ks_drift_python_replay(spark):
         assert want_flag == (dnum / (ns * n_total) > crit) or abs(
             dnum / (ns * n_total) - crit
         ) < 1e-9
+
+
+def test_kl_matrix_python_replay(spark):
+    """Recompute two cells in pure python (Counter + math.log) and pin
+    symmetry-by-construction (Jeffreys >= 0, 0 iff identical hists)."""
+    import math
+    from collections import Counter
+
+    import duckdb as _duckdb
+
+    import __spark_entry__ as m
+    from tests.conftest import SF_CORRECT
+
+    con = _duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, n_chars FROM read_parquet('{SF_CORRECT}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    hists, ns = {}, Counter()
+    dom = set()
+    for src, v in rows:
+        hists.setdefault(src, Counter())[v] += 1
+        ns[src] += 1
+        dom.add(v)
+    d = len(dom)
+
+    def jeffreys(sa, sb):
+        tot = 0.0
+        for v in dom:
+            p = (hists[sa][v] + 1.0) / (ns[sa] + d)
+            q = (hists[sb][v] + 1.0) / (ns[sb] + d)
+            tot += (p - q) * math.log(p / q)
+        return round(tot, 6)
+
+    out = {
+        (r.source_a, r.source_b): r.jeffreys_kl
+        for r in m.queries()["op_kl_divergence_matrix"](spark, SF_CORRECT).collect()
+    }
+    assert len(out) == len(hists) * (len(hists) - 1) // 2
+    for (sa, sb) in list(out)[:2] + list(out)[-2:]:
+        assert abs(out[(sa, sb)] - jeffreys(sa, sb)) <= 2e-6
+        assert out[(sa, sb)] >= 0.0
