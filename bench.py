@@ -87,6 +87,46 @@ def _noise_sentinel_sec() -> float | None:
         con.close()
 
 
+def _spark_parallel_sentinel_sec(spark) -> float | None:
+    """Best-of-3 SPARK wall-time of the pinned sentinel SQL — the
+    MULTI-CORE twin of the single-threaded DuckDB noise sentinel.
+    Round-8 finding: the two disagree — a morning run showed duck
+    sentinel +34% (single-core busy) with the star family FAST, an
+    afternoon run duck sentinel quiet with star 2x SLOW — i.e. the
+    host's single-core and multi-core headroom move independently, and
+    spark/duck ratios bounce with the multi-core side the duck sentinel
+    cannot see. This records it; no rescaling (a ratio of two noisy
+    measurements is not a correction)."""
+    try:
+        for t in ("lineitem", "orders"):
+            p = os.path.join(SF_DIR, f"{t}.parquet")
+            if not os.path.exists(p):
+                return None
+            spark.read.parquet(p).createOrReplaceTempView(f"_sent_{t}")
+        sql = _SENTINEL_SQL.replace("lineitem l", "_sent_lineitem l").replace(
+            "orders o", "_sent_orders o"
+        )
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.sql(sql).toPandas()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+    except Exception:
+        return None
+
+
+#: Reference Spark-sentinel seconds at sf0.1 (best-of-3, local[32]):
+#: measured in the round-8 idle window INSIDE a fully-warmed bench
+#: session (0.395; a fresh session reads 0.63-0.91 — compare only
+#: bench-context values); the
+#: same window timed the star family ~1.3-1.7x slower than round 7's
+#: quiet window at an 0.085s duck sentinel — multi-core headroom is the
+#: noisier axis). Recorded for cross-round comparison, never rescaled.
+_SPARK_SENTINEL_REF_SEC = 0.40
+
+
 def _spark_fixed_floor(spark) -> dict[str, float]:
     """Per-query fixed cost of the Spark harness itself, measured (not
     inferred): best-of-5 of (a) a plan-trivial local query and (b) a
@@ -831,6 +871,7 @@ def main() -> None:
 
     try:
         sentinel = _noise_sentinel_sec()
+        spark_sentinel = _spark_parallel_sentinel_sec(spark)
     except Exception as exc:
         print(f"# noise sentinel failed: {exc}", file=sys.stderr)
         sentinel = None
@@ -971,6 +1012,8 @@ def main() -> None:
         # pinned-query ambient-noise thermometer (see _SENTINEL_SQL):
         # normalized_total = total * ref/measured, comparable across rounds
         "noise_sentinel_duckdb_sec": sentinel,
+        "noise_sentinel_spark_sec": spark_sentinel,
+        "noise_sentinel_spark_ref_sec": _SPARK_SENTINEL_REF_SEC,
         "noise_sentinel_ref_sec": _SENTINEL_REF_SEC,
         "normalized_total_sec": (
             round(total * _SENTINEL_REF_SEC / sentinel, 3)
@@ -1055,6 +1098,7 @@ def main() -> None:
              "memory_pressure_probe": spill_probe,
              "star_batch_probe": star_batch,
              "noise_sentinel_duckdb_sec": sentinel,
+             "noise_sentinel_spark_sec": spark_sentinel,
              "normalized_total_sec": payload.get("normalized_total_sec"),
              "queries": detail},
             f,

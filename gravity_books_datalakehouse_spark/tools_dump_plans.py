@@ -79,6 +79,7 @@ SHOW = {
     "pipeline_token_budget_mix": "One map-side per-source aggregate + one STRATA-sized running-sum window (|sources| rows, bounded at any corpus size) + broadcast scalar total; allocation CASE is pure integers (round 8).",
     "dedup_multiplicity_histogram": "Two map-side-collapsing aggregates over 16-byte content fingerprints; text never shuffles; output bounded by the largest multiplicity (round 8).",
     "dedup_lsh_quality_report": "Sample-filtered shingle relation feeds BOTH legs; the exhaustive truth stage is the documented bounded sample-only all-pairs; candidates replay the production band join on the sample (round 8).",
+    "op_kl_divergence_matrix": "One scan to (source, value) cells; the pair grid is |S|^2/2 x |domain| rows (domain-bounded at any corpus size); broadcast fills for absent cells keep the smoothing exact (round 8).",
 }
 
 
