@@ -421,6 +421,11 @@ DOCS_QUERIES = (
 # exact answer; production order is dedup_exact FIRST, PPJoin on
 # survivors (see the operator docstring).
 DOCS_SPARK_ONLY = {"dedup_sorted_neighborhood"}
+#: ANN-family queries probed on the 20x EMBEDDINGS replica (vec_id
+#: offset per copy; 2k -> 40k vectors at sf0.1). Exact copies make
+#: every vector's nearest neighbor its own clone — the adversarial
+#: near-dup geometry for the similarity legs.
+EMB_QUERIES = ("sim_topk_cosine_bruteforce", "sim_ivf_topk")
 
 
 def _build_docs_copy(src_dir: str) -> str:
@@ -444,9 +449,19 @@ def _build_docs_copy(src_dir: str) -> str:
         f"FROM read_parquet('{src}') t CROSS JOIN range({DOCS_COPIES}) i) "
         f"TO '{dst}/documents.parquet' (FORMAT PARQUET)"
     )
+    off_v = con.execute(
+        "SELECT MAX(vec_id) + 1 FROM read_parquet("
+        f"'{os.path.abspath(os.path.join(src_dir, 'embeddings.parquet'))}')"
+    ).fetchone()[0]
+    con.execute(
+        f"COPY (SELECT t.* REPLACE (t.vec_id + i.range * {off_v} AS vec_id) "
+        f"FROM read_parquet('{os.path.abspath(os.path.join(src_dir, 'embeddings.parquet'))}') t "
+        f"CROSS JOIN range({DOCS_COPIES}) i) "
+        f"TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"
+    )
     con.close()
     for t in TABLES:
-        if t == "documents":
+        if t in ("documents", "embeddings"):
             continue
         p = os.path.abspath(os.path.join(src_dir, f"{t}.parquet"))
         if os.path.exists(p):
@@ -468,8 +483,12 @@ def _docs_probe(spark, entry_mod) -> dict:
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{d}/documents.parquet')"
     )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
     out: dict = {"copies": DOCS_COPIES, "sec": {}}
-    for name in DOCS_QUERIES:
+    for name in DOCS_QUERIES + EMB_QUERIES:
         if name not in qs:
             continue
         s_best = d_best = None
