@@ -322,3 +322,103 @@ def mm_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "window_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Image tiling plan — the 2D sibling of the audio window plan above:
+# vision pipelines cut large images into fixed tiles before the encoder
+# (ViT patching, SAM tiling). The PLAN is integer arithmetic over
+# metadata dimensions; the stubbed decode consumes (doc_id, x0, y0,
+# x1, y1) spans.
+
+TILE = 32
+
+
+@register(
+    "mm_image_tile_plan",
+    f"""WITH img AS (
+      SELECT doc_id,
+             64 + doc_id % 97 AS w,
+             64 + (doc_id * 7) % 89 AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    planned AS (
+      SELECT doc_id, w, h,
+             (w + {TILE - 1}) // {TILE} AS nx,
+             (h + {TILE - 1}) // {TILE} AS ny
+      FROM img),
+    ex AS (
+      SELECT doc_id, w, h, ny,
+             unnest(generate_series(0, nx - 1)) AS tx
+      FROM planned),
+    exy AS (
+      SELECT doc_id, w, h, tx,
+             unnest(generate_series(0, ny - 1)) AS ty
+      FROM ex)
+    SELECT doc_id,
+           CAST(tx AS INT) AS tile_x,
+           CAST(ty AS INT) AS tile_y,
+           CAST(tx * {TILE} AS BIGINT) AS x0,
+           CAST(ty * {TILE} AS BIGINT) AS y0,
+           CAST(LEAST(tx * {TILE} + {TILE}, w) AS BIGINT) AS x1,
+           CAST(LEAST(ty * {TILE} + {TILE}, h) AS BIGINT) AS y1,
+           tx * {TILE} + {TILE} > w OR ty * {TILE} + {TILE} > h AS padded
+    FROM exy
+    ORDER BY doc_id, tile_x, tile_y""",
+)
+def mm_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping 32x32 tiling plan for the image-typed payloads:
+    one row per (doc, tile) with exact pixel spans, edge tiles clamped
+    and flagged. Dimensions are a deterministic metadata stand-in
+    (64 + doc_id%97 by 64 + 7*doc_id%89 — the stubbed codec's header
+    parse; the plan logic is codec-free by design, exactly like
+    mm_audio_window_plan's sample counts).
+
+    Plan shape: metadata projection, integer tile counts, two nested
+    sequence explodes — rows proportional to total image area over
+    tile area, the plan's own size; co-partitions with the payload
+    scan so the decode reads each image once."""
+    docs = load_table(spark, sf_dir, "documents")
+    img = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (F.lit(64) + F.col("doc_id") % 97).alias("w"),
+        (F.lit(64) + (F.col("doc_id") * 7) % 89).alias("h"),
+    )
+    planned = img.select(
+        "doc_id",
+        "w",
+        "h",
+        F.expr(f"(w + {TILE - 1}) div {TILE}").alias("nx"),
+        F.expr(f"(h + {TILE - 1}) div {TILE}").alias("ny"),
+    )
+    tiled = (
+        planned.select(
+            "doc_id",
+            "w",
+            "h",
+            "ny",
+            F.explode(
+                F.sequence(F.lit(0), F.col("nx").cast("int") - 1)
+            ).alias("tx"),
+        )
+        .select(
+            "doc_id",
+            "w",
+            "h",
+            "tx",
+            F.explode(
+                F.sequence(F.lit(0), F.col("ny").cast("int") - 1)
+            ).alias("ty"),
+        )
+    )
+    x0 = F.col("tx").cast("bigint") * TILE
+    y0 = F.col("ty").cast("bigint") * TILE
+    return tiled.select(
+        "doc_id",
+        F.col("tx").cast("int").alias("tile_x"),
+        F.col("ty").cast("int").alias("tile_y"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        F.least(x0 + TILE, F.col("w").cast("bigint")).alias("x1"),
+        F.least(y0 + TILE, F.col("h").cast("bigint")).alias("y1"),
+        ((x0 + TILE > F.col("w")) | (y0 + TILE > F.col("h"))).alias("padded"),
+    ).orderBy("doc_id", "tile_x", "tile_y")

@@ -86,3 +86,26 @@ def test_audio_window_plan_coverage_invariants(spark):
         assert last.padded or (
             last.end_sample - (last.window_idx + 1) * AUDIO_HOP < AUDIO_WINDOW
         )
+
+
+def test_image_tile_plan_covers_exact_area(spark):
+    """Tiles partition each image exactly: per doc the clamped tile
+    areas sum to w*h, tiles don't overlap (grid construction), and the
+    padded flag marks exactly the edge tiles."""
+    import __spark_entry__ as m
+    from gravity_books_datalakehouse_spark.operators.multimodal import TILE
+    from tests.conftest import SF_CORRECT
+
+    rows = m.queries()["mm_image_tile_plan"](spark, SF_CORRECT).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, ts in by_doc.items():
+        w = 64 + doc_id % 97
+        h = 64 + (doc_id * 7) % 89
+        area = sum((t.x1 - t.x0) * (t.y1 - t.y0) for t in ts)
+        assert area == w * h
+        for t in ts:
+            assert t.padded == (t.x0 + TILE > w or t.y0 + TILE > h)
+            assert 0 <= t.x0 < t.x1 <= w and 0 <= t.y0 < t.y1 <= h
