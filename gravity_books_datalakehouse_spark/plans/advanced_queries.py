@@ -1929,3 +1929,79 @@ def op_kl_divergence_matrix(spark, sf_dir):
         .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("jeffreys_kl"))
         .transform(bounded_sort, "source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency violation audit — the data-contract check before
+# a table is trusted as a dimension or a join key: for each DECLARED
+# dependency LHS -> RHS, how many LHS groups exist and how many carry
+# more than one distinct RHS value. (This corpus deliberately violates
+# (l_orderkey, l_linenumber) -> l_partkey — TESTDATA.md's duplicate
+# line-number pairs — so the audit has a real positive to catch.)
+
+_FD_SPECS = (
+    # (name, table, lhs cols, rhs col)
+    ("lineitem_line_to_part", "lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+    ("orders_key_to_cust", "orders", ("o_orderkey",), "o_custkey"),
+    ("customer_key_to_nation", "customer", ("c_custkey",), "c_nationkey"),
+    ("part_key_to_brand", "part", ("p_partkey",), "p_brand"),
+)
+
+
+def _fd_oracle_sql() -> str:
+    legs = []
+    for name, table, lhs, rhs in _FD_SPECS:
+        keys = ", ".join(lhs)
+        legs.append(
+            f"""SELECT '{name}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       ROUND(CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS violation_rate
+FROM (SELECT {keys}, COUNT(DISTINCT {rhs}) AS n_rhs
+      FROM {table} GROUP BY {keys})"""
+        )
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY fd"
+
+
+@register("op_fd_violation_audit", _fd_oracle_sql())
+def op_fd_violation_audit(spark, sf_dir):
+    """Violation counts for four declared functional dependencies: per
+    FD, the LHS group count, groups carrying >1 distinct RHS, and the
+    violation rate. Three FDs hold by construction (key -> attribute);
+    the lineitem line-number FD is a REAL violation planted in this
+    testdata (duplicate (orderkey, linenumber) pairs — the round-3
+    oracle bug source), so the audit's positive path is exercised, not
+    just asserted empty.
+
+    Plan shape per FD: one scan collapsing map-side to LHS-group
+    partials (two-phase distinct-count aggregate), then a 1-row rollup;
+    the four legs union to a 4-row report. Pure integers plus one
+    display division."""
+    legs = []
+    for name, table, lhs, rhs in _FD_SPECS:
+        t = load_table(spark, sf_dir, table)
+        grouped = t.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        legs.append(
+            grouped.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.round(
+                    F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("violation_rate"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.transform(bounded_sort, "fd")

@@ -252,3 +252,28 @@ def test_qnorm_binned_converges_to_exact(spark):
     for src in exact:
         assert fine[src][0] == exact[src][0]
         assert abs(fine[src][2] - exact[src][2]) <= 1.000001
+
+
+def test_fd_audit_catches_planted_violation(spark):
+    """The lineitem line-number FD must show real violations at sf0.1
+    (TESTDATA's duplicate pairs); the three key->attribute FDs must be
+    clean at every scale."""
+    import __spark_entry__ as m
+
+    rows = {
+        r.fd: (r.n_groups, r.n_violating)
+        for r in m.queries()["op_fd_violation_audit"](spark, SF_CORRECT).collect()
+    }
+    assert rows["orders_key_to_cust"][1] == 0
+    assert rows["customer_key_to_nation"][1] == 0
+    assert rows["part_key_to_brand"][1] == 0
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    dup = con.execute(
+        "SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM "
+        f"read_parquet('{SF_CORRECT}/lineitem.parquet') "
+        "GROUP BY 1, 2 HAVING COUNT(DISTINCT l_partkey) > 1)"
+    ).fetchone()[0]
+    con.close()
+    assert rows["lineitem_line_to_part"][1] == dup
