@@ -544,3 +544,77 @@ def pipeline_token_budget_mix(spark, sf_dir):
         ),
         alloc.cast("bigint").alias("allocated_tokens"),
     ).transform(bounded_sort, "source")
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (the Gopher/FineWeb heuristic: text
+# that zlib squeezes hard is repetitive boilerplate; text that barely
+# compresses is high-entropy noise — both tails are low-quality). zlib
+# is deterministic at a fixed level, so the scores are exactly
+# reproducible — but no SQL engine exposes it, making this the
+# documented Arrow-batched-UDF leg of the quality kit (rows-only driver
+# check; tests/test_quality.py replays zlib exactly).
+
+_ZLIB_LEVEL = 6
+_RATIO_LOW = 0.30   #: below: repetitive/boilerplate tail
+_RATIO_HIGH = 0.90  #: above: high-entropy/noise tail
+
+
+def compression_ratio_col():
+    """Vectorized zlib ratio pandas_udf: compressed_bytes / raw_bytes of
+    the UTF-8 text. Arrow-batched (one Python call per batch, zlib
+    releases the GIL) — never a row-at-a-time Python UDF."""
+    import zlib
+
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's signature inference rejects string hints;
+    # hint-less defaults to the SCALAR Series->Series eval type
+    @pandas_udf("double")
+    def _ratio(texts):
+        def one(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, _ZLIB_LEVEL)) / len(raw)
+
+        return texts.map(one)
+
+    return _ratio
+
+
+@register("text_compression_ratio", None)  # rows-only: zlib has no SQL twin
+def text_compression_ratio(spark, sf_dir):
+    """Per-source compression-ratio profile: mean ratio plus both
+    low-quality tails (ratio < 0.30 boilerplate, > 0.90 noise). The
+    ratio itself is exact and deterministic (fixed zlib level, UTF-8
+    bytes); only the SQL-oracle CHANNEL is missing, so the driver
+    records rows-only and the pytest replays zlib bit-exactly.
+
+    Plan shape: ONE ArrowEvalPython stage computes the per-doc ratio
+    map-side off the scan (payloads never shuffle); the per-source
+    rollup is strata-sized. At 100 TB this is the shape every
+    model-scored quality filter runs — the UDF swaps for a classifier,
+    the plumbing stands."""
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = compression_ratio_col()(F.col("text")).alias("ratio")
+    scored = docs.select("source", ratio)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+            F.sum(F.when(F.col("ratio") < _RATIO_LOW, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boilerplate"),
+            F.sum(F.when(F.col("ratio") > _RATIO_HIGH, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_noise"),
+        )
+        .transform(bounded_sort, "source")
+    )

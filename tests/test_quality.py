@@ -309,3 +309,64 @@ def test_token_budget_mix_invariants(spark):
             continue
         assert r.allocated_tokens == 0
         state = "zero"
+
+
+def test_compression_ratio_exact_zlib_replay(spark):
+    """zlib at a fixed level is deterministic: replay every doc's ratio
+    in python and demand the identical per-source report."""
+    import zlib
+    from collections import defaultdict
+
+    import duckdb as _duckdb
+
+    import __spark_entry__ as m
+    from gravity_books_datalakehouse_spark.operators.quality import (
+        _RATIO_HIGH,
+        _RATIO_LOW,
+        _ZLIB_LEVEL,
+    )
+    from tests.conftest import SF_CORRECT
+
+    con = _duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM read_parquet('{SF_CORRECT}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    per = defaultdict(list)
+    for src, text in docs:
+        raw = text.encode("utf-8")
+        per[src].append(len(zlib.compress(raw, _ZLIB_LEVEL)) / len(raw) if raw else 1.0)
+    want = {
+        src: (
+            len(rs),
+            round(sum(rs) / len(rs), 6),
+            sum(1 for r in rs if r < _RATIO_LOW),
+            sum(1 for r in rs if r > _RATIO_HIGH),
+        )
+        for src, rs in per.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.mean_ratio, r.n_boilerplate, r.n_noise)
+        for r in m.queries()["text_compression_ratio"](spark, SF_CORRECT).collect()
+    }
+    # mean: python sums in list order, Spark in partition order -> 1e-12
+    for src in want:
+        assert got[src][0] == want[src][0]
+        assert abs(got[src][1] - want[src][1]) <= 1e-6
+        assert got[src][2:] == want[src][2:]
+
+
+def test_compression_ratio_is_arrow_batched(spark):
+    """The UDF must plan as ArrowEvalPython (vectorized), never
+    BatchEvalPython (row-at-a-time pickling)."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        m.queries()["text_compression_ratio"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
