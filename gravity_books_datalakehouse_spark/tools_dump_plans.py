@@ -80,6 +80,9 @@ SHOW = {
     "dedup_multiplicity_histogram": "Two map-side-collapsing aggregates over 16-byte content fingerprints; text never shuffles; output bounded by the largest multiplicity (round 8).",
     "dedup_lsh_quality_report": "Sample-filtered shingle relation feeds BOTH legs; the exhaustive truth stage is the documented bounded sample-only all-pairs; candidates replay the production band join on the sample (round 8).",
     "op_kl_divergence_matrix": "One scan to (source, value) cells; the pair grid is |S|^2/2 x |domain| rows (domain-bounded at any corpus size); broadcast fills for absent cells keep the smoothing exact (round 8).",
+    "mm_image_tile_plan": "Metadata projection -> integer tile counts -> two nested sequence explodes; rows proportional to image area over tile area, co-partitioned with the payload scan (round 8).",
+    "op_fd_violation_audit": "Per FD one map-side two-phase distinct-count aggregate + a 1-row rollup; four legs union to a 4-row report (round 8).",
+    "text_compression_ratio": "ONE ArrowEvalPython stage computes the zlib ratio map-side off the scan (payloads never shuffle); strata-sized rollup - the vectorized-UDF quality-filter shape (round 8).",
 }
 
 
