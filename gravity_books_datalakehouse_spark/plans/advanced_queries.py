@@ -2005,3 +2005,112 @@ def op_fd_violation_audit(spark, sf_dir):
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.transform(bounded_sort, "fd")
+
+
+# --------------------------------------------------------------------------
+# Year-over-year part revenue growth — the "top movers" report: which
+# parts gained the most revenue share year over year. Demand-shift
+# analytics every retail warehouse ships; the plan couples the
+# integer-cents exact money path with a compact (part, year) window.
+
+_GROWTH_TOP = 20
+_GROWTH_MIN_REV = 1000.00  #: current-year floor: growth on noise is noise
+
+
+@register(
+    "q_top_growth_parts",
+    f"""WITH py AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT l_partkey, yr, rev,
+             LAG(rev) OVER (PARTITION BY l_partkey ORDER BY yr) AS prev,
+             LAG(yr) OVER (PARTITION BY l_partkey ORDER BY yr) AS prev_yr
+      FROM py)
+    SELECT w.l_partkey AS part_key, p.p_name AS part_name,
+           CAST(w.yr AS INT) AS yr,
+           CAST(w.rev AS DOUBLE) AS revenue,
+           CAST(w.prev AS DOUBLE) AS prev_revenue,
+           ROUND(CAST(w.rev - w.prev AS DOUBLE) / CAST(w.prev AS DOUBLE), 6)
+             AS growth
+    FROM w
+    JOIN part p ON p.p_partkey = w.l_partkey
+    WHERE w.prev IS NOT NULL AND w.prev_yr = w.yr - 1
+      AND w.prev > 0 AND w.rev >= {_GROWTH_MIN_REV}
+    ORDER BY CAST(w.rev - w.prev AS DOUBLE) / CAST(w.prev AS DOUBLE) DESC,
+             part_key, yr
+    LIMIT {_GROWTH_TOP}""",
+)
+def q_top_growth_parts(spark, sf_dir):
+    """Top-{20} parts by year-over-year revenue growth (consecutive
+    years only, current revenue >= the noise floor). Revenue sums run
+    the integer-cents exact path, so rev and prev are bit-identical to
+    the oracle's DECIMAL sums; growth is one IEEE division of exact
+    decimals widened to double, identical on both engines.
+
+    Plan shape: fact joins orders (the one big join), collapses
+    map-side to the (part, year) frame — |parts|x|years|, dim-sized —
+    then ONE window pass partitioned by part over that compact frame
+    (never over raw lineitem: the round-7 trailing-frame lesson), a
+    broadcast name join, and TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        _cents,
+        _money_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", _cents("l_extendedprice").alias("p_c")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    py = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_partkey", "yr")
+        .agg(_money_sum(F.col("p_c"), 2).alias("rev"))
+    )
+    w = W.partitionBy("l_partkey").orderBy("yr")
+    wd = py.select(
+        "l_partkey",
+        "yr",
+        "rev",
+        F.lag("rev").over(w).alias("prev"),
+        F.lag("yr").over(w).alias("prev_yr"),
+    )
+    names = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        wd.where(
+            F.col("prev").isNotNull()
+            & (F.col("prev_yr") == F.col("yr") - 1)
+            & (F.col("prev") > 0)
+            & (F.col("rev") >= _GROWTH_MIN_REV)
+        )
+        .join(F.broadcast(names), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("yr").cast("int").alias("yr"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("prev").cast("double").alias("prev_revenue"),
+            F.round(
+                (F.col("rev") - F.col("prev")).cast("double")
+                / F.col("prev").cast("double"),
+                6,
+            ).alias("growth"),
+        )
+        # order by the UNROUNDED ratio: exact decimal inputs make the
+        # division bit-identical cross-engine, so the top-20 cut is
+        # deterministic; the displayed column stays rounded
+        .withColumn(
+            "_g",
+            (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"),
+        )
+        .orderBy(F.desc("_g"), F.asc("part_key"), F.asc("yr"))
+        .limit(_GROWTH_TOP)
+        .drop("_g")
+    )

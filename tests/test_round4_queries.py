@@ -212,3 +212,24 @@ def test_attribution_touch_conservation(spark):
             r["n_purchases"] for r in rs if r["touch_type"] == "direct"
         )
     assert direct["first_touch"] == direct["last_touch"]
+
+
+def test_top_growth_parts_invariants(spark):
+    """Every row: consecutive years, prev > 0, revenue above the floor,
+    growth equals the ratio of the reported columns; ordering is by
+    (unrounded) growth descending."""
+    import __spark_entry__ as m
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        _GROWTH_MIN_REV,
+        _GROWTH_TOP,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = m.queries()["q_top_growth_parts"](spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= _GROWTH_TOP
+    for r in rows:
+        assert r.prev_revenue > 0 and r.revenue >= _GROWTH_MIN_REV
+        want = round((r.revenue - r.prev_revenue) / r.prev_revenue, 6)
+        assert abs(r.growth - want) <= 1e-6
+    gs = [(r.revenue - r.prev_revenue) / r.prev_revenue for r in rows]
+    assert gs == sorted(gs, reverse=True)
