@@ -888,12 +888,13 @@ def main() -> None:
         print(f"# memory pressure probe failed: {exc}", file=sys.stderr)
         spill_probe = None
 
+    sentinel = None
+    spark_sentinel = None
     try:
         sentinel = _noise_sentinel_sec()
         spark_sentinel = _spark_parallel_sentinel_sec(spark)
     except Exception as exc:
         print(f"# noise sentinel failed: {exc}", file=sys.stderr)
-        sentinel = None
 
     def _ratio(spark_s: float, duck_s: float):
         if duck_s <= 0:

@@ -2263,8 +2263,12 @@ def dedup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSHQ_SAMPLE_RATE = 0.30
 _LSHQ_NIBBLES = 4
-#: Jaccard ground-truth threshold 1/3, decided in integers:
-#: J >= 1/3  <=>  3*o >= la + lb - o  <=>  4*o >= la + lb.
+#: Jaccard ground-truth threshold num/den, decided in integers:
+#: J = o/(la+lb-o) >= num/den  <=>  den*o >= num*(la+lb-o)
+#:                             <=>  (den+num)*o >= num*(la+lb).
+#: The general (den+num) form is written out in BOTH engines so the
+#: constants can be tuned safely (ADVICE r8: the old (den+1) form was
+#: correct only because num happened to be 1).
 _LSHQ_T_NUM = 1
 _LSHQ_T_DEN = 3
 
@@ -2290,7 +2294,7 @@ def _lshq_oracle_sql() -> str:
     truth AS (
       SELECT a.doc_id AS da, b.doc_id AS db
       FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-      WHERE ({_LSHQ_T_DEN} + 1) * len(list_intersect(a.toks, b.toks))
+      WHERE ({_LSHQ_T_DEN} + {_LSHQ_T_NUM}) * len(list_intersect(a.toks, b.toks))
             >= {_LSHQ_T_NUM} * (a.l + b.l)),
     sig AS (
       SELECT doc_id, p,
@@ -2358,7 +2362,7 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         a.join(b, F.col("da") < F.col("db"))
         .where(
-            F.lit(_LSHQ_T_DEN + 1) * o
+            F.lit(_LSHQ_T_DEN + _LSHQ_T_NUM) * o
             >= F.lit(_LSHQ_T_NUM) * (F.col("la") + F.col("lb"))
         )
         .select("da", "db")

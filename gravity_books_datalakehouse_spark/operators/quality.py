@@ -575,7 +575,12 @@ def compression_ratio_col():
     # hint-less defaults to the SCALAR Series->Series eval type
     @pandas_udf("double")
     def _ratio(texts):
-        def one(t: str) -> float:
+        def one(t) -> float:
+            # NULL text arrives as None inside the Arrow batch; propagate
+            # NULL like every engine-side operator instead of crashing the
+            # whole batch on t.encode (ADVICE r8).
+            if t is None:
+                return None
             raw = t.encode("utf-8")
             if not raw:
                 return 1.0

@@ -1284,41 +1284,19 @@ def _pooled_cum(spark, sf_dir) -> tuple[list, int]:
     return _QNORM_CACHE[key]
 
 
-@register(
-    "op_quantile_normalize_lengths",
-    """WITH pooled AS (
-      SELECT n_chars AS v,
-             SUM(COUNT(*)) OVER (ORDER BY n_chars
-                                 ROWS UNBOUNDED PRECEDING) AS r_cum
-      FROM documents GROUP BY n_chars),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-    ranked AS (
-      SELECT source, doc_id, n_chars,
-             ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY n_chars, doc_id) AS r,
-             COUNT(*) OVER (PARTITION BY source) AS ns
-      FROM documents),
-    mapped AS (
-      SELECT source, n_chars, ns,
-             (SELECT MIN(p.v) FROM pooled p
-              WHERE p.r_cum * ranked.ns >= ranked.r * (SELECT n FROM tot))
-               AS v_mapped
-      FROM ranked)
-    SELECT source,
-           CAST(MAX(ns) AS BIGINT) AS n_docs,
-           ROUND(SUM(n_chars) / (1.0 * MAX(ns)), 6) AS mean_len_raw,
-           ROUND(SUM(v_mapped) / (1.0 * MAX(ns)), 6) AS mean_len_mapped,
-           ROUND(SUM(ABS(v_mapped - n_chars)) / (1.0 * MAX(ns)), 6)
-             AS mean_abs_shift
-    FROM mapped
-    GROUP BY source
-    ORDER BY source""",
-)
 def quantile_normalize_binned(spark, sf_dir, n_bins: int = 1024):
     """The LARGE-DOMAIN escape hatch of op_quantile_normalize_lengths,
     implemented (the registry query keeps the exact collected-histogram
     path — right for this value domain; this variant is what you switch
     to when |distinct values| outgrows model state).
+
+    Library-only helper: deliberately NOT ``@register``-ed under the
+    exact operator's name (round 8 briefly shipped with the decorator
+    orphaned onto this function — the registry ran the 1024-bin
+    approximation against the exact oracle, coincidentally hash-equal
+    only because the n_chars span here is <= n_bins; fixed round 9, and
+    tests/test_registry_invariants.py now pins name<->function binding
+    registry-wide so a decorator can never silently migrate again).
 
     Fixed-WIDTH binning over [min, max] — fully deterministic (two
     scalar aggregates), unlike approx_percentile's partition-order-
@@ -1395,6 +1373,36 @@ def quantile_normalize_binned(spark, sf_dir, n_bins: int = 1024):
     )
 
 
+@register(
+    "op_quantile_normalize_lengths",
+    """WITH pooled AS (
+      SELECT n_chars AS v,
+             SUM(COUNT(*)) OVER (ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) AS r_cum
+      FROM documents GROUP BY n_chars),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents),
+    mapped AS (
+      SELECT source, n_chars, ns,
+             (SELECT MIN(p.v) FROM pooled p
+              WHERE p.r_cum * ranked.ns >= ranked.r * (SELECT n FROM tot))
+               AS v_mapped
+      FROM ranked)
+    SELECT source,
+           CAST(MAX(ns) AS BIGINT) AS n_docs,
+           ROUND(SUM(n_chars) / (1.0 * MAX(ns)), 6) AS mean_len_raw,
+           ROUND(SUM(v_mapped) / (1.0 * MAX(ns)), 6) AS mean_len_mapped,
+           ROUND(SUM(ABS(v_mapped - n_chars)) / (1.0 * MAX(ns)), 6)
+             AS mean_abs_shift
+    FROM mapped
+    GROUP BY source
+    ORDER BY source""",
+)
 def op_quantile_normalize_lengths(spark, sf_dir):
     """Quantile-normalize document lengths across sources: each doc's
     within-source rank quantile r/n_s maps to the smallest pooled

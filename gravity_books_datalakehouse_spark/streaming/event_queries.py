@@ -1488,7 +1488,23 @@ def ev_ab_conversion_ztest(spark, sf_dir):
     click-having users. The flag comparison runs in DECIMAL(38) on both
     engines; the two displayed rates are correctly-rounded IEEE
     divisions of identical integers. Plan: one scan → per-user
-    two-flag rollup → 2-row arm aggregate → single-row pivot."""
+    two-flag rollup → 2-row arm aggregate → single-row pivot.
+
+    LARGE-COUNT ESCAPE HATCH (the DECIMAL(38) contract's bound): the
+    left side 10⁴·(c₁n₂−c₂n₁)²·N caps the exact-integer path at
+    n ≈ 5·10⁶ users per arm in the worst case (diff ~ n², so
+    2n⁵·10⁴ ≤ 10³⁸); past it Spark's decimal multiply fails LOUDLY —
+    ANSI ArithmeticException (NULL flag with ansi off), never a
+    silently wrong boolean (pinned by
+    tests/test_streaming.py::test_ztest_integer_rule_boundary). Beyond
+    the bound, either (a) collect the FOUR integers of the single-row
+    `wide` frame to the driver and decide the same rule in Python's
+    arbitrary-precision ints (a 4-scalar collect — model-state-sized at
+    any corpus size), or (b) fold to DOUBLE z² and compare against
+    1.96² with an |z²−crit²| ≤ ε·crit² indifference band, flagging the
+    band for review (the statistic is continuous there, so the band is
+    honest about float error where the decision is genuinely marginal).
+    Neither changes the report schema."""
     from pyspark.sql import functions as F  # noqa: F811 (local alias)
 
     e = load_events(spark, sf_dir)

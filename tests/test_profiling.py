@@ -217,17 +217,19 @@ def test_qnorm_binned_converges_to_exact(spark):
     """The binned large-domain variant approaches the exact mapping as B
     grows: mapped values stay within one bin width, and at B >= the
     value span the report equals the exact operator's."""
-    import __spark_entry__ as m
+    # Import the exact operator DIRECTLY (not via the registry): round 8's
+    # decorator-orphaning bug made the registry entry the binned variant,
+    # which turned this test's "exact" leg self-referential. The registry
+    # binding itself is pinned by tests/test_registry_invariants.py.
     from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_quantile_normalize_lengths,
         quantile_normalize_binned,
     )
     from tests.conftest import SF_CORRECT
 
     exact = {
         r.source: (r.n_docs, r.mean_len_raw, r.mean_len_mapped)
-        for r in m.queries()["op_quantile_normalize_lengths"](
-            spark, SF_CORRECT
-        ).collect()
+        for r in op_quantile_normalize_lengths(spark, SF_CORRECT).collect()
     }
     from pyspark.sql import functions as F
 

@@ -370,3 +370,27 @@ def test_compression_ratio_is_arrow_batched(spark):
     )
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_compression_ratio_null_text_propagates(spark):
+    """A NULL text row must yield a NULL ratio (engine-style null
+    propagation), not an AttributeError inside the Arrow batch
+    (ADVICE r8)."""
+    from gravity_books_datalakehouse_spark.operators.quality import (
+        compression_ratio_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "hello hello hello"), ("b", None), ("c", "")],
+        ["k", "text"],
+    )
+    rows = {
+        r.k: r.ratio
+        for r in df.select(
+            "k", compression_ratio_col()(F.col("text")).alias("ratio")
+        ).collect()
+    }
+    assert rows["b"] is None
+    assert rows["c"] == 1.0
+    assert 0.0 < rows["a"] <= 2.0

@@ -412,3 +412,70 @@ def test_ab_ztest_python_replay(spark):
     else:
         z = (p1 - p2) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
         assert r.significant == (abs(z) >= 1.96) or abs(abs(z) - 1.96) < 1e-9
+
+
+def test_ztest_integer_rule_boundary(spark):
+    """The DECIMAL(38) exact-integer significance rule: (a) agrees with
+    the float z-square rule on non-marginal count tuples up to the
+    documented ~5e6/arm bound, and (b) past the bound overflows to a
+    LOUD NULL flag (Spark decimal overflow), never a silently wrong
+    boolean — the docstring's escape-hatch contract."""
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _ZTEST_CRIT2_DEN,
+        _ZTEST_CRIT2_NUM,
+    )
+
+    def spark_flag(n_a, c_a, n_b, c_b):
+        df = spark.createDataFrame(
+            [(n_a, c_a, n_b, c_b)], "n_a long, c_a long, n_b long, c_b long"
+        )
+        d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        diff = F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")
+        n_tot = F.col("n_a") + F.col("n_b")
+        c_tot = F.col("c_a") + F.col("c_b")
+        return df.select(
+            (
+                F.lit(_ZTEST_CRIT2_DEN) * d38(diff) * d38(diff) * d38(n_tot)
+                > F.lit(_ZTEST_CRIT2_NUM)
+                * d38(c_tot)
+                * d38(n_tot - c_tot)
+                * d38(F.col("n_a"))
+                * d38(F.col("n_b"))
+            ).alias("significant")
+        ).collect()[0].significant
+
+    def py_flag(n_a, c_a, n_b, c_b):
+        # same rule in Python's arbitrary-precision ints (escape hatch a)
+        diff = c_a * n_b - c_b * n_a
+        n, c = n_a + n_b, c_a + c_b
+        return (
+            _ZTEST_CRIT2_DEN * diff * diff * n
+            > _ZTEST_CRIT2_NUM * c * (n - c) * n_a * n_b
+        )
+
+    # (a) inside the documented domain — including counts right at the
+    # 1e6/arm scale the docstring quotes — decimal and bigint agree
+    in_domain = [
+        (1_000, 100, 1_000, 130),
+        (1_000_000, 100_000, 1_000_000, 100_900),
+        (1_000_000, 100_000, 1_000_000, 100_100),
+        (4_000_000, 400_000, 4_000_000, 401_000),
+    ]
+    for t in in_domain:
+        assert spark_flag(*t) == py_flag(*t), t
+
+    # (b) past the bound: diff ~ n^2 with n = 5e7/arm makes
+    # 1e4 * diff^2 * N exceed 38 digits -> Spark refuses LOUDLY
+    # (ANSI ArithmeticException; NULL flag with ansi off) — never a
+    # silently wrong boolean
+    over = (50_000_000, 40_000_000, 50_000_000, 1_000_000)
+    assert py_flag(*over) is True  # exact answer exists...
+    import pyspark.errors
+
+    try:
+        flag = spark_flag(*over)
+    except pyspark.errors.ArithmeticException:
+        flag = None
+    assert flag is None  # ...decimal path refuses, not lies
