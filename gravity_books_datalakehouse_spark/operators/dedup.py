@@ -2339,7 +2339,14 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs (the dedup_blocking_quality contract): |S|²/2 in-row
     list intersections, affordable because |S| is sample-bounded at
     any corpus size. Candidate and truth legs both derive from ONE
-    sample-filtered shingle relation."""
+    sample-filtered shingle relation; the truth leg additionally
+    INTERNS the sample's shingles to long ids before the per-pair
+    intersection (the PPJoin round-8 lesson — string hashing/equality
+    dominated the 1.1M-pair intersect stage; interning is injective,
+    so every overlap count and therefore the report is bit-identical;
+    measured 25 s → ~8 s warm at sf0.1 local[16]). The candidate leg
+    keeps the ORIGINAL strings: its md5 minhash signatures must be the
+    production generator's (and the oracle's) exact bytes."""
     from gravity_books_datalakehouse_spark.plans.sampling_queries import (
         hash_fraction_hex,
     )
@@ -2348,8 +2355,18 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shs = sh.where(
         hash_fraction_hex(F.col("doc_id"), _LSHQ_NIBBLES) < _lshq_threshold()
     ).localCheckpoint()
-    sets = shs.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("toks"), F.count(F.lit(1)).alias("l")
+    # sample-local interning: vocab is sample-bounded; ids never leave
+    # the truth leg (only overlap COUNTS do), so cross-session id drift
+    # is harmless
+    vocab = (
+        shs.select("shingle")
+        .distinct()
+        .withColumn("tid", F.monotonically_increasing_id())
+    )
+    sets = (
+        shs.join(vocab, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("tid").alias("toks"), F.count(F.lit(1)).alias("l"))
     )
     n_docs = sets.count()
     a = sets.select(
@@ -2359,8 +2376,15 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("db"), F.col("toks").alias("tb"), F.col("l").alias("lb")
     )
     o = F.size(F.array_intersect("ta", "tb"))
+    # length feasibility FIRST in the conjunction: o <= min(la,lb), so
+    # (den+num)*least(la,lb) >= num*(la+lb) is a necessary condition —
+    # codegen short-circuits the expensive intersect on infeasible pairs
+    # (EXACT: drops only pairs the threshold provably rejects)
+    feasible = F.lit(_LSHQ_T_DEN + _LSHQ_T_NUM) * F.least(
+        F.col("la"), F.col("lb")
+    ) >= F.lit(_LSHQ_T_NUM) * (F.col("la") + F.col("lb"))
     truth = (
-        a.join(b, F.col("da") < F.col("db"))
+        a.join(b, (F.col("da") < F.col("db")) & feasible)
         .where(
             F.lit(_LSHQ_T_DEN + _LSHQ_T_NUM) * o
             >= F.lit(_LSHQ_T_NUM) * (F.col("la") + F.col("lb"))
