@@ -28,96 +28,89 @@ _REGISTRY: list[tuple[dict, dict]] = []
 # so no family is invisible to the hard per-round signal. Everything else
 # keeps its natural module order after the head.
 _PRIORITY_HEAD = [
-    # --- round-8 window rotation state ---
-    # The full-registry witness sweep completed in round 6; every entry
-    # has a green row in some CORRECTNESS_r*.json. This round's head, in
-    # verdict-priority order:
-    #   1. the 19 operators added after the final round-7 rotation —
-    #      never driver-witnessed (judge-verified at sf0.01 AND sf0.1 in
-    #      the round-7 session, but the hard per-round signal must see
-    #      them);
-    #   2. the 10 entries those operators displaced late in round 7;
-    #   3. op_drift_psi_events — re-witness: its bin expression gained a
-    #      lower clamp on BOTH engines this round;
-    #   4. the 10 operators ADDED in round 8 (op_graph_kcore,
-    #      text_ngram_novelty, op_split_time_embargo,
-    #      text_vocab_oov_rate, dedup_sorted_neighborhood,
-    #      op_k_anonymity, text_length_bucket_padding,
-    #      mm_audio_window_plan, dedup_blocking_quality,
-    #      dedup_containment_pairs) — never witnessed by definition;
-    #   5. family-coverage fills (star/sketch/scd2/outliers);
-    #   6. 6 of the remaining 31 round-3-witnessed entries.
-    # Round-9 queue: the other round-3 entries (pipeline_curate_corpus,
-    # sim_quantized_topk, op_grouped_agg_weighted_avg,
-    # op_asof_join_prev_purchase, text_pii_redact,
-    # op_udtf_token_explode, text_repetition_stats, text_segment_dedup,
-    # text_bigram_logprob, text_bm25_topk, text_hybrid_rrf_topk,
-    # op_expectations_check, ev_funnel_signup_click_purchase,
-    # op_j_range_bucketed, op_w_trailing_range_frame,
-    # op_merge_upsert_snapshot, op_cap_per_source, dedup_simhash,
-    # mm_frame_sample, ev_tumbling_hourly, op_sample_temperature_mix,
-    # sim_lsh_bucketed_topk, text_chunk_documents)
-    # then the round-5-witnessed entries, oldest witness first.
-    # --- 1. never-driver-witnessed round-7 operators (19) ---
-    "dedup_prefix_cosine_pairs",
-    "op_skyline_suppliers",
-    "ev_ewma_control",
-    "op_sample_weighted_ares",
-    "sim_hard_negatives",
-    "op_graph_label_prop",
-    "pipeline_greedy_coverage",
-    "text_zipf_ols",
-    "op_profile_entropy",
-    "op_winsorize_quantity",
-    "ev_peak_concurrency",
-    "op_j_interval_overlap",
-    "ev_pattern_match",
+    # --- round-9 window rotation state ---
+    # Every entry has a green row in some CORRECTNESS_r*.json except the
+    # never-witnessed blocks below, which head the window. Priority
+    # order this round (the round-8 verdict's item 2):
+    #   1. the 10 operators ADDED in round 9 — never witnessed;
+    #   2. the 8 late-round-8 operators the r8 window closed before
+    #      reaching (judge-verified at sf0.01 AND sf0.1 in the round-8
+    #      session, but never driver-witnessed);
+    #   3. op_quantile_normalize_lengths — re-witness: round 9 restored
+    #      the @register binding to the EXACT operator (the r8 verdict's
+    #      registration-hijack fix), so the driver must re-hash it;
+    #   4. all 28 remaining round-2/3-witnessed entries (the verdict's
+    #      23-name queue plus the 5 displaced late in round 8), minus
+    #      text_unigram_logprob which yields its slot to the star family
+    #      fill and joins the round-10 queue;
+    #   5. family fills (star/sketch/scd2/outliers — one oracle row per
+    #      family rule; graph/drift/sim/mm/ev/sampling/pipeline/text/q_
+    #      are all represented above).
+    # Round-10 queue: text_unigram_logprob, then the round-5-witnessed
+    # entries oldest-first (op_j_skewed_salted, dedup_substring_spans,
+    # dedup_substring_rate, pipeline_dedup_keep_best, text_ccnet_buckets,
+    # op_sample_exact_k, dedup_incremental_new_vs_corpus,
+    # pipeline_decontaminate, pipeline_mixture_manifest,
+    # sim_range_search, ev_retention_cohorts, ...rest of the r5 block),
+    # then round-6-witnessed oldest-first.
+    # --- 1. NEW round-9 operators (never witnessed) ---
+    "dedup_snm_multipass",
+    "dedup_bloom_prefilter",
+    "dedup_cluster_size_histogram",
+    "sim_label_separation_matrix",
+    "ev_watermark_lateness_profile",
+    "ev_session_duration_percentiles",
+    "op_gini_revenue_concentration",
+    "op_split_balance_audit",
+    "op_graph_degree_distribution",
+    "text_fertility_by_lang",
+    # --- 2. late round-8 operators, never driver-witnessed ---
+    "dedup_multiplicity_histogram",
+    "dedup_lsh_quality_report",
+    "mm_image_tile_plan",
+    "pipeline_token_budget_mix",
+    "text_compression_ratio",
+    "op_kl_divergence_matrix",
+    "op_fd_violation_audit",
+    "q_top_growth_parts",
+    # --- 3. changed this round (registration re-pointed to the exact
+    # operator; binned variant is now library-only) ---
     "op_quantile_normalize_lengths",
-    "q_item_item_similarity",
-    "op_sample_neyman",
-    "op_split_source_holdout",
-    "op_bootstrap_ci_mean_len",
-    "op_ks_drift_by_source",
-    # --- 2. the ten entries displaced late in round 7 ---
-    "q_sole_blame_suppliers",
-    "dedup_lsh_banded_pairs",
-    "sim_topk_cosine_bruteforce",
-    "dedup_minhash_lsh_pairs",
-    "dedup_jaccard_verify",
-    "ev_sessionize",
-    "q_promo_revenue",
-    "q_small_qty_revenue",
-    "op_fk_orphan_audit",
-    "op_unpivot_roundtrip",
-    # --- 3. changed this round (PSI bin clamp, both engines) ---
+    # --- 4. round-2/3 freshness block (oldest witnesses in registry) ---
+    "pipeline_curate_corpus",
+    "sim_quantized_topk",
+    "op_grouped_agg_weighted_avg",
+    "op_asof_join_prev_purchase",
+    "text_pii_redact",
+    "op_udtf_token_explode",
+    "text_repetition_stats",
+    "text_segment_dedup",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_hybrid_rrf_topk",
+    "op_expectations_check",
+    "ev_funnel_signup_click_purchase",
+    "op_j_range_bucketed",
+    "op_w_trailing_range_frame",
+    "op_merge_upsert_snapshot",
+    "op_cap_per_source",
+    "dedup_simhash",
+    "mm_frame_sample",
+    "ev_tumbling_hourly",
+    "op_sample_temperature_mix",
+    "sim_lsh_bucketed_topk",
+    "text_chunk_documents",
+    "pipeline_pack_sequences",
+    "sim_ivf_topk",
+    "text_lang_id",
+    # (text_tfidf_top_terms yields its slot to the op_drift_ family fill
+    # and joins the round-10 queue with text_unigram_logprob)
+    # --- 5. family-coverage fills (star/sketch/scd2/outliers/drift) ---
     "op_drift_psi_events",
-    # --- 4. NEW round-8 operators (never witnessed) ---
-    "op_graph_kcore",
-    "text_ngram_novelty",
-    "op_split_time_embargo",
-    "text_vocab_oov_rate",
-    "dedup_sorted_neighborhood",
-    "op_k_anonymity",
-    "text_length_bucket_padding",
-    "mm_audio_window_plan",
-    "dedup_blocking_quality",
-    "dedup_containment_pairs",
-    # --- 5. family-coverage fills (star/sketch/scd2/outliers have no
-    # representative above; all witnessed r7, the window rule is that
-    # every family keeps one oracle-backed row in the hard signal) ---
     "star_q1_monthly_sales",
     "op_sketch_countmin_terms",
     "op_scd2_priority_history",
     "op_outliers_mad",
-    # --- 6. late round-8 operators (never witnessed; displace four
-    # round-3 re-witnesses, which join the round-9 queue) ---
-    "op_cdc_apply_log",
-    "dedup_source_overlap_matrix",
-    "text_weighted_median_len",
-    "ev_ab_conversion_ztest",
-    # --- 7. round-3 freshness block (2 of the remaining 31) ---
-    "op_j_inner_chain",
-    "op_a_rollup",
 ]
 
 

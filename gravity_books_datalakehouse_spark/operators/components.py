@@ -218,3 +218,44 @@ def dedup_clusters_connected_components(spark, sf_dir):
             dedup_minhash_lsh_pairs(spark, sf_dir)
         ).persist()
     return _CC_CACHE[key]
+
+
+def _cluster_hist_oracle_sql() -> str:
+    """The CC oracle's assignment wrapped in two more aggregations —
+    DuckDB allows a CTE-bearing query as a parenthesized subquery."""
+    return f"""SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM (
+  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM ({_cc_oracle_sql()})
+  GROUP BY cluster_rep)
+GROUP BY cluster_size
+ORDER BY cluster_size"""
+
+
+@register("dedup_cluster_size_histogram", _cluster_hist_oracle_sql())
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Size distribution of the near-dup clusters: (cluster_size,
+    n_clusters, n_docs). The curation planning number the flat pair
+    list hides — how much of the corpus sits in mega-clusters (template
+    boilerplate: remove-all-but-one deletes size-1/size of it) vs pairs
+    (genuine near-dups). Covers vertices of the LSH pair graph only:
+    a doc with no candidate edge is trivially a singleton and would
+    swamp the histogram's size-1 bucket with non-information.
+
+    Scale shape: reuses the session-cached converged CC assignment
+    (one iterative run per scale), then two histogram-sized groupBys —
+    output bounded by the largest cluster, not the corpus."""
+    cc = dedup_clusters_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

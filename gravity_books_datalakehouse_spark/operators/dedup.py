@@ -1777,6 +1777,161 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pass-2 sort key rotation point: chars 13.. move to the front, so two
+#: records whose keys differ only in the first characters (the pairs a
+#: single sorted pass structurally misses) become sort-adjacent.
+_SNM_ROT_AT = 13
+
+_SNM_MP_SQL = f"""WITH k AS (
+      SELECT doc_id,
+             regexp_replace(LOWER(SUBSTR(text, 1, {_SNM_KEY_LEN})),
+                            '{_FUZZY_ASCII_RE}', '', 'g') AS key
+      FROM documents),
+    k2 AS (
+      SELECT doc_id, key,
+             SUBSTR(key, {_SNM_ROT_AT}) || SUBSTR(key, 1, {_SNM_ROT_AT - 1})
+               AS rkey
+      FROM k),
+    r1 AS (
+      SELECT doc_id, SUBSTR(key, 1, {_SNM_BUCKET}) AS bkt,
+             ROW_NUMBER() OVER (PARTITION BY SUBSTR(key, 1, {_SNM_BUCKET})
+                                ORDER BY key, doc_id) AS rn
+      FROM k2),
+    r2 AS (
+      SELECT doc_id, SUBSTR(rkey, 1, {_SNM_BUCKET}) AS bkt,
+             ROW_NUMBER() OVER (PARTITION BY SUBSTR(rkey, 1, {_SNM_BUCKET})
+                                ORDER BY rkey, doc_id) AS rn
+      FROM k2),
+    cand AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b, 1 AS pass
+      FROM r1 a JOIN r1 b
+        ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn < a.rn + {_SNM_WINDOW}
+      UNION ALL
+      SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id), 2
+      FROM r2 a JOIN r2 b
+        ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn < a.rn + {_SNM_WINDOW}),
+    dedup AS (
+      SELECT doc_a, doc_b,
+             CAST(COUNT(DISTINCT pass) AS BIGINT) AS n_passes
+      FROM cand GROUP BY doc_a, doc_b)
+    SELECT d.doc_a, d.doc_b,
+           CAST(levenshtein(ka.key, kb.key) AS INT) AS lev, d.n_passes
+    FROM dedup d
+    JOIN k2 ka ON ka.doc_id = d.doc_a
+    JOIN k2 kb ON kb.doc_id = d.doc_b
+    WHERE levenshtein(ka.key, kb.key) <= {_SNM_MAX_LEV}
+    ORDER BY doc_a, doc_b"""
+
+
+def _snm_ranked(k2: DataFrame, keycol: str) -> DataFrame:
+    """(doc_id, bkt, rn) ranked within the 2-char-prefix buckets of
+    ``keycol`` — one SNM pass's sort order."""
+    return (
+        k2.select(
+            "doc_id",
+            F.col(keycol).alias("_k"),
+            F.substring(keycol, 1, _SNM_BUCKET).alias("bkt"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("bkt").orderBy("_k", "doc_id")
+            ),
+        )
+        .drop("_k")
+    )
+
+
+def _snm_window_pairs(r: DataFrame) -> DataFrame:
+    """Canonical (doc_a < doc_b) in-window candidate id pairs of one SNM
+    pass, via the rank-block banded join (the round-8 linearity fix:
+    join on (bucket, band), 2x fan-out probe side, never |bucket|²)."""
+    blk = F.expr(f"(rn - 1) div {_SNM_WINDOW}")
+    a = r.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("bkt").alias("bkt_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(blk, blk + 1)).alias("jblk_a"),
+    )
+    b = r.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("bkt").alias("bkt_b"),
+        F.col("rn").alias("rn_b"),
+        blk.alias("jblk_b"),
+    )
+    return a.join(
+        b,
+        (F.col("bkt_a") == F.col("bkt_b"))
+        & (F.col("jblk_a") == F.col("jblk_b"))
+        & (F.col("rn_b") > F.col("rn_a"))
+        & (F.col("rn_b") < F.col("rn_a") + _SNM_WINDOW),
+    ).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+    )
+
+
+@register("dedup_snm_multipass", _SNM_MP_SQL)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass Sorted Neighborhood (Hernandez & Stolfo 1995's
+    standard remedy for single-sort blindness): pass 1 slides the W=8
+    window over the original key order, pass 2 over a ROTATED key
+    (chars 13.. first), so pairs differing in the leading characters —
+    structurally invisible to pass 1, whose windows never span its
+    2-char bucket boundary — become sort-adjacent in pass 2. Candidates
+    from both passes union; the MATCHER then verifies every candidate
+    on the ORIGINAL key (banded Levenshtein <= 6): blocking geometry
+    only ever decides which pairs get compared, never how. ``n_passes``
+    reports which pairs only one geometry found — the measured recall
+    lift the multi-pass buys (dedup_blocking_quality quantifies the
+    same trade corpus-wide).
+
+    Scale shape: both passes are the rank-block banded join (linear
+    per bucket, skew-immune — the round-8 probe lesson); the union is
+    pair-sized, the verify joins keys back by doc_id (never text).
+    Deterministic: both sort orders are total orders on (key, doc_id);
+    Levenshtein agrees cross-engine on the ASCII projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    k2 = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, _SNM_KEY_LEN)),
+            _FUZZY_ASCII_RE,
+            "",
+        ).alias("key"),
+    ).withColumn(
+        "rkey",
+        F.concat(
+            F.substring("key", _SNM_ROT_AT, _SNM_KEY_LEN),
+            F.substring("key", 1, _SNM_ROT_AT - 1),
+        ),
+    )
+    c1 = _snm_window_pairs(_snm_ranked(k2, "key")).withColumn(
+        "pass", F.lit(1)
+    )
+    c2 = _snm_window_pairs(_snm_ranked(k2, "rkey")).withColumn(
+        "pass", F.lit(2)
+    )
+    cand = (
+        c1.unionByName(c2)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct(F.col("pass")).cast("bigint").alias("n_passes"))
+    )
+    ka = k2.select(F.col("doc_id").alias("doc_a"), F.col("key").alias("key_a"))
+    kb = k2.select(F.col("doc_id").alias("doc_b"), F.col("key").alias("key_b"))
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .withColumn(
+            "lev", F.levenshtein("key_a", "key_b", _SNM_MAX_LEV).cast("int")
+        )
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= _SNM_MAX_LEV))
+        .select("doc_a", "doc_b", "lev", "n_passes")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # Blocking-quality evaluation (the standard entity-resolution metrics:
 # reduction ratio and pairs completeness, e.g. Christen 2012, "Data
@@ -2435,4 +2590,134 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(n_true) if n_true else F.lit(None).cast("long")),
             6,
         ).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered incremental membership — the runtime-filter shape,
+# hand-built from DataFrame ops because the engine's own bloom machinery
+# (BloomFilterAggregate) is an internal expression. At warehouse scale
+# the naive new-batch-vs-corpus duplicate check is a shuffle join of the
+# full corpus fingerprint relation against every ingest batch; the bloom
+# path builds an m-bit filter over the corpus ONCE (the model-state-
+# sized artifact: m/64 longs), broadcasts it as a literal, and drops the
+# overwhelming majority of genuinely-new documents map-side off the
+# scan. Only bloom survivors (true dups + the ~(kn/m)^k false-positive
+# sliver) reach the exact verify join, whose build side is unchanged
+# but whose PROBE side shrank from |batch| to |dups|(1+fp). No false
+# negatives by construction, so the verified result is exactly the
+# plain semi-join's — which is what the DuckDB oracle computes.
+
+_BLOOM_M_BITS = 1 << 17  #: filter size; production sizes this ~10n bits
+_BLOOM_K = 3  #: seeded hash functions
+
+
+def _bloom_positions(fp_col: F.Column) -> list[F.Column]:
+    """k seeded bit positions in [0, m) per fingerprint: xxhash64 over
+    the salt-prefixed fingerprint, positive-mod m. Deterministic and
+    engine-internal — never exposed in output, so no oracle twin is
+    needed (the output is FP-free by the verify join)."""
+    return [
+        F.pmod(
+            F.xxhash64(F.concat(F.lit(f"s{s}:"), fp_col)),
+            F.lit(_BLOOM_M_BITS),
+        )
+        for s in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "dedup_bloom_prefilter",
+    f"""WITH fps AS (
+      SELECT doc_id, source, md5({NORM_SQL}) AS fp FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 != 0),
+    newb AS (SELECT source, fp FROM fps WHERE doc_id % 5 = 0)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN fp IN (SELECT fp FROM corpus)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(SUM(CASE WHEN fp IN (SELECT fp FROM corpus)
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_rate
+    FROM newb GROUP BY source ORDER BY source""",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source duplicate counts of an ingest batch (doc_id % 5
+    == 0, the incremental-op convention) against the standing corpus,
+    computed through a hand-built broadcast Bloom prefilter: corpus
+    content fingerprints set k=3 seeded bits in an m=2^17-bit filter;
+    the batch tests all k bits map-side against the bitset LITERAL
+    (one 2048-long array, constant-folded — the qnorm collected-
+    literal contract) and only survivors reach the exact semi-join.
+    Bloom filters have NO false negatives, so the verified output is
+    bit-identical to the plain semi-join the oracle runs — pinned by
+    tests/test_bloom_prefilter.py, which also checks every corpus
+    fingerprint passes its own filter and measures the realized FP
+    rate against the (kn/m)^k expectation.
+
+    Scale contract: the collect is the BIT-POSITION set (<= m ints,
+    a CONSTANT independent of corpus size) and the broadcast is m/64
+    longs. Production sizes m ~ 10n bits; past the point where m/64
+    longs stops being literal-sized (~10^8 corpus keys), shard the
+    filter by fingerprint prefix into per-shard literals, or fall back
+    to the plain shuffle semi-join — the output never changes, only
+    the prefilter's selectivity."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fps = docs.select(
+        "doc_id", "source", F.md5(norm).alias("fp")
+    )
+    corpus = fps.where(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    newb = fps.where(F.col("doc_id") % 5 == 0).select("source", "fp")
+
+    # build: distinct bit positions, collected (bounded by m) and packed
+    # into the literal bitset driver-side
+    pos_rows = (
+        corpus.select(
+            F.explode(F.array(*_bloom_positions(F.col("fp")))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_M_BITS // 64)
+    for r in pos_rows:
+        words[r["p"] >> 6] |= 1 << (r["p"] & 63)
+    # two's-complement fold into signed 64-bit literals
+    lit_bits = "array(" + ",".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
+    ) + ")"
+
+    probe = newb
+    for s, pc in enumerate(_bloom_positions(F.col("fp"))):
+        probe = probe.withColumn(f"_p{s}", pc)
+    bit_tests = " AND ".join(
+        f"((shiftright(_bits[CAST(_p{s} DIV 64 AS INT)], "
+        f"CAST(_p{s} % 64 AS INT))) & 1) = 1"
+        for s in range(_BLOOM_K)
+    )
+    survivors = (
+        probe.withColumn("_bits", F.expr(lit_bits))
+        .where(F.expr(bit_tests))
+        .select("source", "fp")
+    )
+    dups = (
+        survivors.join(corpus, "fp", "leftsemi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup"))
+    )
+    totals = newb.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return (
+        totals.join(dups, "source", "left")
+        .select(
+            "source",
+            "n_new",
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)) * F.lit(1.0) / F.col("n_new"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
     )

@@ -534,3 +534,74 @@ def op_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("core_degree"), F.asc("part_key"))
         .limit(20)
     )
+
+
+_DEGDIST_SQL = """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL
+          SELECT pb AS src, pa AS dst FROM pairs),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY 1)
+SELECT degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share,
+       ROUND(SUM(COUNT(*)) OVER (ORDER BY degree ROWS UNBOUNDED PRECEDING)
+             * 1.0 / SUM(COUNT(*)) OVER (), 6) AS cum_share
+FROM deg GROUP BY degree ORDER BY degree"""
+
+
+@register("op_graph_degree_distribution", _DEGDIST_SQL)
+def op_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the support->=2 co-purchase graph:
+    (degree, node count, share, cumulative share). The first thing to
+    read off any large graph before running anything iterative on it —
+    the tail decides skew strategy (a power-law hub list is what makes
+    salting/AQE matter for the pagerank/k-core joins above), and the
+    web-graph curation reading is the crawl-frontier degree audit.
+
+    Exactness: degrees and node counts are integers; the two shares
+    are single IEEE divisions of identical integers (the cumulative
+    window runs over the DEGREE-sized histogram, identical cross-engine
+    because degree is a unique, exactly-ordered key).
+
+    Scale shape: basket-explode pair generation (never an all-pairs
+    self-join), one groupBy(src) for degrees, then the histogram
+    collapses to |distinct degrees| rows before the (tiny) cumulative
+    window. Output is bounded by max degree, not corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        copurchase_edges(li)
+        .groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("degree").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.select(
+            "degree",
+            "n_nodes",
+            F.round(
+                F.col("n_nodes") * F.lit(1.0) / F.sum("n_nodes").over(w_all),
+                6,
+            ).alias("share"),
+            F.round(
+                F.sum("n_nodes").over(w_cum)
+                * F.lit(1.0)
+                / F.sum("n_nodes").over(w_all),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("degree")
+    )

@@ -387,3 +387,55 @@ def text_zipf_ols(spark, sf_dir):
             4,
         ).alias("r2"),
     ).orderBy("lang")
+
+
+@register(
+    "text_fertility_by_lang",
+    f"""SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(regexp_extract_all(text, '{PRETOK_RE}')))
+                   AS BIGINT) AS n_pretokens,
+              CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+              ROUND(SUM(length(text)) * 1.0 /
+                    greatest(SUM(len(regexp_extract_all(text, '{PRETOK_RE}'))),
+                             1), 6) AS chars_per_token,
+              ROUND(SUM(len(regexp_extract_all(text, '{PRETOK_RE}'))) * 1.0
+                    / COUNT(*), 6) AS tokens_per_doc
+       FROM documents GROUP BY lang ORDER BY lang""",
+)
+def text_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language: chars/pre-token and pre-tokens/
+    doc under the shared GPT-2-style pre-tokenizer (PRETOK_RE). THE
+    per-language budgeting number — a language whose fertility runs 2x
+    the corpus mean eats 2x the context window per character of content,
+    which decides per-language token budgets and flags scripts the
+    tokenizer fragments (the multilingual-tokenizer-fairness metric:
+    e.g. Petrov et al. 2023, "Language Model Tokenizers Introduce
+    Unfairness Between Languages").
+
+    Exactness: token and char counts are integers summed per language;
+    the two ratios are single IEEE divisions of identical integers.
+    Plan: per-row regexp count map-side off the scan (only lang + text
+    read), |langs|-row aggregate — scan-bound at any corpus size."""
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.regexp_extract_all("text", F.lit(PRETOK_RE), 0))
+    return (
+        docs.select("lang", nt.alias("nt"), F.length("text").alias("nc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_pretokens"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum("nc") * F.lit(1.0)
+                / F.greatest(F.sum("nt"), F.lit(1)),
+                6,
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum("nt") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("tokens_per_doc"),
+        )
+        .transform(bounded_sort, "lang")
+    )

@@ -970,3 +970,91 @@ def sim_hard_negatives(spark, sf_dir):
         )
         .orderBy("qid", "rank")
     )
+
+
+@register(
+    "sim_label_separation_matrix",
+    """WITH c AS (
+      SELECT label, idx, AVG(CAST(val AS DOUBLE)) AS cv
+      FROM (
+        SELECT label,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings)
+      GROUP BY label, idx),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.cv * b.cv) AS dot,
+             SUM(a.cv * a.cv) AS na,
+             SUM(b.cv * b.cv) AS nb,
+             SUM((a.cv - b.cv) * (a.cv - b.cv)) AS d2
+      FROM c a JOIN c b ON a.idx = b.idx AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           ROUND(sqrt(d2), 4) AS eucl_dist,
+           ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS centroid_cos
+    FROM p ORDER BY label_a, label_b""",
+)
+def sim_label_separation_matrix(spark, sf_dir):
+    """Pairwise class-separability matrix over the label centroids:
+    Euclidean distance and cosine between every centroid pair. THE
+    embedding-space sanity report before training a classifier on the
+    labels (two centroids at cosine ~1 means the classes are not
+    linearly separable in this space) and the cluster-merge signal for
+    semantic dedup (labels this op puts close are candidates for
+    joint near-dup clustering). Companion to sim_label_centroids —
+    this consumes exactly its per-(label, idx) means.
+
+    Float contract: centroid components drift ~1e-13 across engines
+    (partial-agg summation order); the |labels|² pairwise sums drift
+    similarly, and 4-dp rounding absorbs both (the
+    mm_center_embeddings_per_label precedent — distances are O(0.1-2),
+    thirteen orders above the drift).
+
+    Scale shape: one posexplode + groupBy(label, idx) shuffle (labels
+    x dims rows), then a self-join keyed on idx over the CENTROID
+    relation (|labels| x dims rows — model-state-sized at any corpus
+    size); output |labels|²/2 rows. Vectors themselves never pair."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("idx"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("label", "idx")
+        .agg(F.avg("val").alias("cv"))
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), "idx", F.col("cv").alias("ca")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"),
+        F.col("idx").alias("idx_b"),
+        F.col("cv").alias("cb"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("idx") == F.col("idx_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+            F.sum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            ).alias("d2"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        F.round(F.sqrt("d2"), 4).alias("eucl_dist"),
+        F.round(
+            F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 4
+        ).alias("centroid_cos"),
+    ).orderBy("label_a", "label_b")

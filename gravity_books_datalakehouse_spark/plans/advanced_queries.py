@@ -2122,3 +2122,101 @@ def q_top_growth_parts(spark, sf_dir):
         .limit(_GROWTH_TOP)
         .drop("_g")
     )
+
+
+@register(
+    "op_gini_revenue_concentration",
+    """WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      AS DECIMAL(18,4))) AS total_rev
+      FROM lineitem GROUP BY l_suppkey),
+    ranked AS (
+      SELECT n.n_name AS nation, r.total_rev,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY r.total_rev, r.l_suppkey) AS i
+      FROM rev r
+      JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey),
+    agg AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(total_rev) AS DOUBLE) AS total_rev,
+             CAST(SUM(i * total_rev) AS DOUBLE) AS s1
+      FROM ranked GROUP BY nation)
+    SELECT nation, n_suppliers, total_rev,
+           ROUND((2.0 * s1 - (n_suppliers + 1.0) * total_rev)
+                 / (n_suppliers * total_rev), 6) AS gini
+    FROM agg ORDER BY nation""",
+)
+def op_gini_revenue_concentration(spark, sf_dir):
+    """Gini coefficient of supplier revenue per nation — the standard
+    inequality statistic over an exact integer-money base, via the rank
+    formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x sorted ascending
+    (Sen 1973's computational form; no O(n²) pairwise differences).
+    The corpus-curation reading is the same operator over per-source
+    token counts: how concentrated is the training mix.
+
+    Exactness: revenues are exact DECIMAL sums of integer 1e-4 units
+    (the _money_sum fast path), the rank ordering (total_rev, suppkey)
+    is a total order on exact values — identical on both engines — and
+    Σi·xᵢ stays decimal-exact; only the final Gini expression folds to
+    DOUBLE, with the same expression tree on both sides.
+
+    Scale shape: one lineitem shuffle (groupBy suppkey), broadcast
+    supplier→nation lookup, per-nation rank window (suppliers per
+    nation, NOT lineitem rows), |nations|-row output. The decimal
+    Σi·xᵢ overflows 38 digits only past ~10¹⁴ supplier-rank × revenue
+    products per nation — far beyond any real dimension size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    from gravity_books_datalakehouse_spark.plans.tpch_queries import (
+        _disc_price_u,
+    )
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        _money_sum,
+    )
+    from pyspark.sql import Window
+
+    rev = li.groupBy("l_suppkey").agg(
+        _money_sum(_disc_price_u(), 4).alias("total_rev")
+    )
+    ranked = (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"), "total_rev", "l_suppkey"
+        )
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("nation").orderBy(
+                    "total_rev", "l_suppkey"
+                )
+            ),
+        )
+    )
+    agg = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("total_rev").cast("double").alias("total_rev"),
+        F.sum(
+            F.col("i") * F.col("total_rev").cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("s1"),
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        "total_rev",
+        F.round(
+            (
+                F.lit(2.0) * F.col("s1")
+                - (F.col("n_suppliers") + F.lit(1.0)) * F.col("total_rev")
+            )
+            / (F.col("n_suppliers") * F.col("total_rev")),
+            6,
+        ).alias("gini"),
+    ).transform(bounded_sort, "nation")

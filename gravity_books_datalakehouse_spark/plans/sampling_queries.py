@@ -904,3 +904,123 @@ def op_split_time_embargo(spark, sf_dir):
         )
         .orderBy("split", "event_type")
     )
+
+
+_CHI2_CRIT_2DF = 5.991464547107979  #: chi-square 0.95 quantile, df = 2
+
+
+@register(
+    "op_split_balance_audit",
+    f"""WITH per AS (
+      SELECT source,
+             SUM(CASE WHEN h < '{_T80}' THEN 1 ELSE 0 END) AS n_train,
+             SUM(CASE WHEN h >= '{_T80}' AND h < '{_T90}' THEN 1 ELSE 0 END)
+               AS n_val,
+             SUM(CASE WHEN h >= '{_T90}' THEN 1 ELSE 0 END) AS n_test
+      FROM (SELECT source,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+            FROM documents)
+      GROUP BY source),
+    g AS (
+      SELECT source, n_train, n_val, n_test,
+             n_train + n_val + n_test AS n_src,
+             SUM(n_train) OVER () AS g_train,
+             SUM(n_val) OVER () AS g_val,
+             SUM(n_test) OVER () AS g_test,
+             SUM(n_train + n_val + n_test) OVER () AS g_n
+      FROM per),
+    x AS (
+      SELECT source,
+             CAST(n_train AS BIGINT) AS n_train,
+             CAST(n_val AS BIGINT) AS n_val,
+             CAST(n_test AS BIGINT) AS n_test,
+             (n_train - n_src * (g_train * 1.0 / g_n))
+               * (n_train - n_src * (g_train * 1.0 / g_n))
+               / (n_src * (g_train * 1.0 / g_n))
+             + (n_val - n_src * (g_val * 1.0 / g_n))
+               * (n_val - n_src * (g_val * 1.0 / g_n))
+               / (n_src * (g_val * 1.0 / g_n))
+             + (n_test - n_src * (g_test * 1.0 / g_n))
+               * (n_test - n_src * (g_test * 1.0 / g_n))
+               / (n_src * (g_test * 1.0 / g_n)) AS chi2
+      FROM g)
+    SELECT source, n_train, n_val, n_test,
+           ROUND(chi2, 6) AS chi2,
+           chi2 <= {_CHI2_CRIT_2DF} AS balanced
+    FROM x ORDER BY source""",
+)
+def op_split_balance_audit(spark, sf_dir):
+    """Split-balance governance audit: is each source's 80/10/10
+    hash-split allocation consistent with the corpus-wide split shares?
+    Per source: observed train/val/test counts and the 2-df chi-square
+    statistic against expected counts n_src x global share, flagged at
+    alpha = 0.05. A source failing this audit means its doc_id space
+    interacts with the hash bands (e.g. ids assigned in ingest batches
+    that correlate with content) — exactly the silent eval-set bias a
+    split audit exists to catch. Companion to op_split_train_eval
+    (which ASSIGNS the split this op audits).
+
+    Determinism: counts are exact integers; expected counts and chi2
+    are the SAME explicit three-term expression tree over identical
+    integers on both engines (no aggregation-order-dependent float
+    sum), so the doubles are bit-equal and the boundary flag cannot
+    diverge. Plan: one scan -> |sources|-row conditional aggregate ->
+    window over that tiny frame. The 100 TB shape is unchanged: the
+    audit never touches text, only ids."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = hash_fraction_hex(F.col("doc_id"), 4)
+    per = (
+        d.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("h") < _T80, 1).otherwise(0)).alias(
+                "n_train"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("h") >= _T80) & (F.col("h") < _T90), 1
+                ).otherwise(0)
+            ).alias("n_val"),
+            F.sum(F.when(F.col("h") >= _T90, 1).otherwise(0)).alias(
+                "n_test"
+            ),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_src = F.col("n_train") + F.col("n_val") + F.col("n_test")
+    g = per.select(
+        "source",
+        "n_train",
+        "n_val",
+        "n_test",
+        n_src.alias("n_src"),
+        F.sum("n_train").over(w).alias("g_train"),
+        F.sum("n_val").over(w).alias("g_val"),
+        F.sum("n_test").over(w).alias("g_test"),
+        F.sum(n_src).over(w).alias("g_n"),
+    )
+
+    def term(obs: str, gl: str):
+        e = F.col("n_src") * (F.col(gl) * F.lit(1.0) / F.col("g_n"))
+        return (F.col(obs) - e) * (F.col(obs) - e) / e
+
+    chi2 = (
+        term("n_train", "g_train")
+        + term("n_val", "g_val")
+        + term("n_test", "g_test")
+    )
+    return (
+        g.select(
+            "source",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_val").cast("bigint").alias("n_val"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.round(chi2, 6).alias("chi2"),
+            (chi2 <= F.lit(_CHI2_CRIT_2DF)).alias("balanced"),
+        )
+        .orderBy("source")
+    )

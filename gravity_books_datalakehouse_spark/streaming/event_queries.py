@@ -1561,3 +1561,218 @@ def ev_ab_conversion_ztest(spark, sf_dir):
             * d38(F.col("n_b"))
         ).alias("significant"),
     )
+
+
+@register(
+    "ev_session_duration_percentiles",
+    """WITH flagged AS (
+         SELECT user_id, ts::TIMESTAMP AS ts,
+                CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                       OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                          > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ),
+       numbered AS (
+         SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM flagged
+       ),
+       sess AS (
+         SELECT user_id, sess_id,
+                date_diff('second', MIN(ts), MAX(ts)) AS dur_s,
+                COUNT(*) AS n_events
+         FROM numbered GROUP BY user_id, sess_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+              CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bounce,
+              CAST(quantile_disc(dur_s, 0.5) AS BIGINT) AS p50_duration_s,
+              CAST(quantile_disc(dur_s, 0.9) AS BIGINT) AS p90_duration_s,
+              CAST(quantile_disc(dur_s, 0.99) AS BIGINT) AS p99_duration_s,
+              CAST(MAX(dur_s) AS BIGINT) AS max_duration_s
+       FROM sess""",
+)
+def ev_session_duration_percentiles(spark, sf_dir):
+    """Single-row session-length profile: exact p50/p90/p99/max session
+    duration plus the bounce count (single-event sessions) over the
+    30-minute-gap sessionization — the engagement readout every event
+    pipeline publishes next to ev_sessionize's raw sessions, and the
+    number that sizes streaming state retention (a p99 session bound
+    is what you set session_window state timeout from).
+
+    Exactness: durations are integer seconds (last - first event);
+    percentiles run on the duration HISTOGRAM via the cume_dist >= p
+    rule fuzz-proven equal to percentile_disc/quantile_disc
+    (operators/percentile_hist.py) — never a percentile_disc buffering
+    every session per group. Session boundary semantics are
+    ev_sessionize's (exactly-30-min gap merges, pinned by
+    tests/test_session_boundary.py).
+
+    Scale shape: session_window aggregate (one shuffle on user_id),
+    collapse to the |distinct durations| histogram before the single
+    bounded cumulative window."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    sess = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
+    )
+    hist = sess.groupBy("dur_s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "bounce"
+        ),
+    )
+    w_cum = Window.orderBy("dur_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "dur_s",
+        "bounce",
+        F.sum("cnt").over(w_cum).alias("_cum"),
+        F.sum("cnt").over(w_all).alias("_n"),
+        "cnt",
+    )
+    cd = F.col("_cum").cast("double") / F.col("_n").cast("double")
+    return cum.agg(
+        F.max("_n").cast("bigint").alias("n_sessions"),
+        F.sum("bounce").cast("bigint").alias("n_bounce"),
+        F.min(F.when(cd >= 0.5, F.col("dur_s")))
+        .cast("bigint")
+        .alias("p50_duration_s"),
+        F.min(F.when(cd >= 0.9, F.col("dur_s")))
+        .cast("bigint")
+        .alias("p90_duration_s"),
+        F.min(F.when(cd >= 0.99, F.col("dur_s")))
+        .cast("bigint")
+        .alias("p99_duration_s"),
+        F.max("dur_s").cast("bigint").alias("max_duration_s"),
+    )
+
+
+@register(
+    "ev_watermark_lateness_profile",
+    """WITH x AS (
+         SELECT event_id, ts::TIMESTAMP AS ts,
+                md5(CAST(event_id AS VARCHAR)) AS h
+         FROM events),
+       wmx AS (
+         SELECT ts,
+                MAX(ts) OVER (ORDER BY h, event_id
+                              ROWS UNBOUNDED PRECEDING) AS wm
+         FROM x),
+       late AS (SELECT date_diff('second', ts, wm) AS late_s FROM wmx)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_late,
+              ROUND(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) * 1.0
+                    / COUNT(*), 6) AS late_share,
+              CAST(quantile_disc(CASE WHEN late_s > 0 THEN late_s END, 0.5)
+                   AS BIGINT) AS p50_late_s,
+              CAST(quantile_disc(CASE WHEN late_s > 0 THEN late_s END, 0.95)
+                   AS BIGINT) AS p95_late_s,
+              CAST(quantile_disc(CASE WHEN late_s > 0 THEN late_s END, 0.99)
+                   AS BIGINT) AS p99_late_s,
+              CAST(MAX(late_s) AS BIGINT) AS max_late_s
+       FROM late""",
+)
+def ev_watermark_lateness_profile(spark, sf_dir):
+    """Event-lateness profile against a high-watermark: for each event
+    in ARRIVAL order, lateness = (max event-time seen so far) - (own
+    event time). The p95/p99 of this distribution IS the number you set
+    ``withWatermark`` delay from — too short drops the tail as
+    late-data, too long holds streaming state open for nothing. The
+    testdata parquet is already written in event-time order (measured:
+    zero lateness), so the registry query exercises the operator over
+    a DETERMINISTIC simulated out-of-order arrival — md5(event_id)
+    interleave, the adversarial multi-source merge — identical on both
+    engines; production callers pass the real ingestion sequence
+    column instead.
+
+    Scale shape — the two-pass distributed prefix max (a global
+    ORDER BY running max would be the single-task window
+    anti-pattern): arrivals bucket by the 2-hex-char arrival-key
+    prefix (256 ordered buckets), pass 1 computes the within-bucket
+    running max (bounded partitions), pass 2 takes the running max of
+    the 256 bucket maxima (tiny) and broadcasts the carry-in back.
+    greatest(in-bucket max, carry) is exactly the global prefix max.
+    Lateness is integer seconds; percentiles run on the late-subset
+    histogram (cume_dist >= p rule, percentile_hist contract)."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    x = e.select(
+        "event_id",
+        "ts",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    w_in = Window.partitionBy("bkt").orderBy("h", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bmax = x.groupBy("bkt").agg(F.max("ts").alias("bts"))
+    w_carry = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bmax.select(
+        "bkt", F.max("bts").over(w_carry).alias("carry_ts")
+    )
+    wm = F.greatest(
+        F.col("in_max"), F.coalesce(F.col("carry_ts"), F.col("in_max"))
+    )
+    late = (
+        x.withColumn("in_max", F.max("ts").over(w_in))
+        .join(F.broadcast(carry), "bkt")
+        .select(
+            (
+                F.unix_timestamp(wm) - F.unix_timestamp(F.col("ts"))
+            ).alias("late_s")
+        )
+    )
+    hist = late.groupBy("late_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("late_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # cumulative rule over the LATE (> 0) subset only; zero-lateness
+    # rows participate in n_events/late_share but not the percentiles
+    late_cnt = F.when(F.col("late_s") > 0, F.col("cnt")).otherwise(
+        F.lit(0)
+    )
+    cum = hist.select(
+        "late_s",
+        "cnt",
+        F.sum(late_cnt).over(w_cum).alias("_cum"),
+        F.sum(late_cnt).over(w_all).alias("_nl"),
+        F.sum("cnt").over(w_all).alias("_n"),
+    )
+    cd = F.col("_cum").cast("double") / F.col("_nl").cast("double")
+    is_late = F.col("late_s") > 0
+    return cum.agg(
+        F.max("_n").cast("bigint").alias("n_events"),
+        F.max("_nl").cast("bigint").alias("n_late"),
+        F.round(
+            F.max("_nl") * F.lit(1.0) / F.max("_n"), 6
+        ).alias("late_share"),
+        F.min(F.when(is_late & (cd >= 0.5), F.col("late_s")))
+        .cast("bigint")
+        .alias("p50_late_s"),
+        F.min(F.when(is_late & (cd >= 0.95), F.col("late_s")))
+        .cast("bigint")
+        .alias("p95_late_s"),
+        F.min(F.when(is_late & (cd >= 0.99), F.col("late_s")))
+        .cast("bigint")
+        .alias("p99_late_s"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )

@@ -78,6 +78,11 @@ SHOW = {
     "ev_ab_conversion_ztest": "One scan -> per-user two-flag rollup -> 2-row arm aggregate -> single-row pivot; the significance flag is a DECIMAL(38) integer comparison, no float on the decision path (round 8).",
     "pipeline_token_budget_mix": "One map-side per-source aggregate + one STRATA-sized running-sum window (|sources| rows, bounded at any corpus size) + broadcast scalar total; allocation CASE is pure integers (round 8).",
     "dedup_multiplicity_histogram": "Two map-side-collapsing aggregates over 16-byte content fingerprints; text never shuffles; output bounded by the largest multiplicity (round 8).",
+    "dedup_bloom_prefilter": "Hand-built broadcast bloom: the corpus bitset rides as ONE constant-folded 2048-long array literal; the batch tests k=3 bits map-side off the scan and only survivors reach the exact verify semi-join — no false negatives, output FP-free (round 9).",
+    "dedup_snm_multipass": "Both SNM passes are the rank-block banded join (linear per bucket); candidate union is pair-sized; the matcher verifies on the ORIGINAL key via doc_id joins — keys, never text, through the shuffles (round 9).",
+    "ev_watermark_lateness_profile": "Two-pass distributed prefix max: in-bucket running max windows partition on the 256 ordered hash buckets; the carry is a running max over the tiny bucket-max relation, broadcast back — no single-task global window over events; percentiles on the late-subset histogram (round 9).",
+    "op_gini_revenue_concentration": "One lineitem shuffle (groupBy suppkey) to exact integer-cents revenues; broadcast supplier/nation lookups; the rank window partitions per nation over SUPPLIER rows; decimal-exact rank-weighted sums, one double fold at the end (round 9).",
+    "sim_label_separation_matrix": "Centroid relation is labels x dims (model-state-sized) after one posexplode aggregate; the pairwise self-join keys on the dimension index over that tiny frame — vectors never pair (round 9).",
     "dedup_lsh_quality_report": "Sample-filtered shingle relation feeds BOTH legs; the exhaustive truth stage is the documented bounded sample-only all-pairs; candidates replay the production band join on the sample (round 8).",
     "op_kl_divergence_matrix": "One scan to (source, value) cells; the pair grid is |S|^2/2 x |domain| rows (domain-bounded at any corpus size); broadcast fills for absent cells keep the smoothing exact (round 8).",
     "mm_image_tile_plan": "Metadata projection -> integer tile counts -> two nested sequence explodes; rows proportional to image area over tile area, co-partitioned with the payload scan (round 8).",
