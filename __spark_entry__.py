@@ -53,7 +53,11 @@ _PRIORITY_HEAD = [
     # pipeline_decontaminate, pipeline_mixture_manifest,
     # sim_range_search, ev_retention_cohorts, ...rest of the r5 block),
     # then round-6-witnessed oldest-first.
-    # --- 1. NEW round-9 operators (never witnessed) ---
+    # --- 1. NEW round-9 operators (never witnessed; the second batch
+    # displaces pipeline_pack_sequences / sim_ivf_topk / text_lang_id /
+    # text_chunk_documents to the round-10 queue — their families stay
+    # covered by other head entries, same displacement rule round 8
+    # used) ---
     "dedup_snm_multipass",
     "dedup_bloom_prefilter",
     "dedup_cluster_size_histogram",
@@ -64,6 +68,10 @@ _PRIORITY_HEAD = [
     "op_split_balance_audit",
     "op_graph_degree_distribution",
     "text_fertility_by_lang",
+    "op_split_leakage_near_dup",
+    "ev_cumulative_new_users",
+    "mm_modality_mix_report",
+    "op_incremental_agg_maintenance",
     # --- 2. late round-8 operators, never driver-witnessed ---
     "dedup_multiplicity_histogram",
     "dedup_lsh_quality_report",
@@ -99,12 +107,10 @@ _PRIORITY_HEAD = [
     "ev_tumbling_hourly",
     "op_sample_temperature_mix",
     "sim_lsh_bucketed_topk",
-    "text_chunk_documents",
-    "pipeline_pack_sequences",
-    "sim_ivf_topk",
-    "text_lang_id",
-    # (text_tfidf_top_terms yields its slot to the op_drift_ family fill
-    # and joins the round-10 queue with text_unigram_logprob)
+    # (text_chunk_documents, pipeline_pack_sequences, sim_ivf_topk,
+    # text_lang_id displaced by batch-2 round-9 ops; text_tfidf_top_terms
+    # yields its slot to the op_drift_ family fill — all five join the
+    # round-10 queue with text_unigram_logprob)
     # --- 5. family-coverage fills (star/sketch/scd2/outliers/drift) ---
     "op_drift_psi_events",
     "star_q1_monthly_sales",

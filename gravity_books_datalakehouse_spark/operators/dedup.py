@@ -2721,3 +2721,99 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup leakage across the train/val/test split — Lee et al. 2022's
+# finding operationalized as a standing audit: exact decontamination
+# (pipeline_decontaminate) misses NEAR-duplicates, and a near-dup pair
+# straddling the split boundary inflates eval scores exactly like
+# verbatim contamination. This measures how many LSH candidate pairs
+# straddle the 80/10/10 hash split that op_split_train_eval assigns.
+
+_LEAK_T80 = "cccc"  #: rate_threshold_hex(0.80) — pinned, matches _T80
+_LEAK_T90 = "e666"  #: rate_threshold_hex(0.90) — pinned, matches _T90
+
+_LEAK_SPLIT_CASE = f"""CASE
+  WHEN substring(md5(CAST({{col}} AS VARCHAR)), 1, 4) < '{_LEAK_T80}'
+    THEN 'train'
+  WHEN substring(md5(CAST({{col}} AS VARCHAR)), 1, 4) < '{_LEAK_T90}'
+    THEN 'val'
+  ELSE 'test' END"""
+
+
+@register(
+    "op_split_leakage_near_dup",
+    _MINHASH_SQL
+    + f""",
+  tagged AS (
+    SELECT {_LEAK_SPLIT_CASE.format(col='doc_a')} AS split_a,
+           {_LEAK_SPLIT_CASE.format(col='doc_b')} AS split_b
+    FROM pairs),
+  cells AS (
+    SELECT LEAST(split_a, split_b) AS split_lo,
+           GREATEST(split_a, split_b) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY 1, 2)
+  SELECT split_lo, split_hi, n_pairs,
+         split_lo != split_hi AS is_leakage,
+         ROUND(n_pairs * 1.0 / SUM(n_pairs) OVER (), 6) AS pair_share
+  FROM cells ORDER BY split_lo, split_hi""",
+)
+def op_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage audit across the 80/10/10 hash split: every
+    MinHash+LSH candidate pair tagged with its endpoints' split
+    assignments, rolled up per unordered split-pair cell with a leakage
+    flag (endpoints in different splits) and the pair share. Exact
+    decontamination closes only the verbatim channel (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" measures
+    the near-dup one); a nonzero train/test cell here is eval inflation
+    the split audit (op_split_balance_audit) cannot see.
+
+    Scale shape: reuses the session-cached LSH pair relation (the
+    candidate generator's one banded self-join); split tags are per-row
+    md5 projections of the pair's ids — no join against the documents
+    table at all; rollup is <= 6 cells. The window runs over those
+    cells."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        hash_fraction_hex,
+    )
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+
+    def split_of(col: str) -> F.Column:
+        h = hash_fraction_hex(F.col(col), 4)
+        return (
+            F.when(h < _LEAK_T80, "train")
+            .when(h < _LEAK_T90, "val")
+            .otherwise("test")
+        )
+
+    tagged = pairs.select(
+        split_of("doc_a").alias("split_a"), split_of("doc_b").alias("split_b")
+    )
+    cells = (
+        tagged.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        cells.select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leakage"),
+            F.round(
+                F.col("n_pairs") * F.lit(1.0) / F.sum("n_pairs").over(w_all),
+                6,
+            ).alias("pair_share"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )

@@ -422,3 +422,66 @@ def mm_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(y0 + TILE, F.col("h").cast("bigint")).alias("y1"),
         ((x0 + TILE > F.col("w")) | (y0 + TILE > F.col("h"))).alias("padded"),
     ).orderBy("doc_id", "tile_x", "tile_y")
+
+
+@register(
+    "mm_modality_mix_report",
+    """SELECT source,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                AS payload_bytes,
+              ROUND(SUM(octet_length(encode(text))) * 1.0 /
+                    SUM(SUM(octet_length(encode(text))))
+                      OVER (PARTITION BY source), 6) AS byte_share
+       FROM documents
+       GROUP BY 1, 2
+       ORDER BY source, media_type""",
+)
+def mm_modality_mix_report(spark, sf_dir):
+    """Payload bytes by source x modality with the within-source byte
+    share — the capacity-planning number a multimodal training mix is
+    budgeted from (modality decides decode cost and tokens-per-byte, so
+    the byte mix IS the compute mix). Pure metadata aggregation: the
+    payload column contributes only its LENGTH, computed map-side off
+    the scan; binary bytes never shuffle (the module's standing
+    contract). The share divides exact integer byte sums; the window
+    runs over the |sources| x 3 cell frame."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    cells = (
+        docs.select(
+            "source",
+            media.alias("media_type"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("nb"),
+        )
+        .groupBy("source", "media_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("payload_bytes"),
+        )
+    )
+    w_src = Window.partitionBy("source")
+    return (
+        cells.select(
+            "source",
+            "media_type",
+            "n_docs",
+            "payload_bytes",
+            F.round(
+                F.col("payload_bytes")
+                * F.lit(1.0)
+                / F.sum("payload_bytes").over(w_src),
+                6,
+            ).alias("byte_share"),
+        )
+        .orderBy("source", "media_type")
+    )

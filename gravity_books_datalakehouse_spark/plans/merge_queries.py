@@ -197,3 +197,83 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .orderBy("change_type")
     )
+
+
+@register(
+    "op_incremental_agg_maintenance",
+    """WITH base AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders WHERE o_orderkey % 10 != 0 GROUP BY 1),
+    delta AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1),
+    merged AS (
+      SELECT month, SUM(n_orders) AS n_orders, SUM(total) AS total
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY month)
+    SELECT month,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(total AS DOUBLE) AS total_price
+    FROM merged ORDER BY month""",
+)
+def op_incremental_agg_maintenance(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: the monthly sales
+    rollup updated by COMBINING the standing partial aggregate (the
+    materialized gold table, here the o_orderkey % 10 != 0 base) with
+    the ingest batch's partial aggregate — never re-scanning the base
+    fact. Correct because COUNT and the exact integer-cents SUM are
+    commutative monoids: merge = per-key union + re-aggregate, the
+    same algebra Spark's own partial/final HashAggregate split relies
+    on. The DuckDB oracle recomputes the identical decomposition; the
+    pytest additionally pins merge == full recompute (the MV
+    maintenance correctness property).
+
+    Scale shape: the merge stage shuffles 2x|months| partial rows —
+    independent of fact size; only the DELTA batch is scanned at
+    refresh time in production (the base partials are a read of the
+    gold table; both sides are computed here because registry queries
+    are pure functions of sf_dir). The month key is an explicit ISO
+    string on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        _cents,
+        _money_sum,
+    )
+
+    def partial(side):
+        return (
+            o.where(side)
+            .select(
+                F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias(
+                    "month"
+                ),
+                _cents("o_totalprice").alias("cents"),
+            )
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                _money_sum(F.col("cents"), 2).alias("total"),
+            )
+        )
+
+    base = partial(F.col("o_orderkey") % 10 != 0)
+    delta = partial(F.col("o_orderkey") % 10 == 0)
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("total").alias("total"),
+        )
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return merged.select(
+        "month",
+        "n_orders",
+        F.col("total").cast("double").alias("total_price"),
+    ).transform(bounded_sort, "month")

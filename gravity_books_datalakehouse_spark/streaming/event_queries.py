@@ -1776,3 +1776,49 @@ def ev_watermark_lateness_profile(spark, sf_dir):
         .alias("p99_late_s"),
         F.max("late_s").cast("bigint").alias("max_late_s"),
     )
+
+
+@register(
+    "ev_cumulative_new_users",
+    """WITH fs AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+         FROM events GROUP BY user_id),
+       days AS (
+         SELECT first_day AS day, COUNT(*) AS n_new
+         FROM fs GROUP BY first_day)
+       SELECT strftime(day, '%Y-%m-%d') AS day,
+              CAST(n_new AS BIGINT) AS n_new_users,
+              CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_users
+       FROM days ORDER BY day""",
+)
+def ev_cumulative_new_users(spark, sf_dir):
+    """Daily new users and the cumulative distinct-user curve — the
+    growth chart every event pipeline publishes. The naive form,
+    COUNT(DISTINCT user_id) OVER (ORDER BY day), either isn't supported
+    or buffers every user per frame; the scale-correct identity is
+    FIRST-SEEN COLLAPSE: cumulative distinct users at day d = count of
+    users whose MIN(event day) <= d. One groupBy(user_id) for first
+    days (the only corpus-sized stage, map-side partial), a day-sized
+    histogram, and a running sum over |days| rows. Dates emitted as ISO
+    strings both engines (the DATE-stringification gotcha)."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    fs = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    days = fs.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w_cum = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        days.select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            F.col("n_new").cast("bigint").alias("n_new_users"),
+            F.sum("n_new").over(w_cum).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("day")
+    )

@@ -56,3 +56,20 @@ def test_priority_head_all_present_and_unique():
     qs = m.queries()
     missing = [n for n in head if n not in qs]
     assert not missing, f"_PRIORITY_HEAD names absent from registry: {missing}"
+
+
+def test_leakage_split_bands_match_sampling_module():
+    """op_split_leakage_near_dup pins the 80/10/10 hex bands as literals
+    (import-cycle avoidance); they must stay equal to the sampling
+    module's, or the leakage audit would audit a different split than
+    op_split_train_eval assigns."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _LEAK_T80,
+        _LEAK_T90,
+    )
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _T80,
+        _T90,
+    )
+
+    assert (_LEAK_T80, _LEAK_T90) == (_T80, _T90)

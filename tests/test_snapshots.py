@@ -210,3 +210,38 @@ def test_snapshot_diff_oracle_and_semantics(spark, duck):
     )
     assert counts["deleted"] > 0 and counts["inserted"] > 0
     assert counts["updated"] > 0 and counts["unchanged"] > 0
+
+
+def test_incremental_agg_maintenance_equals_full_recompute(spark):
+    """The MV-maintenance correctness property: combining base + delta
+    partial aggregates equals the full recompute, bit-for-bit (COUNT
+    and the integer-cents SUM are commutative monoids)."""
+    from gravity_books_datalakehouse_spark.plans.merge_queries import (
+        op_incremental_agg_maintenance,
+    )
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        _cents,
+        _money_sum,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r.month: (r.n_orders, r.total_price)
+        for r in op_incremental_agg_maintenance(spark, SF_CORRECT).collect()
+    }
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    full = {
+        r.month: (r.n_orders, r.total_price)
+        for r in o.select(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _money_sum(F.col("cents"), 2).cast("double").alias("total_price"),
+        )
+        .collect()
+    }
+    assert got == full
