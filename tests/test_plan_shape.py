@@ -507,3 +507,76 @@ def test_snm_join_is_banded_equi_join(spark):
     assert "CartesianProduct" not in plan
     # the jblk band column participates in a hash-partitioned join key
     assert "jblk" in plan
+
+
+def test_bloom_prefilter_tests_bits_before_the_verify_join(spark):
+    """The bloom batch-side must evaluate the bitset membership in a
+    Filter BELOW the exact verify semi-join (map-side prefilter), and
+    the bitset must ride as a constant-folded literal — no per-row
+    array construction, no extra join to distribute it."""
+    import __spark_entry__ as m
+
+    plan = _executed_plan(
+        m.queries()["dedup_bloom_prefilter"](spark, SF_SMOKE)
+    )
+    assert "shiftright" in plan
+    # the filter runs under codegen off the scan, not after the join
+    semi_at = plan.find("LeftSemi")
+    shift_at = plan.find("shiftright")
+    assert semi_at != -1 and shift_at != -1 and shift_at > semi_at, (
+        "bit tests should appear below (after, in toString order) the "
+        "verify semi-join"
+    )
+
+
+def test_lateness_profile_has_no_global_event_window(spark):
+    """The running high-watermark must come from bucket-partitioned
+    windows + the tiny carry relation — never one unpartitioned window
+    over the event stream. The only SinglePartition exchanges allowed
+    feed windows over the bucket-max (256 rows) and lateness-histogram
+    (domain-bounded) relations."""
+    import __spark_entry__ as m
+
+    df = m.queries()["ev_watermark_lateness_profile"](spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    # the per-event max window is partitioned by bkt
+    assert "windowspecdefinition(bkt" in plan
+    # no window over events partitioned by nothing ordering on raw
+    # event_id alone (the single-task form this op exists to avoid)
+    import re
+
+    for mt in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = mt.group(1)
+        if spec.startswith("event_id") or spec.startswith("h#"):
+            raise AssertionError(
+                f"unpartitioned event-ordered window found: {spec[:80]}"
+            )
+
+
+def test_snm_multipass_both_passes_banded(spark):
+    """Both SNM passes must key their self-joins on (bucket, band) —
+    two banded equi-joins, zero nested-loop joins anywhere."""
+    import __spark_entry__ as m
+
+    plan = _executed_plan(m.queries()["dedup_snm_multipass"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("jblk") >= 2, "expected both passes' banded keys"
+
+
+def test_incremental_agg_merge_stage_is_month_sized(spark):
+    """The merge aggregate must consume the two partial aggregates —
+    its exchange carries per-month partial rows, so the plan shows the
+    partial/final aggregate pairs of both legs plus one month-keyed
+    merge, and the fact scans carry only the 3 needed columns."""
+    import __spark_entry__ as m
+
+    df = m.queries()["op_incremental_agg_maintenance"](spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "o_orderkey" in plan and "o_totalprice" in plan
+    import re
+
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    for rs in reads:
+        cols = [c.split(":")[0] for c in rs.split(",") if c]
+        assert set(cols) <= {"o_orderkey", "o_orderdate", "o_totalprice"}, cols
