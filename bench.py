@@ -413,14 +413,24 @@ DOCS_QUERIES = (
     "dedup_sorted_neighborhood",  # banded window join (spark-only: the
                                   # oracle keeps the quadratic relational
                                   # form, fine at sf0.01, not at 20x)
+    "dedup_snm_multipass",        # both banded passes at 20x (spark-only,
+                                  # same quadratic-oracle reason)
+    "dedup_bloom_prefilter",      # bitset build + map-side prefilter at
+                                  # 20x corpus (oracle = exact semi-join)
 )
 # NOT probed, measured once round 8: dedup_fuzzy_prefix 87.9 s / 1.32 M
 # pairs (output-bound: the replica really contains that many qualifying
 # pairs); dedup_prefix_cosine_pairs's candidate stage scales k^2 under
 # k-fold verbatim duplication (~4.4 G rows at 20x) — intrinsic to the
 # exact answer; production order is dedup_exact FIRST, PPJoin on
-# survivors (see the operator docstring).
-DOCS_SPARK_ONLY = {"dedup_sorted_neighborhood"}
+# survivors (see the operator docstring). Measured once round 9 (engine
+# session, local[16]): dedup_snm_multipass 11.5 s / 577 k pairs,
+# dedup_bloom_prefilter 8.4 s, op_split_leakage_near_dup 34.3 s and
+# dedup_cluster_size_histogram 58.2 s — the latter two dominated by the
+# shared LSH pair graph, which is k^2-dense under k-fold verbatim
+# replication (every dup group is a 20-clique) — the same intrinsic
+# cost documented above; production order is dedup_exact first.
+DOCS_SPARK_ONLY = {"dedup_sorted_neighborhood", "dedup_snm_multipass"}
 #: ANN-family queries probed on the 20x EMBEDDINGS replica (vec_id
 #: offset per copy; 2k -> 40k vectors at sf0.1). Exact copies make
 #: every vector's nearest neighbor its own clone — the adversarial
