@@ -72,6 +72,11 @@ _PRIORITY_HEAD = [
     "ev_cumulative_new_users",
     "mm_modality_mix_report",
     "op_incremental_agg_maintenance",
+    # batch 3 (displaces sim_lsh_bucketed_topk / text_hybrid_rrf_topk /
+    # ev_tumbling_hourly to the round-10 queue)
+    "dedup_method_agreement",
+    "sim_hubness_report",
+    "ev_ab_power_mde",
     # --- 2. late round-8 operators, never driver-witnessed ---
     "dedup_multiplicity_histogram",
     "dedup_lsh_quality_report",
@@ -95,7 +100,6 @@ _PRIORITY_HEAD = [
     "text_segment_dedup",
     "text_bigram_logprob",
     "text_bm25_topk",
-    "text_hybrid_rrf_topk",
     "op_expectations_check",
     "ev_funnel_signup_click_purchase",
     "op_j_range_bucketed",
@@ -104,9 +108,7 @@ _PRIORITY_HEAD = [
     "op_cap_per_source",
     "dedup_simhash",
     "mm_frame_sample",
-    "ev_tumbling_hourly",
     "op_sample_temperature_mix",
-    "sim_lsh_bucketed_topk",
     # (text_chunk_documents, pipeline_pack_sequences, sim_ivf_topk,
     # text_lang_id displaced by batch-2 round-9 ops; text_tfidf_top_terms
     # yields its slot to the op_drift_ family fill — all five join the

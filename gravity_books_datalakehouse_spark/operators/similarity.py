@@ -1058,3 +1058,177 @@ def sim_label_separation_matrix(spark, sf_dir):
             F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 4
         ).alias("centroid_cos"),
     ).orderBy("label_a", "label_b")
+
+
+def _method_agreement_sql() -> str:
+    from gravity_books_datalakehouse_spark.operators.dedup import _MINHASH_SQL
+
+    return (
+        _MINHASH_SQL
+        + f""",
+  lex AS (SELECT doc_a, doc_b FROM pairs),
+  sem AS (
+    SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_COS_SQL}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b
+        ON ({_signature_sql('a')}) = ({_signature_sql('b')})
+       AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {_NEAR_DUP_TAU}),
+  u AS (
+    SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+           CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+           CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sem
+    FROM lex l
+    FULL JOIN sem s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b)
+  SELECT CAST(SUM(in_lex) AS BIGINT) AS n_lexical,
+         CAST(SUM(in_sem) AS BIGINT) AS n_semantic,
+         CAST(SUM(in_lex * in_sem) AS BIGINT) AS n_both,
+         ROUND(SUM(in_lex * in_sem) * 1.0 /
+               (SUM(in_lex) + SUM(in_sem) - SUM(in_lex * in_sem)), 6)
+           AS pair_jaccard
+  FROM u"""
+    )
+
+
+@register("dedup_method_agreement", _method_agreement_sql())
+def dedup_method_agreement(spark, sf_dir):
+    """Cross-method dedup agreement: the MinHash-LSH (lexical) candidate
+    pair set vs the embedding-cosine (semantic) near-dup pair set, as a
+    single-row overlap report (counts + pair-set Jaccard). The two
+    methods see different phenomena — shingle overlap catches verbatim
+    and near-verbatim copies, embedding cosine catches paraphrase — so
+    LOW agreement is expected and the interesting signal is each
+    method's exclusive mass: semantic-only pairs are what a
+    lexical-only dedup pipeline ships as "clean" duplicates (the
+    SemDeDup motivation, Abbas et al. 2023). The testdata's vec_id
+    space is 1:1 with doc_id, making the pair keys directly joinable.
+
+    Scale shape: both pair relations come from their production
+    generators (banded LSH self-join; signature-bucketed cosine join) —
+    the agreement layer adds one pair-keyed FULL OUTER join and a
+    single-row aggregate, costing |L|+|S| rows regardless of corpus
+    size."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    lex = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lex")
+    )
+    sem = dedup_embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(1).alias("in_sem"),
+    )
+    u = lex.join(sem, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_lex", F.lit(0)).alias("in_lex"),
+        F.coalesce("in_sem", F.lit(0)).alias("in_sem"),
+    )
+    both = F.sum(F.col("in_lex") * F.col("in_sem"))
+    return u.agg(
+        F.sum("in_lex").cast("bigint").alias("n_lexical"),
+        F.sum("in_sem").cast("bigint").alias("n_semantic"),
+        both.cast("bigint").alias("n_both"),
+        F.round(
+            both * F.lit(1.0)
+            / (F.sum("in_lex") + F.sum("in_sem") - both),
+            6,
+        ).alias("pair_jaccard"),
+    )
+
+
+_HUB_K = 5
+_HUB_SAMPLE_RATE = 0.10
+_HUB_NIBBLES = 4
+
+
+def _hubness_sql() -> str:
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(_HUB_SAMPLE_RATE, _HUB_NIBBLES)
+    return f"""WITH q AS (
+      SELECT vec_id AS qid, embedding FROM embeddings
+      WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, {_HUB_NIBBLES})
+            < '{thr}'),
+    p AS (
+      SELECT a.qid, b.vec_id AS nid,
+             ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                          a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]))), 6)
+               AS cs
+      FROM q a JOIN embeddings b ON b.vec_id != a.qid),
+    top AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cs DESC, nid) AS rn
+        FROM p) WHERE rn <= {_HUB_K}),
+    ind AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS d FROM top GROUP BY nid),
+    hist AS (
+      SELECT d AS in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM ind GROUP BY d)
+    SELECT in_degree, n_vectors FROM hist
+    UNION ALL
+    SELECT CAST(0 AS BIGINT),
+           (SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM ind)
+    ORDER BY in_degree"""
+
+
+@register("sim_hubness_report", _hubness_sql())
+def sim_hubness_report(spark, sf_dir):
+    """Hubness profile of the embedding space: the in-degree histogram
+    of the k=5 cosine NN graph (queries = deterministic 10% md5 sample,
+    neighbors = the full corpus). A heavy in-degree tail — hub vectors
+    that appear in everyone's top-k — is the classic
+    high-dimensionality pathology (Radovanović et al. 2010, JMLR):
+    hubs poison ANN recall, near-dup clustering, AND retrieval mixes,
+    so this histogram is the go/no-go check before trusting any
+    cosine-based curation leg. In-degree 0 (never retrieved) is
+    reported too — the anti-hub mass.
+
+    Determinism: cosine rounded to 6 dp before ranking with a vec_id
+    tiebreak (the sim family contract); sample membership is an md5
+    projection. Scale shape: |Q| sample queries broadcast against one
+    corpus scan (|Q|x|N| bounded by the sample rate); in-degree and
+    histogram aggregates are vector- and degree-bounded. The 100 TB
+    path swaps the brute-force leg for the IVF/LSH candidate join and
+    measures REALIZED hubness of the production index instead."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        hash_fraction_hex,
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(_HUB_SAMPLE_RATE, _HUB_NIBBLES)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(
+        hash_fraction_hex(F.col("vec_id"), _HUB_NIBBLES) < thr
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
+    cos = cosine("va", "vb")
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
+    top = (
+        F.broadcast(q)
+        .join(b, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(cos, 6).alias("cs"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+    )
+    ind = top.groupBy("nid").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    hist = ind.groupBy(F.col("d").alias("in_degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    totals = e.agg(F.count(F.lit(1)).alias("n_all")).crossJoin(
+        ind.agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    zero = totals.select(
+        F.lit(0).cast("bigint").alias("in_degree"),
+        (F.col("n_all") - F.col("n_hit")).cast("bigint").alias("n_vectors"),
+    )
+    return hist.unionByName(zero).orderBy("in_degree")

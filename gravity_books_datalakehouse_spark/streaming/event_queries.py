@@ -1822,3 +1822,114 @@ def ev_cumulative_new_users(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+_MDE_Z_ALPHA = 1.959963985  #: two-sided alpha = 0.05
+_MDE_Z_BETA = 0.841621234  #: power = 0.80
+
+
+@register(
+    "ev_ab_power_mde",
+    f"""WITH arms AS (
+      SELECT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicked,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM events GROUP BY user_id),
+    per AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(purchased) AS BIGINT) AS c
+      FROM arms WHERE clicked = 1 GROUP BY arm),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             MAX(CASE WHEN arm = 'A' THEN c END) AS c_a,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             MAX(CASE WHEN arm = 'B' THEN c END) AS c_b
+      FROM per),
+    x AS (
+      SELECT n_a, n_b,
+             CAST(c_a AS DOUBLE) / n_a AS rate_a,
+             CAST(c_b AS DOUBLE) / n_b AS rate_b,
+             CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pooled,
+             ({_MDE_Z_ALPHA} + {_MDE_Z_BETA})
+               * sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) AS mde
+      FROM wide)
+    SELECT n_a, n_b,
+           ROUND(rate_a, 6) AS rate_a,
+           ROUND(rate_b, 6) AS rate_b,
+           ROUND(mde, 6) AS mde_abs_lift,
+           abs(rate_b - rate_a) >= mde AS lift_detectable
+    FROM x""",
+)
+def ev_ab_power_mde(spark, sf_dir):
+    """Experiment power readout — the ev_ab_conversion_ztest companion:
+    the minimal detectable absolute lift (two-sided α=0.05, power 0.80)
+    at the REALIZED arm sizes and pooled rate, and whether the observed
+    lift clears it. An experiment platform publishes this next to the
+    significance flag because an insignificant result is only
+    informative when the MDE says the test could have seen the effect
+    (otherwise it's underpowered, not null).
+
+    Determinism: one row; rates/pooled/MDE are the SAME expression tree
+    over identical integers on both engines (z constants as shared
+    literals), so the doubles — and therefore the boundary flag — are
+    bit-equal. Plan: the ztest's per-user rollup → 2-row arm aggregate
+    → single-row pivot → scalar math."""
+    e = load_events(spark, sf_dir)
+    arms = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicked"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchased"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    per = (
+        arms.where(F.col("clicked") == 1)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("purchased").cast("bigint").alias("c"),
+        )
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("c"))).alias("c_b"),
+    )
+    rate_a = F.col("c_a").cast("double") / F.col("n_a")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    mde = F.lit(_MDE_Z_ALPHA + _MDE_Z_BETA) * F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(mde, 6).alias("mde_abs_lift"),
+        (F.abs(rate_b - rate_a) >= mde).alias("lift_detectable"),
+    )
