@@ -77,6 +77,8 @@ _PRIORITY_HEAD = [
     "dedup_method_agreement",
     "sim_hubness_report",
     "ev_ab_power_mde",
+    # batch 4 (displaces text_segment_dedup to the round-10 queue)
+    "text_quality_signal_corr",
     # --- 2. late round-8 operators, never driver-witnessed ---
     "dedup_multiplicity_histogram",
     "dedup_lsh_quality_report",
@@ -97,7 +99,6 @@ _PRIORITY_HEAD = [
     "text_pii_redact",
     "op_udtf_token_explode",
     "text_repetition_stats",
-    "text_segment_dedup",
     "text_bigram_logprob",
     "text_bm25_topk",
     "op_expectations_check",

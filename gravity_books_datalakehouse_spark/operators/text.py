@@ -894,3 +894,115 @@ def text_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(bounded_sort, "source")
     )
+
+
+def _qcorr_oracle_sql() -> str:
+    stop_list = list(STOPWORDS)
+    # signals must VARY on this corpus: the synthetic documents contain
+    # no punctuation and no digits (measured — those two would be
+    # constant zero, making r undefined), so the battery is char count,
+    # token count, stopword count, distinct-token count
+    sig = {
+        "n_chars": "length(text)",
+        "n_toks": f"len({TOKS_SQL})",
+        "n_stop": f"len(list_filter({TOKS_SQL}, x -> list_contains({stop_list}, x)))",
+        "n_dtoks": f"len(list_distinct({TOKS_SQL}))",
+    }
+    cols = ",\n           ".join(f"{e} AS {k}" for k, e in sig.items())
+    names = list(sig)
+    stats = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for k in names:
+        stats.append(f"SUM(CAST({k} AS HUGEINT)) AS s_{k}")
+        stats.append(f"SUM(CAST({k} AS HUGEINT) * {k}) AS q_{k}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        stats.append(f"SUM(CAST({a} AS HUGEINT) * {b}) AS x_{a}_{b}")
+    legs = []
+    for a, b in pairs:
+        r = (
+            f"(CAST(n * x_{a}_{b} - s_{a} * s_{b} AS DOUBLE)) / "
+            f"sqrt(CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE) * "
+            f"CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE))"
+        )
+        legs.append(
+            f"SELECT '{a}' AS sig_a, '{b}' AS sig_b,"
+            f" CAST(n AS BIGINT) AS n_docs, ROUND({r}, 6) AS pearson_r"
+            f" FROM agg"
+        )
+    union = "\n    UNION ALL\n    ".join(legs)
+    return f"""WITH sigs AS (
+      SELECT {cols}
+      FROM documents),
+    agg AS (SELECT {', '.join(stats)} FROM sigs)
+    {union}
+    ORDER BY sig_a, sig_b"""
+
+
+@register("text_quality_signal_corr", _qcorr_oracle_sql())
+def text_quality_signal_corr(spark, sf_dir):
+    """Pearson correlation matrix between the heuristic quality signals
+    (char count, token count, stopword count, distinct-token count) — the
+    redundancy check behind filter design: two signals correlating at
+    r ~ 0.95 gate the same documents, so stacking them adds threshold
+    complexity without recall, while a near-zero pair measures
+    genuinely independent failure modes. (The C4/Gopher filter stacks
+    are exactly such signal batteries; this op is how you prune one.)
+
+    Exactness: all four signals are INTEGER counts; every sufficient
+    statistic (n, Σx, Σx², Σxy) accumulates in DECIMAL(38)/HUGEINT —
+    exact at any corpus size (products are ≤10¹² per row, 38 digits
+    hold ~10²⁶ rows) — and each r folds to DOUBLE once through the
+    same expression tree on both engines, so even the 6-dp rounding
+    boundary cannot diverge.
+
+    Plan: one scan computes the signals map-side; ONE aggregate
+    carries all 15 statistics (partial aggregation collapses each
+    partition to a single row); the 6 output rows are constant-space
+    projections of that 1-row frame. Scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = tokens_col()
+    sig = {
+        "n_chars": F.length("text"),
+        "n_toks": F.size(toks),
+        "n_stop": F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+        ),
+        "n_dtoks": F.size(F.array_distinct(toks)),
+    }
+    names = list(sig)
+    sigs = docs.select(*[c.alias(k) for k, c in sig.items()])
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for k in names:
+        aggs.append(F.sum(d38(F.col(k))).alias(f"s_{k}"))
+        aggs.append(F.sum(d38(F.col(k)) * F.col(k)).alias(f"q_{k}"))
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(d38(F.col(a)) * F.col(b)).alias(f"x_{a}_{b}"))
+    agg = sigs.agg(*aggs)
+    legs = []
+    for a, b in pairs:
+        num = (
+            F.col("n") * F.col(f"x_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ).cast("double")
+        va = (
+            F.col("n") * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ).cast("double")
+        vb = (
+            F.col("n") * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        ).cast("double")
+        legs.append(
+            agg.select(
+                F.lit(a).alias("sig_a"),
+                F.lit(b).alias("sig_b"),
+                F.col("n").cast("bigint").alias("n_docs"),
+                F.round(num / F.sqrt(va * vb), 6).alias("pearson_r"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return out.transform(bounded_sort, "sig_a", "sig_b")

@@ -354,3 +354,42 @@ def test_multiplicity_histogram_constructed(spark, tmp_path):
         for r in dedup_multiplicity_histogram(spark, d).collect()
     }
     assert got == {1: (2, 2, 0), 2: (1, 2, 1), 3: (1, 3, 2)}
+
+
+def test_snm_banded_pairs_equal_bruteforce_window(spark):
+    """The rank-block banded join must produce EXACTLY the within-W
+    rank-window pairs — on adversarial bucket sizes (empty, 1, W-1, W,
+    W+1, 3W+2) so block boundaries, the 2x fan-out, and the residual
+    range are all exercised. A banding bug (wrong block width, missed
+    next-block probe) silently loses pairs; this pins the geometry."""
+    from pyspark.sql import Window, functions as F
+
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _SNM_WINDOW,
+        _snm_window_pairs,
+    )
+
+    rows = []
+    did = 0
+    for bkt, n in [("aa", 0), ("bb", 1), ("cc", _SNM_WINDOW - 1),
+                   ("dd", _SNM_WINDOW), ("ee", _SNM_WINDOW + 1),
+                   ("ff", 3 * _SNM_WINDOW + 2)]:
+        for rn in range(1, n + 1):
+            rows.append((did, bkt, rn))
+            did += 1
+    r = spark.createDataFrame(rows, "doc_id long, bkt string, rn int")
+    got = {
+        (x.doc_a, x.doc_b) for x in _snm_window_pairs(r).collect()
+    }
+    a = r.selectExpr("doc_id id_a", "bkt b_a", "rn r_a")
+    b = r.selectExpr("doc_id id_b", "bkt b_b", "rn r_b")
+    want = {
+        (min(x.id_a, x.id_b), max(x.id_a, x.id_b))
+        for x in a.join(
+            b,
+            (F.col("b_a") == F.col("b_b"))
+            & (F.col("r_b") > F.col("r_a"))
+            & (F.col("r_b") < F.col("r_a") + _SNM_WINDOW),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
