@@ -77,8 +77,10 @@ _PRIORITY_HEAD = [
     "dedup_method_agreement",
     "sim_hubness_report",
     "ev_ab_power_mde",
-    # batch 4 (displaces text_segment_dedup to the round-10 queue)
+    # batch 4 (displaces text_segment_dedup and op_grouped_agg_weighted_avg
+    # to the round-10 queue)
     "text_quality_signal_corr",
+    "sim_ivf_nprobe_curve",
     # --- 2. late round-8 operators, never driver-witnessed ---
     "dedup_multiplicity_histogram",
     "dedup_lsh_quality_report",
@@ -94,7 +96,6 @@ _PRIORITY_HEAD = [
     # --- 4. round-2/3 freshness block (oldest witnesses in registry) ---
     "pipeline_curate_corpus",
     "sim_quantized_topk",
-    "op_grouped_agg_weighted_avg",
     "op_asof_join_prev_purchase",
     "text_pii_redact",
     "op_udtf_token_explode",

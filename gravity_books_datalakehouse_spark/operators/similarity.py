@@ -1232,3 +1232,140 @@ def sim_hubness_report(spark, sf_dir):
         (F.col("n_all") - F.col("n_hit")).cast("bigint").alias("n_vectors"),
     )
     return hist.unionByName(zero).orderBy("in_degree")
+
+
+_CURVE_NPROBES = (1, 2, 4, 8)
+_CURVE_TOPK = 5
+
+
+def _nprobe_curve_sql() -> str:
+    probes_union = ", ".join(str(p) for p in _CURVE_NPROBES)
+    return f"""WITH {_IVF_ASSIGN_SQL},
+  pr AS (
+    SELECT q.vec_id AS qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC,
+                      c.cid ASC) AS pr
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id < {_IVF_QUERIES}),
+  truth AS (
+    SELECT qid, nid FROM (
+      SELECT q.vec_id AS qid, n.vec_id AS nid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6)
+                          DESC, n.vec_id ASC) AS rk
+      FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      WHERE q.vec_id < {_IVF_QUERIES}
+    ) WHERE rk <= {_CURVE_TOPK}),
+  truth_pr AS (
+    SELECT t.qid, pr.pr
+    FROM truth t
+    JOIN assign a ON a.vec_id = t.nid
+    JOIN pr ON pr.qid = t.qid AND pr.cid = a.cluster_id),
+  cand_pr AS (
+    SELECT pr.qid, pr.pr
+    FROM pr JOIN assign a ON a.cluster_id = pr.cid
+    WHERE a.vec_id != pr.qid),
+  lv AS (SELECT unnest([{probes_union}]) AS nprobe)
+  SELECT lv.nprobe,
+         CAST({_IVF_QUERIES} AS BIGINT) AS n_queries,
+         CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+         CAST((SELECT COUNT(*) FROM truth_pr t WHERE t.pr <= lv.nprobe)
+              AS BIGINT) AS n_hits,
+         ROUND((SELECT COUNT(*) FROM truth_pr t WHERE t.pr <= lv.nprobe)
+               * 1.0 / (SELECT COUNT(*) FROM truth), 6) AS recall,
+         CAST((SELECT COUNT(*) FROM cand_pr c WHERE c.pr <= lv.nprobe)
+              AS BIGINT) AS n_candidates
+  FROM lv ORDER BY nprobe"""
+
+
+@register("sim_ivf_nprobe_curve", _nprobe_curve_sql())
+def sim_ivf_nprobe_curve(spark, sf_dir):
+    """The IVF tuning curve: CANDIDATE recall@5 and candidate volume at
+    nprobe = 1/2/4/8 — the recall-vs-cost trade that decides the probe
+    setting (the exact re-rank inside the candidate set can't lose a
+    neighbor the lists contain, so candidate recall IS the index's
+    recall ceiling; cf. the IVF analysis in Jégou et al. 2011, PQ/IVF).
+    sim_ann_recall_report grades ONE configuration; this sweeps the
+    knob, which is what you actually publish when sizing an index.
+
+    Exactness: a truth neighbor is 'hit at nprobe=p' iff its inverted
+    list's probe rank for that query is <= p — integer rank compares on
+    rounded-6 cosine orderings (the sim family contract); every output
+    is an integer count or a single division. Plan shape: probe ranks
+    are a |Q|x k window; truth is the sample-bounded brute-force leg
+    (ground truth is ALWAYS brute-force somewhere — bounded by |Q|);
+    the curve rows are conditional sums over the truth-rank and
+    candidate-rank relations — one pass each, all four nprobe levels
+    from the same ranked frames, no per-level re-scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = _ivf_assign(e)
+    q = e.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pw = Window.partitionBy("qid").orderBy(F.desc("cos_qc"), F.asc("cid"))
+    pr = (
+        q.crossJoin(F.broadcast(_centroids(e)))
+        .select("qid", "cid", cosine("qvec", "cvec").alias("cos_qc"))
+        .withColumn("pr", F.row_number().over(pw))
+        .select("qid", "cid", "pr")
+    )
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"))
+    tw = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
+    truth = (
+        F.broadcast(q)
+        .join(b, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(cosine("qvec", "nvec"), 6).alias("cs"))
+        .withColumn("rk", F.row_number().over(tw))
+        .filter(F.col("rk") <= _CURVE_TOPK)
+        .select("qid", "nid")
+    )
+    truth_pr = (
+        truth.join(
+            assign.select(F.col("vec_id").alias("nid"), "cluster_id"), "nid"
+        )
+        .join(
+            pr.select("qid", F.col("cid").alias("cluster_id"), "pr"),
+            ["qid", "cluster_id"],
+        )
+        .select("qid", "pr")
+    )
+    cand_pr = (
+        F.broadcast(pr)
+        .join(assign.select("vec_id", "cluster_id"), pr.cid == F.col("cluster_id"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("pr")
+    )
+    t_agg = truth_pr.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        *[
+            F.sum(F.when(F.col("pr") <= p, 1).otherwise(0)).alias(f"h{p}")
+            for p in _CURVE_NPROBES
+        ],
+    )
+    c_agg = cand_pr.agg(
+        *[
+            F.sum(F.when(F.col("pr") <= p, 1).otherwise(0)).alias(f"c{p}")
+            for p in _CURVE_NPROBES
+        ]
+    )
+    wide = t_agg.crossJoin(c_agg)
+    legs = [
+        wide.select(
+            F.lit(p).cast("int").alias("nprobe"),
+            F.lit(_IVF_QUERIES).cast("bigint").alias("n_queries"),
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col(f"h{p}").cast("bigint").alias("n_hits"),
+            F.round(
+                F.col(f"h{p}") * F.lit(1.0) / F.col("n_true"), 6
+            ).alias("recall"),
+            F.col(f"c{p}").cast("bigint").alias("n_candidates"),
+        )
+        for p in _CURVE_NPROBES
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("nprobe")

@@ -83,6 +83,11 @@ SHOW = {
     "ev_watermark_lateness_profile": "Two-pass distributed prefix max: in-bucket running max windows partition on the 256 ordered hash buckets; the carry is a running max over the tiny bucket-max relation, broadcast back — no single-task global window over events; percentiles on the late-subset histogram (round 9).",
     "op_gini_revenue_concentration": "One lineitem shuffle (groupBy suppkey) to exact integer-cents revenues; broadcast supplier/nation lookups; the rank window partitions per nation over SUPPLIER rows; decimal-exact rank-weighted sums, one double fold at the end (round 9).",
     "sim_label_separation_matrix": "Centroid relation is labels x dims (model-state-sized) after one posexplode aggregate; the pairwise self-join keys on the dimension index over that tiny frame — vectors never pair (round 9).",
+    "op_split_leakage_near_dup": "Split tags are per-row md5 projections of the cached LSH pair ids — no documents join anywhere; rollup is <=6 cells and the share window runs over those cells (round 9).",
+    "ev_cumulative_new_users": "First-seen collapse: ONE groupBy(user_id) is the only corpus-sized stage (map-side partial agg), then a day-histogram running sum — never a COUNT(DISTINCT) OVER (round 9).",
+    "op_incremental_agg_maintenance": "Both partial aggregates collapse map-side; the merge exchange carries 2x|months| partial rows regardless of fact size — the partial/final HashAggregate algebra made explicit (round 9).",
+    "sim_ivf_nprobe_curve": "All four nprobe levels read the SAME ranked probe frame and the same brute-force truth leg (|Q|-bounded); curve rows are conditional sums — no per-level re-scan of anything (round 9).",
+    "text_quality_signal_corr": "One scan computes all four integer signals map-side; ONE aggregate carries the 15 DECIMAL(38) sufficient statistics (each partition collapses to a single partial row); the 6 output rows are constant-space projections (round 9).",
     "dedup_lsh_quality_report": "Sample-filtered shingle relation feeds BOTH legs; the exhaustive truth stage is the documented bounded sample-only all-pairs; candidates replay the production band join on the sample (round 8).",
     "op_kl_divergence_matrix": "One scan to (source, value) cells; the pair grid is |S|^2/2 x |domain| rows (domain-bounded at any corpus size); broadcast fills for absent cells keep the smoothing exact (round 8).",
     "mm_image_tile_plan": "Metadata projection -> integer tile counts -> two nested sequence explodes; rows proportional to image area over tile area, co-partitioned with the payload scan (round 8).",
