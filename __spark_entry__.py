@@ -77,10 +77,14 @@ _PRIORITY_HEAD = [
     "dedup_method_agreement",
     "sim_hubness_report",
     "ev_ab_power_mde",
-    # batch 4 (displaces text_segment_dedup and op_grouped_agg_weighted_avg
-    # to the round-10 queue)
+    # batch 4 (displaces text_segment_dedup, op_grouped_agg_weighted_avg,
+    # text_bigram_logprob and dedup_simhash to the round-10 queue —
+    # op_j_range_bucketed / op_w_trailing_range_frame stay as their
+    # families' sole head representatives)
     "text_quality_signal_corr",
     "sim_ivf_nprobe_curve",
+    "ev_time_weighted_avg_value",
+    "ev_top_session_paths",
     # --- 2. late round-8 operators, never driver-witnessed ---
     "dedup_multiplicity_histogram",
     "dedup_lsh_quality_report",
@@ -100,7 +104,6 @@ _PRIORITY_HEAD = [
     "text_pii_redact",
     "op_udtf_token_explode",
     "text_repetition_stats",
-    "text_bigram_logprob",
     "text_bm25_topk",
     "op_expectations_check",
     "ev_funnel_signup_click_purchase",
@@ -108,7 +111,6 @@ _PRIORITY_HEAD = [
     "op_w_trailing_range_frame",
     "op_merge_upsert_snapshot",
     "op_cap_per_source",
-    "dedup_simhash",
     "mm_frame_sample",
     "op_sample_temperature_mix",
     # (text_chunk_documents, pipeline_pack_sequences, sim_ivf_topk,

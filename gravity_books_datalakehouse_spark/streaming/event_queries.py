@@ -1933,3 +1933,184 @@ def ev_ab_power_mde(spark, sf_dir):
         F.round(mde, 6).alias("mde_abs_lift"),
         (F.abs(rate_b - rate_a) >= mde).alias("lift_detectable"),
     )
+
+
+@register(
+    "ev_time_weighted_avg_value",
+    """WITH seq AS (
+         SELECT event_type,
+                CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS units,
+                date_diff('second', ts,
+                          lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS dt
+         FROM events),
+       agg AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                SUM(CAST(dt AS HUGEINT)) AS d,
+                SUM(CAST(units AS HUGEINT) * dt) AS s
+         FROM seq WHERE dt IS NOT NULL GROUP BY event_type)
+       SELECT event_type, n_intervals,
+              CAST(d AS BIGINT) AS total_hold_s,
+              ROUND(CAST(s AS DOUBLE) / (10000.0 * CAST(d AS DOUBLE)), 6)
+                AS twa_value
+       FROM agg ORDER BY event_type""",
+)
+def ev_time_weighted_avg_value(spark, sf_dir):
+    """Time-weighted average of ``value`` per event type — the TSDB
+    aggregate (TimescaleDB's time_weight, step interpolation): each
+    event's value HOLDS until the user's next event, so the average
+    weights by holding seconds, not by event count. The difference vs
+    the plain AVG is exactly the sampling-bias correction irregular
+    event streams need (a value that holds for an hour counts 3600x a
+    value replaced after a second).
+
+    Exactness: values are exact 4-decimal money-like doubles, folded
+    to integer 1e-4 units via the engine's standard floor(x·10⁴+0.5)
+    recovery (_cents contract); holding times are integer seconds from
+    the per-user lead window (total order on ts, event_id). Both
+    Σ(units·dt) and Σdt accumulate in DECIMAL(38)/HUGEINT — exact at
+    any scale — and one shared-shape double division ends it.
+
+    Plan: ONE user-partitioned window pass (the sessionize shuffle),
+    then a |types|-row aggregate. Each user's final event holds no
+    interval and is excluded on both engines (dt IS NULL)."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        _cents("value", 4).alias("units"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp(F.col("ts"))
+        ).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(d38(F.col("dt"))).alias("d"),
+        F.sum(d38(F.col("units")) * F.col("dt")).alias("s"),
+    )
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        F.col("d").cast("bigint").alias("total_hold_s"),
+        F.round(
+            F.col("s").cast("double")
+            / (F.lit(10000.0) * F.col("d").cast("double")),
+            6,
+        ).alias("twa_value"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ev_top_session_paths",
+    """WITH flagged AS (
+         SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+                CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                       OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                          > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       numbered AS (
+         SELECT user_id, ts, event_id, event_type,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM flagged
+       ),
+       ranked AS (
+         SELECT user_id, sess_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM numbered
+       ),
+       paths AS (
+         SELECT user_id, sess_id,
+                string_agg(event_type, '>' ORDER BY rn) AS path
+         FROM ranked WHERE rn <= 3 GROUP BY user_id, sess_id)
+       SELECT path,
+              CAST(COUNT(*) AS BIGINT) AS n_sessions,
+              ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+       FROM paths
+       GROUP BY path
+       ORDER BY n_sessions DESC, path
+       LIMIT 15""",
+)
+def ev_top_session_paths(spark, sf_dir):
+    """Top-15 session-opening paths (the first three event types per
+    30-minute session, joined with '>') with session share — the
+    behavioral entry-path table a funnel analysis starts from, and the
+    categorical sibling of ev_pattern_match's regex counts.
+
+    Determinism: session boundaries follow the pinned ev_sessionize
+    semantics; within-session order is the total order (ts, event_id);
+    the path string aggregates in explicit rank order on both engines.
+    Plan: one user-partitioned window pass for boundaries + ranks, a
+    session-sized groupBy for paths, a path-sized histogram, and
+    TakeOrderedAndProject(15) — the corpus shuffles once on user_id."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    ranked = numbered.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= 3
+    )
+    paths = ranked.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+        ).alias("path")
+    )
+    hist = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.select(
+            "path",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions")
+                * F.lit(1.0)
+                / F.sum("n_sessions").over(w_all),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(15)
+    )
