@@ -85,6 +85,8 @@ _PRIORITY_HEAD = [
     "sim_ivf_nprobe_curve",
     "ev_time_weighted_avg_value",
     "ev_top_session_paths",
+    # batch 5 (displaces op_cap_per_source to the round-10 queue)
+    "q_customer_segment_migration",
     # --- 2. late round-8 operators, never driver-witnessed ---
     "dedup_multiplicity_histogram",
     "dedup_lsh_quality_report",
@@ -110,7 +112,6 @@ _PRIORITY_HEAD = [
     "op_j_range_bucketed",
     "op_w_trailing_range_frame",
     "op_merge_upsert_snapshot",
-    "op_cap_per_source",
     "mm_frame_sample",
     "op_sample_temperature_mix",
     # (text_chunk_documents, pipeline_pack_sequences, sim_ivf_topk,

@@ -2220,3 +2220,91 @@ def op_gini_revenue_concentration(spark, sf_dir):
             6,
         ).alias("gini"),
     ).transform(bounded_sort, "nation")
+
+
+_MIGRATE_CUTOFF = "1998-01-01"  #: mid-range of the testdata's 1995-2001 order dates
+
+
+@register(
+    "q_customer_segment_migration",
+    f"""WITH per AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) < DATE '{_MIGRATE_CUTOFF}' AS before,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1, 2),
+    b AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_before
+      FROM per WHERE before),
+    a AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_after
+      FROM per WHERE NOT before),
+    j AS (
+      SELECT b.m_before, a.m_after
+      FROM b JOIN a ON a.o_custkey = b.o_custkey)
+    SELECT m_before, m_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY m_before), 6)
+             AS row_share
+    FROM j GROUP BY m_before, m_after
+    ORDER BY m_before, m_after""",
+)
+def q_customer_segment_migration(spark, sf_dir):
+    """Customer value-segment migration matrix: monetary quintile before
+    vs after the _MIGRATE_CUTOFF date split (mid-range of the order
+    history), for customers active in both periods —
+    the retention-marketing transition table (diagonal = stable value,
+    below-diagonal = upgraders, the top-right cell = churn risk among
+    former top spenders). Row share normalizes each origin quintile to
+    a transition probability.
+
+    Determinism: per-period monetary totals are exact decimal sums;
+    quintiles use the customer-id tiebreak (the RFM contract). The
+    ntile windows run over the CUSTOMER-cardinality per-period frames —
+    dim-sized, never order-row-sized. One orders scan, one customer
+    groupBy, a self-join on customer id, 25-cell rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        _cents,
+        _money_sum,
+    )
+    from pyspark.sql import Window
+
+    per = (
+        o.groupBy(
+            "o_custkey",
+            (
+                F.col("o_orderdate").cast("date")
+                < F.lit(_MIGRATE_CUTOFF).cast("date")
+            ).alias("before"),
+        )
+        .agg(_money_sum(_cents("o_totalprice"), 2).alias("monetary"))
+    )
+    w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    b = per.where(F.col("before")).select(
+        "o_custkey", F.ntile(5).over(w).alias("m_before")
+    )
+    a = per.where(~F.col("before")).select(
+        F.col("o_custkey").alias("ck"), F.ntile(5).over(w).alias("m_after")
+    )
+    j = b.join(a, b.o_custkey == a.ck)
+    cells = j.groupBy("m_before", "m_after").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    w_row = Window.partitionBy("m_before")
+    return (
+        cells.select(
+            "m_before",
+            "m_after",
+            "n_customers",
+            F.round(
+                F.col("n_customers")
+                * F.lit(1.0)
+                / F.sum("n_customers").over(w_row),
+                6,
+            ).alias("row_share"),
+        )
+        .transform(bounded_sort, "m_before", "m_after")
+    )
