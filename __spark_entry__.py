@@ -32,27 +32,32 @@ _PRIORITY_HEAD = [
     # Every entry has a green row in some CORRECTNESS_r*.json except the
     # never-witnessed blocks below, which head the window. Priority
     # order this round (the round-8 verdict's item 2):
-    #   1. the 10 operators ADDED in round 9 — never witnessed;
+    #   1. the 22 operators ADDED in round 9 — never witnessed (each
+    #      judge-style oracle-verified at sf0.01 AND sf0.1 this round);
     #   2. the 8 late-round-8 operators the r8 window closed before
     #      reaching (judge-verified at sf0.01 AND sf0.1 in the round-8
     #      session, but never driver-witnessed);
     #   3. op_quantile_normalize_lengths — re-witness: round 9 restored
     #      the @register binding to the EXACT operator (the r8 verdict's
     #      registration-hijack fix), so the driver must re-hash it;
-    #   4. all 28 remaining round-2/3-witnessed entries (the verdict's
-    #      23-name queue plus the 5 displaced late in round 8), minus
-    #      text_unigram_logprob which yields its slot to the star family
-    #      fill and joins the round-10 queue;
-    #   5. family fills (star/sketch/scd2/outliers — one oracle row per
-    #      family rule; graph/drift/sim/mm/ev/sampling/pipeline/text/q_
-    #      are all represented above).
-    # Round-10 queue: text_unigram_logprob, then the round-5-witnessed
-    # entries oldest-first (op_j_skewed_salted, dedup_substring_spans,
-    # dedup_substring_rate, pipeline_dedup_keep_best, text_ccnet_buckets,
-    # op_sample_exact_k, dedup_incremental_new_vs_corpus,
-    # pipeline_decontaminate, pipeline_mixture_manifest,
-    # sim_range_search, ev_retention_cohorts, ...rest of the r5 block),
-    # then round-6-witnessed oldest-first.
+    #   4. round-2/3-witnessed entries (the verdict's 23-name queue plus
+    #      the 5 displaced late in round 8), minus the 11 displaced by
+    #      the round-9 batches — each displacement kept every family's
+    #      head representative;
+    #   5. family fills (star/sketch/scd2/outliers/drift — one oracle
+    #      row per family rule; graph/sim/mm/ev/sampling/pipeline/text/
+    #      q_/op_j/op_w are all represented above).
+    # Round-10 queue, in order: the 11 round-9-displaced round-2/3
+    # entries (text_unigram_logprob, text_tfidf_top_terms,
+    # text_chunk_documents, pipeline_pack_sequences, sim_ivf_topk,
+    # text_lang_id, text_segment_dedup, op_grouped_agg_weighted_avg,
+    # text_bigram_logprob, dedup_simhash, op_cap_per_source), then the
+    # round-5-witnessed entries oldest-first (op_j_skewed_salted,
+    # dedup_substring_spans, dedup_substring_rate,
+    # pipeline_dedup_keep_best, text_ccnet_buckets, op_sample_exact_k,
+    # dedup_incremental_new_vs_corpus, pipeline_decontaminate,
+    # pipeline_mixture_manifest, sim_range_search, ev_retention_cohorts,
+    # ...rest of the r5 block), then round-6-witnessed oldest-first.
     # --- 1. NEW round-9 operators (never witnessed; the second batch
     # displaces pipeline_pack_sequences / sim_ivf_topk / text_lang_id /
     # text_chunk_documents to the round-10 queue — their families stay

@@ -88,6 +88,9 @@ SHOW = {
     "op_incremental_agg_maintenance": "Both partial aggregates collapse map-side; the merge exchange carries 2x|months| partial rows regardless of fact size — the partial/final HashAggregate algebra made explicit (round 9).",
     "sim_ivf_nprobe_curve": "All four nprobe levels read the SAME ranked probe frame and the same brute-force truth leg (|Q|-bounded); curve rows are conditional sums — no per-level re-scan of anything (round 9).",
     "text_quality_signal_corr": "One scan computes all four integer signals map-side; ONE aggregate carries the 15 DECIMAL(38) sufficient statistics (each partition collapses to a single partial row); the 6 output rows are constant-space projections (round 9).",
+    "ev_time_weighted_avg_value": "ONE user-partitioned lead window (the sessionize shuffle) emits integer holding seconds; units x dt accumulates in decimal inside a |types|-row aggregate — no second pass, no float on the accumulation path (round 9).",
+    "ev_top_session_paths": "Session boundaries, ranks, and the first-3 filter ride the SAME user_id partitioning; paths aggregate per session (rank-ordered array_sort inside the row), histogram + TakeOrderedAndProject(15) finish (round 9).",
+    "q_customer_segment_migration": "One orders scan -> customer-period groupBy; both ntile windows sort the CUSTOMER-cardinality frames, never order rows; the migration join keys on customer id and the rollup is 25 cells (round 9).",
     "dedup_lsh_quality_report": "Sample-filtered shingle relation feeds BOTH legs; the exhaustive truth stage is the documented bounded sample-only all-pairs; candidates replay the production band join on the sample (round 8).",
     "op_kl_divergence_matrix": "One scan to (source, value) cells; the pair grid is |S|^2/2 x |domain| rows (domain-bounded at any corpus size); broadcast fills for absent cells keep the smoothing exact (round 8).",
     "mm_image_tile_plan": "Metadata projection -> integer tile counts -> two nested sequence explodes; rows proportional to image area over tile area, co-partitioned with the payload scan (round 8).",
