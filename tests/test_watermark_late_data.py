@@ -89,3 +89,66 @@ def test_late_event_dropped_after_window_finalized(spark, tmp_path):
     # exactly one emission for the finalized window, with only the on-time
     # event; the late event neither re-emitted nor resurrected state
     assert len(emissions) == 1 and emissions[0].n == 1, rows
+
+
+def test_two_pass_prefix_max_equals_naive_cummax(spark):
+    """ev_watermark_lateness_profile's bucketed two-pass prefix max must
+    equal the naive global running max on synthetic arrival orders that
+    stress bucket boundaries: per-event lateness replayed in pandas
+    (cummax over the md5 arrival order) and compared exactly. Seeds and
+    sizes chosen to cover single-bucket, all-distinct-bucket, and
+    skewed-bucket layouts."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql import Window, functions as F
+
+    for seed, n in [(1, 257), (2, 40), (3, 1000)]:
+        # synthetic events: ts values deliberately non-monotone in id
+        rows = [
+            (i, ((i * 2654435761 + seed * 97) % 9973))
+            for i in range(n)
+        ]
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts_off"])
+        pdf["h"] = pdf["event_id"].map(
+            lambda x: hashlib.md5(str(x).encode()).hexdigest()
+        )
+        pdf = pdf.sort_values(["h", "event_id"]).reset_index(drop=True)
+        pdf["wm"] = pdf["ts_off"].cummax()
+        want = sorted((pdf["wm"] - pdf["ts_off"]).tolist())
+
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_off long"
+        ).select(
+            "event_id",
+            F.timestamp_seconds(F.col("ts_off") + 1_600_000_000).alias("ts"),
+            F.md5(F.col("event_id").cast("string")).alias("h"),
+        ).withColumn("bkt", F.substring("h", 1, 2))
+        w_in = (
+            Window.partitionBy("bkt")
+            .orderBy("h", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        bmax = df.groupBy("bkt").agg(F.max("ts").alias("bts"))
+        w_carry = Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry = bmax.select(
+            "bkt", F.max("bts").over(w_carry).alias("carry_ts")
+        )
+        wm = F.greatest(
+            F.col("in_max"), F.coalesce(F.col("carry_ts"), F.col("in_max"))
+        )
+        got = sorted(
+            r.late
+            for r in df.withColumn("in_max", F.max("ts").over(w_in))
+            .join(F.broadcast(carry), "bkt")
+            .select(
+                (
+                    F.unix_timestamp(wm) - F.unix_timestamp("ts")
+                ).alias("late")
+            )
+            .collect()
+        )
+        assert got == want, f"seed={seed} n={n}"
