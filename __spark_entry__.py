@@ -92,6 +92,9 @@ _PRIORITY_HEAD = [
     "ev_top_session_paths",
     # batch 5 (displaces op_cap_per_source to the round-10 queue)
     "q_customer_segment_migration",
+    # changed round 9 (third measured geometry: snm_multipass row) —
+    # must re-witness; displaces op_expectations_check to round-10
+    "dedup_blocking_quality",
     # --- 2. late round-8 operators, never driver-witnessed ---
     "dedup_multiplicity_histogram",
     "dedup_lsh_quality_report",
@@ -112,7 +115,6 @@ _PRIORITY_HEAD = [
     "op_udtf_token_explode",
     "text_repetition_stats",
     "text_bm25_topk",
-    "op_expectations_check",
     "ev_funnel_signup_click_purchase",
     "op_j_range_bucketed",
     "op_w_trailing_range_frame",

@@ -1984,10 +1984,27 @@ def _bq_oracle_sql() -> str:
              GREATEST(a.doc_id, b.doc_id) AS db
       FROM r a JOIN r b
         ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn < a.rn + {_SNM_WINDOW}),
+    r2 AS (
+      SELECT doc_id, SUBSTR(rkey, 1, {_SNM_BUCKET}) AS bkt,
+             ROW_NUMBER() OVER (PARTITION BY SUBSTR(rkey, 1, {_SNM_BUCKET})
+                                ORDER BY rkey, doc_id) AS rn
+      FROM (SELECT doc_id,
+                   SUBSTR(key, {_SNM_ROT_AT})
+                     || SUBSTR(key, 1, {_SNM_ROT_AT - 1}) AS rkey
+            FROM s)),
+    snm2 AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS da,
+             GREATEST(a.doc_id, b.doc_id) AS db
+      FROM r2 a JOIN r2 b
+        ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn < a.rn + {_SNM_WINDOW}),
+    mp AS (SELECT DISTINCT da, db FROM
+             (SELECT da, db FROM snm UNION ALL SELECT da, db FROM snm2)),
     m AS (
       SELECT 'prefix_block' AS method, da, db FROM blk
       UNION ALL
-      SELECT 'sorted_neighborhood', da, db FROM snm)
+      SELECT 'sorted_neighborhood', da, db FROM snm
+      UNION ALL
+      SELECT 'snm_multipass', da, db FROM mp)
     SELECT m.method,
            CAST(COUNT(*) AS BIGINT) AS n_candidates,
            CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
@@ -2007,10 +2024,15 @@ def _bq_oracle_sql() -> str:
 
 @register("dedup_blocking_quality", _bq_oracle_sql())
 def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reduction ratio + pairs completeness for the module's two
-    blocking geometries, measured against exhaustive ground truth
-    (banded Levenshtein <= 6 on the shared 24-char keys) over a
-    deterministic 30% md5(doc_id) sample. One row per method.
+    """Reduction ratio + pairs completeness for the module's blocking
+    geometries — prefix equality block, single-pass sorted
+    neighborhood, and (round 9) the MULTI-PASS sorted neighborhood —
+    measured against exhaustive ground truth (banded Levenshtein <= 6
+    on the shared 24-char keys) over a deterministic 30% md5(doc_id)
+    sample. One row per method; the snm_multipass row vs the
+    sorted_neighborhood row IS the measured pairs-completeness lift
+    the rotated second pass buys (the r8 stretch item, closed by
+    measurement).
 
     The ground-truth stage is a DELIBERATE bounded all-pairs join over
     the sample — |S|^2/2 banded-Levenshtein calls is the definition of
@@ -2085,8 +2107,25 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("ia", "ib").alias("da"), F.greatest("ia", "ib").alias("db")
         )
     )
-    methods = blk.withColumn("method", F.lit("prefix_block")).unionByName(
-        snm.withColumn("method", F.lit("sorted_neighborhood"))
+    # multipass geometry on the SAME sample keys: pass-1 order union the
+    # rotated-key order, deduped — reuses the production banded helpers
+    k2s = s.withColumn(
+        "rkey",
+        F.concat(
+            F.substring("key", _SNM_ROT_AT, _SNM_KEY_LEN),
+            F.substring("key", 1, _SNM_ROT_AT - 1),
+        ),
+    )
+    mp = (
+        _snm_window_pairs(_snm_ranked(k2s, "key"))
+        .unionByName(_snm_window_pairs(_snm_ranked(k2s, "rkey")))
+        .distinct()
+        .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+    )
+    methods = (
+        blk.withColumn("method", F.lit("prefix_block"))
+        .unionByName(snm.withColumn("method", F.lit("sorted_neighborhood")))
+        .unionByName(mp.withColumn("method", F.lit("snm_multipass")))
     )
     n_true = truth.count()
     return (

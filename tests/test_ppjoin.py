@@ -259,12 +259,32 @@ def test_blocking_quality_metrics_sane(spark):
     import __spark_entry__ as m
 
     rows = m.queries()["dedup_blocking_quality"](spark, SF_CORRECT).collect()
-    assert {r.method for r in rows} == {"prefix_block", "sorted_neighborhood"}
+    assert {r.method for r in rows} == {
+        "prefix_block",
+        "sorted_neighborhood",
+        "snm_multipass",
+    }
     for r in rows:
         assert r.n_true_pairs > 0
         assert 0 <= r.n_true_found <= min(r.n_true_pairs, r.n_candidates)
         assert 0.0 <= r.reduction_ratio <= 1.0
         assert 0.0 <= r.pairs_completeness <= 1.0
+    by = {r.method: r for r in rows}
+    # the multipass geometry is a superset of pass 1: candidates and
+    # found-true counts can only grow, completeness can only rise —
+    # this row-pair IS the measured recall lift of the rotated pass
+    assert (
+        by["snm_multipass"].n_candidates
+        >= by["sorted_neighborhood"].n_candidates
+    )
+    assert (
+        by["snm_multipass"].n_true_found
+        >= by["sorted_neighborhood"].n_true_found
+    )
+    assert (
+        by["snm_multipass"].pairs_completeness
+        >= by["sorted_neighborhood"].pairs_completeness
+    )
 
 
 # --------------------------------------------------------------------------
