@@ -479,3 +479,49 @@ def test_ztest_integer_rule_boundary(spark):
     except pyspark.errors.ArithmeticException:
         flag = None
     assert flag is None  # ...decimal path refuses, not lies
+
+
+def test_streaming_first_seen_equals_batch_new_users(spark, event_source_dir):
+    """ev_cumulative_new_users' first-seen identity has a direct
+    streaming twin: a stateful MIN(event date) per user over the stream
+    (complete mode) must land on exactly the batch op's per-day
+    new-user counts — regardless of arrival order across micro-batches
+    (the aggregate is order-free state, unlike a naive streaming
+    dropDuplicates, which keys on ARRIVAL order and would break under
+    the fixture's shuffled files)."""
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_cumulative_new_users,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_source_dir)
+    )
+    fs = stream.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    q = (
+        fs.writeStream.format("memory")
+        .queryName("first_seen_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.day: r.n
+        for r in spark.sql(
+            "SELECT date_format(first_day, 'yyyy-MM-dd') AS day,"
+            " COUNT(*) AS n FROM first_seen_stream GROUP BY 1"
+        ).collect()
+    }
+    batch = {
+        r.day: r.n_new_users
+        for r in ev_cumulative_new_users(spark, SF_SMOKE).collect()
+    }
+    assert len(batch) > 0
+    assert streamed == batch
