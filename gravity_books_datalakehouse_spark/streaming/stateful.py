@@ -61,3 +61,67 @@ def running_type_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of ev_time_weighted_avg_value: a per-USER GroupState
+# holds (last event-time in whole seconds — unix_timestamp semantics,
+# matching the batch twin's dt — last integer 1e-4 value units, last
+# event type); each micro-batch folds its events in event-time order against
+# that state and EMITS the batch's per-type (Σ units·dt, Σ dt)
+# contributions — append-mode rows a downstream aggregate sums into
+# exactly the batch operator's time-weighted totals. Requires per-key
+# event-time-ordered arrival across micro-batches (the standard
+# streaming-TWA contract; out-of-order sources buffer behind a
+# watermark first — the test builds a time-ordered two-file source).
+
+TWA_OUTPUT_SCHEMA = "user_id long, event_type string, s long, d long"
+TWA_STATE_SCHEMA = "last_s long, last_units long, last_type string"
+
+
+def _twa_update(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_us, last_units, last_type = (
+        state.get if state.exists else (None, None, None)
+    )
+    agg: dict[str, list[int]] = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, eid, et, units in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["units"]
+        ):
+            # truncate each timestamp to whole seconds BEFORE differencing
+            # (unix_timestamp semantics — the batch twin's dt), not the
+            # µs difference floored: they disagree on sub-second events
+            us = int(ts.value // 1_000_000_000)
+            if last_us is not None:
+                dt_s = us - last_us
+                a = agg.setdefault(last_type, [0, 0])
+                a[0] += last_units * dt_s
+                a[1] += dt_s
+            last_us, last_units, last_type = us, int(units), et
+    if last_us is not None:
+        state.update((last_us, last_units, last_type))
+    yield pd.DataFrame(
+        [
+            {"user_id": key[0], "event_type": t, "s": v[0], "d": v[1]}
+            for t, v in agg.items()
+        ],
+        columns=["user_id", "event_type", "s", "d"],
+    )
+
+
+def streaming_twa_contributions(events_with_units: DataFrame) -> DataFrame:
+    """Per-batch time-weighted contributions (user, holding type,
+    Σ units·dt, Σ dt) with per-user GroupState. Input needs columns
+    (user_id, ts, event_id, event_type, units)."""
+    return events_with_units.groupBy("user_id").applyInPandasWithState(
+        _twa_update,
+        outputStructType=TWA_OUTPUT_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -10,6 +10,7 @@ import shutil
 
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gravity_books_datalakehouse_spark.streaming.event_queries import load_events
@@ -525,3 +526,106 @@ def test_streaming_first_seen_equals_batch_new_users(spark, event_source_dir):
     }
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_streaming_twa_equals_batch(spark, tmp_path):
+    """The per-user GroupState TWA fold, fed a time-ordered two-file
+    source (one state handoff across the micro-batch boundary), must
+    sum to exactly the batch ev_time_weighted_avg_value totals —
+    including holding intervals that SPAN the batch boundary (the case
+    a stateless per-batch computation loses)."""
+    import glob as g
+    import os
+    import shutil
+    import time as _time
+
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        _cents,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        streaming_twa_contributions,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    cut = ev.agg(
+        F.timestamp_seconds(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY unix_timestamp(ts))"
+            )
+        ).alias("c")
+    ).first().c
+    src = str(tmp_path / "twa_src")
+    ev.where(F.col("ts") <= cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d1"
+    )
+    ev.where(F.col("ts") > cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d2"
+    )
+    merged = str(tmp_path / "twa_merged")
+    os.makedirs(merged)
+    f1 = shutil.copy(
+        g.glob(src + "/d1/part-*.parquet")[0], merged + "/01.parquet"
+    )
+    f2 = shutil.copy(
+        g.glob(src + "/d2/part-*.parquet")[0], merged + "/02.parquet"
+    )
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            _cents("value", 4).alias("units"),
+        )
+    )
+    q = (
+        streaming_twa_contributions(stream)
+        .writeStream.format("memory")
+        .queryName("twa_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: (r.s, r.d)
+        for r in spark.sql(
+            "SELECT event_type, SUM(s) AS s, SUM(d) AS d FROM twa_stream"
+            " GROUP BY event_type"
+        ).collect()
+    }
+
+    # batch twin over the same input, same integer algebra
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            _cents("value", 4).alias("units"),
+        )
+        .select(
+            "event_type",
+            "units",
+            (
+                F.unix_timestamp(F.lead("ts").over(w))
+                - F.unix_timestamp(F.col("ts"))
+            ).alias("dt"),
+        )
+        .where(F.col("dt").isNotNull())
+    )
+    want = {
+        r.event_type: (r.s, r.d)
+        for r in seq.groupBy("event_type")
+        .agg(
+            F.sum(F.col("units") * F.col("dt")).alias("s"),
+            F.sum("dt").alias("d"),
+        )
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
