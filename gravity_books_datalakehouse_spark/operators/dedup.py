@@ -2560,7 +2560,15 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = (
         shs.join(vocab, "shingle")
         .groupBy("doc_id")
+        # monotonically_increasing_id is non-deterministic across
+        # re-computation: without materialization the a/b legs of the
+        # truth self-join would each re-evaluate `vocab` and could
+        # assign DIFFERENT tids to the same shingle on a stage retry or
+        # AQE replan (exchange reuse is an optimization, not a
+        # contract), silently corrupting the intersect counts. Pin the
+        # assignment once — same reason _cached_bigram_ids checkpoints.
         .agg(F.collect_list("tid").alias("toks"), F.count(F.lit(1)).alias("l"))
+        .localCheckpoint()
     )
     n_docs = sets.count()
     a = sets.select(

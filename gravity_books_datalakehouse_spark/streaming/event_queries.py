@@ -2061,12 +2061,16 @@ def ev_top_session_paths(spark, sf_dir):
         "ts",
         "event_id",
         "event_type",
+        # Full-precision gap test (ts > lag + 30 min), matching the
+        # oracle's INTERVAL comparison exactly. unix_timestamp would
+        # truncate to whole seconds and merge a true gap in
+        # (1800 s, 1801 s) that the oracle splits — the same pinned
+        # full-precision boundary contract the session_window ops use.
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp("ts")
-                - F.unix_timestamp(F.lag("ts").over(w))
-                > 1800
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
             ),
             1,
         )

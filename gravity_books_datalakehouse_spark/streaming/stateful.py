@@ -88,8 +88,14 @@ def _twa_update(
         state.get if state.exists else (None, None, None)
     )
     agg: dict[str, list[int]] = {}
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # A group's micro-batch rows may span multiple Arrow chunks;
+    # sorting each chunk independently would leave rows out of order
+    # ACROSS chunk boundaries, so concatenate first and sort once —
+    # then assert the cross-batch ordered-arrival contract loudly
+    # instead of silently folding a negative dt.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
         for ts, eid, et, units in zip(
             pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["units"]
         ):
@@ -99,6 +105,12 @@ def _twa_update(
             us = int(ts.value // 1_000_000_000)
             if last_us is not None:
                 dt_s = us - last_us
+                if dt_s < 0:
+                    raise ValueError(
+                        "streaming TWA requires per-key event-time-ordered "
+                        f"arrival across micro-batches; got dt={dt_s}s for "
+                        f"user {key[0]} (buffer behind a watermark first)"
+                    )
                 a = agg.setdefault(last_type, [0, 0])
                 a[0] += last_units * dt_s
                 a[1] += dt_s
