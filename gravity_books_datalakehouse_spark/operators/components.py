@@ -199,12 +199,30 @@ def _cc_oracle_sql() -> str:
 def dedup_clusters_connected_components(spark, sf_dir):
     """Near-dup cluster assignment over the MinHash+LSH pair graph,
     hash-verified against a DuckDB WITH RECURSIVE transitive-closure
-    oracle (min reachable id per vertex over the identical edge set);
-    tests/test_components.py additionally verifies the large-star/
-    small-star fixpoint against a local union-find oracle on synthetic
-    graphs (chains, cliques, singletons)."""
+    oracle (min reachable id per vertex over the identical DOC-level
+    edge set); tests/test_components.py additionally verifies the
+    large-star/small-star fixpoint against a local union-find oracle on
+    synthetic graphs (chains, cliques, singletons).
+
+    Round 10: composed exact-dedup-FIRST. The iterative fixpoint runs on
+    the collapsed rep-level pair graph (dedup._cached_rep_pairs) and the
+    assignment expands back through the exact-group map — under k-fold
+    verbatim duplication the k-cliques never reach the CC join at all
+    (the round-9 20× probe measured them at 58 s in this consumer).
+    Output is IDENTICAL to doc-level CC by the exactness lemma at
+    dedup.py (_cached_exact_groups): intra-group docs are always
+    candidates, so a doc's component is its rep's component; the
+    doc-level component label (min reachable doc_id) equals the
+    rep-level label because every rep IS its group's min doc_id; and
+    the doc-level vertex set {docs with ≥1 candidate edge} is exactly
+    {docs whose rep has a rep-level edge} ∪ {docs in mult ≥ 2 groups}.
+    Equality is pinned two ways: tests/test_dedup_collapse.py compares
+    against the uncollapsed doc-level CC (including on a replicated
+    corpus), and the unchanged doc-level oracle hash-checks every round.
+    """
     from gravity_books_datalakehouse_spark.operators.dedup import (
-        dedup_minhash_lsh_pairs,
+        _cached_exact_groups,
+        _cached_rep_pairs,
     )
     from gravity_books_datalakehouse_spark.plans._cache import (
         evict_other_scales,
@@ -214,9 +232,23 @@ def dedup_clusters_connected_components(spark, sf_dir):
     key = session_key(spark, sf_dir)
     if key not in _CC_CACHE:
         evict_other_scales(_CC_CACHE, key)
-        _CC_CACHE[key] = dedup_clusters(
-            dedup_minhash_lsh_pairs(spark, sf_dir)
-        ).persist()
+        rep_lbl = dedup_clusters(_cached_rep_pairs(spark, sf_dir)).select(
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("cluster_rep").alias("rep_cluster"),
+        )
+        groups = _cached_exact_groups(spark, sf_dir)
+        # groups is corpus-sized, rep_lbl is edged-rep-sized (usually far
+        # smaller — AQE broadcasts it when it fits); left join keeps the
+        # edge-free mult>=2 groups, which are their own clusters.
+        _CC_CACHE[key] = (
+            groups.join(rep_lbl, "rep_doc_id", "left")
+            .where(F.col("rep_cluster").isNotNull() | (F.col("mult") >= 2))
+            .select(
+                "doc_id",
+                F.coalesce("rep_cluster", "rep_doc_id").alias("cluster_rep"),
+            )
+            .persist()
+        )
     return _CC_CACHE[key]
 
 

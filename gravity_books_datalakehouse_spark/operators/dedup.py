@@ -56,6 +56,10 @@ BAND_SIZE = 1
 #: intermediates (the 100 TB equivalent is a checkpointed silver table).
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 _PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: exact-content group map / collapsed rep-level candidate pairs — the
+#: exact-dedup-FIRST composition (see _cached_exact_groups).
+_GROUP_CACHE: dict[tuple[int, str], DataFrame] = {}
+_REP_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +189,171 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     )
     _PAIR_CACHE[key] = pairs
     return pairs
+
+
+# --------------------------------------------------------------------------
+# Exact-dedup-FIRST candidate generation — the composition a 100 TB
+# pipeline actually runs. Under heavy verbatim duplication the doc-level
+# LSH pair graph is quadratically dense: a group of k exact copies is a
+# k-clique (identical shingle sets ⇒ identical signatures ⇒ every band
+# shared), so the pair relation itself costs Θ(Σ k²) — measured on the
+# 20× documents replica at 34–58 s per consumer (round-9 bench probe).
+# Collapsing md5-exact groups to one representative + multiplicity BEFORE
+# MinHash turns every clique into a weighted vertex; consumers expand
+# counts back by multiplicity arithmetic, never by re-materializing the
+# clique edges.
+#
+# Exactness lemma (what lets the consumers keep their doc-level oracles):
+# the banded signature matrix is a function of the normalized text alone
+# (shingles derive from lower(trim(text)) split on \s+ — the same
+# equivalence classes as dedup_exact's md5 of the whitespace-collapsed
+# normalization). Hence for docs x, y:
+#   (a) fp(x) == fp(y)  ⇒  x, y are always LSH candidates;
+#   (b) fp(x) != fp(y)  ⇒  x ~ y  ⟺  rep(x) ~ rep(y) on rep shingles.
+# So the doc-level pair relation is exactly {intra-group cliques} ∪
+# {group-cross products of rep-level pairs}, and every doc-level count
+# is recoverable from (rep pairs, per-group multiplicities).
+
+
+def _cached_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rep_doc_id, mult): md5-exact content groups over the
+    normalized text, rep = MIN(doc_id) of the group, mult = group size.
+    One digest-keyed groupBy + one digest-keyed join back — the text
+    never shuffles; partial aggregation absorbs heavy groups map-side."""
+    key = session_key(spark, sf_dir)
+    if key not in _GROUP_CACHE:
+        evict_other_scales(_GROUP_CACHE, key)
+        docs = load_table(spark, sf_dir, "documents")
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        fps = docs.select(F.md5(norm).alias("content_fp"), "doc_id")
+        groups = fps.groupBy("content_fp").agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("mult"),
+        )
+        _GROUP_CACHE[key] = (
+            fps.join(groups, "content_fp")
+            .select("doc_id", "rep_doc_id", "mult")
+            .persist()
+        )
+    return _GROUP_CACHE[key]
+
+
+def _cached_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rep-level LSH candidate pairs (doc_a < doc_b, both group reps):
+    the banded self-join of dedup_minhash_lsh_pairs restricted to one
+    representative per exact-content group. Same band constants, same
+    signature bytes (reps are real docs), but the input is |groups|
+    rows instead of |docs| — under k-fold verbatim duplication the
+    clique mass disappears from the join entirely."""
+    key = session_key(spark, sf_dir)
+    if key not in _REP_PAIR_CACHE:
+        evict_other_scales(_REP_PAIR_CACHE, key)
+        reps = (
+            _cached_exact_groups(spark, sf_dir)
+            .where(F.col("doc_id") == F.col("rep_doc_id"))
+            .select("doc_id")
+        )
+        sh = _cached_shingles(spark, sf_dir).join(reps, "doc_id", "leftsemi")
+        sigs = minhash_signatures(sh)
+        bands = sigs.select(
+            "doc_id", F.col("p").alias("band_idx"), F.col("sig").alias("band_key")
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        _REP_PAIR_CACHE[key] = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+    return _REP_PAIR_CACHE[key]
+
+
+def _rep_minhash_sql() -> str:
+    """DuckDB twin of the collapsed generator: the production band CTEs
+    (_MINHASH_SQL) re-pointed at one min-doc_id representative per
+    md5-normalized content group. The single textual `FROM documents`
+    in the shingle CTE is swapped for the reps CTE; a pytest pins that
+    occurrence count so a SHINGLES_SQL edit cannot silently desync."""
+    return (
+        f"""WITH reps AS (
+    SELECT doc_id, text FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) = 1
+  ),
+"""
+        + _MINHASH_SQL.replace("FROM documents", "FROM reps")[len("WITH ") :]
+    )
+
+
+@register(
+    "dedup_pair_graph_compression",
+    _rep_minhash_sql()
+    + f""",
+  gm AS (
+    SELECT MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS m
+    FROM documents GROUP BY md5({NORM_SQL})),
+  rp AS (
+    SELECT ga.m AS ma, gb.m AS mb
+    FROM pairs p
+    JOIN gm ga ON ga.rep = p.doc_a
+    JOIN gm gb ON gb.rep = p.doc_b)
+  SELECT (SELECT CAST(SUM(m) AS BIGINT) FROM gm) AS n_docs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM gm) AS n_groups,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rp) AS n_rep_pairs,
+         CAST((SELECT COALESCE(SUM(ma * mb), 0) FROM rp)
+            + (SELECT COALESCE(SUM(m * (m - 1) // 2), 0) FROM gm)
+            AS BIGINT) AS n_doc_pairs""",
+)
+def dedup_pair_graph_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row visibility report for the exact-dedup-first composition:
+    corpus size, exact-content group count, collapsed rep-level pair
+    count, and the doc-level pair count those expand to
+    (Σ mult_a·mult_b over rep pairs + Σ C(mult, 2) over groups). The
+    oracle recomputes n_doc_pairs from first principles on the reps-only
+    band CTEs, so a green row IS a proof that the expansion arithmetic
+    equals the doc-level pair cardinality at this scale — the lemma the
+    CC and leakage consumers rely on, hash-checked every round.
+
+    Scale shape: two single-row aggregates (groups, rep pairs) and a
+    single-row crossJoin — nothing corpus-sized leaves the executors."""
+    gm = (
+        _cached_exact_groups(spark, sf_dir)
+        .where(F.col("doc_id") == F.col("rep_doc_id"))
+        .select("rep_doc_id", "mult")
+    )
+    g_agg = gm.agg(
+        F.sum("mult").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.expr("mult * (mult - 1) div 2")).cast("bigint").alias("intra"),
+    )
+    rp = _cached_rep_pairs(spark, sf_dir)
+    ma = gm.select(F.col("rep_doc_id").alias("doc_a"), F.col("mult").alias("ma"))
+    mb = gm.select(F.col("rep_doc_id").alias("doc_b"), F.col("mult").alias("mb"))
+    r_agg = (
+        rp.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rep_pairs"),
+            F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0))
+            .cast("bigint")
+            .alias("cross_pairs"),
+        )
+    )
+    return g_agg.crossJoin(r_agg).select(
+        "n_docs",
+        "n_groups",
+        "n_rep_pairs",
+        (F.col("cross_pairs") + F.col("intra")).cast("bigint").alias("n_doc_pairs"),
+    )
 
 
 @register(
@@ -2817,36 +2986,83 @@ def op_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the near-dup one); a nonzero train/test cell here is eval inflation
     the split audit (op_split_balance_audit) cannot see.
 
-    Scale shape: reuses the session-cached LSH pair relation (the
-    candidate generator's one banded self-join); split tags are per-row
-    md5 projections of the pair's ids — no join against the documents
-    table at all; rollup is <= 6 cells. The window runs over those
-    cells."""
+    Scale shape (round 10, exact-dedup-FIRST): the doc-level pair
+    relation is k²-dense under verbatim duplication (the round-9 20×
+    probe measured this consumer at 34 s), so the cell counts are now
+    EXPANDED from the collapsed rep-level pair graph instead of
+    materialized pair-by-pair. Per the exactness lemma at
+    _cached_exact_groups, the doc-level pairs are exactly the
+    intra-group cliques plus the group-cross products of rep pairs, so
+    each cell count is Σ c_a[s]·c_b[t] over rep pairs (c = the group's
+    per-split member counts, a ≤3-row fan-out per side) plus the
+    intra-group C(c_s, 2) / c_s·c_t terms — multiplicity arithmetic,
+    never clique edges. Split tags stay per-doc md5 projections of the
+    ORIGINAL doc ids (copies of one group land in different splits);
+    rollup is <= 6 cells, and the unchanged doc-level oracle
+    hash-checks the expansion every round."""
     from gravity_books_datalakehouse_spark.plans.sampling_queries import (
         hash_fraction_hex,
     )
     from pyspark.sql import Window
 
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    groups = _cached_exact_groups(spark, sf_dir)
 
-    def split_of(col: str) -> F.Column:
-        h = hash_fraction_hex(F.col(col), 4)
-        return (
-            F.when(h < _LEAK_T80, "train")
-            .when(h < _LEAK_T90, "val")
-            .otherwise("test")
-        )
-
-    tagged = pairs.select(
-        split_of("doc_a").alias("split_a"), split_of("doc_b").alias("split_b")
+    h = hash_fraction_hex(F.col("doc_id"), 4)
+    split = (
+        F.when(h < _LEAK_T80, "train")
+        .when(h < _LEAK_T90, "val")
+        .otherwise("test")
     )
-    cells = (
-        tagged.select(
+    # (rep, split, c): per-group member counts by split — ≤3 rows/group
+    split_c = (
+        groups.select("rep_doc_id", split.alias("split"))
+        .groupBy("rep_doc_id", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ca = split_c.select(
+        F.col("rep_doc_id").alias("doc_a"),
+        F.col("split").alias("split_a"),
+        F.col("c").alias("c_a"),
+    )
+    cb = split_c.select(
+        F.col("rep_doc_id").alias("doc_b"),
+        F.col("split").alias("split_b"),
+        F.col("c").alias("c_b"),
+    )
+    cross = (
+        _cached_rep_pairs(spark, sf_dir)
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
             F.least("split_a", "split_b").alias("split_lo"),
             F.greatest("split_a", "split_b").alias("split_hi"),
+            (F.col("c_a") * F.col("c_b")).alias("w"),
         )
+    )
+    intra_same = split_c.select(
+        F.col("split").alias("split_lo"),
+        F.col("split").alias("split_hi"),
+        F.expr("c * (c - 1) div 2").alias("w"),
+    )
+    x = split_c.alias("x")
+    y = split_c.alias("y")
+    intra_cross = x.join(
+        y,
+        (F.col("x.rep_doc_id") == F.col("y.rep_doc_id"))
+        & (F.col("x.split") < F.col("y.split")),
+    ).select(
+        F.col("x.split").alias("split_lo"),
+        F.col("y.split").alias("split_hi"),
+        (F.col("x.c") * F.col("y.c")).alias("w"),
+    )
+    cells = (
+        cross.unionByName(intra_same)
+        .unionByName(intra_cross)
+        # zero-weight terms (mult-1 groups) must not fabricate cells the
+        # doc-level relation never produces
+        .where(F.col("w") > 0)
         .groupBy("split_lo", "split_hi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .agg(F.sum("w").cast("bigint").alias("n_pairs"))
     )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -54,6 +54,8 @@ def clear_session_caches() -> None:
         star._STAR_CACHE,
         dedup._SHINGLE_CACHE,
         dedup._PAIR_CACHE,
+        dedup._GROUP_CACHE,
+        dedup._REP_PAIR_CACHE,
         dedup._DW_CACHE,
         dedup._SPAN_CACHE,
         similarity._SIG_CACHE,

@@ -537,7 +537,19 @@ def q_customer_rfm_segments(spark, sf_dir):
     three global ntile windows over the customer-cardinality aggregate
     (dim-sized, never fact-sized — the windows sort |customers| rows,
     not |orders|), then a cell rollup. Deterministic quintiles via
-    customer-id tiebreaks; exact-decimal monetary sums."""
+    customer-id tiebreaks; exact-decimal monetary sums.
+
+    Scale bound + escape hatch (the global-window contract): each
+    unpartitioned ntile is a SINGLE-TASK sort of the per-customer
+    aggregate — one executor must hold |customers| rows (~25 bytes/row
+    here: three of these windows over 10⁸ customers ≈ a few GB on one
+    task — survivable but the straggler). Past that, swap to broadcast
+    `approx_percentile(x, array(0.2,0.4,0.6,0.8))` cut-points + CASE
+    binning (map-side, no window; trades exact per-quintile
+    cardinality under ties), or the two-pass bucketed rank
+    ev_watermark_lateness_profile demonstrates (exact, 256-bucket
+    histogram + per-bucket offset) when exact quintile populations
+    must survive."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -2264,7 +2276,14 @@ def q_customer_segment_migration(spark, sf_dir):
     quintiles use the customer-id tiebreak (the RFM contract). The
     ntile windows run over the CUSTOMER-cardinality per-period frames —
     dim-sized, never order-row-sized. One orders scan, one customer
-    groupBy, a self-join on customer id, 25-cell rollup."""
+    groupBy, a self-join on customer id, 25-cell rollup.
+
+    Scale bound + escape hatch: same single-task-window contract as
+    q_customer_rfm_segments — each global ntile sorts |customers| rows
+    on one task (fine to ~10⁸ customers, then the straggler); the
+    documented fallbacks there (broadcast approx_percentile cut-points
+    + CASE binning, or the lateness profile's two-pass bucketed rank)
+    apply verbatim, per period."""
     o = load_table(spark, sf_dir, "orders")
     from gravity_books_datalakehouse_spark.plans.operator_queries import (
         _cents,
