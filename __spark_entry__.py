@@ -28,109 +28,94 @@ _REGISTRY: list[tuple[dict, dict]] = []
 # so no family is invisible to the hard per-round signal. Everything else
 # keeps its natural module order after the head.
 _PRIORITY_HEAD = [
-    # --- round-9 window rotation state ---
-    # Every entry has a green row in some CORRECTNESS_r*.json except the
-    # never-witnessed blocks below, which head the window. Priority
-    # order this round (the round-8 verdict's item 2):
-    #   1. the 22 operators ADDED in round 9 — never witnessed (each
+    # --- round-10 window rotation state ---
+    # Priority order this round (the round-9 verdict's item 1 plus the
+    # standard never-witnessed/changed-first discipline):
+    #   1. operators ADDED in round 10 — never witnessed (each already
     #      judge-style oracle-verified at sf0.01 AND sf0.1 this round);
-    #   2. the 8 late-round-8 operators the r8 window closed before
-    #      reaching (judge-verified at sf0.01 AND sf0.1 in the round-8
-    #      session, but never driver-witnessed);
-    #   3. op_quantile_normalize_lengths — re-witness: round 9 restored
-    #      the @register binding to the EXACT operator (the r8 verdict's
-    #      registration-hijack fix), so the driver must re-hash it;
-    #   4. round-2/3-witnessed entries (the verdict's 23-name queue plus
-    #      the 5 displaced late in round 8), minus the 11 displaced by
-    #      the round-9 batches — each displacement kept every family's
-    #      head representative;
-    #   5. family fills (star/sketch/scd2/outliers/drift — one oracle
-    #      row per family rule; graph/sim/mm/ev/sampling/pipeline/text/
-    #      q_/op_j/op_w are all represented above).
-    # Round-10 queue, in order: the 11 round-9-displaced round-2/3
-    # entries (text_unigram_logprob, text_tfidf_top_terms,
-    # text_chunk_documents, pipeline_pack_sequences, sim_ivf_topk,
-    # text_lang_id, text_segment_dedup, op_grouped_agg_weighted_avg,
-    # text_bigram_logprob, dedup_simhash, op_cap_per_source), then the
-    # round-5-witnessed entries oldest-first (op_j_skewed_salted,
-    # dedup_substring_spans, dedup_substring_rate,
-    # pipeline_dedup_keep_best, text_ccnet_buckets, op_sample_exact_k,
-    # dedup_incremental_new_vs_corpus, pipeline_decontaminate,
-    # pipeline_mixture_manifest, sim_range_search, ev_retention_cohorts,
-    # ...rest of the r5 block), then round-6-witnessed oldest-first.
-    # --- 1. NEW round-9 operators (never witnessed; the second batch
-    # displaces pipeline_pack_sequences / sim_ivf_topk / text_lang_id /
-    # text_chunk_documents to the round-10 queue — their families stay
-    # covered by other head entries, same displacement rule round 8
-    # used) ---
-    "dedup_snm_multipass",
-    "dedup_bloom_prefilter",
+    #   2. operators whose PLAN changed in round 10 and must re-hash:
+    #      the exact-dedup-first composition rewired
+    #      dedup_clusters_connected_components / dedup_cluster_size_
+    #      histogram / op_split_leakage_near_dup; dedup_lsh_quality_
+    #      report gained the interning localCheckpoint (ADVICE r9);
+    #      ev_top_session_paths moved to the full-precision gap test;
+    #   3. the 15 oldest witnesses — text_chunk_documents (round 2) and
+    #      the full round-3 block (the verdict's 11-name queue plus the
+    #      4 displaced in rounds 8-9: ev_tumbling_hourly,
+    #      op_expectations_check, sim_lsh_bucketed_topk,
+    #      text_hybrid_rrf_topk);
+    #   4. family fills so every family keeps >=1 oracle-backed row in
+    #      the window: star (star_q2_top10_parts, oldest star witness),
+    #      mm oracle-backed (mm_payload_dedup), scd2
+    #      (op_scd2_temporal_join), graph (op_graph_pagerank) — sketch/
+    #      outliers/drift were driver-witnessed fresh in round 9;
+    #   5. the round-5 block oldest-first to fill the remaining slots.
+    # Round-11 queue, in order: the rest of the round-5 block
+    # (op_sketch_approx_stats, op_w_gap_fill_forward,
+    # op_w_value_functions, q_disjunctive_predicates,
+    # q_local_supplier_volume, q_min_cost_supplier,
+    # q_priority_with_returns, q_top_supplier_revenue,
+    # sim_ivf_cluster_stats, sim_label_centroids, sim_lsh_bucket_stats,
+    # sim_pca_project, text_bpe_pretokenize_stats,
+    # text_quality_percentile_cut, text_vocab_growth, then the three
+    # displaced by the second round-10 batch: op_f_histogram,
+    # op_outliers_mad_tdigest, op_sample_importance_by_quality), then
+    # round-6-witnessed oldest-first.
+    # --- 1. NEW round-10 operators (never witnessed) ---
+    "dedup_pair_graph_compression",
+    "sim_pq_distortion_report",
+    "dedup_lsh_s_curve_calibration",
+    "pipeline_packing_efficiency_curve",
+    "op_join_skew_diagnosis",
+    # --- 2. changed in round 10 — re-witness ---
+    "dedup_clusters_connected_components",
     "dedup_cluster_size_histogram",
-    "sim_label_separation_matrix",
-    "ev_watermark_lateness_profile",
-    "ev_session_duration_percentiles",
-    "op_gini_revenue_concentration",
-    "op_split_balance_audit",
-    "op_graph_degree_distribution",
-    "text_fertility_by_lang",
     "op_split_leakage_near_dup",
-    "ev_cumulative_new_users",
-    "mm_modality_mix_report",
-    "op_incremental_agg_maintenance",
-    # batch 3 (displaces sim_lsh_bucketed_topk / text_hybrid_rrf_topk /
-    # ev_tumbling_hourly to the round-10 queue)
-    "dedup_method_agreement",
-    "sim_hubness_report",
-    "ev_ab_power_mde",
-    # batch 4 (displaces text_segment_dedup, op_grouped_agg_weighted_avg,
-    # text_bigram_logprob and dedup_simhash to the round-10 queue —
-    # op_j_range_bucketed / op_w_trailing_range_frame stay as their
-    # families' sole head representatives)
-    "text_quality_signal_corr",
-    "sim_ivf_nprobe_curve",
-    "ev_time_weighted_avg_value",
-    "ev_top_session_paths",
-    # batch 5 (displaces op_cap_per_source to the round-10 queue)
-    "q_customer_segment_migration",
-    # changed round 9 (third measured geometry: snm_multipass row) —
-    # must re-witness; displaces op_expectations_check to round-10
-    "dedup_blocking_quality",
-    # --- 2. late round-8 operators, never driver-witnessed ---
-    "dedup_multiplicity_histogram",
     "dedup_lsh_quality_report",
-    "mm_image_tile_plan",
-    "pipeline_token_budget_mix",
-    "text_compression_ratio",
-    "op_kl_divergence_matrix",
-    "op_fd_violation_audit",
-    "q_top_growth_parts",
-    # --- 3. changed this round (registration re-pointed to the exact
-    # operator; binned variant is now library-only) ---
-    "op_quantile_normalize_lengths",
-    # --- 4. round-2/3 freshness block (oldest witnesses in registry) ---
-    "pipeline_curate_corpus",
-    "sim_quantized_topk",
-    "op_asof_join_prev_purchase",
-    "text_pii_redact",
-    "op_udtf_token_explode",
-    "text_repetition_stats",
-    "text_bm25_topk",
-    "ev_funnel_signup_click_purchase",
-    "op_j_range_bucketed",
-    "op_w_trailing_range_frame",
-    "op_merge_upsert_snapshot",
-    "mm_frame_sample",
-    "op_sample_temperature_mix",
-    # (text_chunk_documents, pipeline_pack_sequences, sim_ivf_topk,
-    # text_lang_id displaced by batch-2 round-9 ops; text_tfidf_top_terms
-    # yields its slot to the op_drift_ family fill — all five join the
-    # round-10 queue with text_unigram_logprob)
-    # --- 5. family-coverage fills (star/sketch/scd2/outliers/drift) ---
-    "op_drift_psi_events",
-    "star_q1_monthly_sales",
-    "op_sketch_countmin_terms",
-    "op_scd2_priority_history",
-    "op_outliers_mad",
+    "ev_top_session_paths",
+    # --- 3. round-2/3 freshness block (oldest witnesses in registry) ---
+    "text_chunk_documents",
+    "text_unigram_logprob",
+    "text_tfidf_top_terms",
+    "pipeline_pack_sequences",
+    "sim_ivf_topk",
+    "text_lang_id",
+    "text_segment_dedup",
+    "op_grouped_agg_weighted_avg",
+    "text_bigram_logprob",
+    "dedup_simhash",
+    "op_cap_per_source",
+    "ev_tumbling_hourly",
+    "op_expectations_check",
+    "sim_lsh_bucketed_topk",
+    "text_hybrid_rrf_topk",
+    # --- 4. family-coverage fills ---
+    "star_q2_top10_parts",
+    "mm_payload_dedup",
+    "op_scd2_temporal_join",
+    "op_graph_pagerank",
+    # --- 5. round-5 block, oldest-first ---
+    "op_j_skewed_salted",
+    "dedup_substring_spans",
+    "dedup_substring_rate",
+    "pipeline_dedup_keep_best",
+    "text_ccnet_buckets",
+    "op_sample_exact_k",
+    "dedup_incremental_new_vs_corpus",
+    "pipeline_decontaminate",
+    "pipeline_mixture_manifest",
+    "sim_range_search",
+    "ev_retention_cohorts",
+    "dedup_embedding_near_dup",
+    "dedup_rate_by_source",
+    "ev_anomaly_hourly_zscore",
+    "ev_anomaly_hourly_zscore_gapfill",
+    "ev_json_props_extract",
+    "ev_rolling_7d_active_users",
+    "ev_sliding_windows",
+    "ev_type_value_stats",
+    "mm_decode_features",
+    "op_a_grouping_sets",
 ]
 
 

@@ -3080,3 +3080,182 @@ def op_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# Banded-LSH S-curve calibration — the THEORY check under the quality
+# report. dedup_lsh_quality_report grades the banding at ONE similarity
+# cut; this measures, per exact-Jaccard decile, the realized candidate
+# probability against the closed form P(candidate | J=j) = 1-(1-j^r)^b
+# (Broder 1997; Leskovec-Rajaraman-Ullman ch. 3), plus the mean minhash
+# signature agreement (whose expectation IS j — the estimator's
+# unbiasedness made visible). A bucket where the empirical rate falls
+# off the theoretical curve means correlated permutations or shingle
+# pathologies — the diagnosis that decides re-tuning (b, r) before a
+# 100 TB run, from a sample-bounded measurement.
+
+_CAL_SAMPLE_RATE = 0.10  #: of documents, by md5(doc_id) — deterministic
+_CAL_NIBBLES = 4
+#: theoretical candidate probability at each decile midpoint
+#: m = (2k+1)/20: 1 - (1 - m^r)^b with r = BAND_SIZE = 1, b = NUM_PERM.
+_CAL_THEO = tuple(
+    round(1.0 - (1.0 - ((2 * k + 1) / 20.0) ** BAND_SIZE) ** NUM_PERM, 6)
+    for k in range(10)
+)
+
+
+def _cal_threshold() -> str:
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        rate_threshold_hex,
+    )
+
+    return rate_threshold_hex(_CAL_SAMPLE_RATE, _CAL_NIBBLES)
+
+
+def _cal_oracle_sql() -> str:
+    theo = ", ".join(str(t) for t in _CAL_THEO)
+    idx = ", ".join(str(i) for i in range(1, NUM_PERM + 1))
+    return f"""WITH {SHINGLES_SQL},
+    s_ids AS (
+      SELECT doc_id FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, {_CAL_NIBBLES})
+            < '{_cal_threshold()}'),
+    shs AS (SELECT shd.* FROM shd JOIN s_ids USING (doc_id)),
+    sets AS (SELECT doc_id, list(shingle) AS toks, COUNT(*) AS l
+             FROM shs GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, p,
+             MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS sig
+      FROM shs
+      CROSS JOIN (SELECT unnest(generate_series(0, {NUM_PERM - 1})) AS p)
+      GROUP BY doc_id, p),
+    sigv AS (SELECT doc_id, list(sig ORDER BY p) AS sv FROM sig
+             GROUP BY doc_id),
+    rel AS (SELECT s.doc_id, s.toks, s.l, v.sv
+            FROM sets s JOIN sigv v USING (doc_id)),
+    pairs AS (
+      SELECT LEAST(10 * len(list_intersect(a.toks, b.toks))
+                   // (a.l + b.l - len(list_intersect(a.toks, b.toks))),
+                   9) AS bucket_idx,
+             len(list_filter([{idx}], i -> a.sv[i] = b.sv[i])) AS n_match
+      FROM rel a JOIN rel b ON a.doc_id < b.doc_id),
+    rolled AS (
+      SELECT CAST(bucket_idx AS INT) AS bucket_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+             ROUND(SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*), 6) AS empirical_rate,
+             ROUND(SUM(n_match) * 1.0 / ({NUM_PERM} * COUNT(*)), 6)
+               AS mean_sig_agreement
+      FROM pairs GROUP BY bucket_idx)
+    SELECT bucket_idx, n_pairs, n_candidates, empirical_rate,
+           mean_sig_agreement,
+           [{theo}][bucket_idx + 1] AS theoretical_rate
+    FROM rolled ORDER BY bucket_idx"""
+
+
+@register("dedup_lsh_s_curve_calibration", _cal_oracle_sql())
+def dedup_lsh_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Jaccard-decile realized candidate rate and mean signature
+    agreement vs the theoretical S-curve, on a deterministic 10%
+    md5(doc_id) sample (smaller than the quality report's 30%: this
+    measurement needs the FULL |S|²/2 pair relation with exact Jaccard —
+    no threshold short-circuit can prune it — so the sample is the
+    budget knob; ~125k pairs at sf0.1).
+
+    Exactness: the decile is pure integer arithmetic
+    (least(10*o div (la+lb-o), 9) — no float Jaccard ever computed);
+    signature agreement counts positionwise equality of the production
+    md5 signature vectors (integers); the two rates are single IEEE
+    divisions rounded 6; the theoretical column is a shared literal
+    table evaluated once in Python (never engine pow(), whose libm may
+    differ in the last ulp). Truth-leg shingles are interned to long
+    ids (injective — overlap counts unchanged; the PPJoin lesson) and
+    the interned relation is localCheckpoint-pinned before the
+    self-join (monotonically_increasing_id is non-deterministic on
+    recompute — the r9-ADVICE materialization rule). Signature vectors
+    keep the oracle's exact md5 bytes. Plan: sample-filtered shingles →
+    one groupBy for sets + one wide minhash pass → broadcast
+    nested-loop self-join over the sample-bounded relation → 10-row
+    rollup."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        hash_fraction_hex,
+    )
+
+    shs = _cached_shingles(spark, sf_dir).where(
+        hash_fraction_hex(F.col("doc_id"), _CAL_NIBBLES) < _cal_threshold()
+    )
+    vocab = (
+        shs.select("shingle")
+        .distinct()
+        .withColumn("tid", F.monotonically_increasing_id())
+    )
+    sets = (
+        shs.join(vocab, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("tid").alias("toks"), F.count(F.lit(1)).alias("l"))
+    )
+    sigs = _wide_signatures(shs, NUM_PERM).select(
+        "doc_id", F.array(*[f"s{p}" for p in range(NUM_PERM)]).alias("sv")
+    )
+    rel = sets.join(sigs, "doc_id").localCheckpoint()
+    a = rel.select(
+        F.col("doc_id").alias("da"),
+        F.col("toks").alias("ta"),
+        F.col("l").alias("la"),
+        F.col("sv").alias("sva"),
+    ).repartition(32)
+    b = rel.select(
+        F.col("doc_id").alias("db"),
+        F.col("toks").alias("tb"),
+        F.col("l").alias("lb"),
+        F.col("sv").alias("svb"),
+    )
+    match_idx = F.filter(
+        F.sequence(F.lit(1), F.lit(NUM_PERM)),
+        lambda i: F.element_at(F.col("sva"), i) == F.element_at(F.col("svb"), i),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .select(
+            F.size(F.array_intersect("ta", "tb")).alias("o"),
+            (F.col("la") + F.col("lb")).alias("ll"),
+            F.size(match_idx).alias("n_match"),
+        )
+        .select(
+            F.least(F.expr("(10 * o) div (ll - o)"), F.lit(9))
+            .cast("int")
+            .alias("bucket_idx"),
+            "n_match",
+        )
+    )
+    theo = F.array(*[F.lit(t) for t in _CAL_THEO])
+    return (
+        pairs.groupBy("bucket_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("n_match") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.sum("n_match").alias("sum_match"),
+        )
+        .select(
+            "bucket_idx",
+            "n_pairs",
+            "n_candidates",
+            F.round(
+                F.col("n_candidates") * F.lit(1.0) / F.col("n_pairs"), 6
+            ).alias("empirical_rate"),
+            F.round(
+                F.col("sum_match")
+                * F.lit(1.0)
+                / (F.lit(NUM_PERM) * F.col("n_pairs")),
+                6,
+            ).alias("mean_sig_agreement"),
+            F.element_at(theo, F.col("bucket_idx") + 1).alias(
+                "theoretical_rate"
+            ),
+        )
+        .orderBy("bucket_idx")
+    )

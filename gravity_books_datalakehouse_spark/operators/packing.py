@@ -129,3 +129,117 @@ def pipeline_pack_sequences(spark, sf_dir):
         )
         .orderBy("lang", "shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Context-length efficiency curve — the sizing table for CAPACITY
+# itself. pack_assignments packs at ONE capacity; this publishes, for a
+# sweep of context lengths, what each strategy costs on the actual
+# corpus length distribution: chunk-and-pad (every doc padded to its own
+# ceil(t/L) sequences — the no-cross-doc-attention strategy) vs
+# concat-and-chop (the GPT-style packed stream; utilization ~1 by
+# construction, docs may straddle). All quantities are exact integer
+# arithmetic over the (n_tok -> count) histogram, so the whole curve is
+# one map-side histogram collapse + a 4-row rollup — nothing re-scans
+# the corpus per L.
+
+_CURVE_LENGTHS = (512, 1024, 2048, 4096)
+
+_PACK_CURVE_SQL = f"""WITH lens AS (
+    SELECT len(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents),
+  lv AS (SELECT unnest([{", ".join(str(L) for L in _CURVE_LENGTHS)}]) AS l),
+  per AS (
+    SELECT lv.l,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN t > lv.l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_over,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(SUM((t + lv.l - 1) // lv.l) AS BIGINT) AS seqs_chunked
+    FROM lens CROSS JOIN lv GROUP BY lv.l)
+  SELECT l AS context_len, n_docs, n_docs_over, total_tokens,
+         seqs_chunked,
+         CAST(seqs_chunked * l - total_tokens AS BIGINT) AS pad_waste,
+         ROUND(total_tokens * 1.0 / NULLIF(seqs_chunked * l, 0), 6)
+           AS util_chunked,
+         CAST((total_tokens + l - 1) // l AS BIGINT) AS seqs_packed,
+         ROUND(total_tokens * 1.0
+               / NULLIF(((total_tokens + l - 1) // l) * l, 0), 6)
+           AS util_packed
+  FROM per ORDER BY context_len"""
+
+
+@register("pipeline_packing_efficiency_curve", _PACK_CURVE_SQL)
+def pipeline_packing_efficiency_curve(spark, sf_dir):
+    """Packing-strategy cost at context lengths 512/1024/2048/4096 from
+    ONE token-length histogram (the sim_ivf_nprobe_curve pattern: sweep
+    the knob from one pass, never re-scan per level). Per length L:
+    docs over L (must chunk or straddle), chunk-and-pad sequence count
+    Σ ceil(t/L) with its padding waste and utilization, and the packed
+    stream's ceil(Σt/L) sequences with utilization ~1 — the table that
+    decides whether cross-document attention contamination (packing) is
+    worth the pad waste it avoids (cf. the packing discussion in
+    Raffel et al. 2020 §2.2, and Krell et al. 2021 on pad waste).
+
+    Exactness: every count is integer (ceil via (t+L-1) div L both
+    engines); the two utilizations are single IEEE divisions rounded 6.
+    Plan: token counting is a size(split()) projection (text never
+    explodes), collapsed map-side to the value-domain-bounded length
+    histogram; the 4-level sweep aggregates histogram rows, not docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(ntok_col().alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wide = hist.agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cnt") * F.col("t")).cast("bigint").alias("total_tokens"),
+        *[
+            F.sum(
+                F.col("cnt") * F.expr(f"(t + {L} - 1) div {L}")
+            ).cast("bigint").alias(f"seqs_{L}")
+            for L in _CURVE_LENGTHS
+        ],
+        *[
+            F.sum(F.when(F.col("t") > L, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"over_{L}")
+            for L in _CURVE_LENGTHS
+        ],
+    )
+    legs = [
+        wide.select(
+            F.lit(L).cast("int").alias("context_len"),
+            "n_docs",
+            F.col(f"over_{L}").alias("n_docs_over"),
+            "total_tokens",
+            F.col(f"seqs_{L}").alias("seqs_chunked"),
+            (F.col(f"seqs_{L}") * L - F.col("total_tokens"))
+            .cast("bigint")
+            .alias("pad_waste"),
+            F.round(
+                F.col("total_tokens")
+                * F.lit(1.0)
+                / F.nullif(F.col(f"seqs_{L}") * L, F.lit(0)),
+                6,
+            ).alias("util_chunked"),
+            F.expr(f"(total_tokens + {L} - 1) div {L}")
+            .cast("bigint")
+            .alias("seqs_packed"),
+            F.round(
+                F.col("total_tokens")
+                * F.lit(1.0)
+                / F.nullif(
+                    F.expr(f"((total_tokens + {L} - 1) div {L}) * {L}"),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("util_packed"),
+        )
+        for L in _CURVE_LENGTHS
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("context_len")

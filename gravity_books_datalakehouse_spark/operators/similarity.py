@@ -1369,3 +1369,214 @@ def sim_ivf_nprobe_curve(spark, sf_dir):
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("nprobe")
+
+
+# --------------------------------------------------------------------------
+# Product quantization distortion report (Jégou, Douze, Schmid 2011,
+# "Product Quantization for Nearest Neighbor Search") — the memory-side
+# sibling of sim_quantized_topk: int8 scalar quantization shrinks bytes
+# 4x with near-zero ranking damage; PQ shrinks them 64x (4 one-byte
+# codes for 64 float32 lanes) and the damage is MEASURABLE. This report
+# publishes the two numbers that size a PQ index: reconstruction MSE
+# (codebook distortion) and ADC recall@k against the exact float
+# ranking — the same ranked-frame evaluation pattern as
+# sim_ivf_nprobe_curve.
+
+_PQ_M = 4        #: subspaces (64 dims -> 4 x 16)
+_PQ_SUB = 16     #: dims per subspace
+_PQ_K = 16       #: codes per sub-codebook (fits 4 bits; 1 byte budgeted)
+_PQ_QUERIES = 50
+_PQ_TOPK = 5
+#: float32 corpus bytes per vector / PQ code bytes per vector
+_PQ_COMPRESSION = (_PQ_M * _PQ_SUB * 4) // _PQ_M
+
+
+def _pq_sql() -> str:
+    ms = ", ".join(str(m) for m in range(_PQ_M))
+    dot = lambda a, b: f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"  # noqa: E731
+    cos_qn = (
+        f"{dot('q.embedding', 'n.embedding')} / "
+        f"(sqrt({dot('q.embedding', 'q.embedding')}) * "
+        f"sqrt({dot('n.embedding', 'n.embedding')}))"
+    )
+    cos_qr = (
+        f"{dot('q.embedding', 'r.rvec')} / "
+        f"(sqrt({dot('q.embedding', 'q.embedding')}) * "
+        f"sqrt({dot('r.rvec', 'r.rvec')}))"
+    )
+    d2 = f"s.s2 - 2 * {dot('s.svec', 'c.cvec')} + c.c2"
+    return f"""WITH sub AS (
+    SELECT e.vec_id, m.m,
+           list_slice(e.embedding, m.m * {_PQ_SUB} + 1,
+                      (m.m + 1) * {_PQ_SUB}) AS svec
+    FROM embeddings e CROSS JOIN (SELECT unnest([{ms}]) AS m) m),
+  sub2 AS (
+    SELECT vec_id, m, svec, {dot('svec', 'svec')} AS s2 FROM sub),
+  cb AS (
+    SELECT m, vec_id AS cid, svec AS cvec, s2 AS c2
+    FROM sub2 WHERE vec_id < {_PQ_K}),
+  enc AS (
+    SELECT vec_id, m, d2, cvec FROM (
+      SELECT s.vec_id, s.m, c.cid, c.cvec, {d2} AS d2,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {d2} ASC, c.cid ASC) AS rn
+      FROM sub2 s JOIN cb c USING (m)) WHERE rn = 1),
+  recon AS (
+    SELECT vec_id, flatten(list(cvec ORDER BY m)) AS rvec,
+           SUM(d2) AS dist
+    FROM enc GROUP BY vec_id),
+  mse AS (
+    SELECT AVG(dist) AS mse, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM recon),
+  truth AS (
+    SELECT qid, nid FROM (
+      SELECT q.vec_id AS qid, n.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND({cos_qn}, 6) DESC, n.vec_id ASC) AS rk
+      FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      WHERE q.vec_id < {_PQ_QUERIES}) WHERE rk <= {_PQ_TOPK}),
+  pq AS (
+    SELECT qid, nid FROM (
+      SELECT q.vec_id AS qid, r.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND({cos_qr}, 6) DESC, r.vec_id ASC) AS rk
+      FROM embeddings q JOIN recon r ON r.vec_id != q.vec_id
+      WHERE q.vec_id < {_PQ_QUERIES}) WHERE rk <= {_PQ_TOPK}),
+  hits AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM truth t JOIN pq p ON p.qid = t.qid AND p.nid = t.nid)
+  SELECT CAST({_PQ_M} AS INT) AS pq_m,
+         CAST({_PQ_K} AS INT) AS pq_k,
+         mse.n_vectors AS n_vectors,
+         ROUND(mse.mse, 6) AS mse,
+         CAST({_PQ_QUERIES} AS BIGINT) AS n_queries,
+         CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+         hits.n_hits AS n_hits,
+         ROUND(hits.n_hits * 1.0 / (SELECT COUNT(*) FROM truth), 6)
+           AS recall_at_{_PQ_TOPK},
+         CAST({_PQ_COMPRESSION} AS BIGINT) AS compression_x
+  FROM mse, hits"""
+
+
+@register("sim_pq_distortion_report", _pq_sql())
+def sim_pq_distortion_report(spark, sf_dir):
+    """PQ index sizing report in one row: codebook distortion
+    (reconstruction MSE) and asymmetric-distance recall@5 vs the exact
+    float ranking, at M=4 subspaces x K=16 codes over the 64-dim
+    embeddings (compression_x = 64 vs float32 storage).
+
+    Determinism across engines: sub-codebooks are SLICES of the first K
+    vectors (the IVF _centroids convention), so reconstructed vectors
+    are exact stored doubles, never computed means — every cosine and
+    every d2 is an in-order fold over identical bits and therefore
+    bit-equal in both engines. Encoding argmins break ties on code id;
+    rankings follow the sim-family rounded-6/id-tiebreak contract. The
+    only order-dependent float op is the global MSE mean (rounded to 6,
+    compared at the harness's 4 dp — the established centroid-mean
+    tolerance).
+
+    Plan shape: the encode stage is the intrinsic linear ADC cost —
+    |corpus| x (M*K) map-side rows against a broadcast 64-row codebook,
+    collapsed by partial aggregation to M rows/vector before the
+    exchange; per-row self-dots (s2, c2) are precomputed and carried so
+    the per-pair expression is one fold + two flops (the kmeans
+    interning lesson); the two ranking legs are sample-bounded
+    (|Q| = 50) brute-force frames, the evaluation's irreducible truth
+    cost. At 100 TB: codebooks train on a sample upstream; encode stays
+    one map-side pass; the report's truth leg stays |Q|-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias("svec"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    sub = (
+        e.select("vec_id", F.explode(slices).alias("x"))
+        .select("vec_id", "x.m", "x.svec")
+        .withColumn("s2", _dot("svec", "svec"))
+    )
+    cb = sub.where(F.col("vec_id") < _PQ_K).select(
+        "m",
+        F.col("vec_id").alias("cid"),
+        F.col("svec").alias("cvec"),
+        F.col("s2").alias("c2"),
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "cid",
+        "cvec",
+        (
+            F.col("s2") - F.lit(2.0) * _dot("svec", "cvec") + F.col("c2")
+        ).alias("d2"),
+    )
+    enc = (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                F.struct(F.col("d2").alias("d2"), F.col("cvec").alias("cvec")),
+                F.struct(F.col("d2"), F.col("cid")),
+            ).alias("best")
+        )
+        .select("vec_id", "m", F.col("best.d2").alias("d2"), F.col("best.cvec").alias("cvec"))
+    )
+    recon = enc.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cvec"))),
+                lambda s: s.getField("cvec"),
+            )
+        ).alias("rvec"),
+        F.sum("d2").alias("dist"),
+    )
+    mse = recon.agg(
+        F.avg("dist").alias("mse"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+    )
+    q = e.where(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    n = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"))
+    tw = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
+    truth = (
+        F.broadcast(q)
+        .join(n, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(cosine("qvec", "nvec"), 6).alias("cs"))
+        .withColumn("rk", F.row_number().over(tw))
+        .where(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "nid")
+    )
+    r = recon.select(F.col("vec_id").alias("nid"), F.col("rvec").alias("nvec"))
+    pq_rank = (
+        F.broadcast(q)
+        .join(r, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(cosine("qvec", "nvec"), 6).alias("cs"))
+        .withColumn("rk", F.row_number().over(tw))
+        .where(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "nid")
+    )
+    counts = truth.join(pq_rank, ["qid", "nid"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    return (
+        mse.crossJoin(n_true)
+        .crossJoin(counts)
+        .select(
+            F.lit(_PQ_M).cast("int").alias("pq_m"),
+            F.lit(_PQ_K).cast("int").alias("pq_k"),
+            "n_vectors",
+            F.round("mse", 6).alias("mse"),
+            F.lit(_PQ_QUERIES).cast("bigint").alias("n_queries"),
+            "n_true",
+            "n_hits",
+            F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_true"), 6).alias(
+                f"recall_at_{_PQ_TOPK}"
+            ),
+            F.lit(_PQ_COMPRESSION).cast("bigint").alias("compression_x"),
+        )
+    )

@@ -2327,3 +2327,144 @@ def q_customer_segment_migration(spark, sf_dir):
         )
         .transform(bounded_sort, "m_before", "m_after")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnosis — the planning report that DECIDES the salt
+# factor op_j_skewed_salted demonstrates. Every shuffle join/agg hashes
+# on its key; one hot key serializes into one reducer task. This
+# publishes, per candidate join key, the exact numbers the mitigation
+# choice needs: hot-key mass (top-1/top-10 share), the max/avg ratio,
+# the p50/p99 of the per-key row distribution, and the integer salt
+# factor ceil(max_key_rows / avg_rows_per_key) that would level the
+# hottest key to an average-sized partition slice.
+
+
+def _skew_leg_sql(table: str, key: str) -> str:
+    return f"""(
+  WITH kc AS (
+    SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {table} GROUP BY {key}),
+  tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_c
+    FROM kc),
+  cum AS (
+    SELECT c, SUM(nk) OVER (ORDER BY c) AS cum_keys
+    FROM (SELECT c, COUNT(*) AS nk FROM kc GROUP BY c)),
+  pct AS (
+    SELECT
+      CAST(MIN(CASE WHEN cum_keys * 2 >= (SELECT n_keys FROM tot)
+               THEN c END) AS BIGINT) AS p50,
+      CAST(MIN(CASE WHEN cum_keys * 100 >= 99 * (SELECT n_keys FROM tot)
+               THEN c END) AS BIGINT) AS p99
+    FROM cum),
+  top AS (
+    SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS top10
+    FROM (SELECT c FROM kc ORDER BY c DESC, k ASC LIMIT 10))
+  SELECT '{table}.{key}' AS key_col,
+         tot.n_rows, tot.n_keys,
+         tot.max_c AS max_key_rows,
+         pct.p50 AS p50_key_rows,
+         pct.p99 AS p99_key_rows,
+         ROUND(tot.max_c * 1.0 / tot.n_rows, 6) AS top1_share,
+         ROUND(top.top10 * 1.0 / tot.n_rows, 6) AS top10_share,
+         ROUND(tot.max_c * tot.n_keys * 1.0 / tot.n_rows, 6)
+           AS skew_max_over_avg,
+         CAST((tot.max_c * tot.n_keys + tot.n_rows - 1) // tot.n_rows
+              AS BIGINT) AS salt_factor
+  FROM tot, pct, top)"""
+
+
+@register(
+    "op_join_skew_diagnosis",
+    _skew_leg_sql("events", "user_id")
+    + "\nUNION ALL\n"
+    + _skew_leg_sql("lineitem", "l_suppkey")
+    + "\nORDER BY key_col",
+)
+def op_join_skew_diagnosis(spark, sf_dir):
+    """Per-join-key skew report for the two highest-volume shuffle keys
+    (events.user_id, lineitem.l_suppkey): exact per-key row percentiles,
+    hot-key shares, and the integer salt factor that levels the hottest
+    key — the measurement that decides between plain hash partitioning,
+    AQE skew-join, and explicit salting (op_j_skewed_salted is the
+    mitigation this report sizes).
+
+    Exactness: counts and percentiles are pure integers (pNN = smallest
+    per-key count whose cumulative key coverage reaches ceil(q*n_keys),
+    decided as cum*100 >= q*100*n_keys — no interpolation ambiguity);
+    shares are single IEEE divisions rounded 6. Scale shape: one
+    key-hashed groupBy per relation (map-side partial agg absorbs the
+    hot key itself), percentiles run on the value-domain-bounded
+    per-key-count HISTOGRAM (never a key-cardinality window), and the
+    top-10 mass uses TakeOrderedAndProject — no global sort, no
+    key-cardinality single task anywhere."""
+    from pyspark.sql import DataFrame, Window
+
+    def leg(df: DataFrame, key: str, label: str) -> DataFrame:
+        kc = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        tot = kc.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_c"),
+        )
+        hist = kc.groupBy("c").agg(F.count(F.lit(1)).alias("nk"))
+        wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select("c", F.sum("nk").over(wc).alias("cum_keys"))
+        pct = cum.crossJoin(F.broadcast(tot.select("n_keys"))).agg(
+            F.min(
+                F.when(F.col("cum_keys") * 2 >= F.col("n_keys"), F.col("c"))
+            )
+            .cast("bigint")
+            .alias("p50"),
+            F.min(
+                F.when(
+                    F.col("cum_keys") * 100 >= 99 * F.col("n_keys"),
+                    F.col("c"),
+                )
+            )
+            .cast("bigint")
+            .alias("p99"),
+        )
+        top = (
+            kc.orderBy(F.desc("c"), F.asc("k"))
+            .limit(10)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("top10"))
+        )
+        return (
+            tot.crossJoin(pct)
+            .crossJoin(top)
+            .select(
+                F.lit(label).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                F.col("max_c").alias("max_key_rows"),
+                F.col("p50").alias("p50_key_rows"),
+                F.col("p99").alias("p99_key_rows"),
+                F.round(F.col("max_c") * F.lit(1.0) / F.col("n_rows"), 6).alias(
+                    "top1_share"
+                ),
+                F.round(F.col("top10") * F.lit(1.0) / F.col("n_rows"), 6).alias(
+                    "top10_share"
+                ),
+                F.round(
+                    F.col("max_c") * F.col("n_keys") * F.lit(1.0) / F.col("n_rows"),
+                    6,
+                ).alias("skew_max_over_avg"),
+                F.expr("(max_c * n_keys + n_rows - 1) div n_rows")
+                .cast("bigint")
+                .alias("salt_factor"),
+            )
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        leg(ev, "user_id", "events.user_id")
+        .unionByName(leg(li, "l_suppkey", "lineitem.l_suppkey"))
+        .transform(bounded_sort, "key_col")
+    )
