@@ -58,15 +58,17 @@ _PRIORITY_HEAD = [
     # sim_ivf_cluster_stats, sim_label_centroids, sim_lsh_bucket_stats,
     # sim_pca_project, text_bpe_pretokenize_stats,
     # text_quality_percentile_cut, text_vocab_growth, then the three
-    # displaced by the second round-10 batch: op_f_histogram,
-    # op_outliers_mad_tdigest, op_sample_importance_by_quality), then
-    # round-6-witnessed oldest-first.
+    # displaced by the second round-10 batch: op_a_grouping_sets,
+    # op_f_histogram, op_outliers_mad_tdigest,
+    # op_sample_importance_by_quality), then round-6-witnessed
+    # oldest-first.
     # --- 1. NEW round-10 operators (never witnessed) ---
     "dedup_pair_graph_compression",
     "sim_pq_distortion_report",
     "dedup_lsh_s_curve_calibration",
     "pipeline_packing_efficiency_curve",
     "op_join_skew_diagnosis",
+    "op_sketch_hll_distinct",
     # --- 2. changed in round 10 — re-witness ---
     "dedup_clusters_connected_components",
     "dedup_cluster_size_histogram",
@@ -115,7 +117,6 @@ _PRIORITY_HEAD = [
     "ev_sliding_windows",
     "ev_type_value_stats",
     "mm_decode_features",
-    "op_a_grouping_sets",
 ]
 
 

@@ -55,3 +55,37 @@ def test_mad_tdigest_within_band_of_exact(spark):
         assert abs(a.median_price - e.median_price) <= 0.05 * e.median_price, b
         assert abs(a.mad_price - e.mad_price) <= max(1.0, 0.05 * e.mad_price), b
         assert abs(a.n_outliers - e.n_outliers) <= 2 + 0.1 * e.n_outliers, b
+
+
+def test_hll_distinct_error_band(spark):
+    """Hand-built md5-HLL estimate within the standard-error band of the
+    exact distinct count (sigma = 1.04/sqrt(m); assert 3 sigma, ~19.5%
+    at m = 256 — loose enough for any corpus, tight enough to catch a
+    broken register/rank pipeline which lands orders of magnitude off).
+
+    This test is also the documented CONSUMER of the published sketch
+    state: the operator deliberately emits the RAW alpha*m^2/Sum
+    estimate (no ln() in either engine — libm-dependent), so the
+    small-range linear-counting correction of Flajolet et al. §4
+    (E <= 5/2 m and V > 0  ->  E* = m ln(m/V)) is applied here, exactly
+    as a downstream consumer would from n_zero_registers."""
+    import math
+
+    from gravity_books_datalakehouse_spark.operators.sketches import (
+        _HLL_M,
+        op_sketch_hll_distinct,
+    )
+
+    rows = op_sketch_hll_distinct(spark, SF_SMOKE).collect()
+    assert rows
+    band = 3 * 1.04 / _HLL_M**0.5
+    for r in rows:
+        est = r["raw_hll_estimate"]
+        if est <= 2.5 * _HLL_M and r["n_zero_registers"] > 0:
+            est = _HLL_M * math.log(_HLL_M / r["n_zero_registers"])
+        rel = (est - r["exact_distinct"]) / r["exact_distinct"]
+        assert abs(rel) <= band, (r["event_type"], rel, r["raw_hll_estimate"])
+        # published raw estimate and rel_error are mutually consistent
+        assert abs(
+            r["raw_hll_estimate"] - r["exact_distinct"] * (1 + r["rel_error"])
+        ) <= 1e-6 * r["exact_distinct"]
