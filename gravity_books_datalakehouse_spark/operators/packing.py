@@ -208,38 +208,45 @@ def pipeline_packing_efficiency_curve(spark, sf_dir):
             for L in _CURVE_LENGTHS
         ],
     )
-    legs = [
-        wide.select(
-            F.lit(L).cast("int").alias("context_len"),
-            "n_docs",
-            F.col(f"over_{L}").alias("n_docs_over"),
-            "total_tokens",
-            F.col(f"seqs_{L}").alias("seqs_chunked"),
-            (F.col(f"seqs_{L}") * L - F.col("total_tokens"))
-            .cast("bigint")
-            .alias("pad_waste"),
-            F.round(
-                F.col("total_tokens")
-                * F.lit(1.0)
-                / F.nullif(F.col(f"seqs_{L}") * L, F.lit(0)),
-                6,
-            ).alias("util_chunked"),
-            F.expr(f"(total_tokens + {L} - 1) div {L}")
-            .cast("bigint")
-            .alias("seqs_packed"),
-            F.round(
-                F.col("total_tokens")
-                * F.lit(1.0)
-                / F.nullif(
-                    F.expr(f"((total_tokens + {L} - 1) div {L}) * {L}"),
-                    F.lit(0),
-                ),
-                6,
-            ).alias("util_packed"),
-        )
-        for L in _CURVE_LENGTHS
-    ]
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out.orderBy("context_len")
+    # melt the one-row wide aggregate with a single explode — a 4-leg
+    # union would duplicate the aggregate subtree once per level in the
+    # plan (exchange reuse usually rescues it at runtime, but the melted
+    # plan doesn't need rescuing)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(L).cast("int").alias("context_len"),
+                F.col("n_docs").alias("n_docs"),
+                F.col(f"over_{L}").alias("n_docs_over"),
+                F.col("total_tokens").alias("total_tokens"),
+                F.col(f"seqs_{L}").alias("seqs_chunked"),
+                (F.col(f"seqs_{L}") * L - F.col("total_tokens"))
+                .cast("bigint")
+                .alias("pad_waste"),
+                F.round(
+                    F.col("total_tokens")
+                    * F.lit(1.0)
+                    / F.nullif(F.col(f"seqs_{L}") * L, F.lit(0)),
+                    6,
+                ).alias("util_chunked"),
+                F.expr(f"(total_tokens + {L} - 1) div {L}")
+                .cast("bigint")
+                .alias("seqs_packed"),
+                F.round(
+                    F.col("total_tokens")
+                    * F.lit(1.0)
+                    / F.nullif(
+                        F.expr(f"((total_tokens + {L} - 1) div {L}) * {L}"),
+                        F.lit(0),
+                    ),
+                    6,
+                ).alias("util_packed"),
+            )
+            for L in _CURVE_LENGTHS
+        ]
+    )
+    return (
+        wide.select(F.explode(entries).alias("e"))
+        .select("e.*")
+        .orderBy("context_len")
+    )

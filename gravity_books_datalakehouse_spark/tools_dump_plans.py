@@ -96,6 +96,13 @@ SHOW = {
     "mm_image_tile_plan": "Metadata projection -> integer tile counts -> two nested sequence explodes; rows proportional to image area over tile area, co-partitioned with the payload scan (round 8).",
     "op_fd_violation_audit": "Per FD one map-side two-phase distinct-count aggregate + a 1-row rollup; four legs union to a 4-row report (round 8).",
     "text_compression_ratio": "ONE ArrowEvalPython stage computes the zlib ratio map-side off the scan (payloads never shuffle); strata-sized rollup - the vectorized-UDF quality-filter shape (round 8).",
+    "dedup_clusters_connected_components": "Exact-dedup-FIRST composition: the iterative large-star/small-star fixpoint runs on the COLLAPSED rep-level pair graph (ExistingRDD scans = the checkpointed rounds); the corpus-sized stage is one md5-group map join expanding rep labels back to docs — the k-clique mass of verbatim duplication never reaches the CC join (round 10).",
+    "dedup_pair_graph_compression": "Two single-row aggregates (groups, rep pairs x multiplicities) + a single-row crossJoin; the oracle recomputes n_doc_pairs from first principles so a green hash IS the expansion-arithmetic proof (round 10).",
+    "sim_pq_distortion_report": "Encode = one map-side pass against the broadcast 64-row codebook, collapsed by partial agg to M rows/vector; per-row self-dots carried so the per-pair expression is one fold + two flops; both ranking legs |Q|-bounded brute force (round 10).",
+    "dedup_lsh_s_curve_calibration": "Sample-filtered shingles feed one interned-set groupBy and one wide minhash pass; the checkpoint-pinned relation self-joins via broadcast nested loop (sample-bounded by design); deciles decided in pure integers; 10-row rollup (round 10).",
+    "pipeline_packing_efficiency_curve": "ONE documents scan collapses map-side to the token-length histogram; all four context lengths aggregate the histogram in one wide row, melted by a single explode — no per-level union, no re-scan (round 10).",
+    "op_join_skew_diagnosis": "Per relation: one key-hashed groupBy (partial agg absorbs the hot key), percentiles over the value-domain-bounded count HISTOGRAM (never a key-cardinality window), top-10 mass via TakeOrderedAndProject; single-row crossJoins finish (round 10).",
+    "op_sketch_hll_distinct": "Register build is one (type, bucket) groupBy with max — every partition contributes at most m rows per type to the exchange (HLL mergeability as the partial/final split); zero registers counted arithmetically, no spine join; the float surface is one shared-literal divide (round 10).",
 }
 
 

@@ -580,3 +580,42 @@ def test_incremental_agg_merge_stage_is_month_sized(spark):
     for rs in reads:
         cols = [c.split(":")[0] for c in rs.split(",") if c]
         assert set(cols) <= {"o_orderkey", "o_orderdate", "o_totalprice"}, cols
+
+
+def test_packing_curve_single_documents_scan(spark):
+    """The 4-level curve must derive from ONE corpus scan (the melted
+    explode over the one-row wide aggregate) — a per-level union that
+    re-scans documents 4x fails here."""
+    from gravity_books_datalakehouse_spark.operators.packing import (
+        pipeline_packing_efficiency_curve,
+    )
+
+    plan = _executed_plan(pipeline_packing_efficiency_curve(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_codebook_join_is_broadcast(spark):
+    """The PQ encode stage joins the corpus subvectors against the
+    64-row codebook: that join must be broadcast (map-side), never a
+    shuffle of the corpus on the subspace key."""
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        sim_pq_distortion_report,
+    )
+
+    plan = _executed_plan(sim_pq_distortion_report(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_no_spine_join_single_pass(spark):
+    """The HLL build is one groupBy chain over events: zero registers
+    are counted arithmetically, so the plan must contain no join other
+    than the exact-distinct readout join, and no 256-row spine
+    generator (Range)."""
+    from gravity_books_datalakehouse_spark.operators.sketches import (
+        op_sketch_hll_distinct,
+    )
+
+    plan = _executed_plan(op_sketch_hll_distinct(spark, SF_SMOKE))
+    assert "Range (" not in plan  # no generated register spine
+    assert plan.count("Scan parquet") == 2  # sketch leg + exact leg
