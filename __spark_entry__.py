@@ -44,24 +44,36 @@ _PRIORITY_HEAD = [
     #      4 displaced in rounds 8-9: ev_tumbling_hourly,
     #      op_expectations_check, sim_lsh_bucketed_topk,
     #      text_hybrid_rrf_topk);
-    #   4. family fills so every family keeps >=1 oracle-backed row in
-    #      the window: star (star_q2_top10_parts, oldest star witness),
-    #      mm oracle-backed (mm_payload_dedup), scd2
-    #      (op_scd2_temporal_join), graph (op_graph_pagerank) — sketch/
-    #      outliers/drift were driver-witnessed fresh in round 9;
-    #   5. the round-5 block oldest-first to fill the remaining slots.
-    # Round-11 queue, in order: the rest of the round-5 block
-    # (op_sketch_approx_stats, op_w_gap_fill_forward,
-    # op_w_value_functions, q_disjunctive_predicates,
+    #   4. family fills so EVERY family keeps >=1 oracle-backed row in
+    #      the window (tests/test_entry_contract.py pins this — the
+    #      first cut of this rotation skipped q_/op_a/op_w/op_f/
+    #      op_drift/op_outliers on "witnessed fresh in round 9"
+    #      grounds and the contract test caught it): star
+    #      (star_q2_top10_parts, oldest star witness), mm oracle-backed
+    #      (mm_payload_dedup), scd2 (op_scd2_temporal_join), graph
+    #      (op_graph_pagerank), q (q_disjunctive_predicates, oldest q_
+    #      witness), op_a (op_a_grouping_sets), op_w
+    #      (op_w_gap_fill_forward), op_f (op_f_histogram), op_drift
+    #      (op_drift_psi_events), op_outliers (op_outliers_mad);
+    #   5. the round-5 block oldest-first to fill the remaining slots
+    #      (its 6 newest-witnessed tail entries —
+    #      ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
+    #      ev_rolling_7d_active_users, ev_sliding_windows,
+    #      ev_type_value_stats, mm_decode_features — yielded their
+    #      slots to the family fills; mm_decode_features is rows-only,
+    #      so the window is now 50/50 hard-hash oracle-backed).
+    # Round-11 queue, in order: the 6 displaced tail entries above
+    # first (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
+    # ev_rolling_7d_active_users, ev_sliding_windows,
+    # ev_type_value_stats, mm_decode_features), then the rest of the
+    # round-5 block (op_sketch_approx_stats, op_w_value_functions,
     # q_local_supplier_volume, q_min_cost_supplier,
     # q_priority_with_returns, q_top_supplier_revenue,
     # sim_ivf_cluster_stats, sim_label_centroids, sim_lsh_bucket_stats,
     # sim_pca_project, text_bpe_pretokenize_stats,
-    # text_quality_percentile_cut, text_vocab_growth, then the three
-    # displaced by the second round-10 batch: op_a_grouping_sets,
-    # op_f_histogram, op_outliers_mad_tdigest,
-    # op_sample_importance_by_quality), then round-6-witnessed
-    # oldest-first.
+    # text_quality_percentile_cut, text_vocab_growth,
+    # op_outliers_mad_tdigest, op_sample_importance_by_quality), then
+    # round-6-witnessed oldest-first.
     # --- 1. NEW round-10 operators (never witnessed) ---
     "dedup_pair_graph_compression",
     "sim_pq_distortion_report",
@@ -96,6 +108,12 @@ _PRIORITY_HEAD = [
     "mm_payload_dedup",
     "op_scd2_temporal_join",
     "op_graph_pagerank",
+    "q_disjunctive_predicates",
+    "op_a_grouping_sets",
+    "op_w_gap_fill_forward",
+    "op_f_histogram",
+    "op_drift_psi_events",
+    "op_outliers_mad",
     # --- 5. round-5 block, oldest-first ---
     "op_j_skewed_salted",
     "dedup_substring_spans",
@@ -111,12 +129,6 @@ _PRIORITY_HEAD = [
     "dedup_embedding_near_dup",
     "dedup_rate_by_source",
     "ev_anomaly_hourly_zscore",
-    "ev_anomaly_hourly_zscore_gapfill",
-    "ev_json_props_extract",
-    "ev_rolling_7d_active_users",
-    "ev_sliding_windows",
-    "ev_type_value_stats",
-    "mm_decode_features",
 ]
 
 

@@ -442,7 +442,12 @@ DOCS_QUERIES = (
 # _cached_rep_pairs): re-measured at 20x (engine session, local[16])
 # op_split_leakage_near_dup 2.1 s, dedup_cluster_size_histogram 0.3 s
 # warm — the k-clique mass never reaches a join; both now probed
-# per-round above.
+# per-round above. Also round 10: the probe caught the single-pass
+# dedup_sorted_neighborhood at 27.5 s (vs 4.7 s for the TWO-pass
+# variant) — AQE's size-based coalescing squeezed its compact
+# join+banded-Levenshtein stage to ~2 partitions (the round-8 lesson,
+# measured 15.9 s -> 2.0 s in isolation); both SNM banded joins now
+# pin explicit-count repartition(32) and the probe reads 3.6 s.
 DOCS_SPARK_ONLY = {
     "dedup_sorted_neighborhood",
     "dedup_snm_multipass",

@@ -1916,14 +1916,19 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         # probe own block and the next: every (rn_a, rn_b) pair with
         # rn_a < rn_b < rn_a + W has blk_b in {blk_a, blk_a + 1}
         F.explode(F.array(blk, blk + 1)).alias("jblk_a"),
-    )
+    # explicit-count repartition on the banded-join key: the join +
+    # banded-Levenshtein stage is COMPACT (ids + 24-char keys) but
+    # CPU-bound, exactly the shape AQE's size-based coalescing squeezes
+    # to ~2 partitions and serializes (the round-8 lesson; explicit
+    # counts are exempt). Measured on the 20x replica: 27.5 s -> ~3 s.
+    ).repartition(32, "bkt_a", "jblk_a")
     b = r.select(
         F.col("doc_id").alias("id_b"),
         F.col("key").alias("key_b"),
         F.col("bkt").alias("bkt_b"),
         F.col("rn").alias("rn_b"),
         blk.alias("jblk_b"),
-    )
+    ).repartition(32, "bkt_b", "jblk_b")
     return (
         a.join(
             b,
@@ -2022,13 +2027,15 @@ def _snm_window_pairs(r: DataFrame) -> DataFrame:
         F.col("bkt").alias("bkt_a"),
         F.col("rn").alias("rn_a"),
         F.explode(F.array(blk, blk + 1)).alias("jblk_a"),
-    )
+    # pinned width against AQE's compact-stage coalescing (the round-8
+    # lesson, same reason as the single-pass operator)
+    ).repartition(32, "bkt_a", "jblk_a")
     b = r.select(
         F.col("doc_id").alias("id_b"),
         F.col("bkt").alias("bkt_b"),
         F.col("rn").alias("rn_b"),
         blk.alias("jblk_b"),
-    )
+    ).repartition(32, "bkt_b", "jblk_b")
     return a.join(
         b,
         (F.col("bkt_a") == F.col("bkt_b"))
