@@ -62,8 +62,10 @@ _PRIORITY_HEAD = [
     #      ev_type_value_stats, mm_decode_features — yielded their
     #      slots to the family fills; mm_decode_features is rows-only,
     #      so the window is now 50/50 hard-hash oracle-backed).
-    # Round-11 queue, in order: the 6 displaced tail entries above
-    # first (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
+    # Round-11 queue, in order: ev_anomaly_hourly_zscore (displaced
+    # from slot 50 by dedup_dbscan_density_clusters, added late in
+    # round 10 — the ev family keeps 5 other window rows), then the 6
+    # displaced tail entries (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
     # ev_rolling_7d_active_users, ev_sliding_windows,
     # ev_type_value_stats, mm_decode_features), then the rest of the
     # round-5 block (op_sketch_approx_stats, op_w_value_functions,
@@ -75,6 +77,7 @@ _PRIORITY_HEAD = [
     # op_outliers_mad_tdigest, op_sample_importance_by_quality), then
     # round-6-witnessed oldest-first.
     # --- 1. NEW round-10 operators (never witnessed) ---
+    "dedup_dbscan_density_clusters",
     "dedup_pair_graph_compression",
     "sim_pq_distortion_report",
     "dedup_lsh_s_curve_calibration",
@@ -128,7 +131,6 @@ _PRIORITY_HEAD = [
     "ev_retention_cohorts",
     "dedup_embedding_near_dup",
     "dedup_rate_by_source",
-    "ev_anomaly_hourly_zscore",
 ]
 
 

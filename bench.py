@@ -548,6 +548,125 @@ def _docs_probe(spark, entry_mod) -> dict:
     return out
 
 
+# --- S-curve mid-decile probe ------------------------------------------------
+# dedup_lsh_s_curve_calibration on driver data populates ONLY decile 0
+# (near-dup mass in this corpus is either exact or absent), and verbatim
+# replicas only add Jaccard-1.0 pairs — neither exercises the S-curve's
+# transition region where (b, r) tuning decisions actually live. This
+# probe builds a TRUNCATION corpus: 400 base docs plus 5 variants each
+# keeping the first 85/70/55/40/25% of tokens — a token-prefix variant's
+# shingle set is a prefix subset of the base's, so base-variant exact
+# Jaccard lands near the kept fraction and variant-variant pairs fill
+# the ratios between, spreading pairs across mid deciles by
+# construction. Both engines run the UNCHANGED registry entry on it and
+# the probe records times plus a value-match flag — a per-round
+# cross-engine check exactly where the driver's data cannot reach.
+_SCURVE_BASE_DOCS = 400
+_SCURVE_KEEP_TWENTIETHS = (17, 14, 11, 8, 5)  # keep i/20 of the tokens
+
+
+def _build_scurve_corpus(src_dir: str) -> str:
+    import shutil
+
+    import duckdb
+
+    dst = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench-scurve"
+    )
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    src = os.path.abspath(os.path.join(src_dir, "documents.parquet"))
+    off = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    keeps = ", ".join(
+        f"({i + 1}, {k})" for i, k in enumerate(_SCURVE_KEEP_TWENTIETHS)
+    )
+    con.execute(
+        f"""COPY (
+        WITH base AS (
+          SELECT * FROM read_parquet('{src}')
+          ORDER BY doc_id LIMIT {_SCURVE_BASE_DOCS}),
+        tok AS (
+          SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM base),
+        keeps(i, k) AS (VALUES {keeps}),
+        var AS (
+          SELECT doc_id + i * {off} AS doc_id,
+                 array_to_string(
+                   toks[1 : greatest(3, (len(toks) * k) // 20)], ' ')
+                   AS text,
+                 lang, source, n_chars
+          FROM tok CROSS JOIN keeps)
+        SELECT doc_id, text, lang, source, n_chars FROM base
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars FROM var
+      ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    return dst
+
+
+def _scurve_probe(spark, entry_mod) -> dict:
+    """dedup_lsh_s_curve_calibration on the truncation corpus, both
+    engines: {"sec": [spark_s, duck_s, ratio], "match": bool,
+    "deciles_populated": n}. A match=False here is a correctness signal
+    the sf0.01/sf0.1 differentials cannot produce (their pair mass sits
+    in decile 0)."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    name = "dedup_lsh_s_curve_calibration"
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if name not in qs or name not in oracles:
+        return {}
+    d = _build_scurve_corpus(SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    try:
+        s_best = d_best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = qs[name](spark, d).toPandas()
+            dt = time.perf_counter() - t0
+            s_best = dt if s_best is None else min(s_best, dt)
+            t0 = time.perf_counter()
+            want = con.execute(oracles[name]).fetchdf()
+            dt = time.perf_counter() - t0
+            d_best = dt if d_best is None else min(d_best, dt)
+
+        def _norm(df):
+            df = df[sorted(df.columns)]
+            for c in df.columns:
+                if df[c].dtype.kind == "f":
+                    df[c] = df[c].round(4)
+            return (
+                df.astype(str)
+                .sort_values(by=list(df.columns))
+                .reset_index(drop=True)
+            )
+
+        g, w = _norm(got), _norm(want)
+        match = list(g.columns) == list(w.columns) and g.equals(w)
+        return {
+            "sec": [round(s_best, 3), round(d_best, 3),
+                    round(s_best / d_best, 2) if d_best else None],
+            "match": bool(match),
+            "deciles_populated": int(len(got)),
+        }
+    except Exception as exc:
+        print(f"# scurve probe: ERROR {exc}", file=sys.stderr)
+        return {}
+    finally:
+        con.close()
+
+
 def _memory_pressure_probe() -> dict:
     """Graceful-degradation measurement on registry queries, per round.
 
@@ -935,6 +1054,12 @@ def main() -> None:
         docs_probe = {}
 
     try:
+        scurve = _scurve_probe(spark, entry_mod)
+    except Exception as exc:
+        print(f"# scurve probe failed: {exc}", file=sys.stderr)
+        scurve = {}
+
+    try:
         floors = _spark_fixed_floor(spark)
     except Exception as exc:
         print(f"# floor probe failed: {exc}", file=sys.stderr)
@@ -1115,6 +1240,9 @@ def main() -> None:
         # replica-set crossover measurement for three q_ shapes (~sf5)
         "sf1_probe": sf1 or None,
         "docs_replica_probe": docs_probe or None,
+        # S-curve calibration on the truncation corpus: the mid-decile
+        # cross-engine check driver data can't exercise (see _scurve_probe)
+        "scurve_middecile_probe": scurve or None,
         # the same star_/q_ subset re-run on multi-file (compacted) copies
         # of the driver tables, both engines: isolates the single-row-group
         # file layout from plan quality in the ratio above
@@ -1219,6 +1347,7 @@ def main() -> None:
              "compacted_star_q_subset": compacted,
              "sf1_probe": sf1,
              "docs_replica_probe": docs_probe,
+             "scurve_middecile_probe": scurve,
              "spark_fixed_floor_sec": floors,
              "spark_stage_floor_sec": stage_floor,
              "memory_pressure_probe": spill_probe,

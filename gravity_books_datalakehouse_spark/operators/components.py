@@ -291,3 +291,152 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+# --------------------------------------------------------------------------
+# Density clustering (DBSCAN on the candidate graph) — cluster QUALITY
+# beyond CC's transitive closure. Connected components merges two dense
+# near-dup blobs through a single accidental bridge pair (one LSH
+# collision chains template cluster A to template cluster B); density
+# clustering (Ester et al., KDD'96 — public literature) resists exactly
+# that: a bridge doc with few neighbors is not core, so it cannot
+# transmit connectivity. On the candidate graph, the eps-neighborhood
+# IS the adjacency list, so DBSCAN reduces to: core = degree >= minPts;
+# clusters = connected components of the core-core subgraph; border =
+# non-core adjacent to >=1 core (attached to its minimum core cluster —
+# the deterministic tie rule); noise = the rest.
+
+#: neighbor-count core threshold (classic minPts=4 counting the point
+#: itself). At sf0.01 the doc-level degree distribution spans 1..12
+#: with 300/461 vertices at degree >= 3 — all three roles populated.
+_DBSCAN_MIN_PTS = 3
+
+
+def _dbscan_oracle_sql() -> str:
+    """DuckDB doc-level oracle: degree + core filter + recursive-CTE
+    closure over core-core edges + min-label border attachment, all on
+    the SAME doc-level MinHash+LSH candidate edges as the CC oracle.
+    Exact at oracle scale; the Spark side composes exact-dedup-FIRST
+    because the doc-level graph is k-clique-dense under verbatim
+    duplication."""
+    from gravity_books_datalakehouse_spark.operators.dedup import _MINHASH_SQL
+
+    return (
+        _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+  edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+  deg AS (SELECT u AS id, COUNT(*) AS degree FROM edges GROUP BY u),
+  core AS (SELECT id FROM deg WHERE degree >= {_DBSCAN_MIN_PTS}),
+  cedges AS (SELECT e.u, e.v FROM edges e
+             JOIN core a ON a.id = e.u JOIN core b ON b.id = e.v),
+  reach(id, lbl) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT r.id, c.v FROM reach r JOIN cedges c ON c.u = r.lbl),
+  core_lbl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+  border AS (
+    SELECT e.u AS id, MIN(cl.cluster) AS cluster
+    FROM edges e JOIN core_lbl cl ON cl.id = e.v
+    WHERE e.u NOT IN (SELECT id FROM core)
+    GROUP BY e.u)
+  SELECT d.id AS doc_id,
+         COALESCE(cl.cluster, b.cluster) AS cluster_rep,
+         CASE WHEN cl.id IS NOT NULL THEN 'core'
+              WHEN b.id IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS role
+  FROM deg d
+  LEFT JOIN core_lbl cl ON cl.id = d.id
+  LEFT JOIN border b ON b.id = d.id
+  ORDER BY doc_id"""
+    )
+
+
+@register("dedup_dbscan_density_clusters", _dbscan_oracle_sql())
+def dedup_dbscan_density_clusters(spark, sf_dir):
+    """DBSCAN-style density clustering over the MinHash+LSH candidate
+    graph: (doc_id, cluster_rep, role) with role in core/border/noise,
+    cluster_rep = min core doc_id of the density cluster (NULL for
+    noise). The curation upgrade over dedup_clusters_connected_
+    components: CC's remove-all-but-one treats a chain A—bridge—B as
+    one cluster and deletes half of B for being "duplicates" of A;
+    here the low-degree bridge is border/noise and cannot fuse the two
+    dense blobs.
+
+    Composed exact-dedup-FIRST on the collapsed rep-level graph; every
+    step is group-level by the exactness lemma (dedup._cached_exact_
+    groups): (1) doc-level degree is constant within an md5-exact group
+    — deg = (mult-1) + sum(mult of adjacent groups) — because intra-
+    group docs are always candidates and cross-group candidacy is a
+    function of the rep texts; hence core-ness is group-level. (2) A
+    core group's docs are mutually adjacent (mult>=2) or the group is a
+    single doc, so doc-level core components = group-level components
+    over core-core rep pairs, expanded; the min core doc of a component
+    is the min core rep (a rep IS its group's min doc_id). (3) Border/
+    noise depend only on adjacency to core groups — same-group
+    neighbors are never core when the group is not. The doc-level
+    oracle hash-checks the whole composition every round;
+    tests/test_components.py additionally pins it against uncollapsed
+    doc-level DBSCAN on the real corpus AND a replicated one.
+
+    Scale shape: one groups-sized join + three rep-sized joins + the
+    iterative CC fixpoint on the core-core REP graph (smallest relation
+    in the module); under k-fold verbatim duplication the k-cliques
+    never reach any join."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _cached_exact_groups,
+        _cached_rep_pairs,
+    )
+
+    groups = _cached_exact_groups(spark, sf_dir)
+    gm = groups.where(F.col("doc_id") == F.col("rep_doc_id")).select(
+        F.col("rep_doc_id").alias("g"), "mult"
+    )
+    rp = _cached_rep_pairs(spark, sf_dir)
+    sym = rp.select(F.col("doc_a").alias("g"), F.col("doc_b").alias("h")).unionByName(
+        rp.select(F.col("doc_b").alias("g"), F.col("doc_a").alias("h"))
+    )
+    # group-level degree: (mult-1) intra-group + adjacent groups' mass
+    nbr = (
+        sym.join(gm.select(F.col("g").alias("h"), F.col("mult").alias("mh")), "h")
+        .groupBy("g")
+        .agg(F.sum("mh").alias("nbr_mult"))
+    )
+    deg_g = gm.join(nbr, "g", "left").select(
+        "g",
+        "mult",
+        F.col("nbr_mult").isNotNull().alias("has_edge"),
+        (F.col("mult") - 1 + F.coalesce("nbr_mult", F.lit(0))).alias("degree"),
+    )
+    core_g = deg_g.where(F.col("degree") >= _DBSCAN_MIN_PTS).select("g")
+    # density clusters = CC over core-core rep edges; isolated core
+    # groups (no core neighbor) are their own cluster via the coalesce
+    core_edges = rp.join(
+        core_g.select(F.col("g").alias("doc_a")), "doc_a", "leftsemi"
+    ).join(core_g.select(F.col("g").alias("doc_b")), "doc_b", "leftsemi")
+    comp = connected_components(core_edges, "doc_a", "doc_b").select(
+        F.col("id").alias("g"), F.col("component")
+    )
+    core_lbl = core_g.join(comp, "g", "left").select(
+        "g", F.coalesce("component", "g").alias("cluster")
+    )
+    # border groups: non-core, adjacent to >=1 core group; min tie rule
+    border_lbl = (
+        sym.join(core_lbl.select(F.col("g").alias("h"), "cluster"), "h")
+        .join(core_lbl.select("g"), "g", "leftanti")
+        .groupBy("g")
+        .agg(F.min("cluster").alias("b_cluster"))
+    )
+    roles = (
+        deg_g.where((F.col("mult") >= 2) | F.col("has_edge"))
+        .join(core_lbl.withColumn("is_core", F.lit(True)), "g", "left")
+        .join(border_lbl, "g", "left")
+        .select(
+            F.col("g").alias("rep_doc_id"),
+            F.coalesce("cluster", "b_cluster").alias("cluster_rep"),
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )
+    return groups.join(roles, "rep_doc_id").select("doc_id", "cluster_rep", "role")

@@ -103,6 +103,7 @@ SHOW = {
     "pipeline_packing_efficiency_curve": "ONE documents scan collapses map-side to the token-length histogram; all four context lengths aggregate the histogram in one wide row, melted by a single explode — no per-level union, no re-scan (round 10).",
     "op_join_skew_diagnosis": "Per relation: one key-hashed groupBy (partial agg absorbs the hot key), percentiles over the value-domain-bounded count HISTOGRAM (never a key-cardinality window), top-10 mass via TakeOrderedAndProject; single-row crossJoins finish (round 10).",
     "op_sketch_hll_distinct": "Register build is one (type, bucket) groupBy with max — every partition contributes at most m rows per type to the exchange (HLL mergeability as the partial/final split); zero registers counted arithmetically, no spine join; the float surface is one shared-literal divide (round 10).",
+    "dedup_dbscan_density_clusters": "Exact-dedup-FIRST density clustering: degree, core filter, core-core CC fixpoint, and border attachment all run on the REP-level graph (the ExistingRDD scans are the checkpointed CC rounds); the only corpus-sized stage is the md5-group expansion join at the end — verbatim k-cliques never reach any join (round 10).",
 }
 
 

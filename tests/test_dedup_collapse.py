@@ -158,3 +158,87 @@ def test_collapsed_cc_includes_edge_free_duplicate_groups(spark, replicated_dir)
     # every cluster on the 3x corpus holds all 3 copies of its groups
     assert sizes.where(F.col("count") % 3 != 0).isEmpty()
     assert not sizes.isEmpty()
+
+
+def _doc_level_dbscan(spark, sf_dir):
+    """Uncollapsed DBSCAN straight over the doc-level LSH pair relation
+    (degree / core / core-core CC / min-label border), the semantics the
+    rep-level composition in operators/components.py must reproduce."""
+    from gravity_books_datalakehouse_spark.operators.components import (
+        _DBSCAN_MIN_PTS,
+        connected_components,
+    )
+
+    rp = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sym = rp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        rp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    core = deg.where(F.col("degree") >= _DBSCAN_MIN_PTS).select("u")
+    core_edges = rp.join(
+        core.select(F.col("u").alias("doc_a")), "doc_a", "leftsemi"
+    ).join(core.select(F.col("u").alias("doc_b")), "doc_b", "leftsemi")
+    comp = connected_components(core_edges, "doc_a", "doc_b").select(
+        F.col("id").alias("u"), "component"
+    )
+    core_lbl = core.join(comp, "u", "left").select(
+        "u", F.coalesce("component", "u").alias("cluster")
+    )
+    border_lbl = (
+        sym.join(core_lbl.select(F.col("u").alias("v"), "cluster"), "v")
+        .join(core_lbl.select("u"), "u", "leftanti")
+        .groupBy("u")
+        .agg(F.min("cluster").alias("b_cluster"))
+    )
+    return (
+        deg.join(core_lbl.withColumn("is_core", F.lit(True)), "u", "left")
+        .join(border_lbl, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("cluster", "b_cluster").alias("cluster_rep"),
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )
+
+
+@pytest.mark.parametrize("dir_fixture", ["smoke", "replicated"])
+def test_composed_dbscan_equals_doc_level(spark, replicated_dir, dir_fixture):
+    from gravity_books_datalakehouse_spark.operators.components import (
+        dedup_dbscan_density_clusters,
+    )
+
+    sf_dir = SF_SMOKE if dir_fixture == "smoke" else replicated_dir
+    _assert_frames_equal(
+        dedup_dbscan_density_clusters(spark, sf_dir),
+        _doc_level_dbscan(spark, sf_dir),
+    )
+
+
+def test_dbscan_bridge_does_not_fuse_clusters(spark):
+    """The defining property over CC: two 4-cliques joined through one
+    degree-2 bridge vertex stay two density clusters; the bridge is a
+    border point of the min-labelled one."""
+    from gravity_books_datalakehouse_spark.operators.components import (
+        _DBSCAN_MIN_PTS,
+        connected_components,
+    )
+
+    assert _DBSCAN_MIN_PTS == 3  # the geometry below assumes it
+    cl_a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    cl_b = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    bridge = [(4, 99), (99, 11)]
+    edges = spark.createDataFrame(cl_a + cl_b + bridge, ["doc_a", "doc_b"])
+    # CC fuses everything into one component rooted at 1
+    cc = connected_components(edges, "doc_a", "doc_b")
+    assert cc.select("component").distinct().count() == 1
+    # DBSCAN (inline doc-level semantics on the same edge set)
+    sym = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    core = {r["u"] for r in deg.where(F.col("degree") >= _DBSCAN_MIN_PTS).collect()}
+    assert 99 not in core  # the bridge is degree-2: never core
+    assert core == {1, 2, 3, 4, 11, 12, 13, 14}
