@@ -62,9 +62,11 @@ _PRIORITY_HEAD = [
     #      ev_type_value_stats, mm_decode_features — yielded their
     #      slots to the family fills; mm_decode_features is rows-only,
     #      so the window is now 50/50 hard-hash oracle-backed).
-    # Round-11 queue, in order: ev_anomaly_hourly_zscore (displaced
-    # from slot 50 by dedup_dbscan_density_clusters, added late in
-    # round 10 — the ev family keeps 5 other window rows), then the 6
+    # Round-11 queue, in order: ev_anomaly_hourly_zscore and
+    # dedup_rate_by_source (displaced from slots 49-50 by
+    # dedup_dbscan_density_clusters and sim_silhouette_by_label, both
+    # added late in round 10 — the ev and dedup families keep 5+ other
+    # window rows each), then the 6
     # displaced tail entries (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
     # ev_rolling_7d_active_users, ev_sliding_windows,
     # ev_type_value_stats, mm_decode_features), then the rest of the
@@ -79,6 +81,7 @@ _PRIORITY_HEAD = [
     # --- 1. NEW round-10 operators (never witnessed) ---
     "dedup_dbscan_density_clusters",
     "dedup_pair_graph_compression",
+    "sim_silhouette_by_label",
     "sim_pq_distortion_report",
     "dedup_lsh_s_curve_calibration",
     "pipeline_packing_efficiency_curve",
@@ -130,7 +133,6 @@ _PRIORITY_HEAD = [
     "sim_range_search",
     "ev_retention_cohorts",
     "dedup_embedding_near_dup",
-    "dedup_rate_by_source",
 ]
 
 

@@ -1580,3 +1580,114 @@ def sim_pq_distortion_report(spark, sf_dir):
             F.lit(_PQ_COMPRESSION).cast("bigint").alias("compression_x"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette — cluster/label quality in one number per label.
+# Rousseeuw's silhouette (1987, public literature) with the O(n^2)
+# pairwise distances replaced by centroid distances (the "simplified
+# silhouette" of Hruschka et al.): a(i) = ||x_i - c_label(i)||,
+# b(i) = min over other labels of ||x_i - c_l||, s = (b-a)/max(a,b).
+# The label-coherence readout that sim_label_separation_matrix's
+# centroid-to-centroid distances can't give: separation says the
+# PROTOTYPES are far apart; silhouette says the POINTS actually sit
+# nearer their own prototype than any other.
+
+_SIL_SQL = """
+    WITH ex AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    c AS (SELECT label AS clabel, d, AVG(x) AS cx
+          FROM ex GROUP BY label, d),
+    d2 AS (SELECT e.vec_id, e.label, c.clabel,
+                  SUM((e.x - c.cx) * (e.x - c.cx)) AS dd
+           FROM ex e JOIN c ON c.d = e.d
+           GROUP BY e.vec_id, e.label, c.clabel),
+    ab AS (SELECT vec_id, label,
+                  SQRT(MAX(CASE WHEN clabel = label THEN dd END)) AS a,
+                  SQRT(MIN(CASE WHEN clabel <> label THEN dd END)) AS b
+           FROM d2 GROUP BY vec_id, label),
+    s AS (SELECT label, a, b,
+                 CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+                      ELSE (b - a) / GREATEST(a, b) END AS sil
+          FROM ab)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           AVG(a) AS mean_intra, AVG(b) AS mean_nearest_other,
+           AVG(sil) AS mean_silhouette
+    FROM s GROUP BY label ORDER BY label"""
+
+
+@register("sim_silhouette_by_label", _SIL_SQL)
+def sim_silhouette_by_label(spark, sf_dir):
+    """Per-label simplified silhouette: (label, n_vecs, mean_intra,
+    mean_nearest_other, mean_silhouette). mean_silhouette near 1 =
+    tight, well-separated labels; near 0 = boundary overlap; negative =
+    points sit closer to a foreign prototype (label noise or a
+    collapsed embedding space) — the go/no-go number before trusting
+    labels for stratified sampling or hard-negative mining.
+
+    Scale shape (the kmeans _assign idiom): centroids are ONE
+    posexplode aggregate (labels x dims rows — model state), collected
+    and re-entered as a literal array, so the per-vector pass is a
+    narrow zero-shuffle map stage: transform() evaluates each centroid
+    distance fold exactly once per row, then a/b are in-row array
+    lookups — no (vector x centroid) join materializes at any corpus
+    size. The final aggregate carries |labels| rows. Cross-engine
+    float discipline: all arithmetic on doubles, raw (un-rounded)
+    means pass through — summation-order noise lives at 1e-15, far
+    under the harness's 4-dp compare; the only discrete decision
+    (array_min over other-label distances) picks a VALUE, so an
+    ulp-level tie cannot move the output."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("cv"))
+        .collect()
+    )
+    centarr = ",".join(
+        "named_struct('lbl',{lbl},'cvec',array({vals}))".format(
+            lbl=int(r["label"]),
+            vals=",".join(
+                f"CAST('{float(s['cx'])!r}' AS DOUBLE)" for s in r["cv"]
+            ),
+        )
+        for r in sorted(cents, key=lambda r: r["label"])
+    )
+    dists = F.expr(
+        f"""transform(
+          array({centarr}),
+          c -> named_struct(
+            'lbl', c.lbl,
+            'dist', sqrt(aggregate(
+              zip_with(embedding, c.cvec,
+                       (x, y) -> (CAST(x AS DOUBLE) - y)
+                                 * (CAST(x AS DOUBLE) - y)),
+              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))))"""
+    )
+    ab = e.select("label", dists.alias("ds")).select(
+        "label",
+        F.expr("filter(ds, p -> p.lbl = label)[0].dist").alias("a"),
+        F.expr(
+            "array_min(transform(filter(ds, p -> p.lbl <> label),"
+            " p -> p.dist))"
+        ).alias("b"),
+    )
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        ab.select("label", "a", "b", sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.avg("a").alias("mean_intra"),
+            F.avg("b").alias("mean_nearest_other"),
+            F.avg("sil").alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
