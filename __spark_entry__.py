@@ -62,11 +62,11 @@ _PRIORITY_HEAD = [
     #      ev_type_value_stats, mm_decode_features — yielded their
     #      slots to the family fills; mm_decode_features is rows-only,
     #      so the window is now 50/50 hard-hash oracle-backed).
-    # Round-11 queue, in order: ev_anomaly_hourly_zscore and
-    # dedup_rate_by_source (displaced from slots 49-50 by
-    # dedup_dbscan_density_clusters and sim_silhouette_by_label, both
-    # added late in round 10 — the ev and dedup families keep 5+ other
-    # window rows each), then the 6
+    # Round-11 queue, in order: ev_anomaly_hourly_zscore,
+    # dedup_rate_by_source, and sim_range_search (displaced from slots
+    # 48-50 by dedup_dbscan_density_clusters, sim_silhouette_by_label,
+    # and sim_ivfpq_recall_report, all added late in round 10 — the
+    # ev/dedup/sim families keep 3+ other window rows each), then the 6
     # displaced tail entries (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
     # ev_rolling_7d_active_users, ev_sliding_windows,
     # ev_type_value_stats, mm_decode_features), then the rest of the
@@ -83,6 +83,7 @@ _PRIORITY_HEAD = [
     "dedup_pair_graph_compression",
     "sim_silhouette_by_label",
     "sim_pq_distortion_report",
+    "sim_ivfpq_recall_report",
     "dedup_lsh_s_curve_calibration",
     "pipeline_packing_efficiency_curve",
     "op_join_skew_diagnosis",
@@ -130,7 +131,6 @@ _PRIORITY_HEAD = [
     "dedup_incremental_new_vs_corpus",
     "pipeline_decontaminate",
     "pipeline_mixture_manifest",
-    "sim_range_search",
     "ev_retention_cohorts",
     "dedup_embedding_near_dup",
 ]

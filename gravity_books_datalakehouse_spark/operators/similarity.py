@@ -1391,27 +1391,23 @@ _PQ_TOPK = 5
 _PQ_COMPRESSION = (_PQ_M * _PQ_SUB * 4) // _PQ_M
 
 
-def _pq_sql() -> str:
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _pq_recon_ctes() -> str:
+    """The PQ encode/reconstruct CTE chain (sub → sub2 → cb → enc →
+    recon), shared verbatim by the distortion report and the composed
+    IVF-PQ oracle so the two can never desync."""
     ms = ", ".join(str(m) for m in range(_PQ_M))
-    dot = lambda a, b: f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"  # noqa: E731
-    cos_qn = (
-        f"{dot('q.embedding', 'n.embedding')} / "
-        f"(sqrt({dot('q.embedding', 'q.embedding')}) * "
-        f"sqrt({dot('n.embedding', 'n.embedding')}))"
-    )
-    cos_qr = (
-        f"{dot('q.embedding', 'r.rvec')} / "
-        f"(sqrt({dot('q.embedding', 'q.embedding')}) * "
-        f"sqrt({dot('r.rvec', 'r.rvec')}))"
-    )
-    d2 = f"s.s2 - 2 * {dot('s.svec', 'c.cvec')} + c.c2"
-    return f"""WITH sub AS (
+    d2 = f"s.s2 - 2 * {_dot_sql('s.svec', 'c.cvec')} + c.c2"
+    return f"""sub AS (
     SELECT e.vec_id, m.m,
            list_slice(e.embedding, m.m * {_PQ_SUB} + 1,
                       (m.m + 1) * {_PQ_SUB}) AS svec
     FROM embeddings e CROSS JOIN (SELECT unnest([{ms}]) AS m) m),
   sub2 AS (
-    SELECT vec_id, m, svec, {dot('svec', 'svec')} AS s2 FROM sub),
+    SELECT vec_id, m, svec, {_dot_sql('svec', 'svec')} AS s2 FROM sub),
   cb AS (
     SELECT m, vec_id AS cid, svec AS cvec, s2 AS c2
     FROM sub2 WHERE vec_id < {_PQ_K}),
@@ -1424,7 +1420,22 @@ def _pq_sql() -> str:
   recon AS (
     SELECT vec_id, flatten(list(cvec ORDER BY m)) AS rvec,
            SUM(d2) AS dist
-    FROM enc GROUP BY vec_id),
+    FROM enc GROUP BY vec_id)"""
+
+
+def _pq_sql() -> str:
+    dot = _dot_sql
+    cos_qn = (
+        f"{dot('q.embedding', 'n.embedding')} / "
+        f"(sqrt({dot('q.embedding', 'q.embedding')}) * "
+        f"sqrt({dot('n.embedding', 'n.embedding')}))"
+    )
+    cos_qr = (
+        f"{dot('q.embedding', 'r.rvec')} / "
+        f"(sqrt({dot('q.embedding', 'q.embedding')}) * "
+        f"sqrt({dot('r.rvec', 'r.rvec')}))"
+    )
+    return f"""WITH {_pq_recon_ctes()},
   mse AS (
     SELECT AVG(dist) AS mse, CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM recon),
@@ -1485,54 +1496,7 @@ def sim_pq_distortion_report(spark, sf_dir):
     cost. At 100 TB: codebooks train on a sample upstream; encode stays
     one map-side pass; the report's truth leg stays |Q|-bounded."""
     e = load_table(spark, sf_dir, "embeddings")
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias("svec"),
-            )
-            for m in range(_PQ_M)
-        ]
-    )
-    sub = (
-        e.select("vec_id", F.explode(slices).alias("x"))
-        .select("vec_id", "x.m", "x.svec")
-        .withColumn("s2", _dot("svec", "svec"))
-    )
-    cb = sub.where(F.col("vec_id") < _PQ_K).select(
-        "m",
-        F.col("vec_id").alias("cid"),
-        F.col("svec").alias("cvec"),
-        F.col("s2").alias("c2"),
-    )
-    scored = sub.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "m",
-        "cid",
-        "cvec",
-        (
-            F.col("s2") - F.lit(2.0) * _dot("svec", "cvec") + F.col("c2")
-        ).alias("d2"),
-    )
-    enc = (
-        scored.groupBy("vec_id", "m")
-        .agg(
-            F.min_by(
-                F.struct(F.col("d2").alias("d2"), F.col("cvec").alias("cvec")),
-                F.struct(F.col("d2"), F.col("cid")),
-            ).alias("best")
-        )
-        .select("vec_id", "m", F.col("best.d2").alias("d2"), F.col("best.cvec").alias("cvec"))
-    )
-    recon = enc.groupBy("vec_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "cvec"))),
-                lambda s: s.getField("cvec"),
-            )
-        ).alias("rvec"),
-        F.sum("d2").alias("dist"),
-    )
+    recon = _pq_recon(e)
     mse = recon.agg(
         F.avg("dist").alias("mse"),
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
@@ -1579,6 +1543,63 @@ def sim_pq_distortion_report(spark, sf_dir):
             ),
             F.lit(_PQ_COMPRESSION).cast("bigint").alias("compression_x"),
         )
+    )
+
+
+def _pq_recon(e: DataFrame) -> DataFrame:
+    """(vec_id, rvec, dist): PQ-encode every vector against the
+    first-K-slices codebook and reconstruct — the shared encode stage
+    of the distortion report and the composed IVF-PQ search. One
+    map-side pass against the broadcast M x K codebook, collapsed by
+    partial aggregation to M rows/vector; self-dots precomputed and
+    carried (the kmeans interning lesson)."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias("svec"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    sub = (
+        e.select("vec_id", F.explode(slices).alias("x"))
+        .select("vec_id", "x.m", "x.svec")
+        .withColumn("s2", _dot("svec", "svec"))
+    )
+    cb = sub.where(F.col("vec_id") < _PQ_K).select(
+        "m",
+        F.col("vec_id").alias("cid"),
+        F.col("svec").alias("cvec"),
+        F.col("s2").alias("c2"),
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "cid",
+        "cvec",
+        (
+            F.col("s2") - F.lit(2.0) * _dot("svec", "cvec") + F.col("c2")
+        ).alias("d2"),
+    )
+    enc = (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                F.struct(F.col("d2").alias("d2"), F.col("cvec").alias("cvec")),
+                F.struct(F.col("d2"), F.col("cid")),
+            ).alias("best")
+        )
+        .select("vec_id", "m", F.col("best.d2").alias("d2"), F.col("best.cvec").alias("cvec"))
+    )
+    return enc.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cvec"))),
+                lambda s: s.getField("cvec"),
+            )
+        ).alias("rvec"),
+        F.sum("d2").alias("dist"),
     )
 
 
@@ -1690,4 +1711,179 @@ def sim_silhouette_by_label(spark, sf_dir):
             F.avg("sil").alias("mean_silhouette"),
         )
         .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Composed IVF-PQ search (the FAISS IndexIVFPQ architecture, Jégou et
+# al. 2011 — public literature): the coarse quantizer restricts each
+# query to its nprobe inverted lists, then PQ asymmetric-distance
+# computation (exact query vs reconstructed neighbor) ranks the
+# candidates. The registry already grades each stage alone
+# (sim_ivf_topk: candidate restriction at full precision;
+# sim_pq_distortion_report: ADC at full candidate set) — this is the
+# composition that actually ships in an ANN service, and its recall is
+# NOT the product of the stage recalls (the two error sources overlap),
+# which is exactly why it needs its own measured row.
+
+
+def _ivfpq_sql() -> str:
+    dot = _dot_sql
+    cos_qr = (
+        f"{dot('q.embedding', 'r.rvec')} / "
+        f"(sqrt({dot('q.embedding', 'q.embedding')}) * "
+        f"sqrt({dot('r.rvec', 'r.rvec')}))"
+    )
+    cos_qn = (
+        f"{dot('q.embedding', 'n.embedding')} / "
+        f"(sqrt({dot('q.embedding', 'q.embedding')}) * "
+        f"sqrt({dot('n.embedding', 'n.embedding')}))"
+    )
+    return f"""WITH {_IVF_ASSIGN_SQL},
+  {_pq_recon_ctes()},
+  probes AS (
+    SELECT vec_id AS qid, cid FROM (
+      SELECT q.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid ASC) AS pr
+      FROM embeddings q CROSS JOIN cent c
+      WHERE q.vec_id < {_PQ_QUERIES}
+    ) WHERE pr <= {_IVF_NPROBE}),
+  cand AS (
+    SELECT p.qid, a.vec_id AS nid
+    FROM probes p JOIN assign a ON a.cluster_id = p.cid AND a.vec_id != p.qid),
+  adc AS (
+    SELECT qid, nid FROM (
+      SELECT cd.qid, cd.nid,
+             row_number() OVER (PARTITION BY cd.qid
+               ORDER BY ROUND({cos_qr}, 6) DESC, cd.nid ASC) AS rk
+      FROM cand cd
+      JOIN embeddings q ON q.vec_id = cd.qid
+      JOIN recon r ON r.vec_id = cd.nid) WHERE rk <= {_PQ_TOPK}),
+  truth AS (
+    SELECT qid, nid FROM (
+      SELECT q.vec_id AS qid, n.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND({cos_qn}, 6) DESC, n.vec_id ASC) AS rk
+      FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      WHERE q.vec_id < {_PQ_QUERIES}) WHERE rk <= {_PQ_TOPK}),
+  hits AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM truth t JOIN adc p ON p.qid = t.qid AND p.nid = t.nid),
+  mc AS (
+    SELECT AVG(cnt) AS mean_candidates FROM (
+      SELECT qid, COUNT(*) AS cnt FROM cand GROUP BY qid)),
+  nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+  SELECT CAST({_IVF_K} AS INT) AS ivf_k,
+         CAST({_IVF_NPROBE} AS INT) AS nprobe,
+         CAST({_PQ_M} AS INT) AS pq_m,
+         CAST({_PQ_K} AS INT) AS pq_k,
+         nv.n_vectors AS n_vectors,
+         CAST({_PQ_QUERIES} AS BIGINT) AS n_queries,
+         ROUND(mc.mean_candidates, 6) AS mean_candidates,
+         ROUND(mc.mean_candidates / (nv.n_vectors - 1), 6)
+           AS scanned_fraction,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         hits.n_hits AS n_hits,
+         ROUND(hits.n_hits * 1.0 / (SELECT COUNT(*) FROM truth), 6)
+           AS recall_at_{_PQ_TOPK}
+  FROM mc, hits, nv"""
+
+
+@register("sim_ivfpq_recall_report", _ivfpq_sql())
+def sim_ivfpq_recall_report(spark, sf_dir):
+    """End-to-end IVF-PQ recall report in one row: candidate
+    restriction (ivf_k=16 lists, nprobe=2) composed with PQ ADC ranking
+    (M=4 x K=16), graded against the exact-cosine top-5 — plus the cost
+    side (mean candidates per query, scanned fraction of the corpus)
+    so the recall number is read against what it saved. Constants are
+    shared with sim_ivf_topk and sim_pq_distortion_report, making the
+    three rows one tuning table: full-precision IVF recall, full-scan
+    ADC recall, and this composition.
+
+    Determinism: same contracts as its two parents — codebooks and
+    centroids are stored vectors (every reconstruction is exact stored
+    doubles, every cosine bit-equal across engines), probe and rank
+    windows break ties on id after the rounded-6 score, candidate
+    counts are integers, and the two report divisions are single IEEE
+    ops.
+
+    Scale shape: the index build is one broadcast-centroid assignment
+    pass plus the PQ encode pass (both map-side, corpus-sized but
+    narrow); candidates key the corpus on cluster_id against broadcast
+    probes; ADC joins the bounded candidate set to the recon relation
+    on vec_id; truth is the |Q|-bounded brute-force leg (the
+    evaluation's irreducible cost — production skips it). At 100 TB:
+    pre-partition recon+assign by cluster_id so each probe reads only
+    its lists; everything after the candidate join is |Q|-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = _ivf_assign(e).select("vec_id", "cluster_id")
+    recon = _pq_recon(e).select("vec_id", "rvec")
+    q = e.where(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pw = Window.partitionBy("qid").orderBy(F.desc("cos_qc"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(_centroids(e)))
+        .select("qid", "qvec", "cid", cosine("qvec", "cvec").alias("cos_qc"))
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qvec", "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, probes.cid == assign.cluster_id)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qvec", F.col("vec_id").alias("nid"))
+        .localCheckpoint()
+    )
+    tw = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
+    adc = (
+        cand.join(recon.withColumnRenamed("vec_id", "nid"), "nid")
+        .select("qid", "nid", F.round(cosine("qvec", "rvec"), 6).alias("cs"))
+        .withColumn("rk", F.row_number().over(tw))
+        .where(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "nid")
+    )
+    n = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"))
+    truth = (
+        F.broadcast(q)
+        .join(n, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(cosine("qvec", "nvec"), 6).alias("cs"))
+        .withColumn("rk", F.row_number().over(tw))
+        .where(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "nid")
+    )
+    hits = truth.join(adc, ["qid", "nid"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    mc = (
+        cand.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.avg("cnt").alias("mean_candidates"))
+    )
+    nv = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return (
+        mc.crossJoin(nv)
+        .crossJoin(n_true)
+        .crossJoin(hits)
+        .select(
+            F.lit(_IVF_K).cast("int").alias("ivf_k"),
+            F.lit(_IVF_NPROBE).cast("int").alias("nprobe"),
+            F.lit(_PQ_M).cast("int").alias("pq_m"),
+            F.lit(_PQ_K).cast("int").alias("pq_k"),
+            "n_vectors",
+            F.lit(_PQ_QUERIES).cast("bigint").alias("n_queries"),
+            F.round("mean_candidates", 6).alias("mean_candidates"),
+            F.round(
+                F.col("mean_candidates") / (F.col("n_vectors") - 1), 6
+            ).alias("scanned_fraction"),
+            "n_true",
+            "n_hits",
+            F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_true"), 6).alias(
+                f"recall_at_{_PQ_TOPK}"
+            ),
+        )
     )

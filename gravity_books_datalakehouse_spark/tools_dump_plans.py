@@ -104,6 +104,8 @@ SHOW = {
     "op_join_skew_diagnosis": "Per relation: one key-hashed groupBy (partial agg absorbs the hot key), percentiles over the value-domain-bounded count HISTOGRAM (never a key-cardinality window), top-10 mass via TakeOrderedAndProject; single-row crossJoins finish (round 10).",
     "op_sketch_hll_distinct": "Register build is one (type, bucket) groupBy with max — every partition contributes at most m rows per type to the exchange (HLL mergeability as the partial/final split); zero registers counted arithmetically, no spine join; the float surface is one shared-literal divide (round 10).",
     "dedup_dbscan_density_clusters": "Exact-dedup-FIRST density clustering: degree, core filter, core-core CC fixpoint, and border attachment all run on the REP-level graph (the ExistingRDD scans are the checkpointed CC rounds); the only corpus-sized stage is the md5-group expansion join at the end — verbatim k-cliques never reach any join (round 10).",
+    "sim_silhouette_by_label": "Centroids collect once as model state and re-enter as a literal array (the kmeans _assign idiom): the per-vector a/b pass is a zero-shuffle narrow map stage — transform() evaluates each centroid fold exactly once per row; the final aggregate carries |labels| rows (round 10).",
+    "sim_ivfpq_recall_report": "IVF candidate restriction (broadcast probes keyed on cluster_id) composed with PQ ADC: the encode and assignment passes are map-side against broadcast model state; the checkpointed candidate set is nprobe/k of the corpus and everything after it is |Q|-bounded; truth is the sample-bounded brute-force leg (round 10).",
 }
 
 
