@@ -63,10 +63,12 @@ _PRIORITY_HEAD = [
     #      slots to the family fills; mm_decode_features is rows-only,
     #      so the window is now 50/50 hard-hash oracle-backed).
     # Round-11 queue, in order: ev_anomaly_hourly_zscore,
-    # dedup_rate_by_source, and sim_range_search (displaced from slots
-    # 48-50 by dedup_dbscan_density_clusters, sim_silhouette_by_label,
-    # and sim_ivfpq_recall_report, all added late in round 10 — the
-    # ev/dedup/sim families keep 3+ other window rows each), then the 6
+    # dedup_rate_by_source, sim_range_search, and
+    # dedup_embedding_near_dup (displaced from slots 47-50 by
+    # dedup_dbscan_density_clusters, sim_silhouette_by_label,
+    # sim_ivfpq_recall_report, and ev_markov_stationary, all added late
+    # in round 10 — the ev/dedup/sim families keep 3+ other window rows
+    # each), then the 6
     # displaced tail entries (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
     # ev_rolling_7d_active_users, ev_sliding_windows,
     # ev_type_value_stats, mm_decode_features), then the rest of the
@@ -88,6 +90,7 @@ _PRIORITY_HEAD = [
     "pipeline_packing_efficiency_curve",
     "op_join_skew_diagnosis",
     "op_sketch_hll_distinct",
+    "ev_markov_stationary",
     # --- 2. changed in round 10 — re-witness ---
     "dedup_clusters_connected_components",
     "dedup_cluster_size_histogram",
@@ -132,7 +135,6 @@ _PRIORITY_HEAD = [
     "pipeline_decontaminate",
     "pipeline_mixture_manifest",
     "ev_retention_cohorts",
-    "dedup_embedding_near_dup",
 ]
 
 

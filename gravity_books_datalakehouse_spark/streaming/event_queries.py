@@ -2118,3 +2118,139 @@ def ev_top_session_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution — the long-run behavioral mix the
+# transition matrix implies. ev_type_transition_matrix gives the
+# one-step dynamics; this runs 5 unrolled power-iteration sweeps from
+# the uniform start (the op_graph_pagerank fixed-sweep idiom: both
+# engines state the same unrolled computation, so the oracle is exact —
+# never a convergence race) and sets the result beside each type's raw
+# empirical share. stationary > empirical means the chain concentrates
+# on that type over time (e.g. sessions funnel toward it); a large gap
+# is the signal that funnel position, not volume, drives the type's
+# importance.
+
+_MARKOV_SWEEPS = 5
+
+
+def _markov_sql() -> str:
+    sweeps = "\n".join(
+        f"""    p{i} AS (
+      SELECT pr.t AS s, SUM(x.p * pr.p) AS p
+      FROM p{i - 1} x JOIN pr ON pr.f = x.s GROUP BY pr.t),"""
+        for i in range(1, _MARKOV_SWEEPS + 1)
+    )
+    return f"""WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    tm AS (
+      SELECT event_type AS f, next_type AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    pr AS (SELECT f, t, n * 1.0 / SUM(n) OVER (PARTITION BY f) AS p
+           FROM tm),
+    states AS (SELECT DISTINCT f AS s FROM tm),
+    p0 AS (SELECT s, 1.0 / (SELECT COUNT(*) FROM states) AS p
+           FROM states),
+{sweeps}
+    emp AS (
+      SELECT event_type,
+             COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS empirical_share
+      FROM events GROUP BY event_type),
+    outs AS (SELECT f AS event_type,
+                    CAST(SUM(n) AS BIGINT) AS n_out_transitions
+             FROM tm GROUP BY f)
+    SELECT o.event_type, o.n_out_transitions,
+           ROUND(e.empirical_share, 6) AS empirical_share,
+           ROUND(p{_MARKOV_SWEEPS}.p, 6) AS stationary_prob
+    FROM outs o
+    JOIN emp e USING (event_type)
+    JOIN p{_MARKOV_SWEEPS} ON p{_MARKOV_SWEEPS}.s = o.event_type
+    ORDER BY event_type"""
+
+
+@register("ev_markov_stationary", _markov_sql())
+def ev_markov_stationary(spark, sf_dir):
+    """Per-event-type stationary probability after 5 power-iteration
+    sweeps of the empirical first-order transition chain, beside the
+    raw empirical share: (event_type, n_out_transitions,
+    empirical_share, stationary_prob).
+
+    Exactness contract: both engines unroll the SAME 5 sweeps from the
+    same uniform start — no convergence test, no race; every
+    transition probability is one IEEE divide over exact integers and
+    each sweep's sums span |types| terms, so cross-engine float noise
+    stays at 1e-15. A type with no outgoing transitions would leak
+    mass IDENTICALLY on both sides (the same inner-join semantics);
+    this corpus has none (every type is observed as a source).
+
+    Scale shape: the only corpus-sized stages are the one
+    user-partitioned lag window (shared with the transition matrix)
+    and the empirical-share aggregate; the chain itself is a
+    |types|^2 model-state relation, localCheckpoint-pinned once, and
+    each sweep is a broadcast-sized join over it (the pagerank
+    stationary-adjacency idiom, shrunk to matrix scale)."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    tm = (
+        seq.groupBy(
+            F.col("event_type").alias("f"), F.col("next_type").alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pr = tm.withColumn(
+        "p", F.col("n") * F.lit(1.0) / F.sum("n").over(Window.partitionBy("f"))
+    ).localCheckpoint()
+    states = pr.select(F.col("f").alias("s")).distinct()
+    n_states = states.count()
+    p = states.select("s", F.lit(1.0 / n_states).alias("p"))
+    for _ in range(_MARKOV_SWEEPS):
+        p = (
+            pr.join(
+                p.select(F.col("s").alias("f"), F.col("p").alias("pp")), "f"
+            )
+            .groupBy(F.col("t").alias("s"))
+            .agg(F.sum(F.col("pp") * F.col("p")).alias("p"))
+            .localCheckpoint()
+        )
+    outs = tm.groupBy(F.col("f").alias("event_type")).agg(
+        F.sum("n").cast("bigint").alias("n_out_transitions")
+    )
+    emp = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            (
+                F.col("cnt")
+                * F.lit(1.0)
+                / F.sum("cnt").over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+            ).alias("empirical_share"),
+        )
+    )
+    return (
+        outs.join(emp, "event_type")
+        .join(
+            p.select(F.col("s").alias("event_type"), "p"), "event_type"
+        )
+        .select(
+            "event_type",
+            "n_out_transitions",
+            F.round("empirical_share", 6).alias("empirical_share"),
+            F.round("p", 6).alias("stationary_prob"),
+        )
+        .orderBy("event_type")
+    )
