@@ -425,6 +425,27 @@ DOCS_QUERIES = (
                                   # graph + multiplicity expansion
                                   # (spark-only: recursive-CTE oracle
                                   # materializes |component|^2 at 20x)
+    "dedup_dbscan_density_clusters",  # round 10: the density fixpoint on
+                                  # the core-core rep graph — at 20x
+                                  # every group is core, so this is the
+                                  # adversarial full-graph case
+                                  # (spark-only: same recursive-CTE
+                                  # oracle shape as the histogram).
+                                  # Measured ~10 s/call warm (engine
+                                  # session, local[32]); the session
+                                  # memo (_DBSCAN_CACHE) keeps repeat
+                                  # calls free.
+    "text_substring_dedup_rewrite",  # round 10: 28.4 s at 20x measured
+                                  # once (engine session) — the
+                                  # duplicated-position set is genuinely
+                                  # corpus-sized under verbatim
+                                  # replication (every position is
+                                  # duplicated), so the cost is
+                                  # output-bound, not a plan defect;
+                                  # probed per-round to catch
+                                  # regressions beyond that floor
+                                  # (spark-only: the oracle replays the
+                                  # quadratic relational form).
 )
 # NOT probed, measured once round 8: dedup_fuzzy_prefix 87.9 s / 1.32 M
 # pairs (output-bound: the replica really contains that many qualifying
@@ -453,6 +474,8 @@ DOCS_SPARK_ONLY = {
     "dedup_snm_multipass",
     "op_split_leakage_near_dup",
     "dedup_cluster_size_histogram",
+    "dedup_dbscan_density_clusters",
+    "text_substring_dedup_rewrite",
 }
 #: ANN-family queries probed on the 20x EMBEDDINGS replica (vec_id
 #: offset per copy; 2k -> 40k vectors at sf0.1). Exact copies make
