@@ -619,3 +619,32 @@ def test_hll_no_spine_join_single_pass(spark):
     plan = _executed_plan(op_sketch_hll_distinct(spark, SF_SMOKE))
     assert "Range (" not in plan  # no generated register spine
     assert plan.count("Scan parquet") == 2  # sketch leg + exact leg
+
+
+def test_silhouette_per_vector_pass_is_joinless(spark):
+    """The defining property of the literal-centroid idiom: the
+    returned silhouette frame contains NO join anywhere — centroids
+    ride the plan as a literal array, so the per-vector a/b pass is a
+    narrow map stage and the only exchanges are the |labels|-row
+    aggregate and the bounded final sort."""
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        sim_silhouette_by_label,
+    )
+
+    plan = _executed_plan(sim_silhouette_by_label(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_markov_sweeps_are_model_sized(spark):
+    """The corpus never re-enters the sweep loop: the returned frame
+    scans parquet exactly twice (the lag-window leg feeding the
+    checkpointed chain, and the empirical-share leg) and every sweep
+    reads the checkpointed |types|^2 relation (ExistingRDD scans)."""
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_markov_stationary,
+    )
+
+    plan = _executed_plan(ev_markov_stationary(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") <= 2
+    assert "Scan ExistingRDD" in plan  # the checkpointed sweep output
