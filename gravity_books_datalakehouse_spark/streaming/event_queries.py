@@ -2213,6 +2213,10 @@ def ev_markov_stationary(spark, sf_dir):
     states = pr.select(F.col("f").alias("s")).distinct()
     n_states = states.count()
     p = states.select("s", F.lit(1.0 / n_states).alias("p"))
+    # no per-sweep checkpoint: the sweep chain is LINEAR (each p used
+    # exactly once) over the already-checkpointed pr, so lineage is 5
+    # tiny joins with nothing to recompute — one job instead of six
+    # driver round-trips (measured ~2.0 s -> mostly scheduling floor)
     for _ in range(_MARKOV_SWEEPS):
         p = (
             pr.join(
@@ -2220,7 +2224,6 @@ def ev_markov_stationary(spark, sf_dir):
             )
             .groupBy(F.col("t").alias("s"))
             .agg(F.sum(F.col("pp") * F.col("p")).alias("p"))
-            .localCheckpoint()
         )
     outs = tm.groupBy(F.col("f").alias("event_type")).agg(
         F.sum("n").cast("bigint").alias("n_out_transitions")
