@@ -63,12 +63,12 @@ _PRIORITY_HEAD = [
     #      slots to the family fills; mm_decode_features is rows-only,
     #      so the window is now 50/50 hard-hash oracle-backed).
     # Round-11 queue, in order: ev_anomaly_hourly_zscore,
-    # dedup_rate_by_source, sim_range_search, and
-    # dedup_embedding_near_dup (displaced from slots 47-50 by
-    # dedup_dbscan_density_clusters, sim_silhouette_by_label,
-    # sim_ivfpq_recall_report, and ev_markov_stationary, all added late
-    # in round 10 — the ev/dedup/sim families keep 3+ other window rows
-    # each), then the 6
+    # dedup_rate_by_source, sim_range_search, dedup_embedding_near_dup,
+    # and ev_retention_cohorts (displaced from slots 46-50 by
+    # dedup_dbscan_density_clusters, dedup_density_stability_profile,
+    # sim_silhouette_by_label, sim_ivfpq_recall_report, and
+    # ev_markov_stationary, all added late in round 10 — the
+    # ev/dedup/sim families keep 3+ other window rows each), then the 6
     # displaced tail entries (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
     # ev_rolling_7d_active_users, ev_sliding_windows,
     # ev_type_value_stats, mm_decode_features), then the rest of the
@@ -82,6 +82,7 @@ _PRIORITY_HEAD = [
     # round-6-witnessed oldest-first.
     # --- 1. NEW round-10 operators (never witnessed) ---
     "dedup_dbscan_density_clusters",
+    "dedup_density_stability_profile",
     "dedup_pair_graph_compression",
     "sim_silhouette_by_label",
     "sim_pq_distortion_report",
@@ -134,7 +135,6 @@ _PRIORITY_HEAD = [
     "dedup_incremental_new_vs_corpus",
     "pipeline_decontaminate",
     "pipeline_mixture_manifest",
-    "ev_retention_cohorts",
 ]
 
 

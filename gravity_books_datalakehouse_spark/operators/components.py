@@ -26,11 +26,13 @@ Scale discipline for iterative DataFrame jobs (the part that bites at
 100 TB): each half-round ends in ``localCheckpoint()`` — without it,
 lineage grows by one join per round and Catalyst re-analyzes an
 exponentially nested plan; with it, each round starts from
-materialized partitions. Convergence = the edge set is a star forest
-(no edge's parent endpoint appears as a child anywhere), checked with
-one semi-join + isEmpty per round — this fires on the round that
-*reaches* the fixpoint, one full round earlier than comparing
-consecutive edge sets.
+materialized partitions. Convergence = the edge set is a PROPER star
+forest: no edge's parent endpoint appears as a child anywhere AND no
+child has two parents (see _is_star_forest — the second condition is
+the round-10 fix; without it a shared-member "cherry" passes one round
+early). Checked with one semi-join + one tiny aggregate per probe —
+this fires on the round that *reaches* the fixpoint, one full round
+earlier than comparing consecutive edge sets.
 """
 
 from __future__ import annotations
@@ -57,11 +59,30 @@ def _sym(edges: DataFrame) -> DataFrame:
 
 
 def _is_star_forest(edges: DataFrame) -> bool:
-    """True iff no edge's root endpoint (u = min side) is any edge's
-    member endpoint (v) — i.e. every component is a depth-1 star, the
-    algorithm's fixpoint."""
+    """True iff the edge set is a proper star forest — the algorithm's
+    fixpoint. TWO conditions, both required:
+
+    1. no edge's root endpoint (u = min side) is any edge's member
+       endpoint (v) — no root hangs under another root;
+    2. no member has two roots — a shared member means its roots are
+       connected and must still merge.
+
+    Condition 2 is load-bearing: the minimal counterexample is the
+    "cherry" {(26,39),(30,39)} — u's {26,30} never appear as members,
+    so condition 1 alone declares convergence while 26 and 30 are in
+    fact one component through 39 (found in round 10 by the density
+    stability profile's minPts=8 core graph at sf0.001, where the old
+    single-condition check stopped one round early and emitted a
+    duplicate doc with two cluster labels)."""
     members = edges.select(F.col("v").alias("u"))
-    return edges.join(members, "u", "leftsemi").isEmpty()
+    if not edges.join(members, "u", "leftsemi").isEmpty():
+        return False
+    return (
+        edges.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .isEmpty()
+    )
 
 
 def connected_components(
@@ -356,53 +377,33 @@ def _dbscan_oracle_sql() -> str:
 #: scale and repeat calls (bench best-of-2) re-pay ~10 iterative rounds
 #: otherwise — measured 10 s/call warm on the 20× docs replica, where
 #: every group is core and the core-core graph is the full rep graph.
-_DBSCAN_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+_DBSCAN_CACHE: dict[tuple[str, str, int], "DataFrame"] = {}
 
 
-@register("dedup_dbscan_density_clusters", _dbscan_oracle_sql())
-def dedup_dbscan_density_clusters(spark, sf_dir):
-    """DBSCAN-style density clustering over the MinHash+LSH candidate
-    graph: (doc_id, cluster_rep, role) with role in core/border/noise,
-    cluster_rep = min core doc_id of the density cluster (NULL for
-    noise). The curation upgrade over dedup_clusters_connected_
-    components: CC's remove-all-but-one treats a chain A—bridge—B as
-    one cluster and deletes half of B for being "duplicates" of A;
-    here the low-degree bridge is border/noise and cannot fuse the two
-    dense blobs.
-
-    Composed exact-dedup-FIRST on the collapsed rep-level graph; every
-    step is group-level by the exactness lemma (dedup._cached_exact_
-    groups): (1) doc-level degree is constant within an md5-exact group
-    — deg = (mult-1) + sum(mult of adjacent groups) — because intra-
-    group docs are always candidates and cross-group candidacy is a
-    function of the rep texts; hence core-ness is group-level. (2) A
-    core group's docs are mutually adjacent (mult>=2) or the group is a
-    single doc, so doc-level core components = group-level components
-    over core-core rep pairs, expanded; the min core doc of a component
-    is the min core rep (a rep IS its group's min doc_id). (3) Border/
-    noise depend only on adjacency to core groups — same-group
-    neighbors are never core when the group is not. The doc-level
-    oracle hash-checks the whole composition every round;
-    tests/test_components.py additionally pins it against uncollapsed
-    doc-level DBSCAN on the real corpus AND a replicated one.
-
-    Scale shape: one groups-sized join + three rep-sized joins + the
-    iterative CC fixpoint on the core-core REP graph (smallest relation
-    in the module); under k-fold verbatim duplication the k-cliques
-    never reach any join."""
+def _dbscan_assign(spark, sf_dir, min_pts: int):
+    """Doc-level (doc_id, cluster_rep, role) at a given core threshold —
+    the rep-level composition shared by the registry DBSCAN entry
+    (min_pts = _DBSCAN_MIN_PTS) and the density stability profile's
+    threshold sweep. Session-memoized per (scale, min_pts)."""
     from gravity_books_datalakehouse_spark.operators.dedup import (
         _cached_exact_groups,
         _cached_rep_pairs,
     )
-    from gravity_books_datalakehouse_spark.plans._cache import (
-        evict_other_scales,
-        session_key,
-    )
+    from gravity_books_datalakehouse_spark.plans._cache import session_key
 
-    key = session_key(spark, sf_dir)
+    key = (*session_key(spark, sf_dir), min_pts)
     if key in _DBSCAN_CACHE:
         return _DBSCAN_CACHE[key]
-    evict_other_scales(_DBSCAN_CACHE, key)
+    # evict other scales by hand (same semantics as evict_other_scales,
+    # which assumes 2-tuple keys): same session, different sf_dir
+    stale = [
+        k for k in _DBSCAN_CACHE if k[0] == key[0] and k[1] != key[1]
+    ]
+    for k in stale:
+        try:
+            _DBSCAN_CACHE.pop(k).unpersist()
+        except Exception:
+            pass  # session already stopped
 
     groups = _cached_exact_groups(spark, sf_dir)
     gm = groups.where(F.col("doc_id") == F.col("rep_doc_id")).select(
@@ -424,7 +425,7 @@ def dedup_dbscan_density_clusters(spark, sf_dir):
         F.col("nbr_mult").isNotNull().alias("has_edge"),
         (F.col("mult") - 1 + F.coalesce("nbr_mult", F.lit(0))).alias("degree"),
     )
-    core_g = deg_g.where(F.col("degree") >= _DBSCAN_MIN_PTS).select("g")
+    core_g = deg_g.where(F.col("degree") >= min_pts).select("g")
     # density clusters = CC over core-core rep edges; isolated core
     # groups (no core neighbor) are their own cluster via the coalesce
     core_edges = rp.join(
@@ -462,3 +463,190 @@ def dedup_dbscan_density_clusters(spark, sf_dir):
         .persist()
     )
     return _DBSCAN_CACHE[key]
+
+
+@register("dedup_dbscan_density_clusters", _dbscan_oracle_sql())
+def dedup_dbscan_density_clusters(spark, sf_dir):
+    """DBSCAN-style density clustering over the MinHash+LSH candidate
+    graph: (doc_id, cluster_rep, role) with role in core/border/noise,
+    cluster_rep = min core doc_id of the density cluster (NULL for
+    noise). The curation upgrade over dedup_clusters_connected_
+    components: CC's remove-all-but-one treats a chain A—bridge—B as
+    one cluster and deletes half of B for being "duplicates" of A;
+    here the low-degree bridge is border/noise and cannot fuse the two
+    dense blobs.
+
+    Composed exact-dedup-FIRST on the collapsed rep-level graph; every
+    step is group-level by the exactness lemma (dedup._cached_exact_
+    groups): (1) doc-level degree is constant within an md5-exact group
+    — deg = (mult-1) + sum(mult of adjacent groups) — because intra-
+    group docs are always candidates and cross-group candidacy is a
+    function of the rep texts; hence core-ness is group-level. (2) A
+    core group's docs are mutually adjacent (mult>=2) or the group is a
+    single doc, so doc-level core components = group-level components
+    over core-core rep pairs, expanded; the min core doc of a component
+    is the min core rep (a rep IS its group's min doc_id). (3) Border/
+    noise depend only on adjacency to core groups — same-group
+    neighbors are never core when the group is not. The doc-level
+    oracle hash-checks the whole composition every round;
+    tests/test_components.py additionally pins it against uncollapsed
+    doc-level DBSCAN on the real corpus AND a replicated one.
+
+    Scale shape: one groups-sized join + three rep-sized joins + the
+    iterative CC fixpoint on the core-core REP graph (smallest relation
+    in the module); under k-fold verbatim duplication the k-cliques
+    never reach any join."""
+    return _dbscan_assign(spark, sf_dir, _DBSCAN_MIN_PTS)
+
+
+# --------------------------------------------------------------------------
+# Density stability profile — the OPTICS question ("how does cluster
+# structure change as the density requirement tightens?") answered as a
+# threshold sweep over the candidate graph's ROLE composition. One row
+# per core threshold: core/border/noise mass and the clustered share.
+# Reading the profile: a composition that holds its core mass while
+# noise grows slowly is density-stable (the minPts choice is safe); a
+# cliff where core mass collapses reveals bridge-dependent structure.
+# Deliberately NO per-threshold cluster topology: that needs a CC
+# fixpoint per threshold (measured 49-83 s for a 4-threshold sweep —
+# all scheduling floor on tiny graphs), while role composition is pure
+# degree arithmetic: core(t) = deg >= t, border(t) = max ADJACENT-group
+# degree >= t (same-group neighbors share the group's degree, so they
+# can never confer border-ness), noise = rest. The single-threshold
+# topology lives in dedup_dbscan_density_clusters, where one fixpoint
+# is justified.
+
+_DBSCAN_PROFILE_THRESHOLDS = (2, 3, 5, 8, 12)
+
+
+def _density_profile_sql() -> str:
+    from gravity_books_datalakehouse_spark.operators.dedup import _MINHASH_SQL
+
+    ts = ", ".join(f"({t})" for t in _DBSCAN_PROFILE_THRESHOLDS)
+    return (
+        _MINHASH_SQL
+        + f""",
+  edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+  deg AS (SELECT u AS id, COUNT(*) AS degree FROM edges GROUP BY u),
+  mnd AS (SELECT e.u AS id, MAX(d.degree) AS mnd
+          FROM edges e JOIN deg d ON d.id = e.v GROUP BY e.u),
+  t(min_pts) AS (VALUES {ts}),
+  r AS (
+    SELECT t.min_pts,
+           CASE WHEN d.degree >= t.min_pts THEN 'core'
+                WHEN COALESCE(m.mnd, 0) >= t.min_pts THEN 'border'
+                ELSE 'noise' END AS role
+    FROM deg d LEFT JOIN mnd m ON m.id = d.id CROSS JOIN t)
+  SELECT CAST(min_pts AS INT) AS min_pts,
+         CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core,
+         CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_border,
+         CAST(SUM(CASE WHEN role = 'noise' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_noise,
+         ROUND(SUM(CASE WHEN role <> 'noise' THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*), 6) AS clustered_share
+  FROM r GROUP BY min_pts ORDER BY min_pts"""
+    )
+
+
+@register("dedup_density_stability_profile", _density_profile_sql())
+def dedup_density_stability_profile(spark, sf_dir):
+    """Role composition of the candidate graph per density threshold:
+    (min_pts, n_vertices, n_core, n_border, n_noise, clustered_share)
+    for minPts in (2, 3, 5, 8, 12) — the sweep that justifies
+    _DBSCAN_MIN_PTS by measurement rather than fiat. DOC-level counts
+    throughout (the oracle computes them directly on the doc graph).
+
+    Composed exact-dedup-FIRST with zero fixpoints: core-ness is the
+    group-level degree (the DBSCAN lemma), and border-ness at
+    threshold t is max ADJACENT-group degree >= t — same-group
+    neighbors share the group's degree, so a non-core group's own
+    docs can never confer border-ness, which is what lets the whole
+    sweep reduce to degree arithmetic. Doc counts come back as
+    multiplicity-weighted sums.
+
+    Scale shape: two rep-sized joins (degree, max-neighbor-degree),
+    one 5-way threshold explode, one 5-row aggregate — no iteration,
+    no corpus-sized stage at all (the groups relation is the cached
+    collapse). This is why the profile can afford 5 thresholds while
+    the topology op runs one fixpoint at one threshold: the sweep
+    question needs role mass, not component structure."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _cached_exact_groups,
+        _cached_rep_pairs,
+    )
+
+    groups = _cached_exact_groups(spark, sf_dir)
+    gm = groups.where(F.col("doc_id") == F.col("rep_doc_id")).select(
+        F.col("rep_doc_id").alias("g"), "mult"
+    )
+    rp = _cached_rep_pairs(spark, sf_dir)
+    sym = rp.select(F.col("doc_a").alias("g"), F.col("doc_b").alias("h")).unionByName(
+        rp.select(F.col("doc_b").alias("g"), F.col("doc_a").alias("h"))
+    )
+    nbr = (
+        sym.join(gm.select(F.col("g").alias("h"), F.col("mult").alias("mh")), "h")
+        .groupBy("g")
+        .agg(F.sum("mh").alias("nbr_mult"))
+    )
+    deg_g = gm.join(nbr, "g", "left").select(
+        "g",
+        "mult",
+        F.col("nbr_mult").isNotNull().alias("has_edge"),
+        (F.col("mult") - 1 + F.coalesce("nbr_mult", F.lit(0))).alias("degree"),
+    )
+    # max adjacent-group degree per group (group-level: every doc of an
+    # adjacent group h carries degree(h))
+    mnd = (
+        sym.join(
+            deg_g.select(F.col("g").alias("h"), F.col("degree").alias("dh")),
+            "h",
+        )
+        .groupBy("g")
+        .agg(F.max("dh").alias("mnd"))
+    )
+    base = (
+        deg_g.where((F.col("mult") >= 2) | F.col("has_edge"))
+        .join(mnd, "g", "left")
+        .select(
+            "mult",
+            "degree",
+            F.coalesce("mnd", F.lit(0)).alias("mnd"),
+            F.explode(
+                F.array(*[F.lit(t) for t in _DBSCAN_PROFILE_THRESHOLDS])
+            ).alias("min_pts"),
+        )
+    )
+    role = (
+        F.when(F.col("degree") >= F.col("min_pts"), F.lit("core"))
+        .when(F.col("mnd") >= F.col("min_pts"), F.lit("border"))
+        .otherwise(F.lit("noise"))
+    )
+    return (
+        base.select("min_pts", "mult", role.alias("role"))
+        .groupBy(F.col("min_pts").cast("int").alias("min_pts"))
+        .agg(
+            F.sum("mult").cast("bigint").alias("n_vertices"),
+            F.sum(F.when(F.col("role") == "core", F.col("mult")).otherwise(0))
+            .cast("bigint")
+            .alias("n_core"),
+            F.sum(F.when(F.col("role") == "border", F.col("mult")).otherwise(0))
+            .cast("bigint")
+            .alias("n_border"),
+            F.sum(F.when(F.col("role") == "noise", F.col("mult")).otherwise(0))
+            .cast("bigint")
+            .alias("n_noise"),
+            F.round(
+                F.sum(
+                    F.when(F.col("role") != "noise", F.col("mult")).otherwise(0)
+                )
+                * F.lit(1.0)
+                / F.sum("mult"),
+                6,
+            ).alias("clustered_share"),
+        )
+        .orderBy("min_pts")
+    )

@@ -62,6 +62,7 @@ def clear_session_caches() -> None:
         kmeans._EMB_CACHE,
         kmeans._MODEL_CACHE,
         components._CC_CACHE,
+        components._DBSCAN_CACHE,
     ):
         for value in registry.values():
             frames = value.values() if isinstance(value, dict) else [value]

@@ -72,3 +72,56 @@ def test_dedup_clusters_match_union_find(spark):
         union(a, b)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_cherry_graph_converges_to_one_component(spark):
+    """Round-10 regression: the minimal shared-member graph
+    {(26,39),(30,39)} — condition 1 of the star-forest check holds on
+    the raw input (no root is a member), so the pre-fix predicate
+    declared convergence immediately and emitted vertex 39 twice with
+    two different labels. The corrected predicate (no member has two
+    roots) forces the merging round."""
+    edges = spark.createDataFrame([(26, 39), (30, 39)], ["src", "dst"])
+    got = {
+        int(r.id): int(r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {26: 26, 30: 26, 39: 26}
+
+
+def test_star_with_shared_members_fuzz(spark):
+    """Property fuzz aimed at the early-stop geometry: unions of
+    'cherries' and small stars whose roots never appear as members on
+    the raw input. Every vertex must get exactly one label, equal to
+    the union-find answer."""
+    import random
+
+    rng = random.Random(1039)
+    for trial in range(5):
+        edges = []
+        used = set()
+        base = 0
+        for _ in range(rng.randint(2, 6)):
+            # a shared member joining k roots, all roots < member
+            k = rng.randint(2, 4)
+            roots = [base + i for i in range(k)]
+            member = base + k + rng.randint(0, 3)
+            edges += [(r, member) for r in roots]
+            used.update(roots + [member])
+            base = max(used) + rng.randint(1, 5)
+        parent = {v: v for v in used}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want = {v: min(w for w in used if find(w) == find(v)) for v in used}
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        rows = connected_components(df).collect()
+        got = {int(r.id): int(r.component) for r in rows}
+        assert len(rows) == len(got) == len(used), f"trial {trial}: dup labels"
+        assert got == want, f"trial {trial}"
