@@ -64,11 +64,13 @@ _PRIORITY_HEAD = [
     #      so the window is now 50/50 hard-hash oracle-backed).
     # Round-11 queue, in order: ev_anomaly_hourly_zscore,
     # dedup_rate_by_source, sim_range_search, dedup_embedding_near_dup,
-    # and ev_retention_cohorts (displaced from slots 46-50 by
-    # dedup_dbscan_density_clusters, dedup_density_stability_profile,
-    # sim_silhouette_by_label, sim_ivfpq_recall_report, and
+    # ev_retention_cohorts, and pipeline_mixture_manifest (displaced
+    # from slots 45-50 by dedup_dbscan_density_clusters,
+    # dedup_density_stability_profile, sim_silhouette_by_label,
+    # sim_ivfpq_recall_report, sim_knn_reciprocity, and
     # ev_markov_stationary, all added late in round 10 — the
-    # ev/dedup/sim families keep 3+ other window rows each), then the 6
+    # ev/dedup/sim/pipeline families keep 3+ other window rows each),
+    # then the 6
     # displaced tail entries (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
     # ev_rolling_7d_active_users, ev_sliding_windows,
     # ev_type_value_stats, mm_decode_features), then the rest of the
@@ -87,6 +89,7 @@ _PRIORITY_HEAD = [
     "sim_silhouette_by_label",
     "sim_pq_distortion_report",
     "sim_ivfpq_recall_report",
+    "sim_knn_reciprocity",
     "dedup_lsh_s_curve_calibration",
     "pipeline_packing_efficiency_curve",
     "op_join_skew_diagnosis",
@@ -134,7 +137,6 @@ _PRIORITY_HEAD = [
     "op_sample_exact_k",
     "dedup_incremental_new_vs_corpus",
     "pipeline_decontaminate",
-    "pipeline_mixture_manifest",
 ]
 
 

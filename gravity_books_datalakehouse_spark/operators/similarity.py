@@ -1887,3 +1887,122 @@ def sim_ivfpq_recall_report(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# kNN-graph reciprocity — the hubness report's complement. Hubness
+# measures how unevenly in-degree concentrates (a few vectors become
+# everyone's neighbor); reciprocity measures how often neighborhood is
+# MUTUAL (i in topk(j) and j in topk(i)). High-dimensional degradation
+# shows up as both: hubs soak up in-links, so reciprocity falls
+# (Radovanović et al., JMLR 2010 — public literature). Mutual-kNN is
+# also the edge rule many dedup/clustering pipelines use instead of a
+# cosine threshold, so this rate is the direct feasibility number for
+# that design. Graph restricted to the deterministic md5 sample on
+# BOTH sides — mutuality is only well-defined inside one node set.
+
+
+def _knn_recip_sql() -> str:
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(_HUB_SAMPLE_RATE, _HUB_NIBBLES)
+    dot = _dot_sql
+    cos = (
+        f"{dot('a.embedding', 'b.embedding')} / "
+        f"(sqrt({dot('a.embedding', 'a.embedding')}) * "
+        f"sqrt({dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""WITH q AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, {_HUB_NIBBLES})
+            < '{thr}'),
+    p AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, ROUND({cos}, 6) AS cs
+      FROM q a JOIN q b ON a.vec_id != b.vec_id),
+    top AS (
+      SELECT qid, nid, cs FROM (
+        SELECT qid, nid, cs,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cs DESC, nid) AS rn
+        FROM p) WHERE rn <= {_HUB_K}),
+    m AS (
+      SELECT t.cs, CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END AS mut
+      FROM top t LEFT JOIN top r ON r.qid = t.nid AND r.nid = t.qid)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_vectors,
+           CAST({_HUB_K} AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+           CAST(SUM(mut) AS BIGINT) AS n_mutual_edges,
+           ROUND(SUM(mut) * 1.0 / COUNT(*), 6) AS reciprocity_rate,
+           AVG(CASE WHEN mut = 1 THEN cs END) AS mean_cs_mutual,
+           AVG(CASE WHEN mut = 0 THEN cs END) AS mean_cs_oneway
+    FROM m"""
+
+
+@register("sim_knn_reciprocity", _knn_recip_sql())
+def sim_knn_reciprocity(spark, sf_dir):
+    """One-row kNN-graph reciprocity report on the deterministic 10%
+    md5 sample (shared constants with sim_hubness_report: k=5,
+    rounded-6 cosine, nid tiebreak): (n_vectors, k, n_directed_edges,
+    n_mutual_edges, reciprocity_rate, mean_cs_mutual, mean_cs_oneway).
+    mean_cs_mutual > mean_cs_oneway is the sanity direction (mutual
+    edges are the confident ones); a reciprocity_rate far below 2/k x
+    expectation flags hub domination — read beside the hubness
+    histogram.
+
+    Scale shape: the sample-bounded self-join is the measurement's
+    intrinsic cost (|S|^2 pairs, |S| = rate x corpus — the same
+    budget knob as the hubness and S-curve legs); top-k is one
+    |S|-partition window; the mutual probe is a self-join of the
+    k|S|-row top relation on the reversed key; one-row aggregate.
+    Floats: means of rounded-6 cosines — summation-order noise at
+    1e-15 under the 4-dp harness compare."""
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        hash_fraction_hex,
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(_HUB_SAMPLE_RATE, _HUB_NIBBLES)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(hash_fraction_hex(F.col("vec_id"), _HUB_NIBBLES) < thr)
+    a = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"))
+    b = q.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
+    top = (
+        a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(cosine("va", "vb"), 6).alias("cs"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+        .select("qid", "nid", "cs")
+        .localCheckpoint()
+    )
+    rev = top.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"),
+                     F.lit(1).alias("mut"))
+    m = top.join(rev, ["qid", "nid"], "left").select(
+        "cs", F.coalesce("mut", F.lit(0)).alias("mut")
+    )
+    n_q = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return n_q.crossJoin(
+        m.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+            F.sum("mut").cast("bigint").alias("n_mutual_edges"),
+            F.round(
+                F.sum("mut") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("reciprocity_rate"),
+            F.avg(F.when(F.col("mut") == 1, F.col("cs"))).alias(
+                "mean_cs_mutual"
+            ),
+            F.avg(F.when(F.col("mut") == 0, F.col("cs"))).alias(
+                "mean_cs_oneway"
+            ),
+        )
+    ).select(
+        "n_vectors",
+        F.lit(_HUB_K).cast("int").alias("k"),
+        "n_directed_edges",
+        "n_mutual_edges",
+        "reciprocity_rate",
+        "mean_cs_mutual",
+        "mean_cs_oneway",
+    )

@@ -107,6 +107,7 @@ SHOW = {
     "sim_silhouette_by_label": "Centroids collect once as model state and re-enter as a literal array (the kmeans _assign idiom): the per-vector a/b pass is a zero-shuffle narrow map stage — transform() evaluates each centroid fold exactly once per row; the final aggregate carries |labels| rows (round 10).",
     "sim_ivfpq_recall_report": "IVF candidate restriction (broadcast probes keyed on cluster_id) composed with PQ ADC: the encode and assignment passes are map-side against broadcast model state; the checkpointed candidate set is nprobe/k of the corpus and everything after it is |Q|-bounded; truth is the sample-bounded brute-force leg (round 10).",
     "ev_markov_stationary": "Corpus-sized stages are ONE user-partitioned lag window (shared shape with the transition matrix) and the empirical-share aggregate; the chain is a |types|^2 checkpointed relation and each of the 5 unrolled sweeps is a broadcast-sized join over it — the pagerank stationary-adjacency idiom at matrix scale (round 10).",
+    "sim_knn_reciprocity": "Sample-bounded self-join (|S|^2 pairs, the measurement's intrinsic cost) -> one |S|-partition top-k window -> reversed-key self-join of the k|S|-row checkpointed top relation -> one-row aggregate; nothing corpus-sized beyond the sampled scan (round 10).",
     "dedup_density_stability_profile": "Fixpoint-FREE threshold sweep: border-ness reduces to max-adjacent-group-degree arithmetic (two rep-sized joins), the 5 thresholds ride one in-row explode, and the aggregate is 5 rows — no iteration, no corpus-sized stage; the per-threshold topology deliberately lives in the single-fixpoint DBSCAN op (round 10).",
 }
 
