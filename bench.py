@@ -200,6 +200,15 @@ def _spark_stage_floor(spark) -> float | None:
     return round(max(slope, 0.0), 4)
 
 
+def _duckdb_version() -> str | None:
+    try:
+        import duckdb
+
+        return duckdb.__version__
+    except ImportError:
+        return None
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -596,12 +605,12 @@ _SCURVE_BASE_DOCS = 400
 _SCURVE_KEEP_TWENTIETHS = (17, 14, 11, 8, 5)  # keep i/20 of the tokens
 
 
-def _build_scurve_corpus(src_dir: str) -> str:
+def _build_scurve_corpus(src_dir: str, dst_dir: str | None = None) -> str:
     import shutil
 
     import duckdb
 
-    dst = os.path.join(
+    dst = dst_dir or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench-scurve"
     )
     if os.path.isdir(dst):
@@ -965,6 +974,11 @@ def main() -> None:
     _time_cache(
         "kmeans_fit", lambda: _km._fitted_assignment(spark, SF_DIR).count()
     )
+    from gravity_books_datalakehouse_spark.operators import similarity as _sim
+
+    _time_cache(
+        "ivf_assign", lambda: _sim._ivf_assigned(spark, SF_DIR).count()
+    )
     _time_cache("qnorm_hist", lambda: _aq._pooled_cum(spark, SF_DIR))
     print(f"# cache_build_sec: {cache_build}", file=sys.stderr)
 
@@ -1186,6 +1200,27 @@ def main() -> None:
         ssum = sum(max(timings[n] - _stage_overhead(n), 0.0) for n in names)
         return round(ssum / dsum, 2)
 
+    # The two sums BEHIND the stage-corrected ratio, recorded separately
+    # (VERDICT r10 item 4): the q_ ratio drifted 2.56→2.65→2.8 over
+    # rounds 8–10 and only the decomposition says which side moved —
+    # a shrinking DuckDB denominator reads as Spark regression in the
+    # ratio alone. duckdb_version is alongside because a silent DuckDB
+    # upgrade is the most likely denominator mover.
+    def _fam_stage_parts(prefix: str):
+        names = [
+            n for n in duck
+            if n.startswith(prefix) and n in timings
+            and _stage_overhead(n) is not None
+        ]
+        if not names:
+            return None
+        dsum = sum(duck[n] for n in names)
+        ssum = sum(max(timings[n] - _stage_overhead(n), 0.0) for n in names)
+        return {
+            "spark_stage_corrected_sec": round(ssum, 3),
+            "duckdb_sec": round(dsum, 3),
+        }
+
     # Per-family totals summarize the 105-query registry without blowing
     # the stdout budget (the driver keeps only the last ~2000 chars).
     fam_totals: dict[str, float] = {}
@@ -1209,6 +1244,11 @@ def main() -> None:
         "queries_sec_and_ratio_vs_duckdb": headline,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
+        # loud contract check (VERDICT r10 stretch): every registry entry
+        # must have been timed or errored — BENCH_SELF_r10 silently ran
+        # 244/245 because an operator landed after the final solo run
+        "n_registry": len(qs),
+        "registry_complete": len(timings) + len(errors) == len(qs),
         "n_errors": len(errors),
         "errored_queries": sorted(errors)[:10],
         "family_sec": fam_totals,
@@ -1248,6 +1288,12 @@ def main() -> None:
         "spark_stage_floor_sec": stage_floor,
         "q_family_ratio_stage_corrected": _fam_stage_corrected("q_"),
         "star_family_ratio_stage_corrected": _fam_stage_corrected("star_"),
+        # drift decomposition (VERDICT r10 item 4): numerator/denominator
+        # of the stage-corrected ratios + the DuckDB build, so a
+        # cross-round ratio drift names the side that moved
+        "q_family_stage_corrected_parts": _fam_stage_parts("q_"),
+        "star_family_stage_corrected_parts": _fam_stage_parts("star_"),
+        "duckdb_version": _duckdb_version(),
         # graceful-spill probe: op_outliers_mad under forced sorter
         # spills (child JVM), answer checked against the DuckDB oracle
         "memory_pressure_probe": spill_probe,

@@ -381,29 +381,28 @@ _DBSCAN_CACHE: dict[tuple[str, str, int], "DataFrame"] = {}
 
 
 def _dbscan_assign(spark, sf_dir, min_pts: int):
-    """Doc-level (doc_id, cluster_rep, role) at a given core threshold —
-    the rep-level composition shared by the registry DBSCAN entry
-    (min_pts = _DBSCAN_MIN_PTS) and the density stability profile's
-    threshold sweep. Session-memoized per (scale, min_pts)."""
+    """Doc-level (doc_id, cluster_rep, role) at a given core threshold.
+    Sole caller today is the registry DBSCAN entry (min_pts =
+    _DBSCAN_MIN_PTS); the density stability profile does NOT call this —
+    it sweeps min_pts fixpoint-free from the group-degree histogram.
+    min_pts stays in the memo key so a future threshold-variant caller
+    can't silently hit a wrong-threshold entry. Session-memoized per
+    (scale, min_pts)."""
     from gravity_books_datalakehouse_spark.operators.dedup import (
         _cached_exact_groups,
         _cached_rep_pairs,
     )
-    from gravity_books_datalakehouse_spark.plans._cache import session_key
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        evict_other_scales,
+        session_key,
+    )
 
     key = (*session_key(spark, sf_dir), min_pts)
     if key in _DBSCAN_CACHE:
         return _DBSCAN_CACHE[key]
-    # evict other scales by hand (same semantics as evict_other_scales,
-    # which assumes 2-tuple keys): same session, different sf_dir
-    stale = [
-        k for k in _DBSCAN_CACHE if k[0] == key[0] and k[1] != key[1]
-    ]
-    for k in stale:
-        try:
-            _DBSCAN_CACHE.pop(k).unpersist()
-        except Exception:
-            pass  # session already stopped
+    # evict_other_scales only inspects key[0] (app) and key[1] (sf_dir),
+    # so it handles the 3-tuple (app, sf_dir, min_pts) keys unchanged.
+    evict_other_scales(_DBSCAN_CACHE, key[:2])
 
     groups = _cached_exact_groups(spark, sf_dir)
     gm = groups.where(F.col("doc_id") == F.col("rep_doc_id")).select(

@@ -299,6 +299,28 @@ def _ivf_assign(e: DataFrame) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) → persisted IVF assignment. The per-call
+#: recompute of the full-corpus centroid assignment was the measured
+#: reason sim_ivf_topk read SLOWER than brute force at the 20× docs
+#: replica (BENCH_r08–r10 docs_replica_probe ratio 5.6→9.1→10.3, 11.0 s
+#: vs 6.3 s): three registry entries each rebuilt the same corpus×k
+#: broadcast pass. Same idiom as _SIG_CACHE / dedup._REP_PAIR_CACHE —
+#: built once per (session, scale), other scales evicted, one-time cost
+#: surfaced in bench cache_build_sec["ivf_assign"]. At production scale
+#: this is the "pre-partition the corpus by cluster_id" step the search
+#: docstrings name — an index you build once, not per query.
+_IVF_ASSIGN_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = session_key(spark, sf_dir)
+    if key not in _IVF_ASSIGN_CACHE:
+        evict_other_scales(_IVF_ASSIGN_CACHE, key)
+        e = load_table(spark, sf_dir, "embeddings")
+        _IVF_ASSIGN_CACHE[key] = _ivf_assign(e).persist()
+    return _IVF_ASSIGN_CACHE[key]
+
+
 _IVF_ASSIGN_SQL = f"""cent AS (
     SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}
   ),
@@ -320,9 +342,8 @@ _IVF_ASSIGN_SQL = f"""cent AS (
 def sim_ivf_cluster_stats(spark, sf_dir):
     """IVF inverted-list histogram — the partition-balance dashboard for
     the coarse quantizer (a skewed list means a hot probe partition)."""
-    e = load_table(spark, sf_dir, "embeddings")
     return (
-        _ivf_assign(e)
+        _ivf_assigned(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -369,7 +390,7 @@ def sim_ivf_topk(spark, sf_dir):
     top-k window finishes. At billions of vectors, pre-partition the
     corpus by cluster_id so each probe reads only its lists."""
     e = load_table(spark, sf_dir, "embeddings")
-    assign = _ivf_assign(e)
+    assign = _ivf_assigned(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _IVF_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -1301,7 +1322,7 @@ def sim_ivf_nprobe_curve(spark, sf_dir):
     candidate-rank relations — one pass each, all four nprobe levels
     from the same ranked frames, no per-level re-scan."""
     e = load_table(spark, sf_dir, "embeddings")
-    assign = _ivf_assign(e)
+    assign = _ivf_assigned(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _IVF_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -1804,10 +1825,13 @@ def sim_ivfpq_recall_report(spark, sf_dir):
 
     Determinism: same contracts as its two parents — codebooks and
     centroids are stored vectors (every reconstruction is exact stored
-    doubles, every cosine bit-equal across engines), probe and rank
-    windows break ties on id after the rounded-6 score, candidate
-    counts are integers, and the two report divisions are single IEEE
-    ops.
+    doubles, every cosine bit-equal across engines). The PROBE window
+    orders by the UNROUNDED query↔centroid cosine with cid tiebreak:
+    it is cross-engine deterministic because centroids are stored
+    vectors whose cosines are bit-equal IEEE doubles on both engines,
+    not because of a rounding contract. The ADC and truth RANK windows
+    break ties on id after the rounded-6 score. Candidate counts are
+    integers, and the two report divisions are single IEEE ops.
 
     Scale shape: the index build is one broadcast-centroid assignment
     pass plus the PQ encode pass (both map-side, corpus-sized but
@@ -1818,7 +1842,7 @@ def sim_ivfpq_recall_report(spark, sf_dir):
     pre-partition recon+assign by cluster_id so each probe reads only
     its lists; everything after the candidate join is |Q|-bounded."""
     e = load_table(spark, sf_dir, "embeddings")
-    assign = _ivf_assign(e).select("vec_id", "cluster_id")
+    assign = _ivf_assigned(spark, sf_dir).select("vec_id", "cluster_id")
     recon = _pq_recon(e).select("vec_id", "rvec")
     q = e.where(F.col("vec_id") < _PQ_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -59,6 +59,7 @@ def clear_session_caches() -> None:
         dedup._DW_CACHE,
         dedup._SPAN_CACHE,
         similarity._SIG_CACHE,
+        similarity._IVF_ASSIGN_CACHE,
         kmeans._EMB_CACHE,
         kmeans._MODEL_CACHE,
         components._CC_CACHE,

@@ -2164,12 +2164,14 @@ def _markov_sql() -> str:
     outs AS (SELECT f AS event_type,
                     CAST(SUM(n) AS BIGINT) AS n_out_transitions
              FROM tm GROUP BY f)
-    SELECT o.event_type, o.n_out_transitions,
+    SELECT e.event_type,
+           CAST(COALESCE(o.n_out_transitions, 0) AS BIGINT)
+             AS n_out_transitions,
            ROUND(e.empirical_share, 6) AS empirical_share,
-           ROUND(p{_MARKOV_SWEEPS}.p, 6) AS stationary_prob
-    FROM outs o
-    JOIN emp e USING (event_type)
-    JOIN p{_MARKOV_SWEEPS} ON p{_MARKOV_SWEEPS}.s = o.event_type
+           ROUND(COALESCE(p{_MARKOV_SWEEPS}.p, 0), 6) AS stationary_prob
+    FROM emp e
+    LEFT JOIN outs o USING (event_type)
+    LEFT JOIN p{_MARKOV_SWEEPS} ON p{_MARKOV_SWEEPS}.s = e.event_type
     ORDER BY event_type"""
 
 
@@ -2184,9 +2186,14 @@ def ev_markov_stationary(spark, sf_dir):
     same uniform start — no convergence test, no race; every
     transition probability is one IEEE divide over exact integers and
     each sweep's sums span |types| terms, so cross-engine float noise
-    stays at 1e-15. A type with no outgoing transitions would leak
-    mass IDENTICALLY on both sides (the same inner-join semantics);
-    this corpus has none (every type is observed as a source).
+    stays at 1e-15. The readout LEFT-joins from emp (every observed
+    type) so a target-only type keeps its received stationary mass
+    with n_out_transitions = 0, and a never-targeted source coalesces
+    stationary_prob to 0 — no type silently vanishes if new data adds
+    one (this corpus has neither, so the row set equals the old
+    inner-join output). A sink type (no outgoing row in pr) still
+    absorbs sweep mass without re-emitting it — identical on both
+    engines and documented as the unnormalized-sweep contract.
 
     Scale shape: the only corpus-sized stages are the one
     user-partitioned lag window (shared with the transition matrix)
@@ -2245,15 +2252,19 @@ def ev_markov_stationary(spark, sf_dir):
         )
     )
     return (
-        outs.join(emp, "event_type")
+        emp.join(outs, "event_type", "left")
         .join(
-            p.select(F.col("s").alias("event_type"), "p"), "event_type"
+            p.select(F.col("s").alias("event_type"), "p"),
+            "event_type",
+            "left",
         )
         .select(
             "event_type",
-            "n_out_transitions",
+            F.coalesce("n_out_transitions", F.lit(0))
+            .cast("bigint")
+            .alias("n_out_transitions"),
             F.round("empirical_share", 6).alias("empirical_share"),
-            F.round("p", 6).alias("stationary_prob"),
+            F.round(F.coalesce("p", F.lit(0.0)), 6).alias("stationary_prob"),
         )
         .orderBy("event_type")
     )

@@ -11,7 +11,11 @@ import bench
 
 
 def test_scurve_corpus_schema_and_decile_spread(tmp_path):
-    d = bench._build_scurve_corpus("/root/testdata/sf0.001")
+    # build into pytest's tmp dir so the unit test leaves nothing behind
+    # in the repo root (the bench keeps its own .bench-scurve default)
+    d = bench._build_scurve_corpus(
+        "/root/testdata/sf0.001", dst_dir=str(tmp_path / "scurve")
+    )
     src = pq.read_schema("/root/testdata/sf0.001/documents.parquet")
     got = pq.read_schema(f"{d}/documents.parquet")
     assert [f.name for f in got] == [f.name for f in src]
