@@ -444,13 +444,23 @@ DOCS_QUERIES = (
                                   # session, local[32]); the session
                                   # memo (_DBSCAN_CACHE) keeps repeat
                                   # calls free.
+    "text_substring_dedup_rewrite",  # round 11: difference-array interval
+                                  # rewrite (2 events/window + per-doc
+                                  # array slicing — no k-row coverage
+                                  # explode, no per-token anti-join, no
+                                  # collect_list reassembly); measured
+                                  # 25.0 s cold (shared dup-window build)
+                                  # / 4.5-4.8 s warm at 20x, no OOM in a
+                                  # 32-thread session (spark-only: the
+                                  # oracle keeps the coverage-explode
+                                  # SQL, quadratic-ish at 20x)
 )
-# text_substring_dedup_rewrite at 20x: measured once, NOT probed
-# per-round. Isolated 4g/16-thread session: 28.4 s cold / 12.5 s warm —
-# an output-bound floor (every position is duplicated under verbatim
-# replication, so the duplicated-position set is corpus-sized by
-# design, not a plan defect). Inside the 32-thread bench JVM the same
-# stage's 32 concurrent hash-agg buffers exceed the 4g heap (OOM that
+# text_substring_dedup_rewrite 20x history: the round-10 form was
+# measured once and NOT probed per-round. Isolated 4g/16-thread
+# session: 28.4 s cold / 12.5 s warm — its duplicated-position set was
+# materialized as rows (k-row coverage explode + per-token anti-join).
+# Inside the 32-thread bench JVM that
+# stage's 32 concurrent hash-agg buffers exceeded the 4g heap (OOM that
 # poisoned every later probe in two round-10 runs — clearing the sf0.1
 # memos first was not enough), and a probe that kills the shared
 # session is worse than no probe.
@@ -482,6 +492,7 @@ DOCS_SPARK_ONLY = {
     "op_split_leakage_near_dup",
     "dedup_cluster_size_histogram",
     "dedup_dbscan_density_clusters",
+    "text_substring_dedup_rewrite",
 }
 #: ANN-family queries probed on the 20x EMBEDDINGS replica (vec_id
 #: offset per copy; 2k -> 40k vectors at sf0.1). Exact copies make

@@ -42,6 +42,7 @@ from gravity_books_datalakehouse_spark.operators.text import (
     TOKS_SQL,
     shingles,
     token_rows,
+    tokens_col,
 )
 
 #: MinHash parameters: 8 permutations, bands of 1 row (maximum recall —
@@ -1169,59 +1170,115 @@ def text_substring_dedup_rewrite(spark, sf_dir):
     (whitespace-normalized). Emits only rewritten docs with before/
     removed token counts.
 
-    Plan shape: dup windows (shared ``dup_windows`` core) → owner =
-    min(doc_id) per 16-byte window hash → coverage explode (k rows per
-    dup window, dup-set-sized, not corpus-sized) → per-position
-    any-owned fold → anti-join against the token stream → one ordered
-    collect_list per rewritten doc (the segment-dedup reassembly
-    pattern). No stage touches more than the dup positions except the
-    final anti-join, which is co-keyed with the token explode."""
+    Round-11 scale rewrite (the previous form OOMed the 20× docs
+    replica probe — ROADMAP R10-12b: a k-row coverage explode, a
+    per-token anti-join, and a per-doc collect_list reassembly all go
+    corpus-token-sized when every position is duplicated). The
+    position-set ("which positions are covered by a dup window but by
+    no owned one") is now computed with a DIFFERENCE ARRAY: each dup
+    window emits +1 at pos and -1 at pos+k (2 events, never k coverage
+    rows); a per-doc running sum of the event deltas gives the total
+    and owned coverage on every inter-event segment, and the segments
+    with cov > 0 AND own_cov = 0 ARE the removed intervals —
+    gaps-and-islands merges touching ones. Reassembly never explodes
+    tokens: the per-doc merged-interval list (1 interval for a fully
+    duplicated replica, a handful for a real corpus) joins the
+    documents scan on doc_id and an index-filter over the token ARRAY
+    (filter(toks, (t, i) -> no interval contains i)) rebuilds
+    clean_text in one projection. n_tokens_removed is the exact
+    interval-length sum — same positions, same output, new plan.
+
+    Scale shape: every stage is linear in the dup-window count with
+    doc_id/digest shuffle keys; the per-token work is one in-row HOF
+    pass bounded by tokens × merged-intervals per doc. The oracle
+    keeps the straightforward coverage-explode SQL — the contract is
+    the position set, which is engine-independently defined."""
     docs = load_table(spark, sf_dir, "documents")
     k = _SPAN_K
     dwf = _cached_dup_windows(spark, sf_dir)
-    owner = dwf.groupBy("whash").agg(F.min("doc_id").alias("owner"))
-    cover = (
-        dwf.join(owner, "whash")
-        .select(
+    # owned = this doc is the min doc_id holding the window's content:
+    # ONE exchange on the 16-byte whash (window min), not groupBy + join
+    ow = Window.partitionBy("whash")
+    dwo = dwf.select(
+        "doc_id",
+        "pos",
+        (F.col("doc_id") == F.min("doc_id").over(ow)).cast("int").alias("owned"),
+    )
+    # difference-array events: window [pos, pos+k-1] → +1 @ pos, -1 @ pos+k
+    # (both events from one pass over dwo — a 2-element inline explode)
+    ev = dwo.select(
+        "doc_id",
+        "owned",
+        F.explode(
+            F.array(
+                F.struct(F.col("pos").alias("p"), F.lit(1).alias("c")),
+                F.struct((F.col("pos") + k).alias("p"), F.lit(-1).alias("c")),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.p").alias("p"), F.col("x.c").alias("c"), "owned")
+    evagg = ev.groupBy("doc_id", "p").agg(
+        F.sum("c").alias("dc_all"),
+        F.sum(F.when(F.col("owned") == 1, F.col("c")).otherwise(0)).alias("dc_own"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # coverage is piecewise-constant between event positions; a segment
+    # [p, next_p-1] is removed iff some window covers it and none owned.
+    # cov > 0 guarantees a later -1 event, so next_p is never NULL here.
+    seg = (
+        evagg.select(
             "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
-            (F.col("doc_id") == F.col("owner")).cast("int").alias("owned"),
+            "p",
+            F.sum("dc_all").over(run).alias("cov"),
+            F.sum("dc_own").over(run).alias("own_cov"),
+            F.lead("p").over(w).alias("next_p"),
         )
+        .filter((F.col("cov") > 0) & (F.col("own_cov") == 0))
+        .select("doc_id", F.col("p").alias("s"), (F.col("next_p") - 1).alias("e"))
     )
-    removed = (
-        cover.groupBy("doc_id", "p")
-        .agg(F.max("owned").alias("own"))
-        .filter(F.col("own") == 0)
-        .select("doc_id", "p")
+    # gaps-and-islands merge of touching segments → maximal disjoint
+    # intervals (a fully-duplicated replica doc collapses to ONE row)
+    sw = Window.partitionBy("doc_id").orderBy("s")
+    srun = sw.rowsBetween(Window.unboundedPreceding, 0)
+    isl = seg.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.lag("e").over(sw).isNull()
+                | (F.col("s") > F.lag("e").over(sw) + 1),
+                1,
+            ).otherwise(0)
+        )
+        .over(srun)
+        .alias("isl"),
     )
-    toks = token_rows(docs)
-    kept = toks.join(
-        removed,
-        (toks.doc_id == removed.doc_id) & (toks.pos == removed.p),
-        "left_anti",
+    rem = isl.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("r_start"), F.max("e").alias("r_end")
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    remdoc = rem.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("r_start").alias("s"), F.col("r_end").alias("e"))
+            )
+        ).alias("ivals"),
+        F.sum(F.col("r_end") - F.col("r_start") + 1).alias("n_removed"),
     )
-    before = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_before"))
-    touched = removed.select("doc_id").distinct()
+    toks_arr = docs.select("doc_id", tokens_col().alias("toks"))
+    kept_toks = F.filter(
+        "toks",
+        lambda t, i: ~F.exists(
+            "ivals", lambda v: (i >= v.getField("s")) & (i <= v.getField("e"))
+        ),
+    )
     return (
-        before.join(touched, "doc_id")
-        .join(rebuilt, "doc_id", "left")
+        toks_arr.join(remdoc, "doc_id")
         .select(
             "doc_id",
-            F.col("n_before").cast("bigint").alias("n_tokens_before"),
-            (F.col("n_before") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_tokens_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.size("toks").cast("bigint").alias("n_tokens_before"),
+            F.col("n_removed").cast("bigint").alias("n_tokens_removed"),
+            F.array_join(kept_toks, " ").alias("clean_text"),
         )
         .orderBy("doc_id")
     )
