@@ -28,115 +28,114 @@ _REGISTRY: list[tuple[dict, dict]] = []
 # so no family is invisible to the hard per-round signal. Everything else
 # keeps its natural module order after the head.
 _PRIORITY_HEAD = [
-    # --- round-10 window rotation state ---
-    # Priority order this round (the round-9 verdict's item 1 plus the
-    # standard never-witnessed/changed-first discipline):
-    #   1. operators ADDED in round 10 — never witnessed (each already
-    #      judge-style oracle-verified at sf0.01 AND sf0.1 this round);
-    #   2. operators whose PLAN changed in round 10 and must re-hash:
-    #      the exact-dedup-first composition rewired
-    #      dedup_clusters_connected_components / dedup_cluster_size_
-    #      histogram / op_split_leakage_near_dup; dedup_lsh_quality_
-    #      report gained the interning localCheckpoint (ADVICE r9);
-    #      ev_top_session_paths moved to the full-precision gap test;
-    #   3. the 15 oldest witnesses — text_chunk_documents (round 2) and
-    #      the full round-3 block (the verdict's 11-name queue plus the
-    #      4 displaced in rounds 8-9: ev_tumbling_hourly,
-    #      op_expectations_check, sim_lsh_bucketed_topk,
-    #      text_hybrid_rrf_topk);
-    #   4. family fills so EVERY family keeps >=1 oracle-backed row in
-    #      the window (tests/test_entry_contract.py pins this — the
-    #      first cut of this rotation skipped q_/op_a/op_w/op_f/
-    #      op_drift/op_outliers on "witnessed fresh in round 9"
-    #      grounds and the contract test caught it): star
-    #      (star_q2_top10_parts, oldest star witness), mm oracle-backed
-    #      (mm_payload_dedup), scd2 (op_scd2_temporal_join), graph
-    #      (op_graph_pagerank), q (q_disjunctive_predicates, oldest q_
-    #      witness), op_a (op_a_grouping_sets), op_w
-    #      (op_w_gap_fill_forward), op_f (op_f_histogram), op_drift
-    #      (op_drift_psi_events), op_outliers (op_outliers_mad);
-    #   5. the round-5 block oldest-first to fill the remaining slots
-    #      (its 6 newest-witnessed tail entries —
-    #      ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
-    #      ev_rolling_7d_active_users, ev_sliding_windows,
-    #      ev_type_value_stats, mm_decode_features — yielded their
-    #      slots to the family fills; mm_decode_features is rows-only,
-    #      so the window is now 50/50 hard-hash oracle-backed).
-    # Round-11 queue, in order: ev_anomaly_hourly_zscore,
-    # dedup_rate_by_source, sim_range_search, dedup_embedding_near_dup,
-    # ev_retention_cohorts, and pipeline_mixture_manifest (displaced
-    # from slots 45-50 by dedup_dbscan_density_clusters,
-    # dedup_density_stability_profile, sim_silhouette_by_label,
-    # sim_ivfpq_recall_report, sim_knn_reciprocity, and
-    # ev_markov_stationary, all added late in round 10 — the
-    # ev/dedup/sim/pipeline families keep 3+ other window rows each),
-    # then the 6
-    # displaced tail entries (ev_anomaly_hourly_zscore_gapfill, ev_json_props_extract,
-    # ev_rolling_7d_active_users, ev_sliding_windows,
-    # ev_type_value_stats, mm_decode_features), then the rest of the
-    # round-5 block (op_sketch_approx_stats, op_w_value_functions,
-    # q_local_supplier_volume, q_min_cost_supplier,
-    # q_priority_with_returns, q_top_supplier_revenue,
-    # sim_ivf_cluster_stats, sim_label_centroids, sim_lsh_bucket_stats,
-    # sim_pca_project, text_bpe_pretokenize_stats,
-    # text_quality_percentile_cut, text_vocab_growth,
-    # op_outliers_mad_tdigest, op_sample_importance_by_quality), then
-    # round-6-witnessed oldest-first.
-    # --- 1. NEW round-10 operators (never witnessed) ---
-    "dedup_dbscan_density_clusters",
-    "dedup_density_stability_profile",
-    "dedup_pair_graph_compression",
-    "sim_silhouette_by_label",
-    "sim_pq_distortion_report",
-    "sim_ivfpq_recall_report",
-    "sim_knn_reciprocity",
-    "dedup_lsh_s_curve_calibration",
-    "pipeline_packing_efficiency_curve",
-    "op_join_skew_diagnosis",
-    "op_sketch_hll_distinct",
+    # --- round-11 window rotation state ---
+    # Priority order (the standard never-witnessed/changed-first
+    # discipline, executing the round-10 verdict's item-2 queue):
+    #   1. operators ADDED in round 11 — never witnessed (both already
+    #      differentially verified at sf0.001/sf0.01/sf0.1 this round):
+    #      dedup_optics_eps_profile (varying-eps density sweep) and
+    #      ev_seasonal_ewma_control (Holt-Winters-flavored seasonal
+    #      chart, with a streaming GroupState twin pinned bit-equal in
+    #      tests/test_streaming.py);
+    #   2. operators whose PLAN changed in round 11 and must re-hash:
+    #      text_substring_dedup_rewrite (difference-array interval
+    #      rewrite — also the oldest remaining round-6 witness),
+    #      ev_markov_stationary (left-join readout hardening), and the
+    #      four IVF consumers now sharing the memoized assignment
+    #      (sim_ivf_topk, sim_ivf_cluster_stats, sim_ivf_nprobe_curve,
+    #      sim_ivfpq_recall_report);
+    #   3. the ENTIRE remaining round-5 block (26 entries — the oldest
+    #      witnesses in the registry; sim_ivf_cluster_stats already
+    #      sits in group 2): the round-10 verdict's written queue
+    #      (ev_anomaly_hourly_zscore, dedup_rate_by_source,
+    #      sim_range_search, dedup_embedding_near_dup,
+    #      ev_retention_cohorts, pipeline_mixture_manifest), the 6
+    #      tail entries displaced in round 10, then the rest — this
+    #      also refreshes the stale no_oracle driver rows for the
+    #      rows-only quartet (mm_decode_features,
+    #      op_sketch_approx_stats, sim_pca_project,
+    #      op_outliers_mad_tdigest), so the window is 46/50 hard-hash
+    #      by design this round;
+    #   4. family fills so EVERY family keeps >=1 row in the window
+    #      (tests/test_entry_contract.py pins this), chosen
+    #      oldest-witness-first inside each family:
+    #      star_q3_top5_customers (r7), op_scd2_priority_history (r9),
+    #      op_graph_triangles (r7), op_drift_psi_events (r10, sole
+    #      drift entry), op_split_train_eval (r6),
+    #      op_j_left_nulls_kept (r6), op_a_cube (r6),
+    #      op_f_array_kit (r6), mm_center_embeddings_per_label (r6,
+    #      the oldest ORACLE-BACKED mm witness — mm_decode_features
+    #      alone would leave the family rows-only);
+    #   5. round-6 witnesses oldest-first to fill the remaining 7
+    #      slots.
+    # Round-12 queue, in order: the remaining round-6 block
+    # (text_quality_scores, text_fingerprint, text_top_bigrams,
+    # text_lang_confusion, dedup_exact, pipeline_contamination_by_source,
+    # op_sample_rebalance_langs, pipeline_epoch_shuffle,
+    # sim_ann_recall_report, op_asof_join_tolerance, sim_kmeans_refine,
+    # ev_funnel_time_to_convert, ev_user_ltv_topk,
+    # ev_type_transition_matrix, q_customer_rfm_segments,
+    # q_revenue_pareto, q_order_to_ship_lag, q_important_part_value,
+    # q_late_shipment_priority, q_customer_order_distribution,
+    # q_part_supplier_counts, q_idle_rich_customers, op_percentiles_exact,
+    # op_pivot_event_counts if displaced, q_heavy_suppliers_semi,
+    # text_compression_ratio), then round-7 witnesses oldest-first,
+    # keeping the one-oracle-row-per-family contract test green.
+    # --- 1. NEW round-11 operators (never witnessed) ---
+    "dedup_optics_eps_profile",
+    "ev_seasonal_ewma_control",
+    # --- 2. plan changed in round 11 — re-witness ---
+    "text_substring_dedup_rewrite",
     "ev_markov_stationary",
-    # --- 2. changed in round 10 — re-witness ---
-    "dedup_clusters_connected_components",
-    "dedup_cluster_size_histogram",
-    "op_split_leakage_near_dup",
-    "dedup_lsh_quality_report",
-    "ev_top_session_paths",
-    # --- 3. round-2/3 freshness block (oldest witnesses in registry) ---
-    "text_chunk_documents",
-    "text_unigram_logprob",
-    "text_tfidf_top_terms",
-    "pipeline_pack_sequences",
     "sim_ivf_topk",
-    "text_lang_id",
-    "text_segment_dedup",
-    "op_grouped_agg_weighted_avg",
-    "text_bigram_logprob",
-    "dedup_simhash",
-    "op_cap_per_source",
-    "ev_tumbling_hourly",
-    "op_expectations_check",
-    "sim_lsh_bucketed_topk",
-    "text_hybrid_rrf_topk",
-    # --- 4. family-coverage fills ---
-    "star_q2_top10_parts",
-    "mm_payload_dedup",
-    "op_scd2_temporal_join",
-    "op_graph_pagerank",
-    "q_disjunctive_predicates",
-    "op_a_grouping_sets",
-    "op_w_gap_fill_forward",
-    "op_f_histogram",
+    "sim_ivf_cluster_stats",
+    "sim_ivf_nprobe_curve",
+    "sim_ivfpq_recall_report",
+    # --- 3. the remaining round-5 block (oldest witnesses) ---
+    "ev_anomaly_hourly_zscore",
+    "dedup_rate_by_source",
+    "sim_range_search",
+    "dedup_embedding_near_dup",
+    "ev_retention_cohorts",
+    "pipeline_mixture_manifest",
+    "ev_anomaly_hourly_zscore_gapfill",
+    "ev_json_props_extract",
+    "ev_rolling_7d_active_users",
+    "ev_sliding_windows",
+    "ev_type_value_stats",
+    "mm_decode_features",
+    "op_sketch_approx_stats",
+    "op_w_value_functions",
+    "q_local_supplier_volume",
+    "q_min_cost_supplier",
+    "q_priority_with_returns",
+    "q_top_supplier_revenue",
+    "sim_label_centroids",
+    "sim_lsh_bucket_stats",
+    "sim_pca_project",
+    "text_bpe_pretokenize_stats",
+    "text_quality_percentile_cut",
+    "text_vocab_growth",
+    "op_outliers_mad_tdigest",
+    "op_sample_importance_by_quality",
+    # --- 4. family-coverage fills (oldest witness per family) ---
+    "star_q3_top5_customers",
+    "op_scd2_priority_history",
+    "op_graph_triangles",
     "op_drift_psi_events",
-    "op_outliers_mad",
-    # --- 5. round-5 block, oldest-first ---
-    "op_j_skewed_salted",
-    "dedup_substring_spans",
-    "dedup_substring_rate",
-    "pipeline_dedup_keep_best",
-    "text_ccnet_buckets",
-    "op_sample_exact_k",
-    "dedup_incremental_new_vs_corpus",
-    "pipeline_decontaminate",
+    "op_split_train_eval",
+    "op_j_left_nulls_kept",
+    "op_a_cube",
+    "op_f_array_kit",
+    "mm_center_embeddings_per_label",
+    # --- 5. round-6 witnesses oldest-first ---
+    "op_p4_p5_casts",
+    "op_where_filter_pushdown",
+    "op_j10_differing_key_names",
+    "op_w_topn_per_group",
+    "op_w_running_total",
+    "q_revenue_range_filter",
+    "op_pivot_event_counts",
 ]
 
 

@@ -649,3 +649,271 @@ def dedup_density_stability_profile(spark, sf_dir):
         )
         .orderBy("min_pts")
     )
+
+
+# --------------------------------------------------------------------------
+# OPTICS-style eps sweep — the OTHER axis of the density question. The
+# stability profile above sweeps the density REQUIREMENT (minPts) at a
+# fixed neighborhood; OPTICS (Ankerst et al., SIGMOD'99) varies the
+# neighborhood RADIUS and reads cluster structure across all eps at
+# once. On the candidate graph the eps-neighborhood at radius 1-tau is
+# "neighbors with exact Jaccard >= tau", so the OPTICS reachability
+# landscape reduces to a per-tau role sweep: every threshold decision
+# is the pure-integer test 10*|A∩B| >= t10*|A∪B| (tau = t10/10), and
+# the whole sweep is degree arithmetic over ONE exact-Jaccard pass on
+# the rep pairs — zero fixpoints, exactly like the minPts profile.
+# Reading it: the tau where core mass collapses is the corpus's
+# density scale (OPTICS's valley floor); a long flat shelf means the
+# near-dup structure is threshold-robust. The grid starts at tau=0 —
+# the unfiltered candidate graph, i.e. exactly the fixed-eps view the
+# DBSCAN/minPts ops use — because this corpus's measured candidate
+# Jaccard mass sits at {~0, 1.0} (LSH band collisions vs verbatim
+# dups): the structural cliff between 0 and 0.1 IS the readout.
+
+_OPTICS_TAU10 = (0, 1, 2, 5, 8, 10)
+
+
+def _optics_profile_sql() -> str:
+    from gravity_books_datalakehouse_spark.operators.dedup import _MINHASH_SQL
+
+    lv = ", ".join(f"({t})" for t in _OPTICS_TAU10)
+    return (
+        _MINHASH_SQL
+        + f""",
+  counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_int
+    FROM pairs p
+    JOIN shd a ON a.doc_id = p.doc_a
+    JOIN shd b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2),
+  pj AS (
+    SELECT p.doc_a, p.doc_b, COALESCE(i.n_int, 0) AS n_int,
+           ca.n_sh + cb.n_sh - COALESCE(i.n_int, 0) AS u
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b),
+  sym AS (SELECT doc_a AS g, doc_b AS h, n_int, u FROM pj
+          UNION ALL SELECT doc_b AS g, doc_a AS h, n_int, u FROM pj),
+  lv(t10) AS (VALUES {lv}),
+  deg AS (
+    SELECT l.t10, s.g AS id,
+           SUM(CASE WHEN s.n_int * 10 >= l.t10 * s.u THEN 1 ELSE 0 END) AS d
+    FROM sym s CROSS JOIN lv l GROUP BY 1, 2),
+  core AS (SELECT t10, id FROM deg WHERE d >= {_DBSCAN_MIN_PTS}),
+  brd AS (
+    SELECT DISTINCT c.t10, s.g AS id
+    FROM sym s JOIN core c ON c.id = s.h
+    WHERE s.n_int * 10 >= c.t10 * s.u
+      AND NOT EXISTS (SELECT 1 FROM core c2
+                      WHERE c2.t10 = c.t10 AND c2.id = s.g)),
+  edges_t AS (
+    SELECT l.t10,
+           SUM(CASE WHEN p.n_int * 10 >= l.t10 * p.u THEN 1 ELSE 0 END) AS ne
+    FROM pj p CROSS JOIN lv l GROUP BY 1),
+  nv AS (SELECT COUNT(DISTINCT g) AS n FROM sym)
+  SELECT l.t10 / 10.0 AS tau,
+         CAST(e.ne AS BIGINT) AS n_doc_edges,
+         CAST(nv.n AS BIGINT) AS n_vertices,
+         CAST((SELECT COUNT(*) FROM core c WHERE c.t10 = l.t10) AS BIGINT)
+           AS n_core,
+         CAST((SELECT COUNT(*) FROM brd b WHERE b.t10 = l.t10) AS BIGINT)
+           AS n_border,
+         CAST(nv.n
+              - (SELECT COUNT(*) FROM core c WHERE c.t10 = l.t10)
+              - (SELECT COUNT(*) FROM brd b WHERE b.t10 = l.t10) AS BIGINT)
+           AS n_noise,
+         ROUND(((SELECT COUNT(*) FROM core c WHERE c.t10 = l.t10)
+                + (SELECT COUNT(*) FROM brd b WHERE b.t10 = l.t10)) * 1.0
+               / nv.n, 6) AS clustered_share
+  FROM lv l JOIN edges_t e USING (t10) CROSS JOIN nv
+  ORDER BY tau"""
+    )
+
+
+@register("dedup_optics_eps_profile", _optics_profile_sql())
+def dedup_optics_eps_profile(spark, sf_dir):
+    """OPTICS-style varying-eps density structure: per Jaccard radius
+    tau in 0.5..1.0, the doc-level edge count and core/border/noise
+    role masses at the fixed _DBSCAN_MIN_PTS — (tau, n_doc_edges,
+    n_vertices, n_core, n_border, n_noise, clustered_share). The
+    complement of dedup_density_stability_profile (which sweeps minPts
+    at fixed eps); together they span the DBSCAN parameter plane the
+    way an OPTICS reachability plot does, without the inherently
+    sequential priority queue.
+
+    Exactness: a pair passes tau iff 10*|A∩B| >= t10*|A∪B| — pure
+    integers from the exact distinct-shingle intersection (the
+    jaccard-verify leg), so both engines make bit-identical threshold
+    decisions; tau itself is the single division t10/10.0.
+
+    Composed exact-dedup-FIRST with zero fixpoints: pair Jaccards are
+    computed once on the REP pairs (intra-group doc pairs have
+    Jaccard 1 and pass every tau, so they enter as multiplicities:
+    degree_tau(doc in g) = (mult_g - 1) + sum of passing adjacent
+    groups' masses — the group-degree lemma at every tau). Border-ness
+    at tau needs a PASSING edge to a core group, so the sweep joins
+    the per-(group, tau) core flags back over the passing edge
+    relation — still two rep-sized joins plus a 6-way level explode.
+    Doc-level counts come back as multiplicity-weighted sums; the
+    vertex domain (docs with any candidate edge, tau-independent) and
+    the doc-edge count expand the same way (ma*mb cross-group per
+    passing pair, C(mult,2) intra-group at every tau).
+
+    Scale shape: the exact-Jaccard pass touches |rep pairs| rows (the
+    post-LSH bounded set); everything downstream is pair- or
+    group-sized. No corpus-sized stage beyond the cached collapse."""
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _cached_exact_groups,
+        _cached_rep_pairs,
+        _cached_shingles,
+    )
+
+    groups = _cached_exact_groups(spark, sf_dir)
+    gm = groups.where(F.col("doc_id") == F.col("rep_doc_id")).select(
+        F.col("rep_doc_id").alias("g"), "mult"
+    )
+    rp = _cached_rep_pairs(spark, sf_dir)
+    sh = _cached_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        rp.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pj = (
+        rp.join(inter, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("n_int", F.lit(0)).alias("n_int"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("n_int", F.lit(0))).alias(
+                "u"
+            ),
+        )
+        .localCheckpoint()
+    )
+    taus = F.explode(F.array(*[F.lit(t) for t in _OPTICS_TAU10])).alias("t10")
+    passes = F.col("n_int") * 10 >= F.col("t10") * F.col("u")
+    sym = pj.select(
+        F.col("doc_a").alias("g"), F.col("doc_b").alias("h"), "n_int", "u"
+    ).unionByName(
+        pj.select(
+            F.col("doc_b").alias("g"), F.col("doc_a").alias("h"), "n_int", "u"
+        )
+    )
+    # passing directed edges per tau level, with the neighbor's mass
+    symt = (
+        sym.select("g", "h", "n_int", "u", taus)
+        .where(passes)
+        .join(gm.select(F.col("g").alias("h"), F.col("mult").alias("mh")), "h")
+        .select("g", "h", "t10", "mh")
+    )
+    nbr_t = symt.groupBy("g", "t10").agg(F.sum("mh").alias("nbr_mult"))
+    hedge = sym.select("g").distinct().withColumn("has_edge", F.lit(True))
+    # tau-independent vertex domain x 6 levels, group-level degrees
+    gt = (
+        gm.join(hedge, "g", "left")
+        .where((F.col("mult") >= 2) | F.col("has_edge").isNotNull())
+        .select(
+            "g", "mult", taus, F.coalesce("has_edge", F.lit(False)).alias("he")
+        )
+        .join(nbr_t, ["g", "t10"], "left")
+        .select(
+            "g",
+            "mult",
+            "t10",
+            (
+                F.col("mult") - 1 + F.coalesce("nbr_mult", F.lit(0))
+            ).alias("degree"),
+        )
+    )
+    core_t = gt.select(
+        "g", "t10", (F.col("degree") >= _DBSCAN_MIN_PTS).alias("is_core")
+    )
+    # border: a PASSING edge at tau to a core-at-tau group
+    hasc = (
+        symt.join(
+            core_t.select(
+                F.col("g").alias("h"), "t10", F.col("is_core").alias("hc")
+            ),
+            ["h", "t10"],
+        )
+        .groupBy("g", "t10")
+        .agg(F.max(F.col("hc").cast("int")).alias("has_core_nbr"))
+    )
+    role = (
+        F.when(F.col("is_core"), F.lit("core"))
+        .when(F.coalesce("has_core_nbr", F.lit(0)) == 1, F.lit("border"))
+        .otherwise(F.lit("noise"))
+    )
+    roles = (
+        gt.join(core_t, ["g", "t10"])
+        .join(hasc, ["g", "t10"], "left")
+        .select("t10", "mult", role.alias("role"))
+    )
+    masses = roles.groupBy("t10").agg(
+        F.sum("mult").cast("bigint").alias("n_vertices"),
+        F.sum(F.when(F.col("role") == "core", F.col("mult")).otherwise(0))
+        .cast("bigint")
+        .alias("n_core"),
+        F.sum(F.when(F.col("role") == "border", F.col("mult")).otherwise(0))
+        .cast("bigint")
+        .alias("n_border"),
+        F.sum(F.when(F.col("role") == "noise", F.col("mult")).otherwise(0))
+        .cast("bigint")
+        .alias("n_noise"),
+    )
+    # doc-level edge count per tau: cross-group ma*mb for passing pairs
+    # + intra-group C(mult,2) (Jaccard-1 pairs pass every tau)
+    ma = gm.select(F.col("g").alias("doc_a"), F.col("mult").alias("ma"))
+    mb = gm.select(F.col("g").alias("doc_b"), F.col("mult").alias("mb"))
+    cross_t = (
+        pj.select("doc_a", "doc_b", "n_int", "u", taus)
+        .where(passes)
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .groupBy("t10")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("cross_edges"))
+    )
+    intra = (
+        gm.join(hedge, "g", "left")
+        .where((F.col("mult") >= 2) | F.col("has_edge").isNotNull())
+        .agg(
+            F.coalesce(
+                F.sum(F.col("mult") * (F.col("mult") - 1) / 2), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("intra_edges")
+        )
+    )
+    return (
+        masses.join(cross_t, "t10", "left")
+        .crossJoin(intra)
+        .select(
+            (F.col("t10") / F.lit(10.0)).alias("tau"),
+            (F.coalesce("cross_edges", F.lit(0)) + F.col("intra_edges"))
+            .cast("bigint")
+            .alias("n_doc_edges"),
+            "n_vertices",
+            "n_core",
+            "n_border",
+            "n_noise",
+            F.round(
+                (F.col("n_core") + F.col("n_border"))
+                * F.lit(1.0)
+                / F.col("n_vertices"),
+                6,
+            ).alias("clustered_share"),
+        )
+        .orderBy("tau")
+    )

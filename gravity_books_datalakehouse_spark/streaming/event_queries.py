@@ -1002,6 +1002,156 @@ def ev_ewma_control(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Holt-Winters-flavored SEASONAL control chart: hourly event streams are
+# daily-seasonal (a 9am spike is normal at 9am, a burst at 3am), so a
+# purely trailing baseline (ev_ewma_control) false-alarms every morning.
+# The classical answer is Holt-Winters seasonal smoothing (Winters 1960;
+# the NIST/SEMATECH e-handbook's triple exponential form). Re-expressed
+# for cross-engine exactness the same way ev_ewma_control discretized
+# Roberts 1959: TWO dyadic-weight baselines from one gap-filled hourly
+# spine — the trailing level (24 trailing hours, weights 2^-j) and the
+# SEASONAL level (the same hour-of-day over the last 7 days, lag 24·j,
+# weights 2^-j) — and a burst alerts only when it clears BOTH at 2x,
+# which is exactly the seasonality-suppression a deployed chart needs.
+# No trend term: the corpus is a stationary 30-day window, and a dyadic
+# trend recursion would break the finite-lag exactness contract.
+
+_SEWMA_SEASONS = 7          # trailing same-hour-of-day days
+_SEWMA_PERIOD = 24          # hours per season
+_SEWMA_NORM = 2**_SEWMA_SEASONS - 1
+
+_SEWMA_S_SQL = " + ".join(
+    f"COALESCE(lag(x, {j * _SEWMA_PERIOD}) OVER w, 0)"
+    f" * {2 ** (_SEWMA_SEASONS - j)}"
+    for j in range(1, _SEWMA_SEASONS + 1)
+)
+
+
+@register(
+    "ev_seasonal_ewma_control",
+    f"""WITH hourly AS (
+         SELECT event_type,
+                time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       bounds AS (
+         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+       spine AS (
+         SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+       filled AS (
+         SELECT s.event_type, s.h, COALESCE(hh.x, 0) AS x
+         FROM spine s LEFT JOIN hourly hh
+           ON s.event_type = hh.event_type AND s.h = hh.h),
+       weighted AS (
+         SELECT event_type, h, x,
+                {_EWMA_S_SQL} AS s_lvl,
+                {_SEWMA_S_SQL} AS s_sea,
+                lag(x, {_SEWMA_SEASONS * _SEWMA_PERIOD}) OVER w AS x_oldest
+         FROM filled
+         WINDOW w AS (PARTITION BY event_type ORDER BY h))
+       SELECT event_type, h AS window_start, x,
+              ROUND(s_lvl / {_EWMA_NORM}.0, 6) AS level_ewma,
+              ROUND(s_sea / {_SEWMA_NORM}.0, 6) AS seasonal_ewma,
+              x >= {_EWMA_MIN_COUNT} AND x * {_EWMA_NORM} > 2 * s_lvl
+                AS level_alert,
+              x >= {_EWMA_MIN_COUNT} AND x * {_SEWMA_NORM} > 2 * s_sea
+                AS seasonal_alert,
+              x >= {_EWMA_MIN_COUNT} AND x * {_EWMA_NORM} > 2 * s_lvl
+                AND x * {_SEWMA_NORM} > 2 * s_sea AS alert_flag
+       FROM weighted
+       WHERE x_oldest IS NOT NULL
+       ORDER BY event_type, window_start""",
+)
+def ev_seasonal_ewma_control(spark, sf_dir):
+    """Seasonal (Holt-Winters-flavored) control chart over the
+    gap-filled hourly series: each hour carries its trailing dyadic
+    EWMA level (24 trailing hours — shared arithmetic with
+    ev_ewma_control) AND a seasonal baseline (the dyadic EWMA of the
+    SAME hour-of-day over the last 7 days, lags 24/48/.../168); the
+    combined alert fires only when the count clears the low-count
+    guard and exceeds 2x BOTH baselines. level_alert/seasonal_alert
+    are emitted separately so the chart shows which guard suppressed
+    a would-be alarm — the seasonality diagnosis itself.
+
+    Exactness: both baselines are exact bigints by the dyadic-weight
+    trick (S_lvl = sum x_(t-j)*2^(24-j), S_sea = sum
+    x_(t-24j)*2^(7-j)); every alert decision is a pure integer
+    comparison; the two displayed baselines are single IEEE divisions.
+    Rows exist only where the oldest seasonal lag (168 h) is real —
+    the chart never scores a partially-warmed-up hour.
+
+    Scale shape: identical to ev_ewma_control — events collapse
+    map-side to (type, hour) cells (the only event-sized stage); the
+    spine fill and ALL 31 lag reads (24 level + 7 seasonal) come from
+    ONE per-type ordered window pass over the bucket-cardinality
+    frame. At 100 TB the chart costs the same single exchange as the
+    hourly rollup feeding it."""
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    s_lvl = None
+    for j in range(1, _EWMA_LAGS + 1):
+        term = F.coalesce(F.lag("x", j).over(w), F.lit(0)) * F.lit(
+            2 ** (_EWMA_LAGS - j)
+        )
+        s_lvl = term if s_lvl is None else s_lvl + term
+    s_sea = None
+    for j in range(1, _SEWMA_SEASONS + 1):
+        term = F.coalesce(
+            F.lag("x", j * _SEWMA_PERIOD).over(w), F.lit(0)
+        ) * F.lit(2 ** (_SEWMA_SEASONS - j))
+        s_sea = term if s_sea is None else s_sea + term
+    weighted = filled.select(
+        "event_type",
+        "h",
+        "x",
+        s_lvl.alias("s_lvl"),
+        s_sea.alias("s_sea"),
+        F.lag("x", _SEWMA_SEASONS * _SEWMA_PERIOD).over(w).alias("x_oldest"),
+    )
+    guard = F.col("x") >= F.lit(_EWMA_MIN_COUNT)
+    lvl_ok = F.col("x") * F.lit(_EWMA_NORM) > F.lit(2) * F.col("s_lvl")
+    sea_ok = F.col("x") * F.lit(_SEWMA_NORM) > F.lit(2) * F.col("s_sea")
+    return (
+        weighted.filter(F.col("x_oldest").isNotNull())
+        .select(
+            "event_type",
+            F.col("h").alias("window_start"),
+            "x",
+            F.round(F.col("s_lvl") / F.lit(float(_EWMA_NORM)), 6).alias(
+                "level_ewma"
+            ),
+            F.round(F.col("s_sea") / F.lit(float(_SEWMA_NORM)), 6).alias(
+                "seasonal_ewma"
+            ),
+            (guard & lvl_ok).alias("level_alert"),
+            (guard & sea_ok).alias("seasonal_alert"),
+            (guard & lvl_ok & sea_ok).alias("alert_flag"),
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+# --------------------------------------------------------------------------
 # Peak concurrency by sweep-line: +1/-1 boundary events from the 30-min
 # sessions, a running sum, and per-day peaks. The classic interval-
 # stabbing question ("how many sessions were open at once?") answered

@@ -230,3 +230,110 @@ def streaming_ewma_alerts(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- seasonal (Holt-Winters-flavored) EWMA control twin --------------------
+# Streaming twin of batch ev_seasonal_ewma_control (event_queries.py):
+# the fourth batch/stream pair. Same GroupState idiom as the EWMA twin
+# but the per-type integer history holds the FULL seasonal horizon
+# (7 days x 24 h = 168 trailing hourly counts): the level baseline
+# reads hist[0..23], the seasonal baseline reads the same hour-of-day
+# slots hist[24j-1] for j=1..7. Both sums are the batch chart's exact
+# dyadic bigints; both alert legs are pure integer comparisons. Same
+# ordered-arrival contract as the EWMA twin — violations raise.
+
+_SEWMA_TWIN_SEASONS = 7
+_SEWMA_TWIN_PERIOD = 24
+_SEWMA_TWIN_LAGS = _SEWMA_TWIN_SEASONS * _SEWMA_TWIN_PERIOD  # 168
+_SEWMA_TWIN_NORM = (1 << _SEWMA_TWIN_SEASONS) - 1
+
+SEWMA_OUTPUT_SCHEMA = (
+    "event_type string, window_start timestamp, x long, s_lvl long,"
+    " s_sea long, level_alert boolean, seasonal_alert boolean,"
+    " alert_flag boolean"
+)
+SEWMA_STATE_SCHEMA = "last_h long, n_seen long, hist array<long>"
+
+
+def _seasonal_ewma_update(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_h, n_seen, hist = state.get
+        hist = list(hist)
+    else:
+        last_h, n_seen, hist = None, 0, [0] * _SEWMA_TWIN_LAGS
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out: list[dict] = []
+    if chunks:
+        pdf = pd.concat(chunks)
+        hours = (pdf["ts"].astype("int64") // 1_000_000_000) // 3600 * 3600
+        counts = hours.value_counts().sort_index()
+        first_h = int(counts.index[0])
+        if last_h is not None and first_h <= last_h:
+            raise ValueError(
+                "streaming seasonal EWMA requires whole, event-time-ordered "
+                f"hour buckets across micro-batches; got hour {first_h} "
+                f"after {last_h} for type {key[0]}"
+            )
+        start = first_h if last_h is None else last_h + 3600
+        for h in range(start, int(counts.index[-1]) + 3600, 3600):
+            x = int(counts.get(h, 0))
+            if n_seen >= _SEWMA_TWIN_LAGS:
+                # hist[i] = x_{t-1-i}; level over the last 24 hours,
+                # seasonal over the same hour-of-day slots 24j back
+                s_lvl = sum(
+                    hist[i] << (_EWMA_TWIN_LAGS - 1 - i)
+                    for i in range(_EWMA_TWIN_LAGS)
+                )
+                s_sea = sum(
+                    hist[j * _SEWMA_TWIN_PERIOD - 1]
+                    << (_SEWMA_TWIN_SEASONS - j)
+                    for j in range(1, _SEWMA_TWIN_SEASONS + 1)
+                )
+                guard = x >= _EWMA_TWIN_MIN_COUNT
+                lvl_ok = x * _EWMA_TWIN_NORM > 2 * s_lvl
+                sea_ok = x * _SEWMA_TWIN_NORM > 2 * s_sea
+                out.append(
+                    {
+                        "event_type": key[0],
+                        "window_start": pd.Timestamp(h, unit="s"),
+                        "x": x,
+                        "s_lvl": s_lvl,
+                        "s_sea": s_sea,
+                        "level_alert": bool(guard and lvl_ok),
+                        "seasonal_alert": bool(guard and sea_ok),
+                        "alert_flag": bool(guard and lvl_ok and sea_ok),
+                    }
+                )
+            hist = [x] + hist[: _SEWMA_TWIN_LAGS - 1]
+            n_seen += 1
+            last_h = h
+        state.update((last_h, n_seen, hist))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "event_type",
+            "window_start",
+            "x",
+            "s_lvl",
+            "s_sea",
+            "level_alert",
+            "seasonal_alert",
+            "alert_flag",
+        ],
+    )
+
+
+def streaming_seasonal_ewma_alerts(events: DataFrame) -> DataFrame:
+    """Per-hour seasonal control rows maintained incrementally per
+    event_type. Input needs columns (event_type, ts)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _seasonal_ewma_update,
+        outputStructType=SEWMA_OUTPUT_SCHEMA,
+        stateStructType=SEWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -125,3 +125,42 @@ def test_star_with_shared_members_fuzz(spark):
         got = {int(r.id): int(r.component) for r in rows}
         assert len(rows) == len(got) == len(used), f"trial {trial}: dup labels"
         assert got == want, f"trial {trial}"
+
+
+def test_optics_eps_profile_invariants(spark):
+    """Accounting + monotonicity of the eps sweep, and the tau=0 row
+    must equal the fixed-eps DBSCAN composition (the stability
+    profile's min_pts=3 row) — the two sweeps share their origin."""
+    from gravity_books_datalakehouse_spark.operators.components import (
+        _DBSCAN_MIN_PTS,
+        dedup_density_stability_profile,
+        dedup_optics_eps_profile,
+    )
+
+    rows = sorted(
+        dedup_optics_eps_profile(spark, SF_SMOKE).collect(),
+        key=lambda r: r.tau,
+    )
+    assert [r.tau for r in rows] == [0.0, 0.1, 0.2, 0.5, 0.8, 1.0]
+    nv = rows[0].n_vertices
+    for r in rows:
+        assert r.n_vertices == nv, "vertex domain must be tau-independent"
+        assert r.n_core + r.n_border + r.n_noise == r.n_vertices, r
+        assert r.n_doc_edges >= 0 and r.n_core >= 0 and r.n_border >= 0
+    # degree_tau is non-increasing in tau => edges and core mass shrink
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_doc_edges <= a.n_doc_edges, (a, b)
+        assert b.n_core <= a.n_core, (a, b)
+    # tau = 0 is the unfiltered candidate graph: identical composition
+    # to the minPts sweep's row at the shared _DBSCAN_MIN_PTS
+    sp = {
+        r.min_pts: r
+        for r in dedup_density_stability_profile(spark, SF_SMOKE).collect()
+    }
+    fixed = sp[_DBSCAN_MIN_PTS]
+    assert (rows[0].n_core, rows[0].n_border, rows[0].n_noise) == (
+        fixed.n_core,
+        fixed.n_border,
+        fixed.n_noise,
+    )
+    assert rows[0].n_vertices == fixed.n_vertices

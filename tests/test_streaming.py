@@ -736,3 +736,195 @@ def test_streaming_ewma_equals_batch(spark, tmp_path):
         # the batch ewma is round(S / NORM, 6): the twin's integer S
         # must reproduce it
         assert abs(s / _EWMA_TWIN_NORM - bewma) <= 5e-7, (k, s, bewma)
+
+
+def test_streaming_seasonal_ewma_equals_batch(spark, tmp_path):
+    """The 168-hour GroupState seasonal fold, fed an hour-aligned
+    two-file source, must reproduce the batch ev_seasonal_ewma_control
+    rows exactly — same hours, same counts, same exact integer level
+    and seasonal sums, same three alert flags — including the state
+    handoff across the micro-batch boundary."""
+    import glob as g
+    import os
+    import time as _time
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _EWMA_LAGS,
+        _EWMA_MIN_COUNT,
+        _EWMA_NORM,
+        _SEWMA_NORM,
+        _SEWMA_PERIOD,
+        _SEWMA_SEASONS,
+        ev_seasonal_ewma_control,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        _EWMA_TWIN_LAGS,
+        _EWMA_TWIN_MIN_COUNT,
+        _EWMA_TWIN_NORM,
+        _SEWMA_TWIN_NORM,
+        _SEWMA_TWIN_PERIOD,
+        _SEWMA_TWIN_SEASONS,
+        streaming_seasonal_ewma_alerts,
+    )
+
+    # the twin's constants are pins of the batch operator's
+    assert _EWMA_TWIN_LAGS == _EWMA_LAGS
+    assert _EWMA_TWIN_MIN_COUNT == _EWMA_MIN_COUNT
+    assert _SEWMA_TWIN_SEASONS == _SEWMA_SEASONS
+    assert _SEWMA_TWIN_PERIOD == _SEWMA_PERIOD
+    assert _SEWMA_TWIN_NORM == _SEWMA_NORM
+
+    ev = load_events(spark, SF_SMOKE)
+    cut = (
+        ev.agg(
+            F.date_trunc(
+                "hour",
+                F.timestamp_seconds(
+                    F.expr(
+                        "percentile_disc(0.5) WITHIN GROUP"
+                        " (ORDER BY unix_timestamp(ts))"
+                    )
+                ),
+            ).alias("c")
+        )
+        .first()
+        .c
+    )
+    src = str(tmp_path / "sewma_src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d1"
+    )
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d2"
+    )
+    merged = str(tmp_path / "sewma_merged")
+    os.makedirs(merged)
+    f1 = shutil.copy(
+        g.glob(src + "/d1/part-*.parquet")[0], merged + "/01.parquet"
+    )
+    f2 = shutil.copy(
+        g.glob(src + "/d2/part-*.parquet")[0], merged + "/02.parquet"
+    )
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+        .select("event_type", "ts")
+    )
+    q = (
+        streaming_seasonal_ewma_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("sewma_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.window_start): (
+            r.x, r.s_lvl, r.s_sea, r.level_alert, r.seasonal_alert,
+            r.alert_flag,
+        )
+        for r in spark.sql("SELECT * FROM sewma_stream").collect()
+    }
+
+    want = {
+        (r.event_type, r.window_start): (
+            r.x, r.level_ewma, r.seasonal_ewma, r.level_alert,
+            r.seasonal_alert, r.alert_flag,
+        )
+        for r in ev_seasonal_ewma_control(spark, SF_SMOKE).collect()
+    }
+
+    assert set(got) == set(want), (
+        len(got),
+        len(want),
+        sorted(set(want) - set(got))[:3],
+        sorted(set(got) - set(want))[:3],
+    )
+    assert got, "seasonal chart produced no rows at smoke scale"
+    for k, (x, s_lvl, s_sea, lvl, sea, alert) in got.items():
+        bx, blvl_ewma, bsea_ewma, blvl, bsea, balert = want[k]
+        assert x == bx, k
+        assert (lvl, sea, alert) == (blvl, bsea, balert), k
+        # batch displays round(S / NORM, 6): the twin's integer sums
+        # must reproduce both baselines
+        assert abs(s_lvl / _EWMA_TWIN_NORM - blvl_ewma) <= 5e-7, k
+        assert abs(s_sea / _SEWMA_TWIN_NORM - bsea_ewma) <= 5e-7, k
+
+
+def test_seasonal_ewma_numpy_replay(spark):
+    """Batch ev_seasonal_ewma_control vs a direct numpy fold over the
+    gap-filled hourly series: exact integer baselines, exact flags."""
+    import numpy as np
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _EWMA_LAGS,
+        _EWMA_MIN_COUNT,
+        _EWMA_NORM,
+        _SEWMA_NORM,
+        _SEWMA_PERIOD,
+        _SEWMA_SEASONS,
+        ev_seasonal_ewma_control,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in hourly:
+        series.setdefault(r.event_type, {})[r.h] = r.x
+    want = {}
+    for et, cells in series.items():
+        h0, h1 = min(cells), max(cells)
+        hours, xs = [], []
+        h = h0
+        while h <= h1:
+            hours.append(h)
+            xs.append(cells.get(h, 0))
+            h = h + __import__("datetime").timedelta(hours=1)
+        x = np.array(xs, dtype=np.int64)
+        horizon = _SEWMA_SEASONS * _SEWMA_PERIOD
+        for t in range(horizon, len(x)):
+            s_lvl = int(
+                sum(
+                    int(x[t - j]) << (_EWMA_LAGS - j)
+                    for j in range(1, _EWMA_LAGS + 1)
+                )
+            )
+            s_sea = int(
+                sum(
+                    int(x[t - j * _SEWMA_PERIOD]) << (_SEWMA_SEASONS - j)
+                    for j in range(1, _SEWMA_SEASONS + 1)
+                )
+            )
+            guard = int(x[t]) >= _EWMA_MIN_COUNT
+            want[(et, hours[t])] = (
+                int(x[t]),
+                round(s_lvl / _EWMA_NORM, 6),
+                round(s_sea / _SEWMA_NORM, 6),
+                bool(guard and int(x[t]) * _EWMA_NORM > 2 * s_lvl),
+                bool(guard and int(x[t]) * _SEWMA_NORM > 2 * s_sea),
+                bool(
+                    guard
+                    and int(x[t]) * _EWMA_NORM > 2 * s_lvl
+                    and int(x[t]) * _SEWMA_NORM > 2 * s_sea
+                ),
+            )
+    got = {
+        (r.event_type, r.window_start): (
+            r.x, r.level_ewma, r.seasonal_ewma, r.level_alert,
+            r.seasonal_alert, r.alert_flag,
+        )
+        for r in ev_seasonal_ewma_control(spark, SF_SMOKE).collect()
+    }
+    assert got == want
