@@ -66,9 +66,14 @@ _PRIORITY_HEAD = [
     #      op_f_array_kit (r6), mm_center_embeddings_per_label (r6,
     #      the oldest ORACLE-BACKED mm witness — mm_decode_features
     #      alone would leave the family rows-only);
-    #   5. round-6 witnesses oldest-first to fill the remaining 7
-    #      slots.
-    # Round-12 queue, in order: the remaining round-6 block
+    #   5. round-6 witnesses oldest-first to fill the remaining
+    #      slots (q_revenue_range_filter and op_pivot_event_counts
+    #      yielded theirs to the two late-round-11 additions,
+    #      pipeline_temperature_mixture and op_graph_global_stats —
+    #      both join the round-12 queue head).
+    # Round-12 queue, in order: q_revenue_range_filter and
+    # op_pivot_event_counts (displaced above), then the remaining
+    # round-6 block
     # (text_quality_scores, text_fingerprint, text_top_bigrams,
     # text_lang_confusion, dedup_exact, pipeline_contamination_by_source,
     # op_sample_rebalance_langs, pipeline_epoch_shuffle,
@@ -84,6 +89,8 @@ _PRIORITY_HEAD = [
     # --- 1. NEW round-11 operators (never witnessed) ---
     "dedup_optics_eps_profile",
     "ev_seasonal_ewma_control",
+    "pipeline_temperature_mixture",
+    "op_graph_global_stats",
     # --- 2. plan changed in round 11 — re-witness ---
     "text_substring_dedup_rewrite",
     "ev_markov_stationary",
@@ -134,8 +141,6 @@ _PRIORITY_HEAD = [
     "op_j10_differing_key_names",
     "op_w_topn_per_group",
     "op_w_running_total",
-    "q_revenue_range_filter",
-    "op_pivot_event_counts",
 ]
 
 

@@ -605,3 +605,136 @@ def op_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# One-row graph health report: global clustering coefficient (the
+# transitivity 3T/W — Watts/Strogatz via the Newman formulation) and
+# degree assortativity (Newman 2002, "Assortative mixing in networks").
+# Everything reduces to INTEGER sufficient statistics over the edge
+# list — triangle count, wedge count sum C(d,2), and the degree-product
+# sums of the Pearson correlation across directed edges — so each
+# output is exactly ONE IEEE division of exact integers: zero
+# float-drift surface, like the triangles kernel. On the symmetrized
+# edge relation Sx = Sy and Sxx = Syy, so assortativity collapses to
+# (M*Sxy - Sx^2) / (M*Sxx - Sx^2) — no square root at all.
+
+_GLOBAL_STATS_SQL = """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs)
+        GROUP BY 1),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM pairs e1
+  JOIN pairs e2 ON e2.pa = e1.pb
+  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+wed AS (SELECT SUM(d * (d - 1) / 2) AS w, COUNT(*) AS n_nodes FROM deg),
+de AS (
+  SELECT da.d AS du, db.d AS dv
+  FROM pairs p
+  JOIN deg da ON da.node = p.pa
+  JOIN deg db ON db.node = p.pb),
+sums AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(du + dv) AS BIGINT) AS sx,
+         CAST(2 * SUM(du * dv) AS BIGINT) AS sxy,
+         CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx
+  FROM de)
+SELECT CAST(wed.n_nodes AS BIGINT) AS n_nodes,
+       CAST(sums.m / 2 AS BIGINT) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles,
+       CAST(wed.w AS BIGINT) AS n_wedges,
+       ROUND(3.0 * tri.t / wed.w, 6) AS global_clustering,
+       ROUND(CAST(sums.m * sums.sxy - sums.sx * sums.sx AS DOUBLE)
+             / (sums.m * sums.sxx - sums.sx * sums.sx), 6)
+         AS degree_assortativity
+FROM tri CROSS JOIN wed CROSS JOIN sums"""
+
+
+@register("op_graph_global_stats", _GLOBAL_STATS_SQL)
+def op_graph_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row health report of the co-purchase graph: (n_nodes,
+    n_edges, n_triangles, n_wedges, global_clustering,
+    degree_assortativity). Global clustering = 3T/W is the
+    transitivity the per-node top-20 (op_graph_triangles) can't show;
+    assortativity answers "do hubs attach to hubs?" — negative means
+    hub-leaf structure (typical for co-occurrence graphs), positive
+    means a rich club, and the sign decides whether degree-ordered
+    triangle orientation or hub-salting is the right scale lever.
+
+    Exactness: T, W = sum C(d,2), and the Pearson sums over the
+    symmetrized edge relation are all exact integers; symmetry gives
+    Sx = Sy and Sxx = Syy, so assortativity is a single division of
+    integers (no sqrt) and transitivity is one more — the same
+    zero-drift contract as the triangles kernel.
+
+    Plan shape: one basket-explode pair build (shared shape with every
+    graph op), the compact-forward triangle join (u<v<w, each triangle
+    once), a degree rollup, and one edges x degrees join for the
+    moment sums — every stage keys on a vertex or is a scalar
+    aggregate. At 100 TB the wedge skew mitigations of the triangle
+    kernel apply unchanged; the report itself is one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    e = (
+        edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    de = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select("du", "dv")
+    )
+    sums = de.agg(
+        (F.lit(2) * F.count(F.lit(1))).cast("bigint").alias("m"),
+        F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("sx"),
+        (F.lit(2) * F.sum(F.col("du") * F.col("dv"))).cast("bigint").alias("sxy"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    return (
+        tri.crossJoin(wed)
+        .crossJoin(sums)
+        .select(
+            "n_nodes",
+            (F.col("m") / 2).cast("bigint").alias("n_edges"),
+            F.col("t").alias("n_triangles"),
+            F.col("w").alias("n_wedges"),
+            F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6).alias(
+                "global_clustering"
+            ),
+            F.round(
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("degree_assortativity"),
+        )
+    )

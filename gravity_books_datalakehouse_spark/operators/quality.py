@@ -623,3 +623,123 @@ def text_compression_ratio(spark, sf_dir):
         )
         .transform(bounded_sort, "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixture — the multilingual/source-balancing
+# knob (the p_i^alpha / sum p_j^alpha rule of XLM-R, mT5, and the BLOOM
+# data card): raw token shares over-train hefty sources, alpha < 1
+# flattens the mixture toward uniform. Cross-engine exactness is why
+# the alpha grid is {1, 1/2, 1/4}: t^(1/2) = sqrt(t) and
+# t^(1/4) = sqrt(sqrt(t)) are correctly-rounded IEEE ops (bit-equal on
+# both engines), unlike a libm pow(t, 0.3). The share denominators sum
+# irrational terms, so BOTH engines accumulate them with an in-order
+# running sum (ORDER BY source) and read the total off the last row —
+# float addition is not associative, and pinning the order is what
+# keeps the 6-dp rounds off the boundary.
+
+
+@register(
+    "pipeline_temperature_mixture",
+    """WITH tok AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(COALESCE(len(string_split_regex(
+                    lower(trim(text)), '\\s+')), 0)) AS BIGINT) AS total_tokens
+         FROM documents GROUP BY source),
+       s AS (SELECT source, n_docs, total_tokens,
+                    sqrt(CAST(total_tokens AS DOUBLE)) AS sq,
+                    sqrt(sqrt(CAST(total_tokens AS DOUBLE))) AS qq
+             FROM tok),
+       r AS (SELECT *,
+                    SUM(total_tokens) OVER () AS tot,
+                    SUM(sq) OVER (ORDER BY source
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS rs_sq,
+                    SUM(qq) OVER (ORDER BY source
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS rs_qq
+             FROM s),
+       d AS (SELECT *, MAX(rs_sq) OVER () AS den_sq,
+                    MAX(rs_qq) OVER () AS den_qq
+             FROM r)
+       SELECT source, n_docs, total_tokens,
+              ROUND(total_tokens * 1.0 / tot, 6) AS share_natural,
+              ROUND(sq / den_sq, 6) AS share_alpha_half,
+              ROUND(qq / den_qq, 6) AS share_alpha_quarter,
+              ROUND((sq / den_sq) / (total_tokens * 1.0 / tot), 6)
+                AS boost_alpha_half
+       FROM d ORDER BY source""",
+)
+def pipeline_temperature_mixture(spark, sf_dir):
+    """Per-source training-mixture shares at sampling temperatures
+    alpha in {1, 1/2, 1/4}: (source, n_docs, total_tokens,
+    share_natural, share_alpha_half, share_alpha_quarter,
+    boost_alpha_half). share_alpha = t^alpha / sum t^alpha over token
+    masses; boost = how much alpha=1/2 oversamples the source vs its
+    natural share (>1 for small sources — the up-weighting the
+    temperature exists to provide).
+
+    Exactness: token masses are exact integers (one zero-shuffle
+    size(split) projection per doc); t^(1/2)/t^(1/4) are sqrt chains
+    (correctly-rounded IEEE, bit-equal across engines — the reason
+    this grid and not pow(t, 0.3)); the irrational denominators are
+    accumulated by an ORDER BY source running sum on BOTH engines so
+    the addition order is pinned; every displayed number is one
+    rounded division of bit-identical doubles.
+
+    Scale shape: one map-side projection + one groupBy(source) —
+    source-cardinality output; the temperature table is free at any
+    corpus size. At 100 TB this is the artifact the sampler config
+    consumes, recomputed per corpus snapshot."""
+    from pyspark.sql import Window
+
+    from gravity_books_datalakehouse_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.coalesce(F.size(tokens_col()), F.lit(0))
+            .cast("bigint")
+            .alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+    )
+    s = tok.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.sqrt(F.col("total_tokens").cast("double")).alias("sq"),
+        F.sqrt(F.sqrt(F.col("total_tokens").cast("double"))).alias("qq"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrun = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    r = s.select(
+        "*",
+        F.sum("total_tokens").over(wall).alias("tot"),
+        F.sum("sq").over(wrun).alias("rs_sq"),
+        F.sum("qq").over(wrun).alias("rs_qq"),
+    )
+    d = r.select(
+        "*",
+        F.max("rs_sq").over(wall).alias("den_sq"),
+        F.max("rs_qq").over(wall).alias("den_qq"),
+    )
+    nat = F.col("total_tokens") * F.lit(1.0) / F.col("tot")
+    return d.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(nat, 6).alias("share_natural"),
+        F.round(F.col("sq") / F.col("den_sq"), 6).alias("share_alpha_half"),
+        F.round(F.col("qq") / F.col("den_qq"), 6).alias("share_alpha_quarter"),
+        F.round((F.col("sq") / F.col("den_sq")) / nat, 6).alias(
+            "boost_alpha_half"
+        ),
+    ).orderBy("source")

@@ -1,0 +1,106 @@
+"""Round-11 operators: temperature mixture and the graph health report
+— python replays + structural invariants beyond the DuckDB oracles."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_temperature_mixture_invariants_and_replay(spark):
+    from gravity_books_datalakehouse_spark.operators.quality import (
+        pipeline_temperature_mixture,
+    )
+    from gravity_books_datalakehouse_spark.operators.text import tokens_col
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+    rows = pipeline_temperature_mixture(spark, SF_SMOKE).collect()
+    assert rows
+    for col in ("share_natural", "share_alpha_half", "share_alpha_quarter"):
+        s = sum(getattr(r, col) for r in rows)
+        assert abs(s - 1.0) < 1e-4, (col, s)
+    # temperature flattens: the max share must not increase as alpha
+    # drops, the min share must not decrease
+    mx = [max(getattr(r, c) for r in rows) for c in
+          ("share_natural", "share_alpha_half", "share_alpha_quarter")]
+    mn = [min(getattr(r, c) for r in rows) for c in
+          ("share_natural", "share_alpha_half", "share_alpha_quarter")]
+    assert mx[0] >= mx[1] >= mx[2]
+    assert mn[0] <= mn[1] <= mn[2]
+    # boost > 1 exactly for sources below the alpha=1/2 pivot share
+    for r in rows:
+        if r.share_natural < r.share_alpha_half:
+            assert r.boost_alpha_half > 1.0, r
+        if r.share_natural > r.share_alpha_half:
+            assert r.boost_alpha_half < 1.0, r
+    # python replay of the exact arithmetic (sqrt chains + in-order sum)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = {
+        r.source: (r.n, r.t)
+        for r in docs.select(
+            "source", F.coalesce(F.size(tokens_col()), F.lit(0)).alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("nt").alias("t"))
+        .collect()
+    }
+    srcs = sorted(tok)
+    tot = sum(tok[s][1] for s in srcs)
+    den_sq = 0.0
+    den_qq = 0.0
+    for s in srcs:  # in-order accumulation, matching both engines
+        den_sq += math.sqrt(float(tok[s][1]))
+        den_qq += math.sqrt(math.sqrt(float(tok[s][1])))
+    for r in rows:
+        n, t = tok[r.source]
+        assert r.n_docs == n and r.total_tokens == t
+        assert r.share_natural == round(t * 1.0 / tot, 6)
+        assert r.share_alpha_half == round(math.sqrt(float(t)) / den_sq, 6)
+        assert r.share_alpha_quarter == round(
+            math.sqrt(math.sqrt(float(t))) / den_qq, 6
+        )
+
+
+def test_graph_global_stats_replay(spark):
+    from gravity_books_datalakehouse_spark.operators.graph import (
+        copurchase_edges,
+        op_graph_global_stats,
+    )
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+    row = op_graph_global_stats(spark, SF_SMOKE).collect()
+    assert len(row) == 1
+    row = row[0]
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    e = {
+        (r.src, r.dst)
+        for r in copurchase_edges(li).collect()
+        if r.src < r.dst
+    }
+    nbrs: dict[int, set[int]] = {}
+    for u, v in e:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in nbrs.items()}
+    tri = sum(
+        1 for (u, v) in e for w in (nbrs[u] & nbrs[v]) if v < w
+    )
+    wed = sum(d * (d - 1) // 2 for d in deg.values())
+    m = 2 * len(e)
+    sx = sum(deg[u] + deg[v] for u, v in e)
+    sxy = 2 * sum(deg[u] * deg[v] for u, v in e)
+    sxx = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in e)
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(e)
+    assert row.n_triangles == tri
+    assert row.n_wedges == wed
+    assert row.global_clustering == round(3.0 * tri / wed, 6)
+    assert row.degree_assortativity == round(
+        (m * sxy - sx * sx) / (m * sxx - sx * sx), 6
+    )
+    # a co-purchase graph is hub-leaf shaped: assortativity is a
+    # correlation, bounded in [-1, 1]
+    assert -1.0 <= row.degree_assortativity <= 1.0
