@@ -71,8 +71,9 @@ _PRIORITY_HEAD = [
     #      yielded theirs to the two late-round-11 additions,
     #      pipeline_temperature_mixture and op_graph_global_stats —
     #      both join the round-12 queue head).
-    # Round-12 queue, in order: q_revenue_range_filter and
-    # op_pivot_event_counts (displaced above), then the remaining
+    # Round-12 queue, in order: q_revenue_range_filter,
+    # op_pivot_event_counts, and op_w_running_total (displaced by the
+    # three late-round-11 additions), then the remaining
     # round-6 block
     # (text_quality_scores, text_fingerprint, text_top_bigrams,
     # text_lang_confusion, dedup_exact, pipeline_contamination_by_source,
@@ -91,6 +92,7 @@ _PRIORITY_HEAD = [
     "ev_seasonal_ewma_control",
     "pipeline_temperature_mixture",
     "op_graph_global_stats",
+    "dedup_bloom_fpr_calibration",
     # --- 2. plan changed in round 11 — re-witness ---
     "text_substring_dedup_rewrite",
     "ev_markov_stationary",
@@ -140,7 +142,6 @@ _PRIORITY_HEAD = [
     "op_where_filter_pushdown",
     "op_j10_differing_key_names",
     "op_w_topn_per_group",
-    "op_w_running_total",
 ]
 
 

@@ -3004,6 +3004,150 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom FPR calibration — the S-curve-calibration pattern applied to the
+# bloom prefilter above: theory vs realized false-positive rate in one
+# hash-verified row, so the filter's sizing assumption is re-measured
+# every round instead of trusted. Unlike dedup_bloom_prefilter (whose
+# xxhash64 positions are engine-internal because its OUTPUT is FP-free),
+# the calibration's positions must be reproducible on both engines, so
+# they derive from md5: with m = 4096 = 16^3 the bit position IS the
+# integer value of the first 3 hex nibbles of md5(salt || fp) — no
+# modulo, uniform by construction. The predictor is the realized-fill
+# estimator (set_bits / m)^k — computed as two exact IEEE
+# multiplications, never libm pow — which is tighter than the
+# (1-e^-kn/m)^k formula because it uses the filter's actual load.
+
+_BLOOM_CAL_M = 4096  #: 16^3 — position = first 3 md5 nibbles, exactly
+_BLOOM_CAL_K = 3
+
+
+def _cal_pos_spark(col: F.Column, s: int) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"s{s}:"), col)), 1, 3), 16, 10
+    ).cast("int")
+
+
+def _cal_pos_sql(expr: str, s: int) -> str:
+    h = f"md5('s{s}:' || {expr})"
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1))"
+    )
+
+
+@register(
+    "dedup_bloom_fpr_calibration",
+    f"""WITH fps AS (
+      SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 != 0),
+    batch AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 = 0),
+    nonmem AS (SELECT fp FROM batch
+               WHERE fp NOT IN (SELECT fp FROM corpus)),
+    bits AS (SELECT DISTINCT p FROM (
+      {" UNION ALL ".join(f"SELECT {_cal_pos_sql('fp', s)} AS p FROM corpus" for s in range(_BLOOM_CAL_K))})),
+    probes AS (
+      {" UNION ALL ".join(f"SELECT fp, {_cal_pos_sql('fp', s)} AS p FROM nonmem" for s in range(_BLOOM_CAL_K))}),
+    hits AS (
+      SELECT pr.fp, COUNT(*) AS n_set
+      FROM probes pr JOIN bits b ON b.p = pr.p
+      GROUP BY pr.fp),
+    agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_corpus_fps,
+             CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_set_bits,
+             CAST((SELECT COUNT(*) FROM nonmem) AS BIGINT) AS n_probes,
+             CAST((SELECT COUNT(*) FROM hits
+                   WHERE n_set = {_BLOOM_CAL_K}) AS BIGINT)
+               AS n_false_positives)
+    SELECT CAST({_BLOOM_CAL_M} AS INT) AS m_bits,
+           CAST({_BLOOM_CAL_K} AS INT) AS k_hashes,
+           n_corpus_fps, n_set_bits, n_probes, n_false_positives,
+           ROUND(n_set_bits * 1.0 / {_BLOOM_CAL_M}, 6) AS fill_rate,
+           ROUND(n_false_positives * 1.0 / n_probes, 6) AS realized_fpr,
+           ROUND((n_set_bits * 1.0 / {_BLOOM_CAL_M})
+                 * (n_set_bits * 1.0 / {_BLOOM_CAL_M})
+                 * (n_set_bits * 1.0 / {_BLOOM_CAL_M}), 6) AS predicted_fpr
+    FROM agg""",
+)
+def dedup_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row bloom-filter calibration: build an m=4096, k=3 filter
+    over the standing-corpus content fingerprints, probe it with the
+    ingest batch's NON-member fingerprints, and report realized vs
+    predicted false-positive rate — (m_bits, k_hashes, n_corpus_fps,
+    n_set_bits, n_probes, n_false_positives, fill_rate, realized_fpr,
+    predicted_fpr). The deliberately small m loads the filter into its
+    measurable-FPR regime at test scale; production uses the
+    prefilter's m ~ 10n and this op to validate THAT sizing from the
+    fill it observes.
+
+    Exactness: positions are the integer value of the first 3 md5
+    nibbles (m = 16^3, so no modulo) — bit-identical on both engines;
+    all counts are integers; the three displayed rates are single
+    divisions, the predictor two exact multiplications (never libm
+    pow). Membership is tested relationally (positions semi-join the
+    set-bit relation; a probe is a false positive iff all k rows hit),
+    so the oracle runs the identical logic.
+
+    Scale shape: two distinct-fingerprint aggregates, one m-bounded
+    bit relation, and a k-row-per-probe join keyed on the 12-bit
+    position — every stage is fingerprint- or m-sized. The production
+    variant packs bits into the broadcast-literal bitset exactly as
+    dedup_bloom_prefilter does; this op exists to hash-verify the
+    MATH, so it stays relational on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fps = docs.select("doc_id", F.md5(norm).alias("fp"))
+    corpus = fps.where(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    batch = fps.where(F.col("doc_id") % 5 == 0).select("fp").distinct()
+    nonmem = batch.join(corpus, "fp", "left_anti")
+    bits = (
+        corpus.select(
+            F.explode(
+                F.array(
+                    *[_cal_pos_spark(F.col("fp"), s) for s in range(_BLOOM_CAL_K)]
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+    probes = nonmem.select(
+        "fp",
+        F.explode(
+            F.array(
+                *[_cal_pos_spark(F.col("fp"), s) for s in range(_BLOOM_CAL_K)]
+            )
+        ).alias("p"),
+    )
+    fp_hits = (
+        probes.join(bits, "p", "leftsemi")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == _BLOOM_CAL_K)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_false_positives"))
+    )
+    stats = (
+        corpus.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus_fps"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_set_bits")))
+        .crossJoin(nonmem.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")))
+        .crossJoin(fp_hits)
+    )
+    fill = F.col("n_set_bits") * F.lit(1.0) / F.lit(_BLOOM_CAL_M)
+    return stats.select(
+        F.lit(_BLOOM_CAL_M).cast("int").alias("m_bits"),
+        F.lit(_BLOOM_CAL_K).cast("int").alias("k_hashes"),
+        "n_corpus_fps",
+        "n_set_bits",
+        "n_probes",
+        "n_false_positives",
+        F.round(fill, 6).alias("fill_rate"),
+        F.round(
+            F.col("n_false_positives") * F.lit(1.0) / F.col("n_probes"), 6
+        ).alias("realized_fpr"),
+        F.round(fill * fill * fill, 6).alias("predicted_fpr"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Near-dup leakage across the train/val/test split — Lee et al. 2022's
 # finding operationalized as a standing audit: exact decontamination
 # (pipeline_decontaminate) misses NEAR-duplicates, and a near-dup pair

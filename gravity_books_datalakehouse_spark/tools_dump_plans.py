@@ -37,7 +37,7 @@ SHOW = {
     "op_j_skewed_salted": "Salted join: the physical join key is (skew_uid, __salt) — the hot key's rows spread across 8 salt buckets; dim side exploded x8 pre-join; aggregation after the join is salt-invariant.",
     "dedup_substring_spans": "Rolling 8-token window hashes via ONE per-doc ordered window (single doc_id shuffle); dup detection groupBy carries 16-byte digests; islands merge is a second pass over the (tiny) duplicated-position set.",
     "op_sample_exact_k": "TakeOrderedAndProject(limit=k) over the hash projection — per-partition k-row heaps merged on the driver; no global sort, no full shuffle at any corpus size.",
-    "text_substring_dedup_rewrite": "Owner resolution + coverage explode are dup-set-sized (never corpus-sized); token anti-join co-keyed with the positional explode; one ordered collect_list per rewritten doc.",
+    "text_substring_dedup_rewrite": "Difference-array rewrite (round 11): owned flag via ONE whash window min; each dup window emits 2 edge events (never k coverage rows); per-doc running sums turn events into removed intervals, gaps-and-islands merges them; reassembly is an index-filter over the token ARRAY against the per-doc merged interval list — no token explode, no anti-join, no collect_list.",
     "sim_ann_recall_report": "Both eval legs bounded: |Q| probes broadcast for exact ground truth; candidate leg reuses the signature-keyed bucket join — no N x N anywhere.",
     "pipeline_epoch_shuffle": "Rank windows partitioned by (epoch, hex-nibble shard) — corpus/16 rows per window, no global sort; hash projection is scan-side.",
     "op_layout_zorder_prune": "Morton derivation is pure shift/mask projection inside WholeStageCodegen (round 7); both layouts ride one explode into a map-side-collapsing HashAggregate on <=128 (layout, file) cells; 2-column ReadSchema; no sort, no window, exchanges carry aggregated cells only.",
@@ -109,6 +109,10 @@ SHOW = {
     "ev_markov_stationary": "Corpus-sized stages are ONE user-partitioned lag window (shared shape with the transition matrix) and the empirical-share aggregate; the chain is a |types|^2 checkpointed relation and each of the 5 unrolled sweeps is a broadcast-sized join over it — the pagerank stationary-adjacency idiom at matrix scale (round 10).",
     "sim_knn_reciprocity": "Sample-bounded self-join (|S|^2 pairs, the measurement's intrinsic cost) -> one |S|-partition top-k window -> reversed-key self-join of the k|S|-row checkpointed top relation -> one-row aggregate; nothing corpus-sized beyond the sampled scan (round 10).",
     "dedup_density_stability_profile": "Fixpoint-FREE threshold sweep: border-ness reduces to max-adjacent-group-degree arithmetic (two rep-sized joins), the 5 thresholds ride one in-row explode, and the aggregate is 5 rows — no iteration, no corpus-sized stage; the per-threshold topology deliberately lives in the single-fixpoint DBSCAN op (round 10).",
+    "dedup_optics_eps_profile": "Varying-eps sweep with zero fixpoints: ONE exact-Jaccard pass over the checkpointed rep pairs (post-LSH bounded), 6 tau levels ride an in-row explode, degrees/border-ness are the group-degree lemma per level (two rep-sized joins), doc counts return as multiplicity-weighted sums — no corpus-sized stage beyond the cached collapse (round 11).",
+    "ev_seasonal_ewma_control": "Events collapse map-side to (type, hour) cells — the only event-sized stage; the spine fill and ALL 31 lag reads (24 level + 7 seasonal) come from ONE per-type ordered WindowExec over the bucket-cardinality frame; every alert decision is bigint comparison (round 11).",
+    "pipeline_temperature_mixture": "One zero-shuffle size(split) projection + one groupBy(source) to a source-cardinality frame; the temperature table is two sqrt projections and ordered running-sum windows over ~20 rows — the mixture sweep costs one scan at any corpus size (round 11).",
+    "op_graph_global_stats": "One basket-explode pair build feeds the compact-forward triangle join (u<v<w), the degree rollup, and one edges x degrees join for the Pearson moment sums; three scalar aggregates crossJoin into the single output row — every stage keys on a vertex (round 11).",
 }
 
 

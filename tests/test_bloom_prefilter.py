@@ -92,3 +92,30 @@ def test_no_false_negatives_and_positive_path(spark):
     fp_rate = (n_surv - n_true) / max(n_new - n_true, 1)
     expected = (_BLOOM_K * n_corpus / _BLOOM_M_BITS) ** _BLOOM_K
     assert fp_rate <= 10 * expected + 0.01, (fp_rate, expected)
+
+
+def test_bloom_fpr_calibration_invariants(spark):
+    """The calibration row's arithmetic identities and a loose binomial
+    sanity band (realized within 5 sigma of predicted — md5 positions
+    are effectively uniform, and the oracle hash pins exactness)."""
+    import math
+
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _BLOOM_CAL_K,
+        _BLOOM_CAL_M,
+        dedup_bloom_fpr_calibration,
+    )
+
+    rows = dedup_bloom_fpr_calibration(spark, SF01).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.m_bits == _BLOOM_CAL_M and r.k_hashes == _BLOOM_CAL_K
+    assert 0 < r.n_set_bits <= min(_BLOOM_CAL_M, _BLOOM_CAL_K * r.n_corpus_fps)
+    fill = r.n_set_bits / _BLOOM_CAL_M
+    assert r.fill_rate == round(fill, 6)
+    assert r.predicted_fpr == round(fill * fill * fill, 6)
+    assert r.realized_fpr == round(r.n_false_positives / r.n_probes, 6)
+    # binomial band: sd of the realized rate at the predicted p
+    p = fill**3
+    sd = math.sqrt(max(p * (1 - p), 1e-12) / r.n_probes)
+    assert abs(r.realized_fpr - p) <= 5 * sd + 1e-9, (r.realized_fpr, p, sd)
