@@ -245,3 +245,91 @@ def test_incremental_agg_maintenance_equals_full_recompute(spark):
         .collect()
     }
     assert got == full
+
+
+def test_occ_concurrent_merges_both_land(spark, tmp_path):
+    """Two writers merging DISJOINT key sets concurrently must both
+    land (the loser rebases and retries) — the lost-update anomaly the
+    single-writer merge_snapshot cannot rule out."""
+    import threading
+
+    from gravity_books_datalakehouse_spark.sources.snapshots import (
+        merge_snapshot_occ,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "occ_tbl")
+    base = spark.createDataFrame(
+        [(i, "base") for i in range(10)], "k int, v string"
+    )
+    write_snapshot(base, d)
+
+    errs = []
+
+    def writer(lo, hi, tag):
+        try:
+            up = spark.createDataFrame(
+                [(i, tag) for i in range(lo, hi)], "k int, v string"
+            )
+            merge_snapshot_occ(up, d, ["k"])
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(0, 3, "w1"))
+    t2 = threading.Thread(target=writer, args=(5, 8, "w2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    final = {r.k: r.v for r in read_snapshot(spark, d).collect()}
+    assert len(final) == 10
+    assert all(final[i] == "w1" for i in range(0, 3))
+    assert all(final[i] == "w2" for i in range(5, 8))
+    assert all(final[i] == "base" for i in (3, 4, 8, 9))
+
+
+def test_occ_conflict_detected_and_retried(spark, tmp_path):
+    """A writer whose base version moved underneath it must NOT commit
+    a stale merge: with retries disabled it raises SnapshotConflict;
+    with retries it rebases and preserves the interleaved write."""
+    from gravity_books_datalakehouse_spark.sources import snapshots as sn
+
+    d = str(tmp_path / "occ_conflict")
+    sn.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "a")], "k int, v string"), d
+    )
+
+    # simulate an interleaved commit: monkeypatch latest_version so the
+    # writer reads v1, another commit lands, then the writer validates
+    real_latest = sn.latest_version
+    state = {"fired": False}
+
+    def racing_latest(table_dir):
+        v = real_latest(table_dir)
+        if not state["fired"]:
+            state["fired"] = True
+            # interleave a competing commit AFTER this writer reads v
+            sn.write_snapshot(
+                spark.createDataFrame([(2, "other")], "k int, v string"),
+                table_dir,
+            )
+        return v
+
+    sn.latest_version = racing_latest
+    try:
+        up = spark.createDataFrame([(1, "mine")], "k int, v string")
+        try:
+            sn.merge_snapshot_occ(up, d, ["k"], max_retries=1)
+            raised = False
+        except sn.SnapshotConflict:
+            raised = True
+        assert raised, "stale merge must not commit with max_retries=1"
+    finally:
+        sn.latest_version = real_latest
+
+    # with retries the same merge rebases onto the interloper's commit
+    v = sn.merge_snapshot_occ(
+        spark.createDataFrame([(1, "mine")], "k int, v string"), d, ["k"]
+    )
+    final = {r.k: r.v for r in sn.read_snapshot(spark, d).collect()}
+    assert final == {1: "mine", 2: "other"}, (v, final)
