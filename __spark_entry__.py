@@ -31,12 +31,13 @@ _PRIORITY_HEAD = [
     # --- round-11 window rotation state ---
     # Priority order (the standard never-witnessed/changed-first
     # discipline, executing the round-10 verdict's item-2 queue):
-    #   1. operators ADDED in round 11 — never witnessed (both already
+    #   1. operators ADDED in round 11 — never witnessed (each already
     #      differentially verified at sf0.001/sf0.01/sf0.1 this round):
-    #      dedup_optics_eps_profile (varying-eps density sweep) and
+    #      dedup_optics_eps_profile (varying-eps density sweep),
     #      ev_seasonal_ewma_control (Holt-Winters-flavored seasonal
     #      chart, with a streaming GroupState twin pinned bit-equal in
-    #      tests/test_streaming.py);
+    #      tests/test_streaming.py), pipeline_temperature_mixture,
+    #      op_graph_global_stats, and dedup_bloom_fpr_calibration;
     #   2. operators whose PLAN changed in round 11 and must re-hash:
     #      text_substring_dedup_rewrite (difference-array interval
     #      rewrite — also the oldest remaining round-6 witness),
