@@ -64,6 +64,7 @@ def clear_session_caches() -> None:
         kmeans._MODEL_CACHE,
         components._CC_CACHE,
         components._DBSCAN_CACHE,
+        components._REP_JACCARD_CACHE,
     ):
         for value in registry.values():
             frames = value.values() if isinstance(value, dict) else [value]
