@@ -37,7 +37,9 @@ _PRIORITY_HEAD = [
     #      ev_seasonal_ewma_control (Holt-Winters-flavored seasonal
     #      chart, with a streaming GroupState twin pinned bit-equal in
     #      tests/test_streaming.py), pipeline_temperature_mixture,
-    #      op_graph_global_stats, and dedup_bloom_fpr_calibration;
+    #      op_graph_global_stats, dedup_bloom_fpr_calibration,
+    #      ev_change_point_cusum (exact-integer CUSUM argmax), and
+    #      pipeline_mixture_diversity (log-free inverse-Simpson);
     #   2. operators whose PLAN changed in round 11 and must re-hash:
     #      text_substring_dedup_rewrite (difference-array interval
     #      rewrite — also the oldest remaining round-6 witness),
@@ -73,8 +75,9 @@ _PRIORITY_HEAD = [
     #      pipeline_temperature_mixture and op_graph_global_stats —
     #      both join the round-12 queue head).
     # Round-12 queue, in order: q_revenue_range_filter,
-    # op_pivot_event_counts, and op_w_running_total (displaced by the
-    # three late-round-11 additions), then the remaining
+    # op_pivot_event_counts, op_w_running_total,
+    # op_j10_differing_key_names, and op_w_topn_per_group (displaced
+    # by the late-round-11 additions), then the remaining
     # round-6 block
     # (text_quality_scores, text_fingerprint, text_top_bigrams,
     # text_lang_confusion, dedup_exact, pipeline_contamination_by_source,
@@ -94,6 +97,8 @@ _PRIORITY_HEAD = [
     "pipeline_temperature_mixture",
     "op_graph_global_stats",
     "dedup_bloom_fpr_calibration",
+    "ev_change_point_cusum",
+    "pipeline_mixture_diversity",
     # --- 2. plan changed in round 11 — re-witness ---
     "text_substring_dedup_rewrite",
     "ev_markov_stationary",
@@ -141,8 +146,6 @@ _PRIORITY_HEAD = [
     # --- 5. round-6 witnesses oldest-first ---
     "op_p4_p5_casts",
     "op_where_filter_pushdown",
-    "op_j10_differing_key_names",
-    "op_w_topn_per_group",
 ]
 
 

@@ -743,3 +743,178 @@ def pipeline_temperature_mixture(spark, sf_dir):
             "boost_alpha_half"
         ),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Mixture diversity at each sampling temperature — the companion readout
+# to pipeline_temperature_mixture: "how concentrated is the training
+# mixture, and how much does each temperature flatten it?" measured with
+# the Simpson concentration sum p_i^2 and its inverse (the 'effective
+# number of sources', Hill number of order 2) instead of Shannon
+# entropy: inverse-Simpson answers the same question with NO logarithm,
+# so every value is composed of exactly-rounded IEEE ops (the tfidf
+# linear-idf lesson — ln's last ulp is libm-dependent, division and
+# multiplication are not).
+
+
+@register(
+    "pipeline_mixture_diversity",
+    """WITH tok AS (
+         SELECT source,
+                CAST(SUM(COALESCE(len(string_split_regex(
+                    lower(trim(text)), '\\s+')), 0)) AS BIGINT) AS t
+         FROM documents GROUP BY source),
+       s AS (SELECT source, t,
+                    sqrt(CAST(t AS DOUBLE)) AS w_half,
+                    sqrt(sqrt(CAST(t AS DOUBLE))) AS w_quarter
+             FROM tok),
+       r AS (SELECT *,
+                    SUM(t) OVER () AS tot,
+                    SUM(w_half) OVER (ORDER BY source
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS rs_h,
+                    SUM(w_quarter) OVER (ORDER BY source
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS rs_q
+             FROM s),
+       d AS (SELECT *, MAX(rs_h) OVER () AS den_h, MAX(rs_q) OVER () AS den_q
+             FROM r),
+       p AS (SELECT source,
+                    t * 1.0 / tot AS p1,
+                    w_half / den_h AS p2,
+                    w_quarter / den_q AS p3
+             FROM d),
+       c AS (SELECT
+               SUM(p1 * p1) OVER (ORDER BY source
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c1,
+               SUM(p2 * p2) OVER (ORDER BY source
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c2,
+               SUM(p3 * p3) OVER (ORDER BY source
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c3,
+               MAX(p1) OVER () AS m1, MAX(p2) OVER () AS m2,
+               MAX(p3) OVER () AS m3,
+               COUNT(*) OVER () AS ns,
+               ROW_NUMBER() OVER (ORDER BY source DESC) AS rn
+             FROM p),
+       f AS (SELECT * FROM c WHERE rn = 1),
+       lv AS (
+         SELECT 'alpha_1' AS alpha, c1 AS sc, m1 AS mx, ns FROM f
+         UNION ALL
+         SELECT 'alpha_1_2', c2, m2, ns FROM f
+         UNION ALL
+         SELECT 'alpha_1_4', c3, m3, ns FROM f)
+       SELECT alpha,
+              CAST(ns AS BIGINT) AS n_sources,
+              ROUND(sc, 6) AS simpson_concentration,
+              ROUND(1.0 / sc, 6) AS effective_sources,
+              ROUND(mx, 6) AS max_share
+       FROM lv ORDER BY alpha""",
+)
+def pipeline_mixture_diversity(spark, sf_dir):
+    """Mixture concentration per sampling temperature: (alpha,
+    n_sources, simpson_concentration, effective_sources, max_share)
+    for alpha in {1, 1/2, 1/4}. simpson_concentration = sum p_i^2 over
+    the temperature-scaled shares; effective_sources = its inverse
+    (the Hill-number diversity — 'this mixture trains like K equal
+    sources'); max_share is the single-source dominance cap. Read
+    beside pipeline_temperature_mixture: that table gives the
+    per-source knobs, this one the corpus-level summary a data card
+    publishes.
+
+    Exactness: NO logarithm — Simpson diversity is squares, sums, and
+    one division, all exactly-rounded IEEE ops over the same
+    sqrt-chain weights as the mixture table; every float sum (weight
+    denominators AND the p^2 sums) is an ORDER BY source running sum
+    on both engines, so addition order is pinned end to end.
+
+    Scale shape: one scan to source-cardinality, then ~20-row window
+    arithmetic — free at any corpus size."""
+    from pyspark.sql import Window
+
+    from gravity_books_datalakehouse_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.coalesce(F.size(tokens_col()), F.lit(0))
+            .cast("bigint")
+            .alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("t"))
+    )
+    s = tok.select(
+        "source",
+        "t",
+        F.sqrt(F.col("t").cast("double")).alias("w_half"),
+        F.sqrt(F.sqrt(F.col("t").cast("double"))).alias("w_quarter"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrun = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    r = s.select(
+        "*",
+        F.sum("t").over(wall).alias("tot"),
+        F.sum("w_half").over(wrun).alias("rs_h"),
+        F.sum("w_quarter").over(wrun).alias("rs_q"),
+    )
+    d = r.select(
+        "*",
+        F.max("rs_h").over(wall).alias("den_h"),
+        F.max("rs_q").over(wall).alias("den_q"),
+    )
+    p = d.select(
+        "source",
+        (F.col("t") * F.lit(1.0) / F.col("tot")).alias("p1"),
+        (F.col("w_half") / F.col("den_h")).alias("p2"),
+        (F.col("w_quarter") / F.col("den_q")).alias("p3"),
+    )
+    c = p.select(
+        F.sum(F.col("p1") * F.col("p1")).over(wrun).alias("c1"),
+        F.sum(F.col("p2") * F.col("p2")).over(wrun).alias("c2"),
+        F.sum(F.col("p3") * F.col("p3")).over(wrun).alias("c3"),
+        F.max("p1").over(wall).alias("m1"),
+        F.max("p2").over(wall).alias("m2"),
+        F.max("p3").over(wall).alias("m3"),
+        F.count(F.lit(1)).over(wall).alias("ns"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("source")))
+        .alias("rn"),
+    )
+    f = c.where(F.col("rn") == 1)
+    lv = (
+        f.select(
+            F.lit("alpha_1").alias("alpha"),
+            F.col("c1").alias("sc"),
+            F.col("m1").alias("mx"),
+            "ns",
+        )
+        .unionByName(
+            f.select(
+                F.lit("alpha_1_2").alias("alpha"),
+                F.col("c2").alias("sc"),
+                F.col("m2").alias("mx"),
+                "ns",
+            )
+        )
+        .unionByName(
+            f.select(
+                F.lit("alpha_1_4").alias("alpha"),
+                F.col("c3").alias("sc"),
+                F.col("m3").alias("mx"),
+                "ns",
+            )
+        )
+    )
+    return lv.select(
+        "alpha",
+        F.col("ns").cast("bigint").alias("n_sources"),
+        F.round("sc", 6).alias("simpson_concentration"),
+        F.round(F.lit(1.0) / F.col("sc"), 6).alias("effective_sources"),
+        F.round("mx", 6).alias("max_share"),
+    ).orderBy("alpha")

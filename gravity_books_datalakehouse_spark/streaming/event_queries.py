@@ -1152,6 +1152,139 @@ def ev_seasonal_ewma_control(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Change-point detection (CUSUM / binary-segmentation first split —
+# Page 1954; the at-most-one-change-point mean-shift scan every
+# monitoring stack runs before alerting on "the average moved"). The
+# classic statistic max_i |prefix_i - i*mean| needs the fractional mean;
+# scaling by N makes it EXACT: dev_i = |N*prefix_i - i*T| is a pure
+# bigint (N hours, T total events), so the argmax — the change point —
+# is an integer decision with a deterministic earliest-hour tie rule.
+# Same gap-filled hourly spine as the control charts.
+
+
+@register(
+    "ev_change_point_cusum",
+    """WITH hourly AS (
+         SELECT event_type,
+                time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       bounds AS (
+         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+       spine AS (
+         SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+       filled AS (
+         SELECT s.event_type, s.h, COALESCE(hh.x, 0) AS x
+         FROM spine s LEFT JOIN hourly hh
+           ON s.event_type = hh.event_type AND s.h = hh.h),
+       pref AS (
+         SELECT event_type, h, x,
+                SUM(x) OVER w AS p,
+                ROW_NUMBER() OVER w AS i,
+                SUM(x) OVER (PARTITION BY event_type) AS t,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM filled
+         WINDOW w AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       dev AS (
+         SELECT event_type, h, p, i, t, n,
+                ABS(n * p - i * t) AS d
+         FROM pref WHERE i < n)
+       SELECT event_type,
+              strftime(h, '%Y-%m-%d %H:%M:%S') AS change_hour,
+              CAST(n AS BIGINT) AS n_hours,
+              CAST(t AS BIGINT) AS n_events,
+              CAST(d AS BIGINT) AS max_scaled_dev,
+              ROUND(p * 1.0 / i, 6) AS mean_before,
+              ROUND((t - p) * 1.0 / (n - i), 6) AS mean_after
+       FROM dev
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d DESC, h ASC) = 1
+       ORDER BY event_type""",
+)
+def ev_change_point_cusum(spark, sf_dir):
+    """Per-event-type single change point over the gap-filled hourly
+    series: the hour i maximizing the CUSUM deviation
+    |N*prefix_i - i*T| (the at-most-one-change-point mean-shift scan),
+    with the segment means on each side — (event_type, change_hour,
+    n_hours, n_events, max_scaled_dev, mean_before, mean_after).
+
+    Exactness: the deviation is scaled by N so it stays a pure bigint
+    — the argmax and its earliest-hour tie rule are integer decisions
+    on both engines; the two displayed means are single divisions.
+    change_hour is emitted as an explicit ISO string on both sides
+    (the round-7 DATE-formatting lesson).
+
+    Scale shape: identical to the control charts — events collapse
+    map-side to (type, hour) cells; prefix sums, the total, and the
+    argmax all come from windows over the bucket-cardinality frame
+    (one exchange on event_type). At 100 TB, segment-tree or per-day
+    pre-aggregation shrinks the spine further, but hours x types is
+    already metadata-sized."""
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    part = Window.partitionBy("event_type")
+    pref = filled.select(
+        "event_type",
+        "h",
+        F.sum("x").over(run).alias("p"),
+        F.row_number().over(w).alias("i"),
+        F.sum("x").over(part).alias("t"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    dev = pref.where(F.col("i") < F.col("n")).select(
+        "event_type",
+        "h",
+        "p",
+        "i",
+        "t",
+        "n",
+        F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("t")).alias("d"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("h"))
+    return (
+        dev.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("change_hour"),
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.col("t").cast("bigint").alias("n_events"),
+            F.col("d").cast("bigint").alias("max_scaled_dev"),
+            F.round(F.col("p") * F.lit(1.0) / F.col("i"), 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("t") - F.col("p")) * F.lit(1.0) / (F.col("n") - F.col("i")),
+                6,
+            ).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Peak concurrency by sweep-line: +1/-1 boundary events from the 30-min
 # sessions, a running sum, and per-day peaks. The classic interval-
 # stabbing question ("how many sessions were open at once?") answered

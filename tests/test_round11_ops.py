@@ -104,3 +104,95 @@ def test_graph_global_stats_replay(spark):
     # a co-purchase graph is hub-leaf shaped: assortativity is a
     # correlation, bounded in [-1, 1]
     assert -1.0 <= row.degree_assortativity <= 1.0
+
+
+def test_change_point_cusum_replay(spark):
+    """Pure-python CUSUM replay over the gap-filled hourly series: the
+    argmax, tie rule, and both segment means must match exactly."""
+    from datetime import timedelta
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_change_point_cusum,
+        load_events,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in hourly:
+        series.setdefault(r.event_type, {})[r.h] = r.x
+    want = {}
+    for et, cells in series.items():
+        h0, h1 = min(cells), max(cells)
+        hs, xs = [], []
+        h = h0
+        while h <= h1:
+            hs.append(h)
+            xs.append(cells.get(h, 0))
+            h += timedelta(hours=1)
+        n, t = len(xs), sum(xs)
+        best = None
+        p = 0
+        for i in range(1, n):
+            p += xs[i - 1]
+            d = abs(n * p - i * t)
+            if best is None or d > best[0]:
+                best = (d, i, p)
+        d, i, p = best
+        want[et] = (
+            hs[i - 1].strftime("%Y-%m-%d %H:%M:%S"),
+            n,
+            t,
+            d,
+            round(p / i, 6),
+            round((t - p) / (n - i), 6),
+        )
+    got = {
+        r.event_type: (
+            r.change_hour, r.n_hours, r.n_events, r.max_scaled_dev,
+            r.mean_before, r.mean_after,
+        )
+        for r in ev_change_point_cusum(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_mixture_diversity_invariants(spark):
+    """Temperature flattens the mixture: effective sources rise
+    (weakly) as alpha drops; all values bounded by [1, n_sources];
+    max_share consistent with the per-source mixture table."""
+    from gravity_books_datalakehouse_spark.operators.quality import (
+        pipeline_mixture_diversity,
+        pipeline_temperature_mixture,
+    )
+
+    rows = {
+        r.alpha: r
+        for r in pipeline_mixture_diversity(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"alpha_1", "alpha_1_2", "alpha_1_4"}
+    ns = rows["alpha_1"].n_sources
+    for r in rows.values():
+        assert 1.0 - 1e-9 <= r.effective_sources <= ns + 1e-9, r
+        assert abs(r.simpson_concentration * r.effective_sources - 1.0) < 1e-4
+    assert (
+        rows["alpha_1"].effective_sources
+        <= rows["alpha_1_2"].effective_sources + 1e-9
+        <= rows["alpha_1_4"].effective_sources + 2e-9
+    )
+    assert (
+        rows["alpha_1"].max_share
+        >= rows["alpha_1_2"].max_share - 1e-9
+        >= rows["alpha_1_4"].max_share - 2e-9
+    )
+    mix = pipeline_temperature_mixture(spark, SF_SMOKE).collect()
+    assert rows["alpha_1"].max_share == max(r.share_natural for r in mix)
+    assert rows["alpha_1_2"].max_share == max(r.share_alpha_half for r in mix)
+    assert rows["alpha_1_4"].max_share == max(
+        r.share_alpha_quarter for r in mix
+    )
