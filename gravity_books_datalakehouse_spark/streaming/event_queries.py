@@ -1152,6 +1152,148 @@ def ev_seasonal_ewma_control(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Seasonality strength — the variance-decomposition companion to the
+# seasonal control chart: how much of the hourly-count variance does
+# hour-of-day explain? Classic one-way ANOVA eta² = SSB/SST over the
+# 24 hour-of-day groups of the gap-filled series. eta² ≈ 0 says the
+# seasonal baseline in ev_seasonal_ewma_control adds nothing over the
+# trailing level; eta² near 1 says alerts MUST be seasonal-adjusted.
+# Exactness: group sums/counts and Σx² are exact integers; SSB and SST
+# are assembled from them with one division per group accumulated in
+# hour-of-day order (0..23 — a pinned order on both engines), so the
+# float composition is identical bit for bit.
+
+
+@register(
+    "ev_seasonality_strength",
+    """WITH hourly AS (
+         SELECT event_type,
+                time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       bounds AS (
+         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+       spine AS (
+         SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+       filled AS (
+         SELECT s.event_type, s.h,
+                CAST(EXTRACT(hour FROM s.h) AS INT) AS hod,
+                COALESCE(hh.x, 0) AS x
+         FROM spine s LEFT JOIN hourly hh
+           ON s.event_type = hh.event_type AND s.h = hh.h),
+       g AS (
+         SELECT event_type, hod,
+                CAST(COUNT(*) AS BIGINT) AS ng,
+                CAST(SUM(x) AS BIGINT) AS sg
+         FROM filled GROUP BY 1, 2),
+       tot AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS t,
+                CAST(SUM(x * x) AS BIGINT) AS sxx
+         FROM filled GROUP BY 1),
+       ssb AS (
+         SELECT event_type,
+                SUM(sg * sg * 1.0 / ng
+                    ORDER BY hod) AS sum_sq_over_n
+         FROM g GROUP BY 1)
+       SELECT t.event_type,
+              t.n AS n_hours,
+              t.t AS n_events,
+              ROUND((b.sum_sq_over_n - t.t * t.t * 1.0 / t.n)
+                    / (t.sxx - t.t * t.t * 1.0 / t.n), 6)
+                AS eta2_hour_of_day
+       FROM tot t JOIN ssb b USING (event_type)
+       ORDER BY event_type""",
+)
+def ev_seasonality_strength(spark, sf_dir):
+    """Per-event-type hour-of-day seasonality strength: one-way ANOVA
+    eta² = SSB/SST over the 24 hour-of-day groups of the gap-filled
+    hourly series — (event_type, n_hours, n_events,
+    eta2_hour_of_day). The go/no-go number for seasonal adjustment:
+    near 0, ev_ewma_control's trailing baseline suffices; high, the
+    seasonal chart's same-hour-of-day baseline is load-bearing.
+
+    Exactness: all sufficient statistics (group sums/counts, total,
+    Σx²) are exact integers; SSB's per-group S_g²/n_g divisions are
+    accumulated in hour-of-day order 0..23 on BOTH engines (ordered
+    SUM aggregate in DuckDB, an ordered running-sum window in Spark),
+    so the assembled doubles are bit-identical and the single
+    displayed ratio rounds the same way.
+
+    Scale shape: the control-chart spine again — one event-sized
+    map-side collapse, then 24-group arithmetic per type."""
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.hour("h").cast("int").alias("hod"),
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    g = filled.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("hod")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ssb = (
+        g.select(
+            "event_type",
+            F.max(
+                F.sum(F.col("sg") * F.col("sg") * F.lit(1.0) / F.col("ng")).over(
+                    wrun
+                )
+            )
+            .over(wall)
+            .alias("sum_sq_over_n"),
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy(F.desc("hod")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    corr = F.col("t") * F.col("t") * F.lit(1.0) / F.col("n")
+    return (
+        tot.join(ssb, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("t").alias("n_events"),
+            F.round(
+                (F.col("sum_sq_over_n") - corr) / (F.col("sxx") - corr), 6
+            ).alias("eta2_hour_of_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Change-point detection (CUSUM / binary-segmentation first split —
 # Page 1954; the at-most-one-change-point mean-shift scan every
 # monitoring stack runs before alerting on "the average moved"). The

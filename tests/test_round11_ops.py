@@ -196,3 +196,51 @@ def test_mixture_diversity_invariants(spark):
     assert rows["alpha_1_4"].max_share == max(
         r.share_alpha_quarter for r in mix
     )
+
+
+def test_seasonality_strength_replay(spark):
+    """Pure-python eta^2 replay with the same hod-ordered accumulation."""
+    from datetime import timedelta
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_seasonality_strength,
+        load_events,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in hourly:
+        series.setdefault(r.event_type, {})[r.h] = r.x
+    want = {}
+    for et, cells in series.items():
+        h0, h1 = min(cells), max(cells)
+        xs, hods = [], []
+        h = h0
+        while h <= h1:
+            xs.append(cells.get(h, 0))
+            hods.append(h.hour)
+            h += timedelta(hours=1)
+        n, t = len(xs), sum(xs)
+        sxx = sum(x * x for x in xs)
+        grp: dict[int, list] = {}
+        for hod, x in zip(hods, xs):
+            grp.setdefault(hod, []).append(x)
+        ssq = 0.0
+        for hod in sorted(grp):  # hod-ordered accumulation, both engines
+            sg, ng = sum(grp[hod]), len(grp[hod])
+            ssq += sg * sg * 1.0 / ng
+        corr = t * t * 1.0 / n
+        want[et] = (n, t, round((ssq - corr) / (sxx - corr), 6))
+    got = {
+        r.event_type: (r.n_hours, r.n_events, r.eta2_hour_of_day)
+        for r in ev_seasonality_strength(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for n, t, e2 in want.values():
+        assert -1e-9 <= e2 <= 1.0 + 1e-9
