@@ -444,6 +444,12 @@ DOCS_QUERIES = (
                                   # session, local[32]); the session
                                   # memo (_DBSCAN_CACHE) keeps repeat
                                   # calls free.
+    "dedup_optics_eps_profile",   # round 11: the varying-eps sweep at 20x —
+                                  # every group is core at tau=0 and the
+                                  # exact-Jaccard pass runs on rep pairs
+                                  # only (spark-only: the doc-level
+                                  # oracle's pairs CTE is clique-dense
+                                  # at 20x like the other rep-level ops)
     "text_substring_dedup_rewrite",  # round 11: difference-array interval
                                   # rewrite (2 events/window + per-doc
                                   # array slicing — no k-row coverage
@@ -493,12 +499,29 @@ DOCS_SPARK_ONLY = {
     "dedup_cluster_size_histogram",
     "dedup_dbscan_density_clusters",
     "text_substring_dedup_rewrite",
+    "dedup_optics_eps_profile",
 }
 #: ANN-family queries probed on the 20x EMBEDDINGS replica (vec_id
 #: offset per copy; 2k -> 40k vectors at sf0.1). Exact copies make
 #: every vector's nearest neighbor its own clone — the adversarial
 #: near-dup geometry for the similarity legs.
 EMB_QUERIES = ("sim_topk_cosine_bruteforce", "sim_ivf_topk")
+
+#: events-family queries probed on the 20x EVENTS replica (round 11 —
+#: the ev_ family previously had NO scale probe: the sf1 probe
+#: replicates lineitem/orders, the docs probe documents/embeddings).
+#: user_id/event_id offset per copy keeps every user's session
+#: structure identical while hourly bucket mass and distinct users
+#: scale 20x — stressing the hourly collapse, the user-partitioned
+#: session windows, and the lag-window transition build. Oracles are
+#: linear SQL (no clique blowup), so these rows keep the cross-engine
+#: comparison at scale.
+EV_QUERIES = (
+    "ev_tumbling_hourly",         # windowed agg: 20x rows into the same cells
+    "ev_top_session_paths",       # user-partitioned windows at 20x users
+    "ev_seasonal_ewma_control",   # hourly collapse + 31-lag window pass
+    "ev_markov_stationary",       # lag window + |types|^2 sweeps at 20x mass
+)
 
 
 def _build_docs_copy(src_dir: str) -> str:
@@ -532,9 +555,20 @@ def _build_docs_copy(src_dir: str) -> str:
         f"CROSS JOIN range({DOCS_COPIES}) i) "
         f"TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"
     )
+    ev_src = os.path.abspath(os.path.join(src_dir, "events.parquet"))
+    off_u, off_e = con.execute(
+        f"SELECT MAX(user_id) + 1, MAX(event_id) + 1 FROM read_parquet('{ev_src}')"
+    ).fetchone()
+    con.execute(
+        f"COPY (SELECT t.* REPLACE (t.user_id + i.range * {off_u} AS user_id, "
+        f"t.event_id + i.range * {off_e} AS event_id) "
+        f"FROM read_parquet('{ev_src}') t "
+        f"CROSS JOIN range({DOCS_COPIES}) i) "
+        f"TO '{dst}/events.parquet' (FORMAT PARQUET)"
+    )
     con.close()
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         p = os.path.abspath(os.path.join(src_dir, f"{t}.parquet"))
         if os.path.exists(p):
@@ -571,8 +605,12 @@ def _docs_probe(spark, entry_mod) -> dict:
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{d}/embeddings.parquet')"
     )
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
     out: dict = {"copies": DOCS_COPIES, "sec": {}}
-    for name in DOCS_QUERIES + EMB_QUERIES:
+    for name in DOCS_QUERIES + EMB_QUERIES + EV_QUERIES:
         if name not in qs:
             continue
         s_best = d_best = None
