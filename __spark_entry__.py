@@ -39,8 +39,9 @@ _PRIORITY_HEAD = [
     #      tests/test_streaming.py), pipeline_temperature_mixture,
     #      op_graph_global_stats, dedup_bloom_fpr_calibration,
     #      ev_change_point_cusum (exact-integer CUSUM argmax),
-    #      pipeline_mixture_diversity (log-free inverse-Simpson), and
-    #      ev_seasonality_strength (hour-of-day ANOVA eta-squared);
+    #      pipeline_mixture_diversity (log-free inverse-Simpson),
+    #      ev_seasonality_strength (hour-of-day ANOVA eta-squared),
+    #      and text_kn_bigram_logprob (interpolated Kneser-Ney);
     #   2. operators whose PLAN changed in round 11 and must re-hash:
     #      text_substring_dedup_rewrite (difference-array interval
     #      rewrite — also the oldest remaining round-6 witness),
@@ -77,9 +78,9 @@ _PRIORITY_HEAD = [
     #      both join the round-12 queue head).
     # Round-12 queue, in order: q_revenue_range_filter,
     # op_pivot_event_counts, op_w_running_total,
-    # op_j10_differing_key_names, op_w_topn_per_group, and
-    # op_p4_p5_casts (displaced by the late-round-11 additions), then
-    # the remaining
+    # op_j10_differing_key_names, op_w_topn_per_group,
+    # op_p4_p5_casts, and op_where_filter_pushdown (displaced by the
+    # late-round-11 additions), then the remaining
     # round-6 block
     # (text_quality_scores, text_fingerprint, text_top_bigrams,
     # text_lang_confusion, dedup_exact, pipeline_contamination_by_source,
@@ -102,6 +103,7 @@ _PRIORITY_HEAD = [
     "ev_change_point_cusum",
     "pipeline_mixture_diversity",
     "ev_seasonality_strength",
+    "text_kn_bigram_logprob",
     # --- 2. plan changed in round 11 — re-witness ---
     "text_substring_dedup_rewrite",
     "ev_markov_stationary",
@@ -147,7 +149,6 @@ _PRIORITY_HEAD = [
     "op_f_array_kit",
     "mm_center_embeddings_per_label",
     # --- 5. round-6 witnesses oldest-first ---
-    "op_where_filter_pushdown",
 ]
 
 

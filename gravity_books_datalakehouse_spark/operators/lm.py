@@ -439,3 +439,118 @@ def text_fertility_by_lang(spark, sf_dir):
         )
         .transform(bounded_sort, "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the Chen &
+# Goodman 1998 interpolated form) — the canonical n-gram smoothing, next
+# to the add-one baseline above. KN's insight: the backoff weight of a
+# word should be how many CONTEXTS it follows (continuation count), not
+# how often it occurs — "Francisco" is frequent but follows only "San",
+# so its unigram backoff should be tiny. Discount D = 3/4 EXACTLY (a
+# dyadic rational, so c2 - D is an exact double and the whole
+# probability is composed of exactly-rounded IEEE ops before the one
+# ln() — the same float surface as the add-one op).
+
+_KN_D = 0.75
+
+
+@register(
+    "text_kn_bigram_logprob",
+    f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        bg AS (
+          SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg FROM t),
+        cb AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+        cw AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1,
+                      COUNT(DISTINCT bg) AS n1f
+               FROM bg GROUP BY 1),
+        bwd AS (SELECT split_part(bg, ' ', 2) AS w2,
+                       COUNT(DISTINCT split_part(bg, ' ', 1)) AS n1b
+                FROM bg GROUP BY 1),
+        btypes AS (SELECT COUNT(DISTINCT bg) AS b FROM bg),
+        scored AS (
+          SELECT g.doc_id,
+                 ln((cb.c2 - {_KN_D}) / cw.c1
+                    + ({_KN_D} * cw.n1f / cw.c1)
+                      * (bwd.n1b * 1.0 / btypes.b)) AS lp
+          FROM bg g
+          JOIN cb USING (bg)
+          JOIN cw ON split_part(g.bg, ' ', 1) = cw.w1
+          JOIN bwd ON split_part(g.bg, ' ', 2) = bwd.w2
+          CROSS JOIN btypes)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob
+        FROM scored
+        GROUP BY doc_id""",
+)
+def text_kn_bigram_logprob(spark, sf_dir):
+    """Per-document mean bigram log-probability under an interpolated
+    Kneser-Ney model fitted on the corpus itself:
+    p(w2|w1) = (c(w1,w2) - D)/c(w1·) + D·N1+(w1·)/c(w1·) ·
+    N1+(·w2)/|bigram types|, D = 3/4. The add-one op above over-smooths
+    toward raw unigram frequency; KN backs off to CONTINUATION
+    probability, separating genuinely versatile words from frequent
+    words welded to one context — the standard n-gram quality scorer.
+
+    Exactness notes: every scored bigram is corpus-seen (train = score
+    corpus), so c2 >= 1 > D and the discounted term never needs a
+    max(); D is dyadic, counts are integers, and the probability is
+    composed of exactly-rounded IEEE ops with the single ln() at the
+    end (the family's accepted float surface — same as the add-one
+    twin, hash-green since round 3).
+
+    Plan shape: the add-one op's two groupBys plus two more over the
+    SAME exploded bigram stream (backward continuation counts and the
+    bigram-type scalar) — all map-side combined; scoring joins stay
+    keyed on the bigram/context/word. At 100 TB: identical profile to
+    text_bigram_logprob, one more broadcast scalar and one more
+    co-keyed join."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    n_bg = F.size("toks") - 1
+    idx = F.when(n_bg >= 1, F.sequence(F.lit(1), n_bg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = t.select("doc_id", "toks", F.explode(idx).alias("i")).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("toks", F.col("i")),
+            F.element_at("toks", F.col("i") + 1),
+        ).alias("bg"),
+    )
+    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    cw = (
+        bg.select("bg", F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.count_distinct("bg").alias("n1f"),
+        )
+    )
+    bwd = (
+        bg.select(
+            F.substring_index("bg", " ", -1).alias("w2"),
+            F.substring_index("bg", " ", 1).alias("w1"),
+        )
+        .groupBy("w2")
+        .agg(F.count_distinct("w1").alias("n1b"))
+    )
+    btypes = bg.agg(F.count_distinct("bg").alias("b"))
+    lp = F.log(
+        (F.col("c2") - F.lit(_KN_D)) / F.col("c1")
+        + (F.lit(_KN_D) * F.col("n1f") / F.col("c1"))
+        * (F.col("n1b") * F.lit(1.0) / F.col("b"))
+    )
+    return (
+        bg.join(cb, "bg")
+        .join(cw, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
+        .join(bwd, F.substring_index(F.col("bg"), " ", -1) == F.col("w2"))
+        .crossJoin(F.broadcast(btypes))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )

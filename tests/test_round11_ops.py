@@ -244,3 +244,63 @@ def test_seasonality_strength_replay(spark):
     assert got == want
     for n, t, e2 in want.values():
         assert -1e-9 <= e2 <= 1.0 + 1e-9
+
+
+def test_kn_bigram_normalization_and_replay(spark):
+    """Interpolated KN must be a proper distribution per context
+    (sum over the FULL vocab of p(w|v) == 1: discounted mass +
+    redistributed continuation mass) and the op must match a
+    pure-python replay on a small corpus."""
+    import math
+
+    from gravity_books_datalakehouse_spark.operators.lm import (
+        _KN_D,
+        text_kn_bigram_logprob,
+    )
+
+    corpus = [
+        (0, "san francisco is far from new york city"),
+        (1, "new york city is big and san francisco is small"),
+        (2, "the city is big the bay is cold"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    # python model
+    bgs = []
+    for doc_id, text in corpus:
+        toks = text.lower().split()
+        bgs += [(doc_id, (toks[i], toks[i + 1])) for i in range(len(toks) - 1)]
+    from collections import Counter, defaultdict
+
+    c2 = Counter(b for _, b in bgs)
+    c1 = Counter(b[0] for _, b in bgs)
+    n1f = defaultdict(set)
+    n1b = defaultdict(set)
+    for _, (a, b) in bgs:
+        n1f[a].add(b)
+        n1b[b].add(a)
+    B = len(c2)
+    vocab = set(c1) | set(n1b)
+
+    def p(w2, w1):
+        disc = max(c2.get((w1, w2), 0) - _KN_D, 0.0) / c1[w1]
+        back = (_KN_D * len(n1f[w1]) / c1[w1]) * (len(n1b[w2]) / B)
+        return disc + back
+
+    for v in c1:  # proper distribution over the full vocab
+        assert abs(sum(p(w, v) for w in vocab) - 1.0) < 1e-9, v
+
+    want = {}
+    for doc_id, _ in corpus:
+        lps = [math.log(p(b, a)) for d, (a, b) in bgs if d == doc_id]
+        want[doc_id] = (len(lps), round(sum(lps) / len(lps), 6))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_logprob)
+            for r in text_kn_bigram_logprob(spark, td).collect()
+        }
+    assert got == want
