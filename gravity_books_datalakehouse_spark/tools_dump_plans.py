@@ -113,6 +113,10 @@ SHOW = {
     "ev_seasonal_ewma_control": "Events collapse map-side to (type, hour) cells — the only event-sized stage; the spine fill and ALL 31 lag reads (24 level + 7 seasonal) come from ONE per-type ordered WindowExec over the bucket-cardinality frame; every alert decision is bigint comparison (round 11).",
     "pipeline_temperature_mixture": "One zero-shuffle size(split) projection + one groupBy(source) to a source-cardinality frame; the temperature table is two sqrt projections and ordered running-sum windows over ~20 rows — the mixture sweep costs one scan at any corpus size (round 11).",
     "op_graph_global_stats": "One basket-explode pair build feeds the compact-forward triangle join (u<v<w), the degree rollup, and one edges x degrees join for the Pearson moment sums; three scalar aggregates crossJoin into the single output row — every stage keys on a vertex (round 11).",
+    "ev_change_point_cusum": "Control-chart spine (map-side hourly collapse, the only event-sized stage); prefix sums, totals, and the argmax all ride per-type windows over the bucket-cardinality frame; the CUSUM deviation |N*prefix - i*T| stays bigint so the pick is an integer decision (round 11).",
+    "pipeline_mixture_diversity": "One scan to source cardinality; squares/sums/divisions over ~20 rows with every float sum an ORDER BY source running window — no logarithm anywhere on the plan (round 11).",
+    "ev_seasonality_strength": "Hourly collapse + 24-group sufficient statistics per type; SSB assembles the per-group S^2/n divisions in an hod-ordered running-sum window so the float composition is pinned; one row per type (round 11).",
+    "text_kn_bigram_logprob": "Four map-side-combined groupBys over ONE exploded bigram stream (bigram, context+forward-continuation, backward-continuation, type scalar); scoring joins stay keyed on bigram/context/word; per-doc rollup finishes — the add-one twin's profile plus one broadcast scalar and one co-keyed join (round 11).",
 }
 
 
