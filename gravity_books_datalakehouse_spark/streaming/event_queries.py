@@ -1152,6 +1152,153 @@ def ev_seasonal_ewma_control(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# ONLINE CUSUM (Page 1954's sequential form, complementing the offline
+# argmax scan below): S_t = max(0, S_{t-1} + (x_t - mu0 - k)) against a
+# baseline frozen after a warmup window, alert when S_t clears h. The
+# recursion looks fold-only, but the reflection identity
+# S_t = P_t - min(0, min_{j<=t} P_j) (P = running sum of the drifts)
+# turns it into two plain ordered windows — expressible identically on
+# both engines. Exactness: with the warmup fixed at W=168 hours,
+# mu0 = T0/W and k = mu0/2 scale away entirely: D_t = 2*W*x_t - 3*T0
+# is a pure bigint, S stays bigint, and the alert S > 10*T0 (a
+# cumulative excess of 5 baseline-means) is an integer comparison.
+
+_CUSUM_WARMUP = 168  # hours; shares the seasonal chart's horizon
+
+
+@register(
+    "ev_cusum_online",
+    f"""WITH hourly AS (
+         SELECT event_type,
+                time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       bounds AS (
+         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+       spine AS (
+         SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+       filled AS (
+         SELECT s.event_type, s.h, COALESCE(hh.x, 0) AS x,
+                ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.h)
+                  AS i
+         FROM spine s LEFT JOIN hourly hh
+           ON s.event_type = hh.event_type AND s.h = hh.h),
+       base AS (
+         SELECT event_type, CAST(SUM(x) AS BIGINT) AS t0
+         FROM filled WHERE i <= {_CUSUM_WARMUP} GROUP BY 1),
+       drift AS (
+         SELECT f.event_type, f.h, f.x, b.t0,
+                2 * {_CUSUM_WARMUP} * f.x - 3 * b.t0 AS d
+         FROM filled f JOIN base b USING (event_type)
+         WHERE f.i > {_CUSUM_WARMUP}),
+       pref AS (
+         SELECT event_type, h, x, t0,
+                SUM(d) OVER w AS p
+         FROM drift
+         WINDOW w AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       pp AS (
+         SELECT event_type, h, x, t0, p,
+                MIN(p) OVER (PARTITION BY event_type ORDER BY h
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS minp
+         FROM pref)
+       SELECT event_type,
+              strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+              x,
+              ROUND(t0 * 1.0 / {_CUSUM_WARMUP}, 6) AS mu0,
+              CAST(p - LEAST(0, minp) AS BIGINT) AS cusum_scaled,
+              p - LEAST(0, minp) > 10 * t0 AS alert_flag
+       FROM pp
+       ORDER BY event_type, window_start""",
+)
+def ev_cusum_online(spark, sf_dir):
+    """Online (sequential) CUSUM per event type: after a 168-hour
+    warmup freezes the baseline mean mu0, every later hour carries
+    S_t = max(0, S_(t-1) + (x_t - 1.5*mu0)) in exact scaled integers,
+    alerting when the cumulative excess passes 5 baseline-means —
+    (event_type, window_start, x, mu0, cusum_scaled, alert_flag). The
+    offline scan (ev_change_point_cusum) finds where a mean SHIFTED in
+    a closed series; this is the monitoring form that detects a
+    sustained upward drift as it happens, and the batch half of the
+    streaming twin (streaming_cusum_alerts), which maintains the same
+    integers in O(1) GroupState.
+
+    Exactness: the max(0, ...) recursion is rewritten by the
+    reflection identity S_t = P_t - min(0, min_(j<=t) P_j) into a
+    running sum + a running min over it — two ordered window passes,
+    identical on both engines; D_t = 2*168*x_t - 3*T0 keeps everything
+    bigint (mu0's display is the only division).
+
+    Scale shape: the control-chart spine (one event-sized map-side
+    collapse); both windows ride the same per-type sort over the
+    bucket-cardinality frame."""
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    filled = (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .withColumn("i", F.row_number().over(w))
+    )
+    base = (
+        filled.where(F.col("i") <= _CUSUM_WARMUP)
+        .groupBy("event_type")
+        .agg(F.sum("x").cast("bigint").alias("t0"))
+    )
+    drift = (
+        filled.where(F.col("i") > _CUSUM_WARMUP)
+        .join(base, "event_type")
+        .select(
+            "event_type",
+            "h",
+            "x",
+            "t0",
+            (
+                F.lit(2 * _CUSUM_WARMUP) * F.col("x") - F.lit(3) * F.col("t0")
+            ).alias("d"),
+        )
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    pp = drift.select(
+        "event_type",
+        "h",
+        "x",
+        "t0",
+        F.sum("d").over(run).alias("p"),
+    ).withColumn("minp", F.min("p").over(run))
+    s = F.col("p") - F.least(F.lit(0), F.col("minp"))
+    return pp.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "x",
+        F.round(F.col("t0") * F.lit(1.0) / F.lit(_CUSUM_WARMUP), 6).alias(
+            "mu0"
+        ),
+        s.cast("bigint").alias("cusum_scaled"),
+        (s > F.lit(10) * F.col("t0")).alias("alert_flag"),
+    ).orderBy("event_type", "window_start")
+
+
+# --------------------------------------------------------------------------
 # Seasonality strength — the variance-decomposition companion to the
 # seasonal control chart: how much of the hourly-count variance does
 # hour-of-day explain? Classic one-way ANOVA eta² = SSB/SST over the

@@ -337,3 +337,90 @@ def streaming_seasonal_ewma_alerts(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- online CUSUM twin ------------------------------------------------------
+# Streaming twin of batch ev_cusum_online (event_queries.py): the FIFTH
+# batch/stream pair, and the one whose state is O(1) — unlike the EWMA
+# twins' lag buffers, sequential CUSUM needs only the frozen warmup
+# total and the running (prefix, min-prefix) pair, because the batch
+# side's reflection identity S = P - min(0, minP) IS the incremental
+# recursion. All integers; same ordered-arrival contract.
+
+_CUSUM_TWIN_WARMUP = 168
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, window_start timestamp, x long, t0 long,"
+    " cusum_scaled long, alert_flag boolean"
+)
+CUSUM_STATE_SCHEMA = "last_h long, n_seen long, t0 long, p long, minp long"
+
+
+def _cusum_update(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_h, n_seen, t0, p, minp = state.get
+    else:
+        last_h, n_seen, t0, p, minp = None, 0, 0, 0, None
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out: list[dict] = []
+    if chunks:
+        pdf = pd.concat(chunks)
+        hours = (pdf["ts"].astype("int64") // 1_000_000_000) // 3600 * 3600
+        counts = hours.value_counts().sort_index()
+        first_h = int(counts.index[0])
+        if last_h is not None and first_h <= last_h:
+            raise ValueError(
+                "streaming CUSUM requires whole, event-time-ordered hour "
+                f"buckets across micro-batches; got hour {first_h} after "
+                f"{last_h} for type {key[0]}"
+            )
+        start = first_h if last_h is None else last_h + 3600
+        for h in range(start, int(counts.index[-1]) + 3600, 3600):
+            x = int(counts.get(h, 0))
+            if n_seen < _CUSUM_TWIN_WARMUP:
+                t0 += x
+            else:
+                d = 2 * _CUSUM_TWIN_WARMUP * x - 3 * t0
+                p += d
+                minp = p if minp is None else min(minp, p)
+                s = p - min(0, minp)
+                out.append(
+                    {
+                        "event_type": key[0],
+                        "window_start": pd.Timestamp(h, unit="s"),
+                        "x": x,
+                        "t0": t0,
+                        "cusum_scaled": s,
+                        "alert_flag": bool(s > 10 * t0),
+                    }
+                )
+            n_seen += 1
+            last_h = h
+        state.update((last_h, n_seen, t0, p, minp))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "event_type",
+            "window_start",
+            "x",
+            "t0",
+            "cusum_scaled",
+            "alert_flag",
+        ],
+    )
+
+
+def streaming_cusum_alerts(events: DataFrame) -> DataFrame:
+    """Per-hour online-CUSUM rows maintained incrementally per
+    event_type with O(1) GroupState. Input needs (event_type, ts)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _cusum_update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

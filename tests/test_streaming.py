@@ -928,3 +928,95 @@ def test_seasonal_ewma_numpy_replay(spark):
         for r in ev_seasonal_ewma_control(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_cusum_equals_batch(spark, tmp_path):
+    """The O(1)-state online-CUSUM fold, fed an hour-aligned two-file
+    source, must reproduce the batch ev_cusum_online rows exactly —
+    the reflection identity IS the incremental recursion, so the
+    integer S and both flags match bit for bit across the micro-batch
+    boundary."""
+    import glob as g
+    import os
+    import time as _time
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _CUSUM_WARMUP,
+        ev_cusum_online,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        _CUSUM_TWIN_WARMUP,
+        streaming_cusum_alerts,
+    )
+
+    assert _CUSUM_TWIN_WARMUP == _CUSUM_WARMUP
+
+    ev = load_events(spark, SF_SMOKE)
+    cut = (
+        ev.agg(
+            F.date_trunc(
+                "hour",
+                F.timestamp_seconds(
+                    F.expr(
+                        "percentile_disc(0.5) WITHIN GROUP"
+                        " (ORDER BY unix_timestamp(ts))"
+                    )
+                ),
+            ).alias("c")
+        )
+        .first()
+        .c
+    )
+    src = str(tmp_path / "cusum_src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d1"
+    )
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d2"
+    )
+    merged = str(tmp_path / "cusum_merged")
+    os.makedirs(merged)
+    f1 = shutil.copy(
+        g.glob(src + "/d1/part-*.parquet")[0], merged + "/01.parquet"
+    )
+    f2 = shutil.copy(
+        g.glob(src + "/d2/part-*.parquet")[0], merged + "/02.parquet"
+    )
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+        .select("event_type", "ts")
+    )
+    q = (
+        streaming_cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.window_start.strftime("%Y-%m-%d %H:%M:%S")): (
+            r.x, r.t0, r.cusum_scaled, r.alert_flag
+        )
+        for r in spark.sql("SELECT * FROM cusum_stream").collect()
+    }
+    want = {}
+    for r in ev_cusum_online(spark, SF_SMOKE).collect():
+        want[(r.event_type, r.window_start)] = (
+            r.x,
+            round(r.mu0 * _CUSUM_WARMUP),  # t0 back from the display mean
+            r.cusum_scaled,
+            r.alert_flag,
+        )
+    assert set(got) == set(want), (len(got), len(want))
+    assert got, "cusum twin produced no rows at smoke scale"
+    for k, v in got.items():
+        assert v == want[k], (k, v, want[k])
