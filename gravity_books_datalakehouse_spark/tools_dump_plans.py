@@ -116,6 +116,7 @@ SHOW = {
     "ev_change_point_cusum": "Control-chart spine (map-side hourly collapse, the only event-sized stage); prefix sums, totals, and the argmax all ride per-type windows over the bucket-cardinality frame; the CUSUM deviation |N*prefix - i*T| stays bigint so the pick is an integer decision (round 11).",
     "pipeline_mixture_diversity": "One scan to source cardinality; squares/sums/divisions over ~20 rows with every float sum an ORDER BY source running window — no logarithm anywhere on the plan (round 11).",
     "ev_seasonality_strength": "Hourly collapse + 24-group sufficient statistics per type; SSB assembles the per-group S^2/n divisions in an hod-ordered running-sum window so the float composition is pinned; one row per type (round 11).",
+    "ev_cusum_online": "Control-chart spine again; the sequential-CUSUM recursion rides TWO ordered windows over the bucket-cardinality frame (running drift sum, running min of it — the reflection identity), sharing one per-type sort; warmup baseline is a broadcast-sized join (round 11).",
     "text_kn_bigram_logprob": "Four map-side-combined groupBys over ONE exploded bigram stream (bigram, context+forward-continuation, backward-continuation, type scalar); scoring joins stay keyed on bigram/context/word; per-doc rollup finishes — the add-one twin's profile plus one broadcast scalar and one co-keyed join (round 11).",
 }
 
