@@ -41,10 +41,11 @@ _PRIORITY_HEAD = [
     #      ev_change_point_cusum (exact-integer CUSUM argmax),
     #      pipeline_mixture_diversity (log-free inverse-Simpson),
     #      ev_seasonality_strength (hour-of-day ANOVA eta-squared),
-    #      text_kn_bigram_logprob (interpolated Kneser-Ney), and
+    #      text_kn_bigram_logprob (interpolated Kneser-Ney),
     #      ev_cusum_online (sequential CUSUM via the reflection
     #      identity, with streaming_cusum_alerts as the FIFTH
-    #      batch/stream twin);
+    #      batch/stream twin), and text_kn_trigram_logprob (the full
+    #      Chen-Goodman trigram recursion);
     #   2. operators whose PLAN changed in round 11 and must re-hash:
     #      text_substring_dedup_rewrite (difference-array interval
     #      rewrite — also the oldest remaining round-6 witness),
@@ -82,9 +83,10 @@ _PRIORITY_HEAD = [
     # Round-12 queue, in order: q_revenue_range_filter,
     # op_pivot_event_counts, op_w_running_total,
     # op_j10_differing_key_names, op_w_topn_per_group,
-    # op_p4_p5_casts, op_where_filter_pushdown, and
-    # ev_sliding_windows (displaced by the late-round-11 additions —
-    # the ev family keeps 8 other window rows), then the remaining
+    # op_p4_p5_casts, op_where_filter_pushdown, ev_sliding_windows,
+    # and ev_rolling_7d_active_users (displaced by the late-round-11
+    # additions — the ev family keeps 8 other window rows), then the
+    # remaining
     # round-6 block
     # (text_quality_scores, text_fingerprint, text_top_bigrams,
     # text_lang_confusion, dedup_exact, pipeline_contamination_by_source,
@@ -109,6 +111,7 @@ _PRIORITY_HEAD = [
     "ev_seasonality_strength",
     "text_kn_bigram_logprob",
     "ev_cusum_online",
+    "text_kn_trigram_logprob",
     # --- 2. plan changed in round 11 — re-witness ---
     "text_substring_dedup_rewrite",
     "ev_markov_stationary",
@@ -125,7 +128,6 @@ _PRIORITY_HEAD = [
     "pipeline_mixture_manifest",
     "ev_anomaly_hourly_zscore_gapfill",
     "ev_json_props_extract",
-    "ev_rolling_7d_active_users",
     "ev_type_value_stats",
     "mm_decode_features",
     "op_sketch_approx_stats",

@@ -554,3 +554,152 @@ def text_kn_bigram_logprob(spark, sf_dir):
             F.round(F.avg(lp), 6).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Trigram interpolated Kneser-Ney (the full Chen & Goodman 1998
+# recursion, one order up from the bigram op): the highest order uses
+# raw trigram counts; the LOWER-order bigram distribution uses
+# CONTINUATION counts (how many distinct contexts a bigram completes),
+# and the unigram base is the continuation-unigram over trigram types.
+# Same exactness posture: D = 3/4 dyadic, every count an integer, the
+# probability a fixed composition of exactly-rounded IEEE ops, one ln.
+
+_TRIGRAMS_SQL = (
+    "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    " for i in range(1, len(toks) - 1)]"
+)
+
+
+@register(
+    "text_kn_trigram_logprob",
+    f"""WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        tg AS (
+          SELECT doc_id, unnest({_TRIGRAMS_SQL}) AS tg FROM t
+          WHERE len(toks) >= 3),
+        sp AS (
+          SELECT doc_id, tg,
+                 split_part(tg, ' ', 1) AS u,
+                 split_part(tg, ' ', 2) AS v,
+                 split_part(tg, ' ', 3) AS w
+          FROM tg),
+        c3 AS (SELECT tg, COUNT(*) AS c FROM sp GROUP BY tg),
+        cuv AS (SELECT u, v, COUNT(*) AS c, COUNT(DISTINCT w) AS n1f
+                FROM sp GROUP BY u, v),
+        nvw AS (SELECT v, w, COUNT(DISTINCT u) AS n1b FROM sp GROUP BY v, w),
+        nv AS (SELECT v, COUNT(DISTINCT (u, w)) AS n_mid,
+                      COUNT(DISTINCT w) AS n_types_after
+               FROM sp GROUP BY v),
+        -- the trigram-type total B rides INSIDE nw as an integer window
+        -- sum (B = sum over w of N1+(.,.,w) — distinct triples counted
+        -- by final word): a separate btot relation would reach the
+        -- scoring expression as a CROSS JOIN or a scalar subquery, and
+        -- DuckDB 1.0.0 re-evaluates either per probe row over the
+        -- inlined CTE chain (observed hang at 27k rows).
+        nw AS (SELECT w, COUNT(DISTINCT (u, v)) AS n_ctx,
+                      SUM(COUNT(DISTINCT (u, v))) OVER () AS b
+               FROM sp GROUP BY w),
+        scored AS (
+          SELECT s.doc_id,
+                 ln(
+                   (c3.c - {_KN_D}) / cuv.c
+                   + ({_KN_D} * cuv.n1f / cuv.c) * (
+                       (nvw.n1b - {_KN_D}) / nv.n_mid
+                       + ({_KN_D} * nv.n_types_after / nv.n_mid)
+                         * (nw.n_ctx * 1.0 / nw.b)
+                     )
+                 ) AS lp
+          FROM sp s
+          JOIN c3 ON c3.tg = s.tg
+          JOIN cuv ON cuv.u = s.u AND cuv.v = s.v
+          JOIN nvw ON nvw.v = s.v AND nvw.w = s.w
+          JOIN nv ON nv.v = s.v
+          JOIN nw ON nw.w = s.w)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob
+        FROM scored
+        GROUP BY doc_id""",
+)
+def text_kn_trigram_logprob(spark, sf_dir):
+    """Per-document mean trigram log-probability under full interpolated
+    Kneser-Ney (Chen & Goodman 1998), D = 3/4 at every order:
+
+      p3(w|u,v) = (c(uvw)-D)/c(uv·) + D·N1+(uv·)/c(uv·) · p2(w|v)
+      p2(w|v)   = (N1+(·vw)-D)/N1+(·v·) + D·N1+(v·*)/N1+(·v·) · p1(w)
+      p1(w)     = N1+(··w) / |trigram types|
+
+    — the lower orders built from CONTINUATION counts over the trigram
+    type inventory, which is the whole point of KN: a bigram's backoff
+    mass reflects how many contexts it completes, not how often it
+    occurs. The add-one bigram op is the baseline, the KN bigram op the
+    single-order form; this is the production-shaped 3-gram scorer.
+
+    Exactness: every scored trigram is corpus-seen so c(uvw) >= 1 > D
+    and N1+(·vw) >= 1 > D — no max() needed at either order; counts are
+    integers, D dyadic, the composition fixed and identical on both
+    engines, ln() the single libm call (the family's accepted surface).
+    Per-context normalization (sum over the full vocab = 1 at every
+    order by telescoping) is pinned in tests.
+
+    Plan shape: five map-side-combined groupBys over ONE exploded
+    trigram stream (trigram, context, continuation-bigram, middle-word,
+    final-word) plus a type-count scalar; scoring joins are all keyed
+    on the trigram's own substrings; per-doc rollup finishes. At
+    100 TB: same profile as the bigram ops — the trigram inventory is
+    the only state, and every stage keys on a gram or a word."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    n_tg = F.size("toks") - 2
+    idx = F.when(n_tg >= 1, F.sequence(F.lit(1), n_tg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sp = (
+        t.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at("toks", F.col("i")).alias("u"),
+            F.element_at("toks", F.col("i") + 1).alias("v"),
+            F.element_at("toks", F.col("i") + 2).alias("w"),
+        )
+        .withColumn("tg", F.concat_ws(" ", "u", "v", "w"))
+    )
+    c3 = sp.groupBy("tg").agg(F.count(F.lit(1)).alias("c"))
+    cuv = sp.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cuv"),
+        F.count_distinct("w").alias("n1f"),
+    )
+    nvw = sp.groupBy("v", "w").agg(F.count_distinct("u").alias("n1b"))
+    nv = sp.groupBy("v").agg(
+        F.count_distinct("u", "w").alias("n_mid"),
+        F.count_distinct("w").alias("n_types_after"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nw = (
+        sp.groupBy("w")
+        .agg(F.count_distinct("u", "v").alias("n_ctx"))
+        .withColumn("b", F.sum("n_ctx").over(wall))
+    )
+    p1 = F.col("n_ctx") * F.lit(1.0) / F.col("b")
+    p2 = (F.col("n1b") - F.lit(_KN_D)) / F.col("n_mid") + (
+        F.lit(_KN_D) * F.col("n_types_after") / F.col("n_mid")
+    ) * p1
+    p3 = (F.col("c") - F.lit(_KN_D)) / F.col("cuv") + (
+        F.lit(_KN_D) * F.col("n1f") / F.col("cuv")
+    ) * p2
+    return (
+        sp.join(c3, "tg")
+        .join(cuv, ["u", "v"])
+        .join(nvw, ["v", "w"])
+        .join(nv, "v")
+        .join(nw, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.round(F.avg(F.log(p3)), 6).alias("avg_logprob"),
+        )
+    )

@@ -304,3 +304,80 @@ def test_kn_bigram_normalization_and_replay(spark):
             for r in text_kn_bigram_logprob(spark, td).collect()
         }
     assert got == want
+
+
+def test_kn_trigram_normalization_and_replay(spark):
+    """Full interpolated trigram KN: proper distribution per (u,v)
+    context over the trigram-type vocabulary (telescoping through both
+    lower orders) and an exact python replay on a small corpus."""
+    import math
+    import tempfile
+    from collections import Counter, defaultdict
+
+    from gravity_books_datalakehouse_spark.operators.lm import (
+        _KN_D,
+        text_kn_trigram_logprob,
+    )
+
+    corpus = [
+        (0, "the cat sat on the mat and the cat ran"),
+        (1, "the dog sat on the rug and the dog ran fast"),
+        (2, "a cat and a dog sat on the mat"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    tris = []
+    for doc_id, text in corpus:
+        t = text.lower().split()
+        tris += [
+            (doc_id, (t[i], t[i + 1], t[i + 2])) for i in range(len(t) - 2)
+        ]
+    c3 = Counter(g for _, g in tris)
+    cuv = Counter((g[0], g[1]) for _, g in tris)
+    n1f = defaultdict(set)     # distinct w after (u,v)
+    n1b = defaultdict(set)     # distinct u before (v,w)
+    nmid = defaultdict(set)    # distinct (u,w) around v
+    nafter = defaultdict(set)  # distinct w after v (trigram level)
+    nctx = defaultdict(set)    # distinct (u,v) before w
+    for _, (u, v, w) in tris:
+        n1f[(u, v)].add(w)
+        n1b[(v, w)].add(u)
+        nmid[v].add((u, w))
+        nafter[v].add(w)
+        nctx[w].add((u, v))
+    B = len(c3)
+    vocab = {g[2] for g in c3} | {g[0] for g in c3} | {g[1] for g in c3}
+
+    def p1(w):
+        return len(nctx.get(w, ())) / B
+
+    def p2(w, v):
+        disc = max(len(n1b.get((v, w), ())) - _KN_D, 0.0) / len(nmid[v])
+        lam = _KN_D * len(nafter[v]) / len(nmid[v])
+        return disc + lam * p1(w)
+
+    def p3(w, u, v):
+        disc = max(c3.get((u, v, w), 0) - _KN_D, 0.0) / cuv[(u, v)]
+        lam = _KN_D * len(n1f[(u, v)]) / cuv[(u, v)]
+        return disc + lam * p2(w, v)
+
+    # telescoping normalization: sum over the trigram-type vocab == 1
+    # for every observed context (u,v) — p1 sums to 1 over third-word
+    # types, so p2 and p3 inherit it
+    third = {g[2] for g in c3}
+    assert abs(sum(p1(w) for w in third) - 1.0) < 1e-9
+    for (u, v) in cuv:
+        assert abs(sum(p3(w, u, v) for w in third | vocab) - 1.0) < 1e-9
+
+    want = {}
+    for doc_id, _ in corpus:
+        lps = [math.log(p3(w, u, v)) for d, (u, v, w) in tris if d == doc_id]
+        want[doc_id] = (len(lps), round(sum(lps) / len(lps), 6))
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_trigrams, r.avg_logprob)
+            for r in text_kn_trigram_logprob(spark, td).collect()
+        }
+    assert got == want
