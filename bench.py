@@ -1456,6 +1456,10 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # keep the previous run's detail so round-over-round per-query diffs
+    # never need git archaeology (r11 verdict "What's wrong" #4)
+    if os.path.exists(detail_path):
+        os.replace(detail_path, detail_path.replace(".json", ".prev.json"))
     with open(detail_path, "w") as f:
         json.dump(
             {"sf": _sf_from_dir(SF_DIR), "total_sec": round(total, 3),

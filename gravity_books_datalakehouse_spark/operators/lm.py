@@ -674,16 +674,18 @@ def text_kn_trigram_logprob(spark, sf_dir):
         F.count_distinct("u", "w").alias("n_mid"),
         F.count_distinct("w").alias("n_types_after"),
     )
-    from pyspark.sql import Window
-
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    nw = (
-        sp.groupBy("w")
-        .agg(F.count_distinct("u", "v").alias("n_ctx"))
-        .withColumn("b", F.sum("n_ctx").over(wall))
-    )
+    # B (the trigram-type total) is a single scalar: aggregate it once
+    # and broadcast-crossJoin, exactly like the bigram sibling above.
+    # An unpartitioned window sum over nw would funnel the entire
+    # final-word vocabulary (10^7-10^9 rows at web scale) through ONE
+    # task; the broadcast scalar keeps every stage word-partitioned.
+    # The DuckDB oracle keeps its window-inside-nw form because DuckDB
+    # 1.0.0 re-evaluates a separate scalar relation per probe row over
+    # the inlined CTE chain (observed hang) — same B, same arithmetic,
+    # so hashes are unchanged.
+    nw = sp.groupBy("w").agg(F.count_distinct("u", "v").alias("n_ctx"))
+    btot = nw.agg(F.sum("n_ctx").alias("b"))
+    nw = nw.crossJoin(F.broadcast(btot))
     p1 = F.col("n_ctx") * F.lit(1.0) / F.col("b")
     p2 = (F.col("n1b") - F.lit(_KN_D)) / F.col("n_mid") + (
         F.lit(_KN_D) * F.col("n_types_after") / F.col("n_mid")

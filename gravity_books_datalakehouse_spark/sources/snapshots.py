@@ -236,6 +236,7 @@ class SnapshotConflict(RuntimeError):
 
 def _acquire_commit_lock(table_dir: str, timeout: float = 30.0) -> str:
     import time
+    import uuid
 
     lock = os.path.join(table_dir, _LOCK)
     deadline = time.monotonic() + timeout
@@ -246,10 +247,20 @@ def _acquire_commit_lock(table_dir: str, timeout: float = 30.0) -> str:
         except FileExistsError:
             # break a stale lock from a crashed writer (age-based, the
             # standard lease heuristic; a live writer's critical section
-            # is O(1) so anything minutes old is dead)
+            # is O(1) so anything minutes old is dead). The age compares
+            # two EPOCH clocks — time.time() vs the lock's mtime;
+            # time.monotonic() (seconds since boot) would make the
+            # difference a huge negative and the break would never fire.
+            # Break via rename-then-rmdir: the atomic rename is the
+            # arbitration, so two waiters that both judge the lock stale
+            # race on the rename, exactly one wins, and neither can
+            # delete a FRESH lock another writer just created at the
+            # original path (the plain-rmdir TOCTOU).
             try:
-                if time.monotonic() - os.path.getmtime(lock) > _LOCK_STALE_SEC:
-                    os.rmdir(lock)
+                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC:
+                    doomed = lock + f".stale-{uuid.uuid4().hex}"
+                    os.rename(lock, doomed)
+                    os.rmdir(doomed)
                     continue
             except OSError:
                 pass
@@ -300,7 +311,13 @@ def merge_snapshot_occ(
                 json.dump(
                     {"app_id": app_id, "txn_version": int(txn_version)}, fh
                 )
-        lock = _acquire_commit_lock(table_dir)
+        try:
+            lock = _acquire_commit_lock(table_dir)
+        except Exception:
+            # lock never acquired — the staged snapshot would otherwise
+            # leak on disk (cleanup below only runs lock-held)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         try:
             now = latest_version(table_dir)
             if now != base:

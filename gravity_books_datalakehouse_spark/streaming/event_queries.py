@@ -1349,7 +1349,7 @@ def ev_cusum_online(spark, sf_dir):
               t.n AS n_hours,
               t.t AS n_events,
               ROUND((b.sum_sq_over_n - t.t * t.t * 1.0 / t.n)
-                    / (t.sxx - t.t * t.t * 1.0 / t.n), 6)
+                    / NULLIF(t.sxx - t.t * t.t * 1.0 / t.n, 0), 6)
                 AS eta2_hour_of_day
        FROM tot t JOIN ssb b USING (event_type)
        ORDER BY event_type""",
@@ -1426,6 +1426,10 @@ def ev_seasonality_strength(spark, sf_dir):
         .drop("rn")
     )
     corr = F.col("t") * F.col("t") * F.lit(1.0) / F.col("n")
+    # SST = 0 (a constant gap-filled series, e.g. a single-hour spine)
+    # would make the ratio 0/0; NULLIF on both engines renders the
+    # degenerate case as NULL identically instead of NaN-vs-NULL drift.
+    sst = F.nullif(F.col("sxx") - corr, F.lit(0.0))
     return (
         tot.join(ssb, "event_type")
         .select(
@@ -1433,7 +1437,7 @@ def ev_seasonality_strength(spark, sf_dir):
             F.col("n").alias("n_hours"),
             F.col("t").alias("n_events"),
             F.round(
-                (F.col("sum_sq_over_n") - corr) / (F.col("sxx") - corr), 6
+                (F.col("sum_sq_over_n") - corr) / sst, 6
             ).alias("eta2_hour_of_day"),
         )
         .orderBy("event_type")

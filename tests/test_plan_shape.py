@@ -648,3 +648,24 @@ def test_markov_sweeps_are_model_sized(spark):
     plan = _executed_plan(ev_markov_stationary(spark, SF_SMOKE))
     assert plan.count("Scan parquet") <= 2
     assert "Scan ExistingRDD" in plan  # the checkpointed sweep output
+
+
+def test_kn_trigram_has_no_single_partition_exchange(spark):
+    """Round-12 fix ("What's wrong" #1, r11): the trigram-type total B
+    must reach the scoring expression as a broadcast scalar crossJoin
+    (the bigram sibling's pattern), never as an unpartitioned window
+    sum that funnels the final-word vocabulary through one task."""
+    from gravity_books_datalakehouse_spark.operators.lm import (
+        text_kn_trigram_logprob,
+    )
+
+    plan = _executed_plan(text_kn_trigram_logprob(spark, SF_SMOKE))
+    assert "Window" not in plan  # the vocab-sized window fold is gone
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar B crossJoin
+    # the only single-partition exchange left is the scalar aggregate's
+    # final fold, which moves ONE partial-sum row per upstream partition
+    # — never the vocab-sized nw relation itself
+    assert plan.count("Exchange SinglePartition") == 1
+    scalar_leg = plan.split("Exchange SinglePartition", 1)[1]
+    first_op = scalar_leg.splitlines()[1]
+    assert "HashAggregate" in first_op and "partial_sum" in first_op

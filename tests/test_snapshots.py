@@ -333,3 +333,78 @@ def test_occ_conflict_detected_and_retried(spark, tmp_path):
     )
     final = {r.k: r.v for r in sn.read_snapshot(spark, d).collect()}
     assert final == {1: "mine", 2: "other"}, (v, final)
+
+
+def test_stale_lock_from_crashed_writer_is_broken(tmp_path):
+    """Round-12 ADVICE fix: a crashed writer's _COMMIT_LOCK older than
+    the 300 s lease must be broken (the age check compares epoch clocks
+    — time.time() vs mtime; the old monotonic-vs-epoch compare made the
+    difference hugely negative so the break never fired and every later
+    writer timed out)."""
+    import os
+    import time
+
+    from gravity_books_datalakehouse_spark.sources import snapshots as sn
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    lock = os.path.join(d, sn._LOCK)
+    os.mkdir(lock)
+    old = time.time() - sn._LOCK_STALE_SEC - 60
+    os.utime(lock, (old, old))
+    t0 = time.monotonic()
+    got = sn._acquire_commit_lock(d, timeout=5.0)
+    assert time.monotonic() - t0 < 2.0, "stale break must not wait out the timeout"
+    assert got == lock and os.path.isdir(lock)
+    os.rmdir(got)
+
+
+def test_fresh_lock_is_not_broken(tmp_path):
+    """A live writer's lock (fresh mtime) must make waiters time out,
+    never be deleted from under the holder."""
+    import os
+
+    import pytest as _pytest
+
+    from gravity_books_datalakehouse_spark.sources import snapshots as sn
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    lock = os.path.join(d, sn._LOCK)
+    os.mkdir(lock)
+    with _pytest.raises(TimeoutError):
+        sn._acquire_commit_lock(d, timeout=0.3)
+    assert os.path.isdir(lock)
+
+
+def test_occ_staging_cleaned_up_when_lock_times_out(spark, tmp_path):
+    """Round-12 ADVICE fix: if the commit lock can't be acquired the
+    staged .staging-occ-* directory must be removed, not leaked."""
+    import os
+
+    import pytest as _pytest
+
+    from gravity_books_datalakehouse_spark.sources import snapshots as sn
+
+    d = str(tmp_path / "t")
+    sn.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), d
+    )
+    os.mkdir(os.path.join(d, sn._LOCK))  # a live (fresh) lock holder
+    orig = sn._acquire_commit_lock
+    sn._acquire_commit_lock = lambda table_dir, timeout=0.3: orig(
+        table_dir, timeout=0.3
+    )
+    try:
+        with _pytest.raises(TimeoutError):
+            sn.merge_snapshot_occ(
+                spark.createDataFrame([(2, "b")], "k int, v string"),
+                d,
+                ["k"],
+                max_retries=1,
+            )
+    finally:
+        sn._acquire_commit_lock = orig
+        os.rmdir(os.path.join(d, sn._LOCK))
+    leaked = [p for p in os.listdir(d) if p.startswith(".staging-occ-")]
+    assert leaked == [], leaked
