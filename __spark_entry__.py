@@ -28,133 +28,117 @@ _REGISTRY: list[tuple[dict, dict]] = []
 # so no family is invisible to the hard per-round signal. Everything else
 # keeps its natural module order after the head.
 _PRIORITY_HEAD = [
-    # --- round-11 window rotation state ---
+    # --- round-12 window rotation state ---
     # Priority order (the standard never-witnessed/changed-first
-    # discipline, executing the round-10 verdict's item-2 queue):
-    #   1. operators ADDED in round 11 — never witnessed (each already
-    #      differentially verified at sf0.001/sf0.01/sf0.1 this round):
-    #      dedup_optics_eps_profile (varying-eps density sweep),
-    #      ev_seasonal_ewma_control (Holt-Winters-flavored seasonal
-    #      chart, with a streaming GroupState twin pinned bit-equal in
-    #      tests/test_streaming.py), pipeline_temperature_mixture,
-    #      op_graph_global_stats, dedup_bloom_fpr_calibration,
-    #      ev_change_point_cusum (exact-integer CUSUM argmax),
-    #      pipeline_mixture_diversity (log-free inverse-Simpson),
-    #      ev_seasonality_strength (hour-of-day ANOVA eta-squared),
-    #      text_kn_bigram_logprob (interpolated Kneser-Ney),
-    #      ev_cusum_online (sequential CUSUM via the reflection
-    #      identity, with streaming_cusum_alerts as the FIFTH
-    #      batch/stream twin), and text_kn_trigram_logprob (the full
-    #      Chen-Goodman trigram recursion);
-    #   2. operators whose PLAN changed in round 11 and must re-hash:
-    #      text_substring_dedup_rewrite (difference-array interval
-    #      rewrite — also the oldest remaining round-6 witness),
-    #      ev_markov_stationary (left-join readout hardening), and the
-    #      four IVF consumers now sharing the memoized assignment
-    #      (sim_ivf_topk, sim_ivf_cluster_stats, sim_ivf_nprobe_curve,
-    #      sim_ivfpq_recall_report);
-    #   3. the ENTIRE remaining round-5 block (26 entries — the oldest
-    #      witnesses in the registry; sim_ivf_cluster_stats already
-    #      sits in group 2): the round-10 verdict's written queue
-    #      (ev_anomaly_hourly_zscore, dedup_rate_by_source,
-    #      sim_range_search, dedup_embedding_near_dup,
-    #      ev_retention_cohorts, pipeline_mixture_manifest), the 6
-    #      tail entries displaced in round 10, then the rest — this
-    #      also refreshes the stale no_oracle driver rows for the
-    #      rows-only quartet (mm_decode_features,
-    #      op_sketch_approx_stats, sim_pca_project,
-    #      op_outliers_mad_tdigest), so the window is 46/50 hard-hash
-    #      by design this round;
+    # discipline, executing the round-11 verdict's item-3 queue):
+    #   1. the operator ADDED in round 12 — never witnessed
+    #      (differentially verified at sf0.001/sf0.01/sf0.1 this round,
+    #      plus a pure-python union-find replay and a tau=0 == CC pin):
+    #      dedup_cluster_persistence (HDBSCAN-style condensed-tree
+    #      stability over the OPTICS tau grid, one contracted-CC pass
+    #      per level exploiting edge-set nesting);
+    #   2. operators whose PLAN or expression changed in round 12 and
+    #      must re-hash: text_kn_trigram_logprob (the vocab-sized
+    #      unpartitioned window fold of the type total B replaced by a
+    #      broadcast-scalar crossJoin — r11 verdict "What's wrong" #1;
+    #      hashes verified unchanged at sf0.01/sf0.1 + a plan test) and
+    #      ev_seasonality_strength (SST=0 NULLIF guard on both engines
+    #      — ADVICE r11 item 4; no-op on this corpus, re-hash anyway),
+    #      and ev_markov_stationary (the 5 power sweeps moved from
+    #      distributed tiny-joins to driver-side arithmetic on the
+    #      collected |types|^2 model matrix — the centroids-as-literals
+    #      idiom; 20x events probe 2.79 -> 2.05 s, the lag window is
+    #      now the measured floor — r11 verdict item 4);
+    #   3. the round-11 verdict's written queue: the six entries
+    #      displaced by late round-11 additions, then the remaining
+    #      round-6 block (ages 5-6 — the oldest oracle-backed
+    #      witnesses), restoring max witness age <= 6 rounds;
     #   4. family fills so EVERY family keeps >=1 row in the window
     #      (tests/test_entry_contract.py pins this), chosen
     #      oldest-witness-first inside each family:
-    #      star_q3_top5_customers (r7), op_scd2_priority_history (r9),
-    #      op_graph_triangles (r7), op_drift_psi_events (r10, sole
-    #      drift entry), op_split_train_eval (r6),
-    #      op_j_left_nulls_kept (r6), op_a_cube (r6),
-    #      op_f_array_kit (r6), mm_center_embeddings_per_label (r6,
-    #      the oldest ORACLE-BACKED mm witness — mm_decode_features
-    #      alone would leave the family rows-only);
-    #   5. round-6 witnesses oldest-first to fill the remaining
-    #      slots (q_revenue_range_filter and op_pivot_event_counts
-    #      yielded theirs to the two late-round-11 additions,
-    #      pipeline_temperature_mixture and op_graph_global_stats —
-    #      both join the round-12 queue head).
-    # Round-12 queue, in order: q_revenue_range_filter,
-    # op_pivot_event_counts, op_w_running_total,
-    # op_j10_differing_key_names, op_w_topn_per_group,
-    # op_p4_p5_casts, op_where_filter_pushdown, ev_sliding_windows,
-    # and ev_rolling_7d_active_users (displaced by the late-round-11
-    # additions — the ev family keeps 8 other window rows), then the
-    # remaining
-    # round-6 block
-    # (text_quality_scores, text_fingerprint, text_top_bigrams,
-    # text_lang_confusion, dedup_exact, pipeline_contamination_by_source,
-    # op_sample_rebalance_langs, pipeline_epoch_shuffle,
-    # sim_ann_recall_report, op_asof_join_tolerance, sim_kmeans_refine,
-    # ev_funnel_time_to_convert, ev_user_ltv_topk,
-    # ev_type_transition_matrix, q_customer_rfm_segments,
-    # q_revenue_pareto, q_order_to_ship_lag, q_important_part_value,
-    # q_late_shipment_priority, q_customer_order_distribution,
-    # q_part_supplier_counts, q_idle_rich_customers, op_percentiles_exact,
-    # op_pivot_event_counts if displaced, q_heavy_suppliers_semi,
-    # text_compression_ratio), then round-7 witnesses oldest-first,
-    # keeping the one-oracle-row-per-family contract test green.
-    # --- 1. NEW round-11 operators (never witnessed) ---
-    "dedup_optics_eps_profile",
-    "ev_seasonal_ewma_control",
-    "pipeline_temperature_mixture",
-    "op_graph_global_stats",
-    "dedup_bloom_fpr_calibration",
-    "ev_change_point_cusum",
-    "pipeline_mixture_diversity",
-    "ev_seasonality_strength",
-    "text_kn_bigram_logprob",
-    "ev_cusum_online",
+    #      star_q4_sales_by_nation (r7), mm_payload_metadata (r7),
+    #      op_split_stratified_exact (r7), op_a_stats_kit (r7),
+    #      op_f_date_kit (r6), op_sketch_countmin_terms (r9),
+    #      op_scd2_temporal_join (r10), op_graph_kcore (r8),
+    #      op_drift_psi_events (r11, sole drift entry),
+    #      op_outliers_mad (r10);
+    #   5. round-7 witnesses oldest-first for the last slots:
+    #      dedup_fuzzy_prefix, dedup_semantic_kmeans
+    #      (ev_attribution_touch yielded its slot to the
+    #      ev_markov_stationary re-witness and leads the round-13
+    #      queue).
+    # Round-13 queue, in order: ev_attribution_touch, then the
+    # remaining round-7 block:
+    # op_a1_group_concat_sorted, op_a2_global_minmax, op_a3_distinct,
+    # op_f_date_dim_kit, op_f_regex_kit, op_f_string_kit, op_j_anti,
+    # op_j_semi, op_layout_zorder_prune, op_o_topk_desc_tiebreak,
+    # op_p2_rename, op_p3_dropna_after_left_join, op_profile_columns,
+    # op_s1_scan_projection, op_s6_sql_over_views,
+    # op_sample_hash_bernoulli, op_set_union_intersect_except,
+    # op_snapshot_diff, op_w_mom_growth, op_w_ntile_deciles,
+    # pipeline_curation_verdict, q_basket_copurchase_lift,
+    # q_large_volume_customers, q_market_share_by_year,
+    # q_nation_pair_flows, q_pricing_summary, q_profit_by_nation_year,
+    # q_returned_item_customers, q_top_urgent_orders,
+    # sim_lsh_multiprobe_topk, then the rest of the round-7 block and
+    # round-8 witnesses oldest-first, keeping the
+    # one-oracle-row-per-family contract test green.
+    # --- 1. NEW round-12 operator (never witnessed) ---
+    "dedup_cluster_persistence",
+    # --- 2. plan/expression changed in round 12 — re-witness ---
     "text_kn_trigram_logprob",
-    # --- 2. plan changed in round 11 — re-witness ---
-    "text_substring_dedup_rewrite",
+    "ev_seasonality_strength",
     "ev_markov_stationary",
-    "sim_ivf_topk",
-    "sim_ivf_cluster_stats",
-    "sim_ivf_nprobe_curve",
-    "sim_ivfpq_recall_report",
-    # --- 3. the remaining round-5 block (oldest witnesses) ---
-    "ev_anomaly_hourly_zscore",
-    "dedup_rate_by_source",
-    "sim_range_search",
-    "dedup_embedding_near_dup",
-    "ev_retention_cohorts",
-    "pipeline_mixture_manifest",
-    "ev_anomaly_hourly_zscore_gapfill",
-    "ev_json_props_extract",
-    "ev_type_value_stats",
-    "mm_decode_features",
-    "op_sketch_approx_stats",
-    "op_w_value_functions",
-    "q_local_supplier_volume",
-    "q_min_cost_supplier",
-    "q_priority_with_returns",
-    "q_top_supplier_revenue",
-    "sim_label_centroids",
-    "sim_lsh_bucket_stats",
-    "sim_pca_project",
-    "text_bpe_pretokenize_stats",
-    "text_quality_percentile_cut",
-    "text_vocab_growth",
-    "op_outliers_mad_tdigest",
-    "op_sample_importance_by_quality",
+    # --- 3a. the six entries displaced by late round-11 additions ---
+    "q_revenue_range_filter",
+    "op_pivot_event_counts",
+    "op_w_running_total",
+    "op_j10_differing_key_names",
+    "op_w_topn_per_group",
+    "op_p4_p5_casts",
+    "op_where_filter_pushdown",
+    "ev_sliding_windows",
+    "ev_rolling_7d_active_users",
+    # --- 3b. the remaining round-6 block (oldest witnesses) ---
+    "text_quality_scores",
+    "text_fingerprint",
+    "text_top_bigrams",
+    "text_lang_confusion",
+    "dedup_exact",
+    "pipeline_contamination_by_source",
+    "op_sample_rebalance_langs",
+    "pipeline_epoch_shuffle",
+    "sim_ann_recall_report",
+    "op_asof_join_tolerance",
+    "sim_kmeans_refine",
+    "ev_funnel_time_to_convert",
+    "ev_user_ltv_topk",
+    "ev_type_transition_matrix",
+    "q_customer_rfm_segments",
+    "q_revenue_pareto",
+    "q_order_to_ship_lag",
+    "q_important_part_value",
+    "q_late_shipment_priority",
+    "q_customer_order_distribution",
+    "q_part_supplier_counts",
+    "q_idle_rich_customers",
+    "op_percentiles_exact",
+    "q_heavy_suppliers_semi",
+    "text_compression_ratio",
     # --- 4. family-coverage fills (oldest witness per family) ---
-    "star_q3_top5_customers",
-    "op_scd2_priority_history",
-    "op_graph_triangles",
+    "star_q4_sales_by_nation",
+    "mm_payload_metadata",
+    "op_split_stratified_exact",
+    "op_a_stats_kit",
+    "op_f_date_kit",
+    "op_sketch_countmin_terms",
+    "op_scd2_temporal_join",
+    "op_graph_kcore",
     "op_drift_psi_events",
-    "op_split_train_eval",
-    "op_j_left_nulls_kept",
-    "op_a_cube",
-    "op_f_array_kit",
-    "mm_center_embeddings_per_label",
-    # --- 5. round-6 witnesses oldest-first ---
+    "op_outliers_mad",
+    # --- 5. round-7 witnesses oldest-first ---
+    "dedup_fuzzy_prefix",
+    "dedup_semantic_kmeans",
 ]
 
 

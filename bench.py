@@ -460,6 +460,13 @@ DOCS_QUERIES = (
                                   # 32-thread session (spark-only: the
                                   # oracle keeps the coverage-explode
                                   # SQL, quadratic-ish at 20x)
+    "dedup_cluster_persistence",  # round 12: the 6-level contracted-CC
+                                  # cascade on the collapsed rep graph —
+                                  # at 20x the rep graph is UNCHANGED
+                                  # (exact-dedup-first), only mults grow
+                                  # (spark-only: the per-level recursive
+                                  # closure oracle is |component|^2 x 6
+                                  # levels at doc level)
 )
 # text_substring_dedup_rewrite 20x history: the round-10 form was
 # measured once and NOT probed per-round. Isolated 4g/16-thread
@@ -500,6 +507,7 @@ DOCS_SPARK_ONLY = {
     "dedup_dbscan_density_clusters",
     "text_substring_dedup_rewrite",
     "dedup_optics_eps_profile",
+    "dedup_cluster_persistence",
 }
 #: ANN-family queries probed on the 20x EMBEDDINGS replica (vec_id
 #: offset per copy; 2k -> 40k vectors at sf0.1). Exact copies make
@@ -520,7 +528,12 @@ EV_QUERIES = (
     "ev_tumbling_hourly",         # windowed agg: 20x rows into the same cells
     "ev_top_session_paths",       # user-partitioned windows at 20x users
     "ev_seasonal_ewma_control",   # hourly collapse + 31-lag window pass
-    "ev_markov_stationary",       # lag window + |types|^2 sweeps at 20x mass
+    "ev_markov_stationary",       # lag window + driver-side |types|^2 sweeps
+    "ev_cusum_online",            # round 12: reflection-identity windows on
+                                  # the same hourly spine as the seasonal
+                                  # chart — a probe row proves the shared
+                                  # shape costs the same at 20x
+    "ev_seasonality_strength",    # round 12: 24-group ANOVA over the spine
 )
 
 
@@ -1029,6 +1042,13 @@ def main() -> None:
         "ivf_assign", lambda: _sim._ivf_assigned(spark, SF_DIR).count()
     )
     _time_cache("qnorm_hist", lambda: _aq._pooled_cum(spark, SF_DIR))
+    from gravity_books_datalakehouse_spark.operators import components as _cmp
+
+    # shared by the OPTICS eps sweep and the r12 cluster-persistence
+    # cascade (localCheckpoint materializes eagerly)
+    _time_cache(
+        "rep_jaccard", lambda: _cmp._cached_rep_jaccard(spark, SF_DIR)
+    )
     print(f"# cache_build_sec: {cache_build}", file=sys.stderr)
 
     from gravity_books_datalakehouse_spark.metrics import (

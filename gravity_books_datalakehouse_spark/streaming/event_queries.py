@@ -2771,12 +2771,19 @@ def ev_markov_stationary(spark, sf_dir):
     absorbs sweep mass without re-emitting it — identical on both
     engines and documented as the unnormalized-sweep contract.
 
-    Scale shape: the only corpus-sized stages are the one
+    Scale shape (round 12): the only corpus-sized stages are the one
     user-partitioned lag window (shared with the transition matrix)
-    and the empirical-share aggregate; the chain itself is a
-    |types|^2 model-state relation, localCheckpoint-pinned once, and
-    each sweep is a broadcast-sized join over it (the pagerank
-    stationary-adjacency idiom, shrunk to matrix scale)."""
+    and the empirical-share aggregate. The transition matrix itself is
+    MODEL state — |types|^2 rows where the event-type vocabulary is an
+    enumerated application domain (dozens at any corpus size) — so it
+    is collected once and the 5 sweeps run as plain float arithmetic
+    on the driver, exactly the centroids-as-literals idiom
+    (sim_silhouette_by_label): the distributed sweep-join form paid
+    ~2.5 s of pure stage scheduling on a ~25-row relation at the 20x
+    events probe (the r11 verdict's watch item 3; the lag window
+    itself measured 0.9 s). Per-sweep sums iterate sorted keys, so the
+    driver arithmetic is deterministic; cross-engine float noise stays
+    at 1e-15 exactly as before (absorbed by the 6-dp display round)."""
     from pyspark.sql import Window
 
     e = load_events(spark, sf_dir)
@@ -2784,32 +2791,31 @@ def ev_markov_stationary(spark, sf_dir):
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).where(F.col("next_type").isNotNull())
-    tm = (
+    tm_rows = (
         seq.groupBy(
             F.col("event_type").alias("f"), F.col("next_type").alias("t")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()  # model-sized: |types|^2, types an enumerated domain
     )
-    pr = tm.withColumn(
-        "p", F.col("n") * F.lit(1.0) / F.sum("n").over(Window.partitionBy("f"))
-    ).localCheckpoint()
-    states = pr.select(F.col("f").alias("s")).distinct()
-    n_states = states.count()
-    p = states.select("s", F.lit(1.0 / n_states).alias("p"))
-    # no per-sweep checkpoint: the sweep chain is LINEAR (each p used
-    # exactly once) over the already-checkpointed pr, so lineage is 5
-    # tiny joins with nothing to recompute — one job instead of six
-    # driver round-trips (measured ~2.0 s -> mostly scheduling floor)
+    row_tot: dict[str, int] = {}
+    for r in tm_rows:
+        row_tot[r.f] = row_tot.get(r.f, 0) + r.n
+    pr = {(r.f, r.t): r.n * 1.0 / row_tot[r.f] for r in tm_rows}
+    states = sorted(row_tot)
+    p = {s: 1.0 / len(states) for s in states}
     for _ in range(_MARKOV_SWEEPS):
-        p = (
-            pr.join(
-                p.select(F.col("s").alias("f"), F.col("p").alias("pp")), "f"
-            )
-            .groupBy(F.col("t").alias("s"))
-            .agg(F.sum(F.col("pp") * F.col("p")).alias("p"))
-        )
-    outs = tm.groupBy(F.col("f").alias("event_type")).agg(
-        F.sum("n").cast("bigint").alias("n_out_transitions")
+        nxt: dict[str, float] = {}
+        for (f, t), pp in sorted(pr.items()):
+            if f in p:
+                nxt[t] = nxt.get(t, 0.0) + pp * p[f]
+        p = nxt
+    stat_rows = [(s, float(v)) for s, v in sorted(p.items())]
+    stationary = spark.createDataFrame(
+        stat_rows, "event_type string, p double"
+    )
+    outs = spark.createDataFrame(
+        sorted(row_tot.items()), "event_type string, n_out_transitions bigint"
     )
     emp = (
         e.groupBy("event_type")
@@ -2828,12 +2834,8 @@ def ev_markov_stationary(spark, sf_dir):
         )
     )
     return (
-        emp.join(outs, "event_type", "left")
-        .join(
-            p.select(F.col("s").alias("event_type"), "p"),
-            "event_type",
-            "left",
-        )
+        emp.join(F.broadcast(outs), "event_type", "left")
+        .join(F.broadcast(stationary), "event_type", "left")
         .select(
             "event_type",
             F.coalesce("n_out_transitions", F.lit(0))

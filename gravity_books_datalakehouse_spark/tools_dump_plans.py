@@ -106,7 +106,7 @@ SHOW = {
     "dedup_dbscan_density_clusters": "Exact-dedup-FIRST density clustering: degree, core filter, core-core CC fixpoint, and border attachment all run on the REP-level graph (the ExistingRDD scans are the checkpointed CC rounds); the only corpus-sized stage is the md5-group expansion join at the end — verbatim k-cliques never reach any join (round 10).",
     "sim_silhouette_by_label": "Centroids collect once as model state and re-enter as a literal array (the kmeans _assign idiom): the per-vector a/b pass is a zero-shuffle narrow map stage — transform() evaluates each centroid fold exactly once per row; the final aggregate carries |labels| rows (round 10).",
     "sim_ivfpq_recall_report": "IVF candidate restriction (broadcast probes keyed on cluster_id) composed with PQ ADC: the encode and assignment passes are map-side against broadcast model state; the checkpointed candidate set is nprobe/k of the corpus and everything after it is |Q|-bounded; truth is the sample-bounded brute-force leg (round 10).",
-    "ev_markov_stationary": "Corpus-sized stages are ONE user-partitioned lag window (shared shape with the transition matrix) and the empirical-share aggregate; the chain is a |types|^2 checkpointed relation and each of the 5 unrolled sweeps is a broadcast-sized join over it — the pagerank stationary-adjacency idiom at matrix scale (round 10).",
+    "ev_markov_stationary": "Corpus-sized stages are ONE user-partitioned lag window (a separate collected model job) and the empirical-share aggregate in the returned plan; the |types|^2 transition matrix collects once as model state and the 5 power sweeps run driver-side (the centroids-as-literals idiom) — the readout joins two broadcast literal frames, no iterative sweep stage (round 12; 20x events probe 2.79 -> 2.05 s).",
     "sim_knn_reciprocity": "Sample-bounded self-join (|S|^2 pairs, the measurement's intrinsic cost) -> one |S|-partition top-k window -> reversed-key self-join of the k|S|-row checkpointed top relation -> one-row aggregate; nothing corpus-sized beyond the sampled scan (round 10).",
     "dedup_density_stability_profile": "Fixpoint-FREE threshold sweep: border-ness reduces to max-adjacent-group-degree arithmetic (two rep-sized joins), the 5 thresholds ride one in-row explode, and the aggregate is 5 rows — no iteration, no corpus-sized stage; the per-threshold topology deliberately lives in the single-fixpoint DBSCAN op (round 10).",
     "dedup_optics_eps_profile": "Varying-eps sweep with zero fixpoints: ONE exact-Jaccard pass over the checkpointed rep pairs (post-LSH bounded), 6 tau levels ride an in-row explode, degrees/border-ness are the group-degree lemma per level (two rep-sized joins), doc counts return as multiplicity-weighted sums — no corpus-sized stage beyond the cached collapse (round 11).",
@@ -118,6 +118,8 @@ SHOW = {
     "ev_seasonality_strength": "Hourly collapse + 24-group sufficient statistics per type; SSB assembles the per-group S^2/n divisions in an hod-ordered running-sum window so the float composition is pinned; one row per type (round 11).",
     "ev_cusum_online": "Control-chart spine again; the sequential-CUSUM recursion rides TWO ordered windows over the bucket-cardinality frame (running drift sum, running min of it — the reflection identity), sharing one per-type sort; warmup baseline is a broadcast-sized join (round 11).",
     "text_kn_bigram_logprob": "Four map-side-combined groupBys over ONE exploded bigram stream (bigram, context+forward-continuation, backward-continuation, type scalar); scoring joins stay keyed on bigram/context/word; per-doc rollup finishes — the add-one twin's profile plus one broadcast scalar and one co-keyed join (round 11).",
+    "text_kn_trigram_logprob": "Five map-side-combined groupBys over ONE exploded trigram stream; the trigram-type total B aggregates to a broadcast scalar crossJoin (round 12 — replacing the unpartitioned vocab-sized window fold; the only SinglePartition exchange left is the scalar aggregate's one-row-per-partition final fold, pinned by a plan test); every scoring join keys on a gram or word.",
+    "dedup_cluster_persistence": "HDBSCAN-style condensed tree over the tau grid: ONE contracted CC pass per level exploiting edge-set nesting — each level's NEW rep edges (stamped once with their max passing level, pure-integer test) map through the current labels so the fixpoint runs on a strictly shrinking remainder and is skipped when a level adds no cross-component edge; masses expand by group multiplicity; output is cluster-count rows (round 12).",
 }
 
 

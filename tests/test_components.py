@@ -164,3 +164,144 @@ def test_optics_eps_profile_invariants(spark):
         fixed.n_noise,
     )
     assert rows[0].n_vertices == fixed.n_vertices
+
+
+def test_cluster_persistence_invariants(spark):
+    """Structural invariants of the condensed-tree output: contiguous
+    alive band (birth >= death), masses monotone as tau falls
+    (docs_at_birth <= docs_at_death, both >= 2), stability equals the
+    replayed band integral, and every verbatim-dup group (mult >= 2)
+    births at tau = 1.0."""
+    from gravity_books_datalakehouse_spark.operators.components import (
+        dedup_cluster_persistence,
+    )
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _cached_exact_groups,
+    )
+
+    rows = dedup_cluster_persistence(spark, SF_SMOKE).collect()
+    assert rows, "smoke corpus must contain at least one cluster"
+    for r in rows:
+        assert r.birth_tau >= r.death_tau
+        assert 2 <= r.docs_at_birth <= r.docs_at_death
+        assert r.n_levels_alive >= 1
+        assert r.stability >= 0.0
+    # mult>=2 exact-dup groups are clusters from tau=1.0 down, labeled
+    # by their rep (which stays the minimum until a merge below)
+    gm = (
+        _cached_exact_groups(spark, SF_SMOKE)
+        .where(F.col("doc_id") == F.col("rep_doc_id"))
+        .where(F.col("mult") >= 2)
+        .select("rep_doc_id")
+        .collect()
+    )
+    births = {r.cluster_rep: r.birth_tau for r in rows}
+    for g in gm:
+        # the group's own label births at 1.0 unless a smaller-labeled
+        # component already absorbed it at every level (only possible
+        # if the label never appears at all)
+        if g.rep_doc_id in births:
+            assert births[g.rep_doc_id] == 1.0
+
+
+def test_cluster_persistence_tau0_matches_cc(spark):
+    """The tau=0 slice of the dendrogram IS connected components of the
+    unfiltered candidate graph: clusters alive at death_tau = 0 must
+    reproduce the CC assignment's cluster sizes exactly (same labels,
+    same doc masses)."""
+    from gravity_books_datalakehouse_spark.operators.components import (
+        dedup_cluster_persistence,
+        dedup_clusters_connected_components,
+    )
+
+    rows = dedup_cluster_persistence(spark, SF_SMOKE).collect()
+    at0 = {
+        r.cluster_rep: r.docs_at_death for r in rows if r.death_tau == 0.0
+    }
+    cc = (
+        dedup_clusters_connected_components(spark, SF_SMOKE)
+        .groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .collect()
+    )
+    want = {r.cluster_rep: r.n for r in cc}
+    assert at0 == want
+
+
+def test_cluster_persistence_python_replay(spark):
+    """Full-output pin against a pure-python union-find replay over the
+    same rep edges (stamped with their max passing grid level) and
+    group multiplicities."""
+    from gravity_books_datalakehouse_spark.operators.components import (
+        _PERSIST_W10,
+        _cached_rep_jaccard,
+        dedup_cluster_persistence,
+    )
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _cached_exact_groups,
+    )
+
+    gm = {
+        r.rep_doc_id: r.mult
+        for r in _cached_exact_groups(spark, SF_SMOKE)
+        .where(F.col("doc_id") == F.col("rep_doc_id"))
+        .collect()
+    }
+    edges = [
+        (r.doc_a, r.doc_b, r.n_int, r.u)
+        for r in _cached_rep_jaccard(spark, SF_SMOKE).collect()
+    ]
+    levels = sorted(_PERSIST_W10, reverse=True)
+    edged = {a for a, _, _, _ in edges} | {b for _, b, _, _ in edges}
+    dom = sorted(g for g, m in gm.items() if m >= 2 or g in edged)
+
+    parent = {g: g for g in dom}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo  # min-label root, matching the engine
+
+    alive: dict[int, list] = {}  # lbl -> [(t10, mass)]
+    for t in levels:
+        for a, b, n_int, u in edges:
+            if 10 * n_int >= t * u:
+                union(a, b)
+        mass: dict[int, int] = {}
+        for g in dom:
+            mass[find(g)] = mass.get(find(g), 0) + gm[g]
+        for lbl, m in mass.items():
+            if m >= 2:
+                alive.setdefault(lbl, []).append((t, m))
+    want = {}
+    for lbl, band in alive.items():
+        t10s = [t for t, _ in band]
+        masses = {t: m for t, m in band}
+        want[lbl] = (
+            max(t10s) / 10.0,
+            min(t10s) / 10.0,
+            len(band),
+            masses[max(t10s)],
+            masses[min(t10s)],
+            sum(m * _PERSIST_W10[t] for t, m in band) / 10.0,
+        )
+    got = {
+        r.cluster_rep: (
+            r.birth_tau,
+            r.death_tau,
+            r.n_levels_alive,
+            r.docs_at_birth,
+            r.docs_at_death,
+            r.stability,
+        )
+        for r in dedup_cluster_persistence(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -637,17 +637,21 @@ def test_silhouette_per_vector_pass_is_joinless(spark):
 
 
 def test_markov_sweeps_are_model_sized(spark):
-    """The corpus never re-enters the sweep loop: the returned frame
-    scans parquet exactly twice (the lag-window leg feeding the
-    checkpointed chain, and the empirical-share leg) and every sweep
-    reads the checkpointed |types|^2 relation (ExistingRDD scans)."""
+    """The corpus never enters the sweep arithmetic: the RETURNED frame
+    scans parquet exactly once (the empirical-share leg — the lag-window
+    transition build is a separate collected model job), joins only the
+    two broadcast literal frames (stationary vector + out-transition
+    counts), and contains no shuffle join or iterative sweep stage
+    (round 12: the 5 power sweeps run driver-side on the collected
+    |types|^2 matrix, the centroids-as-literals idiom)."""
     from gravity_books_datalakehouse_spark.streaming.event_queries import (
         ev_markov_stationary,
     )
 
     plan = _executed_plan(ev_markov_stationary(spark, SF_SMOKE))
-    assert plan.count("Scan parquet") <= 2
-    assert "Scan ExistingRDD" in plan  # the checkpointed sweep output
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan ExistingRDD") == 2  # the two model literals
 
 
 def test_kn_trigram_has_no_single_partition_exchange(spark):
