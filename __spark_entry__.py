@@ -31,12 +31,20 @@ _PRIORITY_HEAD = [
     # --- round-12 window rotation state ---
     # Priority order (the standard never-witnessed/changed-first
     # discipline, executing the round-11 verdict's item-3 queue):
-    #   1. the operator ADDED in round 12 — never witnessed
-    #      (differentially verified at sf0.001/sf0.01/sf0.1 this round,
-    #      plus a pure-python union-find replay and a tau=0 == CC pin):
-    #      dedup_cluster_persistence (HDBSCAN-style condensed-tree
-    #      stability over the OPTICS tau grid, one contracted-CC pass
-    #      per level exploiting edge-set nesting);
+    #   1. the operators ADDED in round 12 — never witnessed (each
+    #      differentially verified at sf0.001/sf0.01/sf0.1 this round,
+    #      plus pure-python replays): dedup_cluster_persistence
+    #      (HDBSCAN-style condensed-tree stability over the OPTICS tau
+    #      grid, one contracted-CC pass per level exploiting edge-set
+    #      nesting; tau=0 == CC pin), dedup_cluster_extraction
+    #      (HDBSCAN excess-of-mass flat clustering over that tree —
+    #      bottom-up S* DP + coverage descent, all integer tenths;
+    #      leaf-partition property pinned), ev_markov_attribution
+    #      (removal-effect channel attribution: K=8 unrolled absorption
+    #      sweeps on the journey chain, driver-side model matrix,
+    #      python replay pinned), and op_sketch_hll_merge_days (per-day
+    #      HLL partials max-merged, mismatch-vs-direct witnessed
+    #      relationally);
     #   2. operators whose PLAN or expression changed in round 12 and
     #      must re-hash: text_kn_trigram_logprob (the vocab-sized
     #      unpartitioned window fold of the type total B replaced by a
@@ -62,13 +70,14 @@ _PRIORITY_HEAD = [
     #      op_scd2_temporal_join (r10), op_graph_kcore (r8),
     #      op_drift_psi_events (r11, sole drift entry),
     #      op_outliers_mad (r10);
-    #   5. round-7 witnesses oldest-first for the last slots:
-    #      dedup_fuzzy_prefix, dedup_semantic_kmeans
-    #      (ev_attribution_touch yielded its slot to the
-    #      ev_markov_stationary re-witness and leads the round-13
-    #      queue).
-    # Round-13 queue, in order: ev_attribution_touch, then the
-    # remaining round-7 block:
+    #   (ev_attribution_touch, dedup_semantic_kmeans,
+    #   dedup_fuzzy_prefix, and text_compression_ratio's rows-only
+    #   refresh yielded their slots to the four round-12 additions and
+    #   the ev_markov_stationary re-witness; they lead the round-13
+    #   queue).
+    # Round-13 queue, in order: ev_attribution_touch,
+    # dedup_semantic_kmeans, dedup_fuzzy_prefix,
+    # text_compression_ratio, then the remaining round-7 block:
     # op_a1_group_concat_sorted, op_a2_global_minmax, op_a3_distinct,
     # op_f_date_dim_kit, op_f_regex_kit, op_f_string_kit, op_j_anti,
     # op_j_semi, op_layout_zorder_prune, op_o_topk_desc_tiebreak,
@@ -83,8 +92,11 @@ _PRIORITY_HEAD = [
     # sim_lsh_multiprobe_topk, then the rest of the round-7 block and
     # round-8 witnesses oldest-first, keeping the
     # one-oracle-row-per-family contract test green.
-    # --- 1. NEW round-12 operator (never witnessed) ---
+    # --- 1. NEW round-12 operators (never witnessed) ---
     "dedup_cluster_persistence",
+    "dedup_cluster_extraction",
+    "ev_markov_attribution",
+    "op_sketch_hll_merge_days",
     # --- 2. plan/expression changed in round 12 — re-witness ---
     "text_kn_trigram_logprob",
     "ev_seasonality_strength",
@@ -124,7 +136,6 @@ _PRIORITY_HEAD = [
     "q_idle_rich_customers",
     "op_percentiles_exact",
     "q_heavy_suppliers_semi",
-    "text_compression_ratio",
     # --- 4. family-coverage fills (oldest witness per family) ---
     "star_q4_sales_by_nation",
     "mm_payload_metadata",
@@ -136,9 +147,6 @@ _PRIORITY_HEAD = [
     "op_graph_kcore",
     "op_drift_psi_events",
     "op_outliers_mad",
-    # --- 5. round-7 witnesses oldest-first ---
-    "dedup_fuzzy_prefix",
-    "dedup_semantic_kmeans",
 ]
 
 

@@ -467,6 +467,9 @@ DOCS_QUERIES = (
                                   # (spark-only: the per-level recursive
                                   # closure oracle is |component|^2 x 6
                                   # levels at doc level)
+    "dedup_cluster_extraction",   # round 12: the S* DP + coverage descent
+                                  # over the shared cascade (spark-only:
+                                  # same closure-oracle shape)
 )
 # text_substring_dedup_rewrite 20x history: the round-10 form was
 # measured once and NOT probed per-round. Isolated 4g/16-thread
@@ -508,6 +511,7 @@ DOCS_SPARK_ONLY = {
     "text_substring_dedup_rewrite",
     "dedup_optics_eps_profile",
     "dedup_cluster_persistence",
+    "dedup_cluster_extraction",
 }
 #: ANN-family queries probed on the 20x EMBEDDINGS replica (vec_id
 #: offset per copy; 2k -> 40k vectors at sf0.1). Exact copies make
@@ -534,6 +538,8 @@ EV_QUERIES = (
                                   # chart — a probe row proves the shared
                                   # shape costs the same at 20x
     "ev_seasonality_strength",    # round 12: 24-group ANOVA over the spine
+    "ev_markov_attribution",      # round 12: session windows + driver-side
+                                  # removal-effect chains at 20x journeys
 )
 
 

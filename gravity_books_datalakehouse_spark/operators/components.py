@@ -1061,6 +1061,60 @@ def dedup_cluster_persistence(spark, sf_dir):
     per-level label frames are group-count rows; output is bounded by
     the number of clusters. No corpus-sized stage beyond the cached
     collapse."""
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        evict_other_scales,
+        session_key,
+    )
+
+    key = session_key(spark, sf_dir)
+    if key in _PERSISTENCE_CACHE:
+        return _PERSISTENCE_CACHE[key]
+    evict_other_scales(_PERSISTENCE_CACHE, key)
+
+    lab = _persistence_levels(spark, sf_dir)
+    alive = (
+        lab.groupBy("t10", "lbl")
+        .agg(F.sum("mult").alias("mass"))
+        .where(F.col("mass") >= 2)
+    )
+    w10 = F.when(F.col("t10") == 10, 2).when(F.col("t10") == 8, 3).when(
+        F.col("t10") == 5, 3
+    ).when(F.col("t10") == 2, 1).when(F.col("t10") == 1, 1).otherwise(0)
+    out = (
+        alive.groupBy("lbl")
+        .agg(
+            F.max("t10").alias("bt10"),
+            F.min("t10").alias("dt10"),
+            F.count(F.lit(1)).cast("bigint").alias("n_levels_alive"),
+            F.max_by("mass", "t10").cast("bigint").alias("docs_at_birth"),
+            F.min_by("mass", "t10").cast("bigint").alias("docs_at_death"),
+            F.sum(F.col("mass") * w10).alias("st10"),
+        )
+        .select(
+            F.col("lbl").cast("bigint").alias("cluster_rep"),
+            (F.col("bt10") / F.lit(10.0)).alias("birth_tau"),
+            (F.col("dt10") / F.lit(10.0)).alias("death_tau"),
+            "n_levels_alive",
+            "docs_at_birth",
+            "docs_at_death",
+            (F.col("st10") / F.lit(10.0)).alias("stability"),
+        )
+        .orderBy("cluster_rep")
+    )
+    _PERSISTENCE_CACHE[key] = out.localCheckpoint()
+    return _PERSISTENCE_CACHE[key]
+
+
+#: (applicationId, sf_dir) → checkpointed (g, lbl, mult, t10) per-level
+#: label assignment from the contracted-CC cascade — shared by the
+#: persistence profile and the excess-of-mass extraction op.
+_PLEVELS_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _persistence_levels(spark, sf_dir):
+    """Component label of every vertex-domain group at every grid level:
+    (g, lbl, mult, t10). One contracted CC pass per level, descending —
+    see dedup_cluster_persistence for the nesting argument."""
     from functools import reduce
 
     from gravity_books_datalakehouse_spark.operators.dedup import (
@@ -1072,9 +1126,9 @@ def dedup_cluster_persistence(spark, sf_dir):
     )
 
     key = session_key(spark, sf_dir)
-    if key in _PERSISTENCE_CACHE:
-        return _PERSISTENCE_CACHE[key]
-    evict_other_scales(_PERSISTENCE_CACHE, key)
+    if key in _PLEVELS_CACHE:
+        return _PLEVELS_CACHE[key]
+    evict_other_scales(_PLEVELS_CACHE, key)
 
     groups = _cached_exact_groups(spark, sf_dir)
     gm = groups.where(F.col("doc_id") == F.col("rep_doc_id")).select(
@@ -1139,7 +1193,195 @@ def dedup_cluster_persistence(spark, sf_dir):
         per_level.append(
             labels.select("g", "lbl", "mult", F.lit(t).alias("t10"))
         )
-    lab = reduce(lambda a, b: a.unionByName(b), per_level)
+    _PLEVELS_CACHE[key] = reduce(
+        lambda a, b: a.unionByName(b), per_level
+    ).localCheckpoint()
+    return _PLEVELS_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# HDBSCAN excess-of-mass cluster EXTRACTION — the final step of the
+# HDBSCAN pipeline (Campello et al. 2013 §4): given the condensed tree
+# above, pick the flat clustering that maximizes total stability. A
+# node beats its subtree iff its own stability >= the sum of its
+# children's best subtree scores (S* = max(sigma, sum children S*),
+# computed bottom-up); the selected set is every winning node with no
+# winning ancestor — a non-overlapping cover where each leaf has
+# exactly one selected ancestor-or-self. All scores stay in integer
+# tenths (st10 = sum mass*w10), so every comparison — including the
+# parent-wins tie rule — is exact on both engines.
+
+_PERSIST_LEVELS = (10, 8, 5, 2, 1, 0)
+_PERSIST_NEXT = {10: 8, 8: 5, 5: 2, 2: 1, 1: 0}
+
+
+#: (applicationId, sf_dir) → checkpointed extraction result (same
+#: rationale as _PERSISTENCE_CACHE).
+_EXTRACTION_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _extraction_oracle_sql() -> str:
+    """Generated level-chained oracle: the persistence closure prefix
+    (MATERIALIZED where reused — DuckDB 1.0.0 re-evaluates inlined CTEs
+    per reference, the observed-hang failure mode), then one DP CTE per
+    death level descending (children die at strictly higher levels, so
+    each step reads only already-finished levels) and one coverage CTE
+    per level ascending (parents die at strictly lower levels)."""
+    from gravity_books_datalakehouse_spark.operators.dedup import _MINHASH_SQL
+
+    prefix = (
+        _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+  counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_int
+    FROM pairs p
+    JOIN shd a ON a.doc_id = p.doc_a
+    JOIN shd b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2),
+  pj AS (
+    SELECT p.doc_a, p.doc_b, COALESCE(i.n_int, 0) AS n_int,
+           ca.n_sh + cb.n_sh - COALESCE(i.n_int, 0) AS uu
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b),
+  lv(t10) AS (VALUES (0), (1), (2), (5), (8), (10)),
+  sym AS (SELECT doc_a AS su, doc_b AS sv, n_int, uu FROM pj
+          UNION ALL SELECT doc_b, doc_a, n_int, uu FROM pj),
+  et AS (SELECT l.t10, s.su, s.sv FROM sym s JOIN lv l
+           ON s.n_int * 10 >= l.t10 * s.uu),
+  verts AS (SELECT DISTINCT su AS id FROM sym),
+  reach(t10, id, lbl) AS (
+    SELECT l.t10, v.id, v.id FROM verts v CROSS JOIN lv l
+    UNION
+    SELECT r.t10, r.id, e.sv FROM reach r
+    JOIN et e ON e.t10 = r.t10 AND e.su = r.lbl),
+  clab AS MATERIALIZED (
+    SELECT t10, id, MIN(lbl) AS lbl FROM reach GROUP BY 1, 2),
+  w(t10, w10) AS (VALUES (10, 2), (8, 3), (5, 3), (2, 1), (1, 1), (0, 0)),
+  alive AS MATERIALIZED (
+    SELECT t10, lbl, COUNT(*) AS mass FROM clab
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+  nodes AS MATERIALIZED (
+    SELECT a.lbl, MAX(a.t10) AS b10, MIN(a.t10) AS d10,
+           SUM(a.mass * w.w10) AS st10
+    FROM alive a JOIN w USING (t10) GROUP BY a.lbl),
+  nxt(t10, m) AS (VALUES (10, 8), (8, 5), (5, 2), (2, 1), (1, 0)),
+  par AS MATERIALIZED (
+    SELECT n.lbl, c.lbl AS parent
+    FROM nodes n
+    JOIN nxt ON nxt.t10 = n.d10
+    JOIN clab c ON c.t10 = nxt.m AND c.id = n.lbl)"""
+    )
+    dp = []
+    done_prev = None
+    for t in _PERSIST_LEVELS:
+        if done_prev:
+            kids = (
+                f"LEFT JOIN (SELECT p.parent, SUM(s.sstar) AS ks,"
+                f" COUNT(*) AS kc FROM {done_prev} s JOIN par p USING (lbl)"
+                f" GROUP BY 1) k ON k.parent = n.lbl "
+            )
+            wins = "CASE WHEN k.ks IS NULL OR n.st10 >= k.ks THEN 1 ELSE 0 END"
+            sstar = (
+                "CASE WHEN k.ks IS NULL THEN n.st10"
+                " ELSE GREATEST(n.st10, k.ks) END"
+            )
+            kc = "COALESCE(k.kc, 0)"
+        else:
+            kids, wins, sstar, kc = "", "1", "n.st10", "0"
+        dp.append(
+            f"s{t} AS MATERIALIZED (SELECT n.lbl, {wins} AS wins,"
+            f" {sstar} AS sstar, {kc} AS nch FROM nodes n {kids}"
+            f"WHERE n.d10 = {t})"
+        )
+        dn = f"dn{t}"
+        body = (
+            f"SELECT * FROM {done_prev} UNION ALL SELECT * FROM s{t}"
+            if done_prev
+            else f"SELECT * FROM s{t}"
+        )
+        dp.append(f"{dn} AS MATERIALIZED ({body})")
+        done_prev = dn
+    cov = ["c0 AS MATERIALIZED (SELECT lbl, 0 AS covered FROM nodes WHERE d10 = 0)"]
+    cov_prev = "c0"
+    for t in (1, 2, 5, 8, 10):
+        cov.append(
+            f"c{t} AS MATERIALIZED (SELECT * FROM {cov_prev} UNION ALL"
+            f" SELECT n.lbl, CASE WHEN pw.wins = 1 OR pc.covered = 1"
+            f" THEN 1 ELSE 0 END AS covered"
+            f" FROM nodes n JOIN par p USING (lbl)"
+            f" JOIN {done_prev} pw ON pw.lbl = p.parent"
+            f" JOIN {cov_prev} pc ON pc.lbl = p.parent"
+            f" WHERE n.d10 = {t})"
+        )
+        cov_prev = f"c{t}"
+    return (
+        prefix
+        + ",\n  "
+        + ",\n  ".join(dp + cov)
+        + f"""
+  SELECT CAST(n.lbl AS BIGINT) AS cluster_rep,
+         n.b10 / 10.0 AS birth_tau,
+         n.d10 / 10.0 AS death_tau,
+         CAST(p.parent AS BIGINT) AS parent_rep,
+         CAST(d.nch AS BIGINT) AS n_children,
+         n.st10 / 10.0 AS stability,
+         d.sstar / 10.0 AS subtree_stability,
+         CAST(CASE WHEN d.wins = 1 AND c.covered = 0 THEN 1 ELSE 0 END
+              AS INT) AS is_selected
+  FROM nodes n
+  JOIN {done_prev} d USING (lbl)
+  JOIN {cov_prev} c USING (lbl)
+  LEFT JOIN par p USING (lbl)
+  ORDER BY cluster_rep"""
+    )
+
+
+@register("dedup_cluster_extraction", _extraction_oracle_sql())
+def dedup_cluster_extraction(spark, sf_dir):
+    """Flat clustering from the persistence tree by HDBSCAN's
+    excess-of-mass rule: per tree node — (cluster_rep, birth_tau,
+    death_tau, parent_rep, n_children, stability, subtree_stability,
+    is_selected). parent_rep is the label of the component that absorbs
+    this cluster at the level below its death (NULL for the tau=0
+    roots); subtree_stability is S* = max(own st10, sum of children's
+    S*) computed bottom-up; a node WINS iff its own score meets its
+    children's total (parent wins ties — integer comparison), and
+    is_selected marks winning nodes with no winning ancestor. The
+    selected rows are the non-overlapping, stability-optimal flat
+    clusters: every leaf has exactly one selected ancestor-or-self
+    (pinned in tests).
+
+    Exactness: scores never leave integer tenths (st10 = sum
+    mass*w10 per alive level), so S*, the win rule, and the coverage
+    descent are all exact bigint decisions on both engines; the two
+    displayed /10.0 divisions are the only float ops.
+
+    Engine plan: the cascade labels come from the shared
+    _persistence_levels checkpoint; nodes/parents are cluster-count
+    frames; the DP runs ONE level per death level descending (children
+    die at strictly higher levels, so each step joins only finished
+    levels — max 6 model-sized joins), and coverage descends the same
+    chain ascending (parents die at strictly lower levels). No
+    driver-side tree walk: at 100 TB the cluster tree can be millions
+    of rows, and every step here is a label-keyed join over it.
+
+    Oracle: the persistence closure prefix with the same DP unrolled as
+    level-chained MATERIALIZED CTEs (DuckDB 1.0.0 re-evaluates inlined
+    CTEs per reference — the documented hang mode this avoids)."""
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        evict_other_scales,
+        session_key,
+    )
+
+    key = session_key(spark, sf_dir)
+    if key in _EXTRACTION_CACHE:
+        return _EXTRACTION_CACHE[key]
+    evict_other_scales(_EXTRACTION_CACHE, key)
+
+    lab = _persistence_levels(spark, sf_dir)
     alive = (
         lab.groupBy("t10", "lbl")
         .agg(F.sum("mult").alias("mass"))
@@ -1148,26 +1390,119 @@ def dedup_cluster_persistence(spark, sf_dir):
     w10 = F.when(F.col("t10") == 10, 2).when(F.col("t10") == 8, 3).when(
         F.col("t10") == 5, 3
     ).when(F.col("t10") == 2, 1).when(F.col("t10") == 1, 1).otherwise(0)
-    out = (
+    nodes = (
         alive.groupBy("lbl")
         .agg(
-            F.max("t10").alias("bt10"),
-            F.min("t10").alias("dt10"),
-            F.count(F.lit(1)).cast("bigint").alias("n_levels_alive"),
-            F.max_by("mass", "t10").cast("bigint").alias("docs_at_birth"),
-            F.min_by("mass", "t10").cast("bigint").alias("docs_at_death"),
+            F.max("t10").alias("b10"),
+            F.min("t10").alias("d10"),
             F.sum(F.col("mass") * w10).alias("st10"),
         )
+        .localCheckpoint()
+    )
+    # parent = this label's component label one level below its death
+    nxt = F.create_map(
+        *[F.lit(x) for kv in _PERSIST_NEXT.items() for x in kv]
+    )
+    par = (
+        nodes.where(F.col("d10") > 0)
+        .select("lbl", nxt[F.col("d10")].alias("m"))
+        .join(
+            lab.select(
+                F.col("g").alias("lbl"),
+                F.col("t10").alias("m"),
+                F.col("lbl").alias("parent"),
+            ),
+            ["lbl", "m"],
+        )
+        .select("lbl", "parent")
+        .localCheckpoint()
+    )
+    # bottom-up DP, one pass per death level descending
+    done = None
+    for t in _PERSIST_LEVELS:
+        cur = nodes.where(F.col("d10") == t)
+        if done is None:
+            cur = cur.select(
+                "lbl",
+                F.lit(1).alias("wins"),
+                F.col("st10").alias("sstar"),
+                F.lit(0).cast("bigint").alias("nch"),
+            )
+        else:
+            kids = (
+                done.join(par, "lbl")
+                .groupBy("parent")
+                .agg(
+                    F.sum("sstar").alias("ks"),
+                    F.count(F.lit(1)).cast("bigint").alias("kc"),
+                )
+            )
+            cur = (
+                cur.join(kids, cur["lbl"] == kids["parent"], "left")
+                .select(
+                    "lbl",
+                    F.when(
+                        F.col("ks").isNull()
+                        | (F.col("st10") >= F.col("ks")),
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("wins"),
+                    F.when(F.col("ks").isNull(), F.col("st10"))
+                    .otherwise(F.greatest("st10", "ks"))
+                    .alias("sstar"),
+                    F.coalesce("kc", F.lit(0)).alias("nch"),
+                )
+            )
+        done = cur if done is None else done.unionByName(cur)
+        done = done.localCheckpoint()
+    # coverage descent, one pass per level ascending
+    cov = nodes.where(F.col("d10") == 0).select(
+        "lbl", F.lit(0).alias("covered")
+    )
+    cov = cov.localCheckpoint()
+    for t in (1, 2, 5, 8, 10):
+        step = (
+            nodes.where(F.col("d10") == t)
+            .join(par, "lbl")
+            .join(
+                done.select(
+                    F.col("lbl").alias("parent"), F.col("wins").alias("pw")
+                ),
+                "parent",
+            )
+            .join(
+                cov.select(
+                    F.col("lbl").alias("parent"), F.col("covered").alias("pc")
+                ),
+                "parent",
+            )
+            .select(
+                "lbl",
+                F.when((F.col("pw") == 1) | (F.col("pc") == 1), 1)
+                .otherwise(0)
+                .alias("covered"),
+            )
+        )
+        cov = cov.unionByName(step).localCheckpoint()
+    out = (
+        nodes.join(done, "lbl")
+        .join(cov, "lbl")
+        .join(par, "lbl", "left")
         .select(
             F.col("lbl").cast("bigint").alias("cluster_rep"),
-            (F.col("bt10") / F.lit(10.0)).alias("birth_tau"),
-            (F.col("dt10") / F.lit(10.0)).alias("death_tau"),
-            "n_levels_alive",
-            "docs_at_birth",
-            "docs_at_death",
+            (F.col("b10") / F.lit(10.0)).alias("birth_tau"),
+            (F.col("d10") / F.lit(10.0)).alias("death_tau"),
+            F.col("parent").cast("bigint").alias("parent_rep"),
+            F.col("nch").cast("bigint").alias("n_children"),
             (F.col("st10") / F.lit(10.0)).alias("stability"),
+            (F.col("sstar") / F.lit(10.0)).alias("subtree_stability"),
+            F.when((F.col("wins") == 1) & (F.col("covered") == 0), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_selected"),
         )
         .orderBy("cluster_rep")
     )
-    _PERSISTENCE_CACHE[key] = out.localCheckpoint()
-    return _PERSISTENCE_CACHE[key]
+    _EXTRACTION_CACHE[key] = out.localCheckpoint()
+    return _EXTRACTION_CACHE[key]

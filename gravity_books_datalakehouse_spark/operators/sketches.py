@@ -216,3 +216,197 @@ def op_sketch_hll_distinct(spark, sf_dir):
             / F.col("exact_distinct").cast("double")
         ).alias("rel_error"),
     ).transform(bounded_sort, "event_type")
+
+
+# --------------------------------------------------------------------------
+# HLL MERGEABILITY across day partitions — the property that makes the
+# sketch the 100 TB distinct tool. A production pipeline never sketches
+# a year of data in one pass: it keeps one 256-register sketch PER DAY
+# (partition) and merges by register-wise max — associative, so any
+# re-aggregation (day -> week -> all-time, or across backfills) is
+# exact with respect to the sketch state. This op computes the per-day
+# partial registers, max-merges them, counts register mismatches
+# against the direct whole-corpus build (must be 0 — the identity is
+# data-independent), and publishes the estimate FROM THE MERGED PATH
+# beside the exact distinct count. Same md5-derived registers as
+# op_sketch_hll_distinct, so DuckDB reproduces the full merge
+# bit-for-bit.
+
+_HLL_MERGE_SQL = f"""WITH h AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+           md5(CAST(user_id AS VARCHAR)) AS hx
+    FROM events),
+  b0 AS (
+    SELECT event_type, d, hx,
+           length(regexp_extract(substr(hx, 3, {_HLL_RANK_NIBBLES}),
+                                 '^(0*)', 1)) AS nz
+    FROM h),
+  b AS (
+    SELECT event_type, d,
+           (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+           CASE WHEN nz >= {_HLL_RANK_NIBBLES} THEN {_HLL_MAX_RANK}
+                ELSE 4 * nz + 1
+                     + CASE WHEN v >= 8 THEN 0
+                            WHEN v >= 4 THEN 1
+                            WHEN v >= 2 THEN 2
+                            ELSE 3 END
+           END AS rnk
+    FROM (SELECT *,
+                 strpos('0123456789abcdef', substr(hx, 3 + nz, 1)) - 1 AS v
+          FROM b0)),
+  day_regs AS (
+    SELECT event_type, d, bucket, MAX(rnk) AS m_j
+    FROM b GROUP BY 1, 2, 3),
+  merged AS (
+    SELECT event_type, bucket, MAX(m_j) AS m_j
+    FROM day_regs GROUP BY 1, 2),
+  direct AS (
+    SELECT event_type, bucket, MAX(rnk) AS m_j FROM b GROUP BY 1, 2),
+  mism AS (
+    SELECT COALESCE(m.event_type, g.event_type) AS event_type,
+           CAST(SUM(CASE WHEN m.m_j IS DISTINCT FROM g.m_j
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM merged m
+    FULL OUTER JOIN direct g
+      ON g.event_type = m.event_type AND g.bucket = m.bucket
+    GROUP BY 1),
+  nd AS (
+    SELECT event_type, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+    FROM h GROUP BY 1),
+  agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(SUM(1::BIGINT << (49 - m_j)) AS BIGINT) AS present_sum
+    FROM merged GROUP BY 1),
+  ex AS (
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1)
+  SELECT a.event_type,
+         nd.n_days,
+         mism.n_mismatch AS n_register_mismatches,
+         CAST({_HLL_M} - a.n_present AS BIGINT) AS n_zero_registers,
+         CAST(a.present_sum
+              + ({_HLL_M} - a.n_present) * (1::BIGINT << 49)
+              AS BIGINT) AS sum_scaled,
+         {_HLL_NUM} / CAST(a.present_sum
+              + ({_HLL_M} - a.n_present) * (1::BIGINT << 49) AS DOUBLE)
+           AS merged_hll_estimate,
+         ex.exact_distinct
+  FROM agg a
+  JOIN nd USING (event_type)
+  JOIN mism USING (event_type)
+  JOIN ex ON ex.event_type = a.event_type
+  ORDER BY a.event_type"""
+
+
+@register("op_sketch_hll_merge_days", _HLL_MERGE_SQL)
+def op_sketch_hll_merge_days(spark, sf_dir):
+    """Register-wise max-merge of per-day HLL sketches, hash-verified:
+    (event_type, n_days, n_register_mismatches, n_zero_registers,
+    sum_scaled, merged_hll_estimate, exact_distinct). The mismatch
+    column compares the merged registers against a direct whole-corpus
+    build over the same hash stream — 0 by the associativity of max,
+    witnessed relationally on both engines every round; the estimate is
+    computed FROM the merged path. This is the re-aggregation path a
+    100 TB pipeline actually runs (day partials -> any rollup window),
+    costing one (type, day, bucket) groupBy — partial aggregation caps
+    each partition's exchange at days x m rows per type — then a
+    m-rows-per-type merge.
+
+    Floats: the estimate is one shared-literal division over the exact
+    scaled harmonic sum (the op_sketch_hll_distinct discipline);
+    everything else is bigint."""
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        F.md5(F.col("user_id").cast("string")).alias("hx"),
+    )
+    b0 = h.select(
+        "event_type",
+        "d",
+        "hx",
+        F.length(
+            F.regexp_extract(
+                F.substring("hx", 3, _HLL_RANK_NIBBLES), "^(0*)", 1
+            )
+        ).alias("nz"),
+    )
+    b = b0.withColumn(
+        "v",
+        F.conv(F.expr("substring(hx, 3 + nz, 1)"), 16, 10).cast("int"),
+    ).select(
+        "event_type",
+        "d",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.when(F.col("nz") >= _HLL_RANK_NIBBLES, F.lit(_HLL_MAX_RANK))
+        .otherwise(
+            4 * F.col("nz")
+            + 1
+            + F.when(F.col("v") >= 8, 0)
+            .when(F.col("v") >= 4, 1)
+            .when(F.col("v") >= 2, 2)
+            .otherwise(3)
+        )
+        .alias("rnk"),
+    ).localCheckpoint()  # hash stream shared by 3 consumers below
+    day_regs = b.groupBy("event_type", "d", "bucket").agg(
+        F.max("rnk").alias("m_j")
+    )
+    merged = day_regs.groupBy("event_type", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    direct = b.groupBy("event_type", "bucket").agg(F.max("rnk").alias("m_j"))
+    mism = (
+        merged.withColumnRenamed("m_j", "mm")
+        .join(direct.withColumnRenamed("m_j", "gm"), ["event_type", "bucket"], "full")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    ~F.col("mm").eqNullSafe(F.col("gm")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_register_mismatches")
+        )
+    )
+    nd = h.groupBy("event_type").agg(
+        F.count_distinct("d").cast("bigint").alias("n_days")
+    )
+    agg = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 49 - m_j)"))
+        .cast("bigint")
+        .alias("present_sum"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    num = F.lit(float(_HLL_NUM))
+    sum_scaled = (
+        F.col("present_sum")
+        + (F.lit(_HLL_M) - F.col("n_present"))
+        * F.expr("shiftleft(cast(1 as bigint), 49)")
+    ).cast("bigint")
+    return (
+        agg.join(nd, "event_type")
+        .join(mism, "event_type")
+        .join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_register_mismatches",
+            (F.lit(_HLL_M) - F.col("n_present"))
+            .cast("bigint")
+            .alias("n_zero_registers"),
+            sum_scaled.alias("sum_scaled"),
+            (num / sum_scaled.cast("double")).alias("merged_hll_estimate"),
+            "exact_distinct",
+        )
+        .transform(bounded_sort, "event_type")
+    )

@@ -65,6 +65,8 @@ def clear_session_caches() -> None:
         components._CC_CACHE,
         components._DBSCAN_CACHE,
         components._REP_JACCARD_CACHE,
+        components._PERSISTENCE_CACHE,
+        components._PLEVELS_CACHE,
     ):
         for value in registry.values():
             frames = value.values() if isinstance(value, dict) else [value]

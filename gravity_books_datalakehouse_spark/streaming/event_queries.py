@@ -2846,3 +2846,299 @@ def ev_markov_stationary(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (Anderl et al. 2014 — the
+# data-driven alternative to last-touch attribution every marketing
+# stack ships). Sessions become journeys START -> touches -> CONV (the
+# session's first 'purchase') or NOCONV (no purchase); the journey
+# chain's K-step conversion probability from START is computed on the
+# full transition matrix and on each channel-removed matrix (the
+# removed channel's inbound mass redirects to NOCONV, its outbound rows
+# drop — cutting every path through it); removal_effect(c) =
+# 1 - p_removed/p_base, normalized into attribution shares. Both
+# engines unroll the SAME K sweeps (the ev_markov_stationary exactness
+# contract — never a convergence race); the testdata's channel set
+# {click, error, signup, view} is enumerated in the oracle, the engine
+# side derives it from the data.
+
+_ATTR_K = 8
+_ATTR_CHANNELS = ("click", "error", "signup", "view")
+_ATTR_CONV = "purchase"
+
+
+def _attr_sweeps_sql(tag: str, pr_rel: str) -> str:
+    """K unrolled absorption sweeps over transition relation ``pr_rel``
+    (columns f, t, p): v_k(s) = 1 for CONV, 0 for NOCONV, else
+    sum p(s,t) * v_{k-1}(t)."""
+    ctes = [
+        f"""v{tag}0 AS (
+      SELECT s, CASE WHEN s = 'CONV' THEN 1.0 ELSE 0.0 END AS v
+      FROM states)"""
+    ]
+    for k in range(1, _ATTR_K + 1):
+        ctes.append(
+            f"""v{tag}{k} AS (
+      SELECT st.s,
+             CASE WHEN st.s = 'CONV' THEN 1.0
+                  WHEN st.s = 'NOCONV' THEN 0.0
+                  ELSE COALESCE(x.v, 0.0) END AS v
+      FROM states st LEFT JOIN (
+        SELECT pr.f AS s, SUM(pr.p * vp.v) AS v
+        FROM {pr_rel} pr JOIN v{tag}{k - 1} vp ON vp.s = pr.t
+        GROUP BY 1) x USING (s))"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _attribution_sql() -> str:
+    chans = ", ".join(f"('{c}')" for c in _ATTR_CHANNELS)
+    removed = []
+    for c in _ATTR_CHANNELS:
+        removed.append(
+            f"""pr_{c} AS (
+      SELECT f, CASE WHEN t = '{c}' THEN 'NOCONV' ELSE t END AS t,
+             SUM(p) AS p
+      FROM pr WHERE f <> '{c}' GROUP BY 1, 2),
+    {_attr_sweeps_sql("_" + c, "pr_" + c)}"""
+        )
+    removed_sql = ",\n    ".join(removed)
+    rem_union = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, v AS prm FROM v_{c}{_ATTR_K} "
+        f"WHERE s = 'START'"
+        for c in _ATTR_CHANNELS
+    )
+    return f"""WITH flagged AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+             CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                    OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                       > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged),
+    ranked AS (
+      SELECT user_id, sess_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS rn
+      FROM numbered),
+    sess AS (SELECT DISTINCT user_id, sess_id FROM ranked),
+    fp AS (
+      SELECT user_id, sess_id, MIN(rn) AS fp_rn
+      FROM ranked WHERE event_type = '{_ATTR_CONV}' GROUP BY 1, 2),
+    toks AS (
+      SELECT user_id, sess_id, 0 AS pos, 'START' AS tok FROM sess
+      UNION ALL
+      SELECT r.user_id, r.sess_id, r.rn AS pos, r.event_type AS tok
+      FROM ranked r LEFT JOIN fp USING (user_id, sess_id)
+      WHERE fp.fp_rn IS NULL OR r.rn < fp.fp_rn
+      UNION ALL
+      SELECT s.user_id, s.sess_id, 2147483647 AS pos,
+             CASE WHEN fp.fp_rn IS NOT NULL THEN 'CONV'
+                  ELSE 'NOCONV' END AS tok
+      FROM sess s LEFT JOIN fp USING (user_id, sess_id)),
+    tr AS (
+      SELECT tok AS f,
+             lead(tok) OVER (PARTITION BY user_id, sess_id
+                             ORDER BY pos) AS t
+      FROM toks),
+    tm AS (
+      SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr WHERE t IS NOT NULL GROUP BY 1, 2),
+    pr AS (
+      SELECT f, t, n * 1.0 / SUM(n) OVER (PARTITION BY f) AS p FROM tm),
+    states AS (
+      SELECT DISTINCT f AS s FROM tm
+      UNION SELECT DISTINCT t FROM tm),
+    {_attr_sweeps_sql("b", "pr")},
+    {removed_sql},
+    base AS (SELECT v AS pb FROM vb{_ATTR_K} WHERE s = 'START'),
+    chan(channel) AS (VALUES {chans}),
+    outs AS (
+      SELECT f AS channel, CAST(SUM(n) AS BIGINT) AS n_transitions_from
+      FROM tm GROUP BY 1),
+    rem AS (
+      {rem_union}),
+    re AS (
+      SELECT c.channel,
+             COALESCE(o.n_transitions_from, 0) AS n_transitions_from,
+             b.pb, r.prm,
+             1.0 - r.prm / NULLIF(b.pb, 0) AS eff
+      FROM chan c
+      JOIN rem r USING (channel)
+      LEFT JOIN outs o USING (channel)
+      CROSS JOIN base b)
+    SELECT channel,
+           CAST(n_transitions_from AS BIGINT) AS n_transitions_from,
+           ROUND(pb, 6) AS p_conv_base,
+           ROUND(prm, 6) AS p_conv_removed,
+           ROUND(eff, 6) AS removal_effect,
+           ROUND(eff / NULLIF(SUM(eff) OVER (), 0), 6)
+             AS attribution_share
+    FROM re
+    ORDER BY channel"""
+
+
+@register("ev_markov_attribution", _attribution_sql())
+def ev_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution over 30-minute sessions:
+    (channel, n_transitions_from, p_conv_base, p_conv_removed,
+    removal_effect, attribution_share). Journeys run START -> touch
+    types (truncated at the session's first purchase) -> CONV/NOCONV;
+    p_conv is the K=8-step absorption probability from START, unrolled
+    identically on both engines; removing a channel redirects its
+    inbound transition mass to NOCONV and drops its outbound rows, so
+    every journey through it is cut — removal_effect = 1 - p/p_base is
+    the channel's true path contribution (a channel can score high with
+    few last-touches if it feeds converting paths, the whole point over
+    last-touch attribution).
+
+    Exactness contract: the transition matrix and journey construction
+    are exact integers over the pinned session rule (the
+    ev_top_session_paths boundary semantics); the sweeps are a FIXED
+    K-step composition (never a convergence race); cross-engine float
+    noise in the <=|states|-term sweep sums stays at 1e-15 under the
+    6-dp display round (the ev_markov_stationary precedent).
+
+    Scale shape: one user-partitioned session window + one
+    session-partitioned lead pass are the only corpus-sized stages; the
+    transition matrix is |states|^2 model state (event types are an
+    enumerated domain), collected once, with the base and all
+    |channels| removal chains computed driver-side (the
+    centroids-as-literals idiom) and returned as one literal frame
+    joined to nothing corpus-sized."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # full-precision timestamp comparison — the pinned
+    # ev_top_session_paths session-boundary semantics (round-10 ADVICE)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    ranked = numbered.withColumn("rn", F.row_number().over(ws)).select(
+        "user_id", "sess_id", "event_type", "rn"
+    )
+    fp = (
+        ranked.where(F.col("event_type") == _ATTR_CONV)
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    sess = ranked.select("user_id", "sess_id").distinct()
+    kept = ranked.join(fp, ["user_id", "sess_id"], "left").where(
+        F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn"))
+    )
+    toks = (
+        sess.select(
+            "user_id", "sess_id", F.lit(0).alias("pos"),
+            F.lit("START").alias("tok"),
+        )
+        .unionByName(
+            kept.select(
+                "user_id", "sess_id", F.col("rn").alias("pos"),
+                F.col("event_type").alias("tok"),
+            )
+        )
+        .unionByName(
+            sess.join(fp, ["user_id", "sess_id"], "left").select(
+                "user_id",
+                "sess_id",
+                F.lit(2147483647).alias("pos"),
+                F.when(F.col("fp_rn").isNotNull(), F.lit("CONV"))
+                .otherwise(F.lit("NOCONV"))
+                .alias("tok"),
+            )
+        )
+    )
+    wt = Window.partitionBy("user_id", "sess_id").orderBy("pos")
+    tm_rows = (
+        toks.select("tok", F.lead("tok").over(wt).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("f"), F.col("nxt").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()  # model-sized: (|types|+3)^2
+    )
+    row_tot: dict[str, int] = {}
+    for r in tm_rows:
+        row_tot[r.f] = row_tot.get(r.f, 0) + r.n
+    pr = {(r.f, r.t): r.n * 1.0 / row_tot[r.f] for r in tm_rows}
+    states = sorted(
+        {f for f, _ in pr} | {t for _, t in pr} | {"CONV", "NOCONV"}
+    )
+
+    def absorb(prm: dict) -> float:
+        v = {s: (1.0 if s == "CONV" else 0.0) for s in states}
+        for _ in range(_ATTR_K):
+            acc: dict[str, float] = {}
+            for (f, t), p in sorted(prm.items()):
+                acc[f] = acc.get(f, 0.0) + p * v.get(t, 0.0)
+            v = {
+                s: (
+                    1.0
+                    if s == "CONV"
+                    else 0.0 if s == "NOCONV" else acc.get(s, 0.0)
+                )
+                for s in states
+            }
+        return v.get("START", 0.0)
+
+    pb = absorb(pr)
+    channels = sorted(
+        t
+        for t in {x for _, x in pr} | {x for x, _ in pr}
+        if t not in ("START", "CONV", "NOCONV")
+    )
+    rows = []
+    for c in channels:
+        prm: dict = {}
+        for (f, t), p in pr.items():
+            if f == c:
+                continue
+            key = (f, "NOCONV" if t == c else t)
+            prm[key] = prm.get(key, 0.0) + p
+        prem = absorb(prm)
+        eff = 1.0 - prem / pb if pb else None
+        rows.append((c, row_tot.get(c, 0), pb, prem, eff))
+    tot_eff = sum(r[4] for r in rows if r[4] is not None)
+    out = [
+        (
+            c,
+            n,
+            round(pb_, 6),
+            round(prm_, 6),
+            round(eff, 6) if eff is not None else None,
+            round(eff / tot_eff, 6)
+            if eff is not None and tot_eff
+            else None,
+        )
+        for c, n, pb_, prm_, eff in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, n_transitions_from bigint, p_conv_base double, "
+        "p_conv_removed double, removal_effect double, "
+        "attribution_share double",
+    ).orderBy("channel")

@@ -305,3 +305,139 @@ def test_cluster_persistence_python_replay(spark):
         for r in dedup_cluster_persistence(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_cluster_extraction_python_replay(spark):
+    """Full-output pin of the excess-of-mass extraction against a pure
+    python replay: union-find per level -> nodes -> parents -> bottom-up
+    S* DP -> coverage descent, all in integer tenths."""
+    from gravity_books_datalakehouse_spark.operators.components import (
+        _PERSIST_NEXT,
+        _PERSIST_W10,
+        _cached_rep_jaccard,
+        dedup_cluster_extraction,
+    )
+    from gravity_books_datalakehouse_spark.operators.dedup import (
+        _cached_exact_groups,
+    )
+
+    gm = {
+        r.rep_doc_id: r.mult
+        for r in _cached_exact_groups(spark, SF_SMOKE)
+        .where(F.col("doc_id") == F.col("rep_doc_id"))
+        .collect()
+    }
+    edges = [
+        (r.doc_a, r.doc_b, r.n_int, r.u)
+        for r in _cached_rep_jaccard(spark, SF_SMOKE).collect()
+    ]
+    levels = sorted(_PERSIST_W10, reverse=True)
+    edged = {a for a, _, _, _ in edges} | {b for _, b, _, _ in edges}
+    dom = sorted(g for g, m in gm.items() if m >= 2 or g in edged)
+    parent_uf = {g: g for g in dom}
+
+    def find(x):
+        while parent_uf[x] != x:
+            parent_uf[x] = parent_uf[parent_uf[x]]
+            x = parent_uf[x]
+        return x
+
+    lab_at = {}  # (t10, g) -> lbl
+    for t in levels:
+        for a, b, n_int, u in edges:
+            if 10 * n_int >= t * u:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent_uf[max(ra, rb)] = min(ra, rb)
+        for g in dom:
+            lab_at[(t, g)] = find(g)
+    # nodes
+    alive = {}
+    for t in levels:
+        mass = {}
+        for g in dom:
+            mass[lab_at[(t, g)]] = mass.get(lab_at[(t, g)], 0) + gm[g]
+        for lbl, m in mass.items():
+            if m >= 2:
+                alive.setdefault(lbl, {})[t] = m
+    nodes = {
+        lbl: (
+            max(band),
+            min(band),
+            sum(m * _PERSIST_W10[t] for t, m in band.items()),
+        )
+        for lbl, band in alive.items()
+    }
+    par = {
+        lbl: lab_at[(_PERSIST_NEXT[d10], lbl)]
+        for lbl, (_, d10, _) in nodes.items()
+        if d10 > 0
+    }
+    sstar, wins, nch = {}, {}, {}
+    for t in levels:  # descending death level
+        for lbl, (_, d10, st10) in nodes.items():
+            if d10 != t:
+                continue
+            kids = [c for c, p in par.items() if p == lbl and c in sstar]
+            nch[lbl] = len(kids)
+            if not kids:
+                sstar[lbl], wins[lbl] = st10, 1
+            else:
+                ks = sum(sstar[c] for c in kids)
+                sstar[lbl] = max(st10, ks)
+                wins[lbl] = 1 if st10 >= ks else 0
+    covered = {lbl: 0 for lbl, (_, d10, _) in nodes.items() if d10 == 0}
+    for t in (1, 2, 5, 8, 10):
+        for lbl, (_, d10, _) in nodes.items():
+            if d10 == t:
+                p = par[lbl]
+                covered[lbl] = 1 if (wins[p] == 1 or covered[p] == 1) else 0
+    want = {
+        lbl: (
+            b10 / 10.0,
+            d10 / 10.0,
+            par.get(lbl),
+            nch[lbl],
+            st10 / 10.0,
+            sstar[lbl] / 10.0,
+            1 if wins[lbl] == 1 and covered[lbl] == 0 else 0,
+        )
+        for lbl, (b10, d10, st10) in nodes.items()
+    }
+    got = {
+        r.cluster_rep: (
+            r.birth_tau,
+            r.death_tau,
+            r.parent_rep,
+            r.n_children,
+            r.stability,
+            r.subtree_stability,
+            r.is_selected,
+        )
+        for r in dedup_cluster_extraction(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_cluster_extraction_is_a_partition(spark):
+    """The defining property of excess-of-mass selection: the selected
+    nodes are non-overlapping and cover the tree — every LEAF has
+    exactly one selected node on its root path (ancestors-or-self)."""
+    from gravity_books_datalakehouse_spark.operators.components import (
+        dedup_cluster_extraction,
+    )
+
+    rows = dedup_cluster_extraction(spark, SF_SMOKE).collect()
+    par = {r.cluster_rep: r.parent_rep for r in rows}
+    sel = {r.cluster_rep: r.is_selected for r in rows}
+    children = {p for p in par.values() if p is not None}
+    leaves = [r.cluster_rep for r in rows if r.n_children == 0]
+    assert leaves
+    for leaf in leaves:
+        n_sel, node = 0, leaf
+        while node is not None:
+            n_sel += sel[node]
+            node = par[node]
+        assert n_sel == 1, f"leaf {leaf} has {n_sel} selected ancestors"
+    # sanity: children set consistent with n_children
+    assert children <= set(sel)
