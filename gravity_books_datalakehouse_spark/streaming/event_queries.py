@@ -2947,12 +2947,12 @@ def _attribution_sql() -> str:
              lead(tok) OVER (PARTITION BY user_id, sess_id
                              ORDER BY pos) AS t
       FROM toks),
-    tm AS (
+    tm AS MATERIALIZED (
       SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
       FROM tr WHERE t IS NOT NULL GROUP BY 1, 2),
-    pr AS (
+    pr AS MATERIALIZED (
       SELECT f, t, n * 1.0 / SUM(n) OVER (PARTITION BY f) AS p FROM tm),
-    states AS (
+    states AS MATERIALIZED (
       SELECT DISTINCT f AS s FROM tm
       UNION SELECT DISTINCT t FROM tm),
     {_attr_sweeps_sql("b", "pr")},
@@ -3005,13 +3005,16 @@ def ev_markov_attribution(spark, sf_dir):
     noise in the <=|states|-term sweep sums stays at 1e-15 under the
     6-dp display round (the ev_markov_stationary precedent).
 
-    Scale shape: one user-partitioned session window + one
-    session-partitioned lead pass are the only corpus-sized stages; the
-    transition matrix is |states|^2 model state (event types are an
-    enumerated domain), collected once, with the base and all
-    |channels| removal chains computed driver-side (the
-    centroids-as-literals idiom) and returned as one literal frame
-    joined to nothing corpus-sized."""
+    Scale shape: ONE corpus-sized window chain — the user-partitioned
+    session numbering, then rank/lead/first-purchase-min stacked on the
+    SAME (user, session) exchange — feeds a conditional explode that
+    emits each row's 0-2 transitions in place (the START edge rides the
+    rn=1 row, the terminal edge rides the last kept row's NULL lead; no
+    token union, no journey join, no second scan). The transition
+    matrix is |states|^2 model state (event types are an enumerated
+    domain), collected once, with the base and all |channels| removal
+    chains computed driver-side (the centroids-as-literals idiom) and
+    returned as one literal frame joined to nothing corpus-sized."""
     from pyspark.sql import Window
 
     e = load_events(spark, sf_dir)
@@ -3039,45 +3042,51 @@ def ev_markov_attribution(spark, sf_dir):
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
-    ranked = numbered.withColumn("rn", F.row_number().over(ws)).select(
-        "user_id", "sess_id", "event_type", "rn"
+    wsu = Window.partitionBy("user_id", "sess_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    fp = (
-        ranked.where(F.col("event_type") == _ATTR_CONV)
-        .groupBy("user_id", "sess_id")
-        .agg(F.min("rn").alias("fp_rn"))
+    a = numbered.select(
+        "user_id",
+        "sess_id",
+        "event_type",
+        F.row_number().over(ws).alias("rn"),
+        F.lead("event_type").over(ws).alias("nxt"),
     )
-    sess = ranked.select("user_id", "sess_id").distinct()
-    kept = ranked.join(fp, ["user_id", "sess_id"], "left").where(
-        F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn"))
+    b = a.withColumn(
+        "fp_rn",
+        F.min(
+            F.when(F.col("event_type") == _ATTR_CONV, F.col("rn"))
+        ).over(wsu),
     )
-    toks = (
-        sess.select(
-            "user_id", "sess_id", F.lit(0).alias("pos"),
-            F.lit("START").alias("tok"),
-        )
-        .unionByName(
-            kept.select(
-                "user_id", "sess_id", F.col("rn").alias("pos"),
-                F.col("event_type").alias("tok"),
+    edge = F.struct(F.col("f"), F.col("t"))
+    start_edge = F.when(
+        F.col("rn") == 1,
+        F.array(
+            F.struct(
+                F.lit("START").alias("f"),
+                F.when(F.col("fp_rn") == 1, F.lit("CONV"))
+                .otherwise(F.col("event_type"))
+                .alias("t"),
             )
+        ),
+    ).otherwise(F.array().cast("array<struct<f:string,t:string>>"))
+    mid_t = (
+        F.when(
+            F.col("fp_rn").isNotNull() & (F.col("rn") + 1 == F.col("fp_rn")),
+            F.lit("CONV"),
         )
-        .unionByName(
-            sess.join(fp, ["user_id", "sess_id"], "left").select(
-                "user_id",
-                "sess_id",
-                F.lit(2147483647).alias("pos"),
-                F.when(F.col("fp_rn").isNotNull(), F.lit("CONV"))
-                .otherwise(F.lit("NOCONV"))
-                .alias("tok"),
-            )
-        )
+        .when(F.col("nxt").isNull(), F.lit("NOCONV"))
+        .otherwise(F.col("nxt"))
     )
-    wt = Window.partitionBy("user_id", "sess_id").orderBy("pos")
+    mid_edge = F.when(
+        F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn")),
+        F.array(
+            F.struct(F.col("event_type").alias("f"), mid_t.alias("t"))
+        ),
+    ).otherwise(F.array().cast("array<struct<f:string,t:string>>"))
     tm_rows = (
-        toks.select("tok", F.lead("tok").over(wt).alias("nxt"))
-        .where(F.col("nxt").isNotNull())
-        .groupBy(F.col("tok").alias("f"), F.col("nxt").alias("t"))
+        b.select(F.explode(F.concat(start_edge, mid_edge)).alias("e"))
+        .groupBy(F.col("e.f").alias("f"), F.col("e.t").alias("t"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .collect()  # model-sized: (|types|+3)^2
     )
