@@ -44,7 +44,11 @@ _PRIORITY_HEAD = [
     #      sweeps on the journey chain, driver-side model matrix,
     #      python replay pinned), and op_sketch_hll_merge_days (per-day
     #      HLL partials max-merged, mismatch-vs-direct witnessed
-    #      relationally);
+    #      relationally — it also covers the op_sketch family fill, so
+    #      op_sketch_countmin_terms (r9 witness, younger than the
+    #      round-6 block) yielded its slot), and ev_attribution_models
+    #      (the five classical credit models as per-row closed forms
+    #      over the shared journey chain; conservation test);
     #   2. operators whose PLAN or expression changed in round 12 and
     #      must re-hash: text_kn_trigram_logprob (the vocab-sized
     #      unpartitioned window fold of the type total B replaced by a
@@ -96,6 +100,7 @@ _PRIORITY_HEAD = [
     "dedup_cluster_persistence",
     "dedup_cluster_extraction",
     "ev_markov_attribution",
+    "ev_attribution_models",
     "op_sketch_hll_merge_days",
     # --- 2. plan/expression changed in round 12 — re-witness ---
     "text_kn_trigram_logprob",
@@ -142,7 +147,6 @@ _PRIORITY_HEAD = [
     "op_split_stratified_exact",
     "op_a_stats_kit",
     "op_f_date_kit",
-    "op_sketch_countmin_terms",
     "op_scd2_temporal_join",
     "op_graph_kcore",
     "op_drift_psi_events",

@@ -2868,6 +2868,56 @@ _ATTR_CHANNELS = ("click", "error", "signup", "view")
 _ATTR_CONV = "purchase"
 
 
+def _session_journey_frame(spark, sf_dir):
+    """(user_id, sess_id, event_type, rn, nxt, fp_rn) — ONE corpus-sized
+    window chain: user-partitioned session numbering (the pinned
+    full-precision 30-minute rule), then rank / lead / first-purchase
+    min stacked on the same (user, session) exchange. Shared by the
+    Markov removal-effect op and the classical attribution-model
+    table."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    wsu = Window.partitionBy("user_id", "sess_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    a = numbered.select(
+        "user_id",
+        "sess_id",
+        "event_type",
+        F.row_number().over(ws).alias("rn"),
+        F.lead("event_type").over(ws).alias("nxt"),
+    )
+    return a.withColumn(
+        "fp_rn",
+        F.min(
+            F.when(F.col("event_type") == _ATTR_CONV, F.col("rn"))
+        ).over(wsu),
+    )
+
+
 def _attr_sweeps_sql(tag: str, pr_rel: str) -> str:
     """K unrolled absorption sweeps over transition relation ``pr_rel``
     (columns f, t, p): v_k(s) = 1 for CONV, 0 for NOCONV, else
@@ -3015,50 +3065,7 @@ def ev_markov_attribution(spark, sf_dir):
     domain), collected once, with the base and all |channels| removal
     chains computed driver-side (the centroids-as-literals idiom) and
     returned as one literal frame joined to nothing corpus-sized."""
-    from pyspark.sql import Window
-
-    e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # full-precision timestamp comparison — the pinned
-    # ev_top_session_paths session-boundary semantics (round-10 ADVICE)
-    flagged = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.col("ts")
-                > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_sess"),
-    )
-    numbered = flagged.withColumn(
-        "sess_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
-    wsu = Window.partitionBy("user_id", "sess_id").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    a = numbered.select(
-        "user_id",
-        "sess_id",
-        "event_type",
-        F.row_number().over(ws).alias("rn"),
-        F.lead("event_type").over(ws).alias("nxt"),
-    )
-    b = a.withColumn(
-        "fp_rn",
-        F.min(
-            F.when(F.col("event_type") == _ATTR_CONV, F.col("rn"))
-        ).over(wsu),
-    )
-    edge = F.struct(F.col("f"), F.col("t"))
+    b = _session_journey_frame(spark, sf_dir)
     start_edge = F.when(
         F.col("rn") == 1,
         F.array(
@@ -3151,3 +3158,119 @@ def ev_markov_attribution(spark, sf_dir):
         "p_conv_removed double, removal_effect double, "
         "attribution_share double",
     ).orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# Classical attribution models beside the Markov removal effect — the
+# comparison table a marketing stack actually publishes: first-touch,
+# last-touch, linear, position-based (40/20/40) and time-decay credit
+# per channel over CONVERTING journeys. Every model's credit is a
+# per-row closed form in (rn, k = touches before the first purchase),
+# so the whole table is the shared journey window chain plus one
+# groupBy; time-decay halves per step away from the conversion, so the
+# per-journey weights are DYADIC (2^(rn-k) / (2 - 2^(1-k))) and both
+# engines assemble identical doubles before the corpus sum.
+
+_ATTR_MODELS_SQL = """WITH flagged AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+             CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                    OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                       > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged),
+    ranked AS (
+      SELECT user_id, sess_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS rn
+      FROM numbered),
+    fp AS (
+      SELECT user_id, sess_id, MIN(rn) AS fp_rn
+      FROM ranked WHERE event_type = 'purchase' GROUP BY 1, 2),
+    touches AS (
+      SELECT r.event_type AS channel, r.rn, fp.fp_rn - 1 AS k
+      FROM ranked r JOIN fp USING (user_id, sess_id)
+      WHERE r.rn < fp.fp_rn),
+    credit AS (
+      SELECT channel,
+             CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END AS first_c,
+             CASE WHEN rn = k THEN 1.0 ELSE 0.0 END AS last_c,
+             1.0 / k AS linear_c,
+             CASE WHEN k = 1 THEN 1.0
+                  WHEN k = 2 THEN 0.5
+                  WHEN rn = 1 OR rn = k THEN 0.4
+                  ELSE 0.2 / (k - 2) END AS position_c,
+             pow(2.0, rn - k) / (2.0 - pow(2.0, 1 - k)) AS decay_c
+      FROM touches)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(first_c), 6) AS first_touch,
+           ROUND(SUM(last_c), 6) AS last_touch,
+           ROUND(SUM(linear_c), 6) AS linear,
+           ROUND(SUM(position_c), 6) AS position_based,
+           ROUND(SUM(decay_c), 6) AS time_decay
+    FROM credit
+    GROUP BY channel
+    ORDER BY channel"""
+
+
+@register("ev_attribution_models", _ATTR_MODELS_SQL)
+def ev_attribution_models(spark, sf_dir):
+    """Per-channel conversion credit under the five classical
+    attribution models over converting journeys: (channel, n_touches,
+    first_touch, last_touch, linear, position_based, time_decay).
+    k = touches before the session's first purchase; position-based is
+    the standard 40/20/40 (k=1 -> 1.0, k=2 -> 0.5/0.5); time-decay
+    halves per step away from the conversion with the exact dyadic
+    normalizer 2 - 2^(1-k). Read beside ev_markov_attribution: a
+    channel the heuristics credit heavily but the removal effect
+    doesn't is riding journey position, not causal contribution.
+
+    Exactness: every per-row credit is a closed form in (rn, k) —
+    identical IEEE compositions on both engines; only the final
+    per-channel sums accumulate in engine order (1e-12 on this corpus,
+    absorbed by the 6-dp display round, the family's accepted
+    surface).
+
+    Scale shape: the shared journey window chain plus one map-side-
+    combined groupBy to |channels| rows — no join after the in-chain
+    first-purchase min, no model state at all."""
+    b = _session_journey_frame(spark, sf_dir)
+    touches = b.where(
+        F.col("fp_rn").isNotNull() & (F.col("rn") < F.col("fp_rn"))
+    ).select(
+        F.col("event_type").alias("channel"),
+        "rn",
+        (F.col("fp_rn") - 1).alias("k"),
+    )
+    first_c = F.when(F.col("rn") == 1, 1.0).otherwise(0.0)
+    last_c = F.when(F.col("rn") == F.col("k"), 1.0).otherwise(0.0)
+    linear_c = F.lit(1.0) / F.col("k")
+    position_c = (
+        F.when(F.col("k") == 1, 1.0)
+        .when(F.col("k") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    decay_c = F.pow(F.lit(2.0), F.col("rn") - F.col("k")) / (
+        F.lit(2.0) - F.pow(F.lit(2.0), F.lit(1) - F.col("k"))
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        touches.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum(first_c), 6).alias("first_touch"),
+            F.round(F.sum(last_c), 6).alias("last_touch"),
+            F.round(F.sum(linear_c), 6).alias("linear"),
+            F.round(F.sum(position_c), 6).alias("position_based"),
+            F.round(F.sum(decay_c), 6).alias("time_decay"),
+        )
+        .transform(bounded_sort, "channel")
+    )

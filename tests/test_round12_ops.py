@@ -128,3 +128,30 @@ def test_hll_merge_days_identity_and_estimate(spark):
         assert m.n_zero_registers == direct[t].n_zero_registers
         assert abs(m.merged_hll_estimate - direct[t].raw_hll_estimate) < 1e-12
         assert m.exact_distinct == direct[t].exact_distinct
+
+
+def test_attribution_models_conserve_total_credit(spark):
+    """Each model distributes exactly one unit of credit per converting
+    journey with >= 1 touch, so every model column must sum to the same
+    total: the number of such journeys (replayed in pandas)."""
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_attribution_models,
+        load_events,
+    )
+
+    pdf = load_events(spark, SF_SMOKE).select(
+        "user_id", "ts", "event_id", "event_type"
+    ).toPandas()
+    n_journeys = sum(
+        1
+        for j in _journeys(pdf)
+        if j[-1] == "CONV" and len(j) > 2  # START + >=1 touch + CONV
+    )
+    rows = ev_attribution_models(spark, SF_SMOKE).collect()
+    assert rows
+    for model in (
+        "first_touch", "last_touch", "linear", "position_based", "time_decay"
+    ):
+        tot = sum(getattr(r, model) for r in rows)
+        assert abs(tot - n_journeys) < 1e-4, (model, tot, n_journeys)
+    assert sum(r.n_touches for r in rows) > n_journeys  # multi-touch exists
