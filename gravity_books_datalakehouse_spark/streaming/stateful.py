@@ -424,3 +424,111 @@ def streaming_cusum_alerts(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- offline change-point twin: the anytime argmax over GroupState --------
+# Streaming twin of batch ev_change_point_cusum (event_queries.py): the
+# SIXTH batch/stream pair. The offline statistic argmax_i |N*prefix_i -
+# i*T| depends on the FINAL N and T, so unlike the five incremental
+# twins this one keeps the whole gap-filled prefix-sum history in state
+# (one long per hour — a year of hourly buckets is 8760 longs; the
+# documented O(hours) bound) and re-evaluates the integer argmax after
+# each appended hour. Every emitted row is therefore the BATCH operator
+# evaluated over the OBSERVED spine [first hour, emitted hour] — the
+# anytime change-point estimate; gap hours backfilled by a later batch
+# extend the spine with zeros exactly as the batch op's gap fill would
+# once events arrive beyond them. The final row per type bit-equals
+# ev_change_point_cusum on the full input (integer columns; the batch
+# op's two displayed means are best_prefix/best_i and
+# (T-best_prefix)/(N-best_i) single divisions).
+# Same ordered-arrival contract as the other twins: violations raise.
+
+CHANGEPOINT_OUTPUT_SCHEMA = (
+    "event_type string, window_start timestamp, change_hour string,"
+    " n_hours long, n_events long, max_scaled_dev long,"
+    " best_prefix long, best_i long"
+)
+CHANGEPOINT_STATE_SCHEMA = "first_h long, last_h long, prefixes array<long>"
+
+
+def _change_point_update(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        first_h, last_h, prefixes = state.get
+        prefixes = list(prefixes)
+    else:
+        first_h, last_h, prefixes = None, None, []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out: list[dict] = []
+    if chunks:
+        pdf = pd.concat(chunks)
+        hours = (pdf["ts"].astype("int64") // 1_000_000_000) // 3600 * 3600
+        counts = hours.value_counts().sort_index()
+        batch_first = int(counts.index[0])
+        if last_h is not None and batch_first <= last_h:
+            raise ValueError(
+                "streaming change point requires whole, event-time-ordered "
+                f"hour buckets across micro-batches; got hour {batch_first} "
+                f"after {last_h} for type {key[0]}"
+            )
+        if first_h is None:
+            first_h = batch_first
+        start = batch_first if last_h is None else last_h + 3600
+        for h in range(start, int(counts.index[-1]) + 3600, 3600):
+            x = int(counts.get(h, 0))
+            prefixes.append((prefixes[-1] if prefixes else 0) + x)
+            last_h = h
+            n = len(prefixes)
+            if n < 2:
+                continue
+            t = prefixes[-1]
+            best_d = best_i = -1
+            for i in range(1, n):  # i < n: interior split points only
+                d = abs(n * prefixes[i - 1] - i * t)
+                if d > best_d:  # strict: ties keep the EARLIEST hour
+                    best_d, best_i = d, i
+            out.append(
+                {
+                    "event_type": key[0],
+                    "window_start": pd.Timestamp(h, unit="s"),
+                    "change_hour": pd.Timestamp(
+                        first_h + (best_i - 1) * 3600, unit="s"
+                    ).strftime("%Y-%m-%d %H:%M:%S"),
+                    "n_hours": n,
+                    "n_events": t,
+                    "max_scaled_dev": best_d,
+                    "best_prefix": prefixes[best_i - 1],
+                    "best_i": best_i,
+                }
+            )
+        state.update((first_h, last_h, prefixes))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "event_type",
+            "window_start",
+            "change_hour",
+            "n_hours",
+            "n_events",
+            "max_scaled_dev",
+            "best_prefix",
+            "best_i",
+        ],
+    )
+
+
+def streaming_change_point(events: DataFrame) -> DataFrame:
+    """Per-hour anytime change-point rows per event_type: each row is
+    the offline CUSUM argmax evaluated on the stream-so-far. State is
+    the gap-filled prefix-sum history (O(hours) longs). Input needs
+    (event_type, ts)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _change_point_update,
+        outputStructType=CHANGEPOINT_OUTPUT_SCHEMA,
+        stateStructType=CHANGEPOINT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

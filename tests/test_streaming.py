@@ -1020,3 +1020,141 @@ def test_streaming_cusum_equals_batch(spark, tmp_path):
     assert got, "cusum twin produced no rows at smoke scale"
     for k, v in got.items():
         assert v == want[k], (k, v, want[k])
+
+
+def test_streaming_change_point_equals_batch(spark, tmp_path):
+    """The SIXTH batch/stream twin: the anytime change-point fold, fed
+    an hour-aligned two-file source, must end (per type) on exactly the
+    batch ev_change_point_cusum row — change hour, N, T, and the scaled
+    deviation bit-equal, the two displayed means reproduced by the
+    emitted integer sufficient statistics — and every INTERMEDIATE row
+    must equal the batch operator run on the stream-so-far (checked at
+    the micro-batch boundary)."""
+    import glob as g
+    import os
+    import time as _time
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_change_point_cusum,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        streaming_change_point,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    cut = (
+        ev.agg(
+            F.date_trunc(
+                "hour",
+                F.timestamp_seconds(
+                    F.expr(
+                        "percentile_disc(0.5) WITHIN GROUP"
+                        " (ORDER BY unix_timestamp(ts))"
+                    )
+                ),
+            ).alias("c")
+        )
+        .first()
+        .c
+    )
+    src = str(tmp_path / "cp_src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d1"
+    )
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d2"
+    )
+    merged = str(tmp_path / "cp_merged")
+    os.makedirs(merged)
+    f1 = shutil.copy(
+        g.glob(src + "/d1/part-*.parquet")[0], merged + "/01.parquet"
+    )
+    f2 = shutil.copy(
+        g.glob(src + "/d2/part-*.parquet")[0], merged + "/02.parquet"
+    )
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+        .select("event_type", "ts")
+    )
+    q = (
+        streaming_change_point(stream)
+        .writeStream.format("memory")
+        .queryName("cp_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM cp_stream").collect()
+    assert rows, "change-point twin produced no rows at smoke scale"
+
+    def half_up6(num: int, den: int) -> float:
+        return float(
+            Decimal(repr(num / den)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    # final row per type == the batch op on the full input
+    last = {}
+    for r in rows:
+        if (
+            r.event_type not in last
+            or r.window_start > last[r.event_type].window_start
+        ):
+            last[r.event_type] = r
+    want = {r.event_type: r for r in ev_change_point_cusum(spark, SF_SMOKE).collect()}
+    assert set(last) == set(want)
+    for t, b in want.items():
+        s = last[t]
+        assert s.change_hour == b.change_hour, t
+        assert s.n_hours == b.n_hours and s.n_events == b.n_events, t
+        assert s.max_scaled_dev == b.max_scaled_dev, t
+        assert half_up6(s.best_prefix, s.best_i) == b.mean_before, t
+        assert (
+            half_up6(s.n_events - s.best_prefix, s.n_hours - s.best_i)
+            == b.mean_after
+        ), t
+
+    # an intermediate row equals the batch op on the truncated input:
+    # pick each type's last row BEFORE the cut and replay the batch
+    # argmax in python over the truncated hourly series
+    import numpy as np
+    import pandas as pd
+
+    pdf = ev.select("event_type", "ts").toPandas()
+
+    for t, b in want.items():
+        pre = [
+            r for r in rows
+            if r.event_type == t and r.window_start < cut
+        ]
+        if not pre:
+            continue
+        s = max(pre, key=lambda r: r.window_start)
+        upto = s.window_start + pd.Timedelta(hours=1)
+        sub = pdf[(pdf.event_type == t) & (pdf.ts < upto)]
+        hours = (sub.ts.astype("int64") // 10**9) // 3600
+        h0 = hours.min()
+        # the twin's spine extends through the row's hour even when the
+        # trailing hours are empty (batch-2 gap backfill), so pad the
+        # replayed histogram to the same length
+        slots = int(s.window_start.timestamp()) // 3600 - h0 + 1
+        xs = np.bincount((hours - h0).astype(int), minlength=slots)
+        n, tot = len(xs), int(xs.sum())
+        pref = np.cumsum(xs)
+        best_d, best_i = -1, -1
+        for i in range(1, n):
+            d = abs(n * int(pref[i - 1]) - i * tot)
+            if d > best_d:
+                best_d, best_i = d, i
+        assert s.n_hours == n and s.n_events == tot
+        assert s.max_scaled_dev == best_d and s.best_i == best_i
