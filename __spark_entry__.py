@@ -46,9 +46,13 @@ _PRIORITY_HEAD = [
     #      HLL partials max-merged, mismatch-vs-direct witnessed
     #      relationally — it also covers the op_sketch family fill, so
     #      op_sketch_countmin_terms (r9 witness, younger than the
-    #      round-6 block) yielded its slot), and ev_attribution_models
+    #      round-6 block) yielded its slot), ev_attribution_models
     #      (the five classical credit models as per-row closed forms
-    #      over the shared journey chain; conservation test);
+    #      over the shared journey chain; conservation test),
+    #      sim_matryoshka_truncation (dimension-truncation recall
+    #      curve, identity-row anchor + numpy replay), and
+    #      ev_autocorrelation_seasonal (exact-scaled-residual ACF at
+    #      lags 1/24/168, numpy replay);
     #   2. operators whose PLAN or expression changed in round 12 and
     #      must re-hash: text_kn_trigram_logprob (the vocab-sized
     #      unpartitioned window fold of the type total B replaced by a
@@ -81,7 +85,9 @@ _PRIORITY_HEAD = [
     #   queue).
     # Round-13 queue, in order: ev_attribution_touch,
     # dedup_semantic_kmeans, dedup_fuzzy_prefix,
-    # text_compression_ratio, then the remaining round-7 block:
+    # text_compression_ratio, q_heavy_suppliers_semi,
+    # q_idle_rich_customers (the last four yielded slots to the six
+    # round-12 additions), then the remaining round-7 block:
     # op_a1_group_concat_sorted, op_a2_global_minmax, op_a3_distinct,
     # op_f_date_dim_kit, op_f_regex_kit, op_f_string_kit, op_j_anti,
     # op_j_semi, op_layout_zorder_prune, op_o_topk_desc_tiebreak,
@@ -102,6 +108,8 @@ _PRIORITY_HEAD = [
     "ev_markov_attribution",
     "ev_attribution_models",
     "op_sketch_hll_merge_days",
+    "sim_matryoshka_truncation",
+    "ev_autocorrelation_seasonal",
     # --- 2. plan/expression changed in round 12 — re-witness ---
     "text_kn_trigram_logprob",
     "ev_seasonality_strength",
@@ -138,9 +146,7 @@ _PRIORITY_HEAD = [
     "q_late_shipment_priority",
     "q_customer_order_distribution",
     "q_part_supplier_counts",
-    "q_idle_rich_customers",
     "op_percentiles_exact",
-    "q_heavy_suppliers_semi",
     # --- 4. family-coverage fills (oldest witness per family) ---
     "star_q4_sales_by_nation",
     "mm_payload_metadata",

@@ -2030,3 +2030,187 @@ def sim_knn_reciprocity(spark, sf_dir):
         "mean_cs_mutual",
         "mean_cs_oneway",
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation curve (Kusupati et al. 2022,
+# "Matryoshka Representation Learning" — public literature). Modern
+# embedding models are trained so PREFIXES of the vector remain usable;
+# the index-sizing question is "how many dims can I drop before top-k
+# quality breaks". This op ranks a bounded query set by cosine over the
+# first d dims for d in the dyadic ladder and reports, per d, recall@k
+# against the full-dimension ranking and the mean FULL cosine of the
+# truncated top-k (the quality actually served) — the dimension-budget
+# table beside the PQ/int8 compression reports.
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_cos_sql(d: int) -> str:
+    sl = f"[1:{d}]"
+    return (
+        f"list_dot_product((a.embedding::DOUBLE[]){sl},"
+        f" (b.embedding::DOUBLE[]){sl}) / "
+        f"(sqrt(list_dot_product((a.embedding::DOUBLE[]){sl},"
+        f" (a.embedding::DOUBLE[]){sl})) * "
+        f"sqrt(list_dot_product((b.embedding::DOUBLE[]){sl},"
+        f" (b.embedding::DOUBLE[]){sl})))"
+    )
+
+
+def _mrl_sql() -> str:
+    legs = "\n      UNION ALL\n".join(
+        f"""      SELECT {d} AS dim, a.vec_id AS qid, b.vec_id AS nid,
+             {_mrl_cos_sql(d)} AS cos_d, {_COS_SQL} AS cos_full
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < {_TOPK_QUERIES} AND a.vec_id != b.vec_id"""
+        for d in _MRL_DIMS
+    )
+    return f"""WITH pairs AS (
+{legs}),
+    ranked AS (
+      SELECT dim, qid, nid, cos_full,
+             row_number() OVER (PARTITION BY dim, qid
+                                ORDER BY cos_d DESC, nid ASC) AS rnk
+      FROM pairs),
+    topd AS (SELECT dim, qid, nid, cos_full FROM ranked WHERE rnk <= {_TOPK}),
+    full_top AS (SELECT qid, nid FROM topd WHERE dim = 64),
+    per_q AS (
+      SELECT t.dim, t.qid,
+             SUM(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+             SUM(t.cos_full) AS sum_full
+      FROM topd t
+      LEFT JOIN full_top f ON f.qid = t.qid AND f.nid = t.nid
+      GROUP BY 1, 2)
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(SUM(hits) * 1.0 / (COUNT(*) * {_TOPK}), 6) AS recall_at_k,
+           ROUND(SUM(sum_full) / (COUNT(*) * {_TOPK}), 6)
+             AS mean_full_cos_of_topk
+    FROM per_q
+    GROUP BY dim
+    ORDER BY dim"""
+
+
+@register("sim_matryoshka_truncation", _mrl_sql())
+def sim_matryoshka_truncation(spark, sf_dir):
+    """Dimension-truncation quality curve: for d in {8, 16, 32, 64},
+    rank the bounded query set by cosine over the FIRST d dims and
+    report (dim, n_queries, recall_at_k, mean_full_cos_of_topk) against
+    the full-dimension ranking — recall@k answers "do I still find the
+    same neighbors", the mean full cosine answers "how good are the
+    ones I find instead". d=64 is the identity row (recall 1.0), the
+    built-in sanity anchor.
+
+    Exactness: each truncated cosine is the same in-order double fold
+    as the full one, over the dim prefix (F.slice / DuckDB list slice
+    feeding list_dot_product), so ranking decisions are bit-identical
+    on both engines; recall is exact integers over k; the two displayed
+    means are engine-ordered float sums under the family's 6-dp round.
+
+    Scale shape: the |Q| queries broadcast against ONE corpus scan
+    (per-vector truncated norms precomputed per row — never per pair);
+    the 4 dim levels ride an in-row explode of the per-pair dot
+    prefix results, so pair work is one zip_with pass per level over
+    the already-joined rows; everything after the per-(dim, qid)
+    window is |Q| x 4-sized. At production scale the truncated
+    rankings reuse the IVF/LSH candidate sets like every other
+    evaluation leg."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = list(_MRL_DIMS)
+
+    def _norm_d(col: str, d: int) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.slice(col, 1, d),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    a = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("va"),
+        *[_norm_d("embedding", d).alias(f"na{d}") for d in dims],
+    ).filter(F.col("qid") < _TOPK_QUERIES)
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("vb"),
+        *[_norm_d("embedding", d).alias(f"nb{d}") for d in dims],
+    )
+
+    def _dot_d(d: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice("va", 1, d),
+                F.slice("vb", 1, d),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("dim"),
+                            (
+                                _dot_d(d)
+                                / (F.col(f"na{d}") * F.col(f"nb{d}"))
+                            ).alias("cos_d"),
+                            (
+                                _dot_d(64) / (F.col("na64") * F.col("nb64"))
+                            ).alias("cos_full"),
+                        )
+                        for d in dims
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", "nid", "s.dim", "s.cos_d", "s.cos_full")
+    )
+    w = Window.partitionBy("dim", "qid").orderBy(
+        F.desc("cos_d"), F.asc("nid")
+    )
+    topd = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOPK)
+        .select("dim", "qid", "nid", "cos_full")
+        .localCheckpoint()
+    )
+    full_top = topd.where(F.col("dim") == 64).select(
+        "qid", "nid", F.lit(1).alias("hit")
+    )
+    per_q = (
+        topd.join(full_top, ["qid", "nid"], "left")
+        .groupBy("dim", "qid")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+            F.sum("cos_full").alias("sum_full"),
+        )
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        per_q.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum("hits") * F.lit(1.0)
+                / (F.count(F.lit(1)) * F.lit(_TOPK)),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.sum("sum_full") / (F.count(F.lit(1)) * F.lit(_TOPK)), 6
+            ).alias("mean_full_cos_of_topk"),
+        )
+        .transform(bounded_sort, "dim")
+    )

@@ -3274,3 +3274,158 @@ def ev_attribution_models(spark, sf_dir):
         )
         .transform(bounded_sort, "channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal autocorrelation — the ACF view of periodicity beside the
+# hour-of-day ANOVA (ev_seasonality_strength): eta² asks "do the 24
+# hour-of-day MEANS differ", the ACF at lags 1/24/168 asks "does the
+# series repeat itself at those offsets" — the two can disagree (a
+# drifting daily shape scores high eta², low acf_168), which is exactly
+# why monitoring stacks plot both. Residuals are the EXACT scaled
+# integers r_t = N*x_t - T (no fractional mean anywhere); each lag
+# product is a product of exact integers evaluated in double, and only
+# the final ratio is displayed.
+
+_ACF_LAGS = (1, 24, 168)
+
+
+def _acf_sql() -> str:
+    lag_cols = ",\n                ".join(
+        f"lead(r, {k}) OVER w AS r{k}" for k in _ACF_LAGS
+    )
+    num_cols = ",\n              ".join(
+        f"SUM(r * r{k}) AS num{k}" for k in _ACF_LAGS
+    )
+    out_cols = ",\n           ".join(
+        f"ROUND(num{k} / NULLIF(den, 0), 6) AS acf_{k}" for k in _ACF_LAGS
+    )
+    return f"""WITH hourly AS (
+         SELECT event_type,
+                time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       bounds AS (
+         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+       spine AS (
+         SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+       filled AS (
+         SELECT s.event_type, s.h, COALESCE(hh.x, 0) AS x
+         FROM spine s LEFT JOIN hourly hh
+           ON s.event_type = hh.event_type AND s.h = hh.h),
+       res AS (
+         SELECT event_type, h,
+                CAST(COUNT(*) OVER p AS BIGINT) * x
+                  - CAST(SUM(x) OVER p AS BIGINT) AS r,
+                CAST(COUNT(*) OVER p AS BIGINT) AS n,
+                CAST(SUM(x) OVER p AS BIGINT) AS t
+         FROM filled
+         WINDOW p AS (PARTITION BY event_type)),
+       lagged AS (
+         SELECT event_type, n, t, r,
+                {lag_cols}
+         FROM res
+         WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+       sums AS (
+         SELECT event_type,
+                MAX(n) AS n_hours, MAX(t) AS n_events,
+                SUM(r * r) AS den,
+              {num_cols}
+         FROM lagged GROUP BY event_type)
+       SELECT event_type,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(n_events AS BIGINT) AS n_events,
+           {out_cols}
+       FROM sums
+       ORDER BY event_type"""
+
+
+@register("ev_autocorrelation_seasonal", _acf_sql())
+def ev_autocorrelation_seasonal(spark, sf_dir):
+    """Per-event-type autocorrelation of the gap-filled hourly series at
+    the monitoring lags — (event_type, n_hours, n_events, acf_1,
+    acf_24, acf_168): acf_1 is short-term burstiness, acf_24 the daily
+    cycle, acf_168 the weekly cycle. Computed on the exact scaled
+    residuals r_t = N*x_t - T (pure bigint — multiplying the classic
+    x_t - mean by N removes the fractional mean), so
+    acf_k = sum(r_t * r_{{t+k}}) / sum(r_t^2) with the N^2 scale
+    cancelling; a lag longer than the series leaves the numerator NULL
+    (SUM over no rows) and a constant series NULLIFs the denominator —
+    identically on both engines.
+
+    Exactness: every residual and per-term product is exact integer
+    arithmetic evaluated in double (products stay far below 2^53 at
+    any tested scale); only the engine-ordered final sums carry float
+    noise, absorbed by the 6-dp display round (the family's surface).
+
+    Scale shape: the control-chart spine — one event-sized map-side
+    collapse, then ONE ordered window pass per type carrying all three
+    leads, then a per-type aggregate. hours x types is metadata-sized
+    at any corpus size."""
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    part = Window.partitionBy("event_type")
+    w = Window.partitionBy("event_type").orderBy("h")
+    res = filled.select(
+        "event_type",
+        "h",
+        (
+            F.count(F.lit(1)).over(part).cast("bigint") * F.col("x")
+            - F.sum("x").over(part).cast("bigint")
+        ).alias("r"),
+        F.count(F.lit(1)).over(part).cast("bigint").alias("n"),
+        F.sum("x").over(part).cast("bigint").alias("t"),
+    )
+    lagged = res.select(
+        "event_type",
+        "n",
+        "t",
+        "r",
+        *[F.lead("r", k).over(w).alias(f"r{k}") for k in _ACF_LAGS],
+    )
+    den = F.sum(F.col("r") * F.col("r"))
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_hours"),
+            F.max("t").cast("bigint").alias("n_events"),
+            den.alias("den"),
+            *[
+                F.sum(F.col("r") * F.col(f"r{k}")).alias(f"num{k}")
+                for k in _ACF_LAGS
+            ],
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            *[
+                F.round(
+                    F.col(f"num{k}") / F.nullif(F.col("den"), F.lit(0)), 6
+                ).alias(f"acf_{k}")
+                for k in _ACF_LAGS
+            ],
+        )
+        .transform(bounded_sort, "event_type")
+    )

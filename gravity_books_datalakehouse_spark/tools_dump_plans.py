@@ -120,6 +120,8 @@ SHOW = {
     "text_kn_bigram_logprob": "Four map-side-combined groupBys over ONE exploded bigram stream (bigram, context+forward-continuation, backward-continuation, type scalar); scoring joins stay keyed on bigram/context/word; per-doc rollup finishes — the add-one twin's profile plus one broadcast scalar and one co-keyed join (round 11).",
     "text_kn_trigram_logprob": "Five map-side-combined groupBys over ONE exploded trigram stream; the trigram-type total B aggregates to a broadcast scalar crossJoin (round 12 — replacing the unpartitioned vocab-sized window fold; the only SinglePartition exchange left is the scalar aggregate's one-row-per-partition final fold, pinned by a plan test); every scoring join keys on a gram or word.",
     "ev_markov_attribution": "Corpus-sized stages: one user-partitioned session window and one session-partitioned lead pass; the journey transition matrix collects once as model state and the base + 4 channel-removed K=8 absorption chains run driver-side — the returned frame is one 4-row literal (round 12).",
+    "sim_matryoshka_truncation": "Bounded |Q| queries broadcast against ONE corpus scan with per-vector truncated norms precomputed per row; the 4 dim levels ride an in-row explode of per-pair prefix dots; everything after the per-(dim, qid) window is |Q| x 4-sized (round 12).",
+    "ev_autocorrelation_seasonal": "Control-chart spine (map-side hourly collapse); residuals and all three lag leads come from ONE ordered window pass per type over the bucket-cardinality frame; per-type aggregate finishes — every residual an exact scaled integer (round 12).",
     "ev_attribution_models": "The shared journey window chain (session numbering, then rank/lead/first-purchase-min on one session exchange) plus a single map-side-combined groupBy to |channels| rows — every model credit is a per-row closed form, so there is no join and no model state (round 12).",
     "op_sketch_hll_merge_days": "Day-partial registers from one (type, day, bucket) groupBy with max (partial agg caps each partition at days x m rows per type), max-merged to m rows per type; the mismatch audit is a register-keyed full outer join of two model-sized relations; exact-distinct leg kept for the error readout (round 12).",
     "dedup_cluster_extraction": "Excess-of-mass flat clustering over the shared cascade checkpoint: nodes/parents are cluster-count frames; the S* DP runs one label-keyed join per death level descending and the coverage descent one per level ascending (max 11 model-sized joins, each localCheckpointed) — no driver-side tree walk, scores never leave integer tenths (round 12).",

@@ -155,3 +155,82 @@ def test_attribution_models_conserve_total_credit(spark):
         tot = sum(getattr(r, model) for r in rows)
         assert abs(tot - n_journeys) < 1e-4, (model, tot, n_journeys)
     assert sum(r.n_touches for r in rows) > n_journeys  # multi-touch exists
+
+
+def test_matryoshka_identity_row_and_bounds(spark):
+    """The d=64 row ranks by the full cosine, so its recall must be
+    exactly 1.0 and its mean full cosine must equal the true top-k
+    mean (replayed in numpy); every other row's recall lies in [0, 1]
+    and its served quality can't exceed the full ranking's."""
+    import numpy as np
+
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        _TOPK,
+        _TOPK_QUERIES,
+        sim_matryoshka_truncation,
+    )
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+    rows = {r.dim: r for r in sim_matryoshka_truncation(spark, SF_SMOKE).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    full = rows[64]
+    assert full.recall_at_k == 1.0
+    for d, r in rows.items():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.mean_full_cos_of_topk <= full.mean_full_cos_of_topk + 1e-9
+        assert r.n_queries == full.n_queries
+    # numpy replay of the d=64 anchor
+    pdf = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=float) for _, r in pdf.iterrows()}
+    qids = sorted(v for v in vecs if v < _TOPK_QUERIES)
+    tot = 0.0
+    for q in qids:
+        qa = vecs[q]
+        sims = sorted(
+            (
+                (float(qa @ v / (np.linalg.norm(qa) * np.linalg.norm(v))), n)
+                for n, v in vecs.items()
+                if n != q
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )[: _TOPK]
+        tot += sum(s for s, _ in sims)
+    want = tot / (len(qids) * _TOPK)
+    assert abs(full.mean_full_cos_of_topk - want) < 1e-5
+
+
+def test_autocorrelation_matches_numpy(spark):
+    """ev_autocorrelation_seasonal vs a numpy replay over the gap-filled
+    hourly series, residuals exact-scaled r = N*x - T."""
+    import numpy as np
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _ACF_LAGS,
+        ev_autocorrelation_seasonal,
+        load_events,
+    )
+
+    pdf = load_events(spark, SF_SMOKE).select("event_type", "ts").toPandas()
+    got = {r.event_type: r for r in ev_autocorrelation_seasonal(spark, SF_SMOKE).collect()}
+    for t, sub in pdf.groupby("event_type"):
+        hours = (sub.ts.astype("int64") // 10**9) // 3600
+        h0 = hours.min()
+        xs = np.bincount((hours - h0).astype(int)).astype(np.int64)
+        n, tot = len(xs), int(xs.sum())
+        r = n * xs - tot
+        den = float((r.astype(float) ** 2).sum())
+        row = got[t]
+        assert row.n_hours == n and row.n_events == tot
+        for k in _ACF_LAGS:
+            want = (
+                None
+                if n <= k
+                else round(float((r[:-k].astype(float) * r[k:].astype(float)).sum()) / den, 6)
+            )
+            val = getattr(row, f"acf_{k}")
+            if want is None:
+                assert val is None
+            else:
+                assert abs(val - want) < 1e-6, (t, k, val, want)
