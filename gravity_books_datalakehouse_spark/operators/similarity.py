@@ -2059,9 +2059,14 @@ def _mrl_cos_sql(d: int) -> str:
 
 
 def _mrl_sql() -> str:
+    # The ladder's TOP rung ranks by the UNSLICED full-vector cosine
+    # (no [1:d] slice), so the identity anchor survives any embedding
+    # width change instead of silently truncating (ADVICE r12 item 3);
+    # the current 64-dim corpus makes the two expressions bit-identical.
     legs = "\n      UNION ALL\n".join(
         f"""      SELECT {d} AS dim, a.vec_id AS qid, b.vec_id AS nid,
-             {_mrl_cos_sql(d)} AS cos_d, {_COS_SQL} AS cos_full
+             {_COS_SQL if d == _MRL_DIMS[-1] else _mrl_cos_sql(d)} AS cos_d,
+             {_COS_SQL} AS cos_full
       FROM embeddings a, embeddings b
       WHERE a.vec_id < {_TOPK_QUERIES} AND a.vec_id != b.vec_id"""
         for d in _MRL_DIMS
@@ -2074,7 +2079,7 @@ def _mrl_sql() -> str:
                                 ORDER BY cos_d DESC, nid ASC) AS rnk
       FROM pairs),
     topd AS (SELECT dim, qid, nid, cos_full FROM ranked WHERE rnk <= {_TOPK}),
-    full_top AS (SELECT qid, nid FROM topd WHERE dim = 64),
+    full_top AS (SELECT qid, nid FROM topd WHERE dim = {_MRL_DIMS[-1]}),
     per_q AS (
       SELECT t.dim, t.qid,
              SUM(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END) AS hits,
@@ -2099,8 +2104,10 @@ def sim_matryoshka_truncation(spark, sf_dir):
     report (dim, n_queries, recall_at_k, mean_full_cos_of_topk) against
     the full-dimension ranking — recall@k answers "do I still find the
     same neighbors", the mean full cosine answers "how good are the
-    ones I find instead". d=64 is the identity row (recall 1.0), the
-    built-in sanity anchor.
+    ones I find instead". The ladder's top rung ranks by the UNSLICED
+    full-vector cosine (identity row, recall 1.0) — never a prefix
+    slice, so it stays the anchor even if the embedding width changes
+    (ADVICE r12 item 3).
 
     Exactness: each truncated cosine is the same in-order double fold
     as the full one, over the dim prefix (F.slice / DuckDB list slice
@@ -2119,37 +2126,47 @@ def sim_matryoshka_truncation(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     dims = list(_MRL_DIMS)
 
-    def _norm_d(col: str, d: int) -> Column:
+    def _norm_d(col: str, d: int | None) -> Column:
+        # d=None folds the WHOLE array — the full-vector norm is never a
+        # slice, so a wider-than-64 embedding can't silently truncate
+        # the cos_full leg (ADVICE r12 item 3).
+        arr = F.col(col) if d is None else F.slice(col, 1, d)
         return F.sqrt(
             F.aggregate(
-                F.slice(col, 1, d),
+                arr,
                 F.lit(0.0),
                 lambda acc, x: acc + x.cast("double") * x.cast("double"),
             )
         )
 
+    trunc = dims[:-1]  # the top rung ranks by the unsliced full cosine
     a = e.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("va"),
-        *[_norm_d("embedding", d).alias(f"na{d}") for d in dims],
+        _norm_d("embedding", None).alias("naf"),
+        *[_norm_d("embedding", d).alias(f"na{d}") for d in trunc],
     ).filter(F.col("qid") < _TOPK_QUERIES)
     b = e.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("vb"),
-        *[_norm_d("embedding", d).alias(f"nb{d}") for d in dims],
+        _norm_d("embedding", None).alias("nbf"),
+        *[_norm_d("embedding", d).alias(f"nb{d}") for d in trunc],
     )
 
-    def _dot_d(d: int) -> Column:
+    def _dot_d(d: int | None) -> Column:
+        va = F.col("va") if d is None else F.slice("va", 1, d)
+        vb = F.col("vb") if d is None else F.slice("vb", 1, d)
         return F.aggregate(
             F.zip_with(
-                F.slice("va", 1, d),
-                F.slice("vb", 1, d),
+                va,
+                vb,
                 lambda x, y: x.cast("double") * y.cast("double"),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
+    cos_full = _dot_d(None) / (F.col("naf") * F.col("nbf"))
     pairs = (
         F.broadcast(a)
         .crossJoin(b)
@@ -2163,12 +2180,12 @@ def sim_matryoshka_truncation(spark, sf_dir):
                         F.struct(
                             F.lit(d).alias("dim"),
                             (
-                                _dot_d(d)
+                                cos_full
+                                if d == dims[-1]
+                                else _dot_d(d)
                                 / (F.col(f"na{d}") * F.col(f"nb{d}"))
                             ).alias("cos_d"),
-                            (
-                                _dot_d(64) / (F.col("na64") * F.col("nb64"))
-                            ).alias("cos_full"),
+                            cos_full.alias("cos_full"),
                         )
                         for d in dims
                     ]
@@ -2186,7 +2203,7 @@ def sim_matryoshka_truncation(spark, sf_dir):
         .select("dim", "qid", "nid", "cos_full")
         .localCheckpoint()
     )
-    full_top = topd.where(F.col("dim") == 64).select(
+    full_top = topd.where(F.col("dim") == dims[-1]).select(
         "qid", "nid", F.lit(1).alias("hit")
     )
     per_q = (

@@ -67,6 +67,7 @@ def clear_session_caches() -> None:
         components._REP_JACCARD_CACHE,
         components._PERSISTENCE_CACHE,
         components._PLEVELS_CACHE,
+        components._EXTRACTION_CACHE,
     ):
         for value in registry.values():
             frames = value.values() if isinstance(value, dict) else [value]

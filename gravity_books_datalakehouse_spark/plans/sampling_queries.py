@@ -431,12 +431,12 @@ _ARES_NIBBLES = 13
 _ARES_DENOM = float(2**52)
 
 
-def _hex52_sql(expr: str) -> str:
+def _hex52_sql(expr: str, seed: str = _ARES_SEED) -> str:
     """DuckDB twin of conv(substring(md5(...),1,13),16,10): nibble-
     assembled 52-bit integer (countmin.py's _bucket_sql pattern)."""
     nib = (
         lambda i: "(strpos('0123456789abcdef', "
-        f"substr(md5('{_ARES_SEED}:' || {expr}), {i + 1}, 1)) - 1)"
+        f"substr(md5('{seed}:' || {expr}), {i + 1}, 1)) - 1)"
     )
     return " + ".join(
         f"({nib(i)}::BIGINT << {4 * (_ARES_NIBBLES - 1 - i)})"
@@ -620,6 +620,92 @@ def op_sample_neyman(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w_sel))
         .where(F.col("rnk") <= F.col("n_h"))
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("lang", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified weighted reservoir (A-Res within strata): every stratum
+# (language) gets the SAME seat count, but within a stratum selection
+# probability scales with document length — the two samplers above
+# composed. op_sample_weighted_ares fixes under-representation of long
+# documents' TOKENS; this additionally fixes under-representation of
+# small LANGUAGES (a global weighted draw is dominated by the majority
+# lang). The equal-seats x length-weighted design is what a multilingual
+# token-budgeted eval set actually uses: per-language quotas, token-mass
+# draws inside each quota. Same Efraimidis-Spirakis key as the global
+# sampler (ln(u)/w ranked descending == u^(1/w)), distinct hash seed so
+# the two draws are decorrelated.
+
+_SARES_K_PER_STRATUM = 12
+_SARES_SEED = "sares"
+
+
+@register(
+    "op_sample_stratified_weighted",
+    f"""WITH keyed AS (
+          SELECT doc_id, lang, n_chars,
+                 ln(({_hex52_sql('CAST(doc_id AS VARCHAR)', seed=_SARES_SEED)} + 0.5)
+                    / {_ARES_DENOM!r}) / n_chars AS k
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY k DESC, doc_id) AS rnk
+          FROM keyed)
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM ranked WHERE rnk <= {_SARES_K_PER_STRATUM}
+        ORDER BY lang, doc_id""",
+)
+def op_sample_stratified_weighted(spark, sf_dir):
+    """Per-stratum weighted reservoir: exactly {k} documents PER
+    LANGUAGE, drawn within each language with probability proportional
+    to n_chars — the A-Res key ln(u)/w ranked descending inside a
+    per-lang window. Columns (lang, doc_id, n_chars).
+
+    Composition contract: u reuses op_sample_weighted_ares's exact
+    52-bit construction ((m + 0.5)/2^52 is bit-exact in a double on
+    both engines) under a DIFFERENT seed ('sares:'), so this draw is
+    independent of the global weighted sample; the ln() libm caveat and
+    the doc_id tiebreak are the same measured-margin contract
+    documented there.
+
+    Plan shape: per-row projection (hash, ln, divide) then ONE rank
+    window partitioned by lang and a filter — no global sort, no
+    TakeOrderedAndProject funnel, no shuffle beyond the lang
+    repartition. At 100 TB each language's partition keeps a local
+    top-k via the window's sort; skewed languages are bounded by the
+    stratum's own size (and a per-lang top-k is exactly the salting-
+    free shape — the key space IS the stratum)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_SARES_SEED}:"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            _ARES_NIBBLES,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.log((m + F.lit(0.5)) / F.lit(_ARES_DENOM)) / F.col("n_chars")
+    w_sel = Window.partitionBy("lang").orderBy(F.desc("__k"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            key.alias("__k"),
+        )
+        .withColumn("rnk", F.row_number().over(w_sel))
+        .where(F.col("rnk") <= _SARES_K_PER_STRATUM)
+        .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
 

@@ -2859,9 +2859,12 @@ def ev_markov_stationary(spark, sf_dir):
 # drop — cutting every path through it); removal_effect(c) =
 # 1 - p_removed/p_base, normalized into attribution shares. Both
 # engines unroll the SAME K sweeps (the ev_markov_stationary exactness
-# contract — never a convergence race); the testdata's channel set
-# {click, error, signup, view} is enumerated in the oracle, the engine
-# side derives it from the data.
+# contract — never a convergence race). The removal matrices are
+# statically unrolled per channel in _ATTR_CHANNELS (SQL can't generate
+# CTE chains from data), but the oracle's OUTPUT channel list derives
+# from the data (chan CTE over tm), so a channel absent from journeys
+# drops from BOTH engines; a channel present in data but missing from
+# _ATTR_CHANNELS raises loudly on the engine side (ADVICE r12 item 2).
 
 _ATTR_K = 8
 _ATTR_CHANNELS = ("click", "error", "signup", "view")
@@ -2943,7 +2946,6 @@ def _attr_sweeps_sql(tag: str, pr_rel: str) -> str:
 
 
 def _attribution_sql() -> str:
-    chans = ", ".join(f"('{c}')" for c in _ATTR_CHANNELS)
     removed = []
     for c in _ATTR_CHANNELS:
         removed.append(
@@ -3008,7 +3010,9 @@ def _attribution_sql() -> str:
     {_attr_sweeps_sql("b", "pr")},
     {removed_sql},
     base AS (SELECT v AS pb FROM vb{_ATTR_K} WHERE s = 'START'),
-    chan(channel) AS (VALUES {chans}),
+    chan AS (
+      SELECT DISTINCT f AS channel FROM tm
+      WHERE f NOT IN ('START', 'CONV', 'NOCONV')),
     outs AS (
       SELECT f AS channel, CAST(SUM(n) AS BIGINT) AS n_transitions_from
       FROM tm GROUP BY 1),
@@ -3097,10 +3101,27 @@ def ev_markov_attribution(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .collect()  # model-sized: (|types|+3)^2
     )
+    out = _attribution_rows_from_tm([(r.f, r.t, r.n) for r in tm_rows])
+    return spark.createDataFrame(
+        out,
+        "channel string, n_transitions_from bigint, p_conv_base double, "
+        "p_conv_removed double, removal_effect double, "
+        "attribution_share double",
+    ).orderBy("channel")
+
+
+def _attribution_rows_from_tm(
+    tm: list[tuple[str, str, int]],
+) -> list[tuple]:
+    """Driver-side removal-effect arithmetic on the collected (f, t, n)
+    transition triples — the model-sized tail of ev_markov_attribution,
+    factored out so the streaming journey twin's test assembly runs the
+    IDENTICAL float path (deterministic sorted iteration; the
+    bit-equality contract of the batch/stream pairs)."""
     row_tot: dict[str, int] = {}
-    for r in tm_rows:
-        row_tot[r.f] = row_tot.get(r.f, 0) + r.n
-    pr = {(r.f, r.t): r.n * 1.0 / row_tot[r.f] for r in tm_rows}
+    for f, t, n in tm:
+        row_tot[f] = row_tot.get(f, 0) + n
+    pr = {(f, t): n * 1.0 / row_tot[f] for f, t, n in tm}
     states = sorted(
         {f for f, _ in pr} | {t for _, t in pr} | {"CONV", "NOCONV"}
     )
@@ -3127,6 +3148,17 @@ def ev_markov_attribution(spark, sf_dir):
         for t in {x for _, x in pr} | {x for x, _ in pr}
         if t not in ("START", "CONV", "NOCONV")
     )
+    unknown = [c for c in channels if c not in _ATTR_CHANNELS]
+    if unknown:
+        # The oracle's removal matrices are statically unrolled CTE
+        # chains over _ATTR_CHANNELS; a channel the data derives but the
+        # oracle can't sweep would silently drop from the oracle output.
+        # Fail loudly instead (ADVICE r12 item 2).
+        raise RuntimeError(
+            "ev_markov_attribution: data-derived channels "
+            f"{unknown} are missing from _ATTR_CHANNELS — extend the "
+            "enumerated set so the oracle unrolls their removal sweeps"
+        )
     rows = []
     for c in channels:
         prm: dict = {}
@@ -3152,12 +3184,7 @@ def ev_markov_attribution(spark, sf_dir):
         )
         for c, n, pb_, prm_, eff in rows
     ]
-    return spark.createDataFrame(
-        out,
-        "channel string, n_transitions_from bigint, p_conv_base double, "
-        "p_conv_removed double, removal_effect double, "
-        "attribution_share double",
-    ).orderBy("channel")
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -98,6 +98,59 @@ def test_weighted_ares_matches_python(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_stratified_weighted_ares_matches_python(spark):
+    """Recompute the per-stratum A-Res draw in pure python (hashlib md5
+    under the 'sares' seed + math.log, top-k per lang) and demand the
+    identical kept set; pin exactly k rows per language, the
+    within-stratum length bias, decorrelation from the global draw's
+    seed, and the single-window plan shape (no TakeOrderedAndProject —
+    the top-k lives in a lang-partitioned window, never a global
+    funnel)."""
+    import math
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.plans.sampling_queries import (
+        _ARES_DENOM,
+        _ARES_NIBBLES,
+        _ARES_SEED,
+        _SARES_K_PER_STRATUM,
+        _SARES_SEED,
+        op_sample_stratified_weighted,
+    )
+
+    assert _SARES_SEED != _ARES_SEED  # decorrelated draws
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    by_lang: dict = defaultdict(list)
+    for r in docs:
+        hx = hashlib.md5(f"{_SARES_SEED}:{r.doc_id}".encode()).hexdigest()
+        m = int(hx[:_ARES_NIBBLES], 16)
+        key = math.log((m + 0.5) / _ARES_DENOM) / r.n_chars
+        by_lang[r.lang].append((key, -r.doc_id, r))
+    want = set()
+    for lang, items in by_lang.items():
+        items.sort(reverse=True)
+        want |= {t[2].doc_id for t in items[:_SARES_K_PER_STRATUM]}
+
+    out = op_sample_stratified_weighted(spark, SF_SMOKE)
+    got_rows = out.collect()
+    assert {r.doc_id for r in got_rows} == want
+    per_lang = defaultdict(int)
+    for r in got_rows:
+        per_lang[r.lang] += 1
+    for lang, items in by_lang.items():
+        assert per_lang[lang] == min(_SARES_K_PER_STRATUM, len(items))
+
+    # within-stratum length bias: pooled sample mean beats corpus mean
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    sample_mean = sum(r.n_chars for r in got_rows) / len(got_rows)
+    assert sample_mean > corpus_mean
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan  # per-stratum window, no funnel
+
+
 def test_neyman_allocation_python_replay(spark):
     """Recompute the full Neyman pipeline in python — exact integer
     stratum stats, N_h*S_h weights, floor + largest-remainder seats,
