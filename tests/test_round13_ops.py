@@ -1,0 +1,258 @@
+"""Round-13 operators: decay-base sweep conservation and the
+stratified-weighted sampler's window plan (the per-op python replays
+live in test_sampling.py / test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gravity_books_datalakehouse_spark.streaming.event_queries import (
+    _session_journey_frame,
+    ev_attribution_decay_sweep,
+    ev_attribution_models,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_wasserstein_drift_matches_python_and_bounds(spark):
+    """Recompute per-source W1 in pure python (integer segment sums over
+    the sorted value domain) and demand identical displayed values; pin
+    the Jensen lower bound W1 >= |mean_shift| for every source and that
+    W1 is 0 for a source identical to the pool (vacuous here, so instead
+    pin W1 > 0 for all real sources — each is a strict subset)."""
+    from gravity_books_datalakehouse_spark.plans.advanced_queries import (
+        op_drift_wasserstein_by_source,
+    )
+    from gravity_books_datalakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    from collections import Counter, defaultdict
+
+    pool = Counter()
+    per_src: dict = defaultdict(Counter)
+    sx = 0
+    sxs: dict = defaultdict(int)
+    for r in docs:
+        pool[r.n_chars] += 1
+        per_src[r.source][r.n_chars] += 1
+        sx += r.n_chars
+        sxs[r.source] += r.n_chars
+    n = len(docs)
+    dom = sorted(pool)
+    rp = {}
+    run = 0
+    for v in dom:
+        run += pool[v]
+        rp[v] = run
+    want = {}
+    for s, cnt in per_src.items():
+        ns = sum(cnt.values())
+        rs = 0
+        wnum = 0
+        for i, v in enumerate(dom):
+            rs += cnt.get(v, 0)
+            gap = (dom[i + 1] - v) if i + 1 < len(dom) else 0
+            wnum += abs(rs * n - rp[v] * ns) * gap
+        want[s] = (
+            ns,
+            round(wnum / (1.0 * ns * n), 6),
+            round(sxs[s] * 1.0 / ns - sx * 1.0 / n, 6),
+        )
+
+    out = op_drift_wasserstein_by_source(spark, SF_SMOKE).collect()
+    got = {r.source: (r.n_docs, r.w1_distance, r.mean_shift) for r in out}
+    assert got == want
+    for s, (ns, w1, shift) in got.items():
+        assert w1 + 1e-6 >= abs(shift), s  # Jensen: W1 >= |mean shift|
+        assert w1 > 0, s
+
+
+def test_km_survival_matches_python_replay(spark):
+    """Recompute the Kaplan-Meier curve in pure python (per-user
+    durations, censoring at last event, product over event times) and
+    demand identical displayed rows; pin monotone non-increasing
+    survival across horizons and that censoring actually binds (KM at
+    the last horizon differs from the naive all-observations ECDF —
+    the whole reason the estimator exists)."""
+    import math
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _KM_BUDGET,
+        _KM_HORIZONS_H,
+        ev_survival_km_error_budget,
+        load_events,
+    )
+
+    rows = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    durs = []  # (duration_s, ev_flag)
+    for u, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        t0 = int(evs[0].ts.timestamp())
+        errs = [r for r in evs if r.event_type == "error"]
+        if len(errs) >= _KM_BUDGET:
+            te = int(errs[_KM_BUDGET - 1].ts.timestamp())
+            durs.append((te - t0, 1))
+        else:
+            durs.append((int(evs[-1].ts.timestamp()) - t0, 0))
+    n = len(durs)
+    hist = defaultdict(lambda: [0, 0])
+    for d, ev in durs:
+        hist[d][0] += 1
+        hist[d][1] += ev
+    want = {}
+    for hh in _KM_HORIZONS_H:
+        lim = hh * 3600
+        logsum, seen, cum_ev = 0.0, 0, 0
+        for v in sorted(hist):
+            if v > lim:
+                break
+            c_all, c_ev = hist[v]
+            if c_ev > 0:
+                logsum += math.log(1.0 - c_ev * 1.0 / (n - seen))
+            seen += c_all
+            cum_ev += c_ev
+        want[hh] = (
+            sum(1 for d, _ in durs if d >= lim),
+            cum_ev,
+            round(math.exp(logsum) if cum_ev else 1.0, 6),
+        )
+
+    out = ev_survival_km_error_budget(spark, SF_SMOKE).collect()
+    got = {
+        r.horizon_hours: (r.n_at_risk, r.cum_events, r.survival)
+        for r in out
+    }
+    assert got == want
+
+    survs = [got[h][2] for h in sorted(got)]
+    assert survs == sorted(survs, reverse=True)  # monotone non-increasing
+
+    # censoring binds: the naive ECDF treats censored durations as
+    # failures; where any censored user left before the last horizon,
+    # KM must sit ABOVE the per-observation failure ECDF
+    last = max(_KM_HORIZONS_H) * 3600
+    n_cens_before = sum(1 for d, ev in durs if ev == 0 and d < last)
+    if n_cens_before:
+        ecdf_surv = sum(1 for d, _ in durs if d > last) / n
+        assert got[max(_KM_HORIZONS_H)][2] > ecdf_surv
+
+
+def test_logrank_matches_python_replay(spark):
+    """Recompute the log-rank O/E/V sums in pure python over the same
+    per-user durations and cohort split and demand identical displayed
+    values; pin the internal consistency O_0 - E_0 = -(O_1 - E_1)
+    (the two-sample statistic is antisymmetric) via expected+observed
+    totals."""
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _KM_BUDGET,
+        ev_survival_logrank_error_first,
+        load_events,
+    )
+
+    rows = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    durs = []  # (duration, ev, g)
+    for u, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        g = 1 if evs[0].event_type == "error" else 0
+        t0 = int(evs[0].ts.timestamp())
+        errs = [r for r in evs if r.event_type == "error"]
+        if len(errs) >= _KM_BUDGET:
+            durs.append((int(errs[_KM_BUDGET - 1].ts.timestamp()) - t0, 1, g))
+        else:
+            durs.append((int(evs[-1].ts.timestamp()) - t0, 0, g))
+    n = len(durs)
+    n1 = sum(g for _, _, g in durs)
+    hist = defaultdict(lambda: [0, 0, 0, 0])  # c_all, c_ev, c1_all, c1_ev
+    for d, ev, g in durs:
+        h = hist[d]
+        h[0] += 1
+        h[1] += ev
+        h[2] += g
+        h[3] += g * ev
+    o1, e1, var1 = 0, 0.0, 0.0
+    cb = cb1 = 0
+    for v in sorted(hist):
+        c_all, c_ev, c1_all, c1_ev = hist[v]
+        if c_ev > 0:
+            nj, n1j = n - cb, n1 - cb1
+            share = n1j * 1.0 / nj
+            o1 += c1_ev
+            e1 += c_ev * share
+            if nj > 1:
+                var1 += c_ev * share * (1.0 - share) * (
+                    (nj - c_ev) * 1.0 / (nj - 1)
+                )
+        cb += c_all
+        cb1 += c1_all
+    r = ev_survival_logrank_error_first(spark, SF_SMOKE).first()
+    assert (r.n_cohort, r.n_rest) == (n1, n - n1)
+    assert r.observed == o1
+    assert r.expected == round(e1, 6)
+    assert r.variance == round(var1, 6)
+    assert r.chi2 == round((o1 - e1) ** 2 / var1, 6)
+    assert r.reject_05 == ((o1 - e1) ** 2 > 3.841459 * var1)
+
+
+def test_decay_sweep_conserves_credit_per_base(spark):
+    """Per decay base, total credit across channels must equal the
+    number of converting journeys EXACTLY up to the 6-dp display round
+    (each journey's geometric weights sum to 1 by construction), and
+    the base-2 column must reproduce ev_attribution_models.time_decay
+    bit-for-bit (same closed form, same fold)."""
+    out = ev_attribution_decay_sweep(spark, SF_SMOKE).collect()
+    bases = sorted({r.decay_base for r in out})
+    assert bases == [2.0, 4.0, 8.0]
+
+    j = _session_journey_frame(spark, SF_SMOKE)
+    n_conv = (
+        j.where(F.col("fp_rn").isNotNull() & (F.col("fp_rn") > 1))
+        .select("user_id", "sess_id")
+        .distinct()
+        .count()
+    )
+    # fp_rn == 1 journeys (purchase first) have no touches and appear in
+    # no credit row; every other converting journey contributes exactly 1
+    for b in bases:
+        tot = sum(r.credit for r in out if r.decay_base == b)
+        assert abs(tot - n_conv) < 1e-4, (b, tot, n_conv)
+
+    models = {
+        r.channel: r.time_decay
+        for r in ev_attribution_models(spark, SF_SMOKE).collect()
+    }
+    got2 = {r.channel: r.credit for r in out if r.decay_base == 2.0}
+    assert got2 == models
+
+    # n_touches is base-invariant (the explode copies every touch)
+    per_base = {
+        b: sorted(
+            (r.channel, r.n_touches) for r in out if r.decay_base == b
+        )
+        for b in bases
+    }
+    assert per_base[2.0] == per_base[4.0] == per_base[8.0]
+
+    # steeper base concentrates credit: for every channel the credit at
+    # base 8 differs from base 2 unless the channel only appears in
+    # k=1/uniform-position journeys — pin at least ONE channel moved
+    got8 = {r.channel: r.credit for r in out if r.decay_base == 8.0}
+    assert any(abs(got8[c] - got2[c]) > 1e-9 for c in got2)

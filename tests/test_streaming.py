@@ -1158,3 +1158,133 @@ def test_streaming_change_point_equals_batch(spark, tmp_path):
                 best_d, best_i = d, i
         assert s.n_hours == n and s.n_events == tot
         assert s.max_scaled_dev == best_d and s.best_i == best_i
+
+
+def test_streaming_attribution_journeys_equals_batch(spark, tmp_path):
+    """The SEVENTH batch/stream twin: per-user journey transitions fed
+    a mid-session two-file split plus a flush file must (a) sum to the
+    transition matrix an independent pure-python sessionizer computes
+    from the same events, and (b) reproduce the batch
+    ev_markov_attribution table bit-for-bit when fed through the shared
+    _attribution_rows_from_tm arithmetic."""
+    import glob as g
+    import os
+    import time as _time
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _attribution_rows_from_tm,
+        ev_markov_attribution,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        FLUSH_SENTINEL,
+        streaming_attribution_journeys,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    cut = ev.agg(
+        F.timestamp_seconds(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY unix_timestamp(ts))"
+            )
+        ).alias("c")
+    ).first().c
+    src = str(tmp_path / "attr_src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d1"
+    )
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d2"
+    )
+    # flush file: one sentinel per user AFTER that user's last event
+    mx = ev.agg(
+        F.max("ts").alias("mt"), F.max("event_id").alias("me")
+    ).first()
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            (F.lit(mx.me) + F.row_number().over(
+                Window.orderBy("user_id")
+            )).cast("long").alias("event_id"),
+            (F.lit(mx.mt) + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            F.col("user_id").cast("long"),
+            F.lit(FLUSH_SENTINEL).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    flush.coalesce(1).write.mode("overwrite").parquet(src + "/d3")
+    merged = str(tmp_path / "attr_merged")
+    os.makedirs(merged)
+    now = _time.time()
+    for i, d in enumerate(("d1", "d2", "d3")):
+        f = shutil.copy(
+            g.glob(src + f"/{d}/part-*.parquet")[0],
+            merged + f"/0{i + 1}.parquet",
+        )
+        os.utime(f, (now - 100 + i * 50, now - 100 + i * 50))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    q = (
+        streaming_attribution_journeys(stream)
+        .writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM attr_stream").collect()
+    assert rows, "journey twin produced no rows at smoke scale"
+    streamed_tm: dict = defaultdict(int)
+    for r in rows:
+        streamed_tm[(r.f, r.t)] += r.n
+
+    # independent python sessionizer oracle over the same events
+    pdf = ev.select("user_id", "ts", "event_id", "event_type").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    want_tm: dict = defaultdict(int)
+    gap = 30 * 60 * 1_000_000_000
+
+    def emit(types, purchased):
+        toks = ["START"] + types + ["CONV" if purchased else "NOCONV"]
+        for a, b in zip(toks, toks[1:]):
+            want_tm[(a, b)] += 1
+
+    for _, grp in pdf.groupby("user_id", sort=False):
+        last = None
+        types: list = []
+        purchased = False
+        for ts, etype in zip(grp["ts"].astype("int64"), grp["event_type"]):
+            if last is not None and ts > last + gap:
+                emit(types, purchased)
+                types, purchased = [], False
+            if not purchased:
+                if etype == "purchase":
+                    purchased = True
+                else:
+                    types.append(etype)
+            last = ts
+        emit(types, purchased)
+
+    assert dict(streamed_tm) == dict(want_tm)
+
+    # shared arithmetic on the streamed matrix == the batch table
+    got = _attribution_rows_from_tm(
+        [(f, t, n) for (f, t), n in sorted(streamed_tm.items())]
+    )
+    want = [
+        tuple(r)
+        for r in ev_markov_attribution(spark, SF_SMOKE)
+        .orderBy("channel")
+        .collect()
+    ]
+    assert got == want
