@@ -3283,9 +3283,17 @@ def ev_survival_km_error_budget(spark, sf_dir):
     pass distributed prefix sum, or equi-depth binned KM) once distinct
     durations outgrow one task. Horizon picks are |horizons| x spine
     joins — model-sized."""
+    return _km_readout(spark, _error_budget_durations(load_events(spark, sf_dir)))
+
+
+def _error_budget_durations(e: DataFrame) -> DataFrame:
+    """(user_id, d, ev) per user on the error-budget clock: d = integer
+    seconds from first event to the {budget}-th error (ev=1) or the last
+    observed event (ev=0, right-censored). Factored out of
+    ev_survival_km_error_budget so the streaming survival twin's test
+    can assert its per-user state rows reproduce EXACTLY this frame."""
     from pyspark.sql import Window
 
-    e = load_events(spark, sf_dir)
     t0 = e.groupBy("user_id").agg(
         F.min("ts").alias("t0"), F.max("ts").alias("le")
     )
@@ -3296,7 +3304,7 @@ def ev_survival_km_error_budget(spark, sf_dir):
         .where(F.col("rn") == _KM_BUDGET)
         .select("user_id", F.col("ts").alias("te"))
     )
-    dur = t0.join(te, "user_id", "left").select(
+    return t0.join(te, "user_id", "left").select(
         "user_id",
         (
             F.unix_timestamp(F.coalesce("te", "le"))
@@ -3304,6 +3312,14 @@ def ev_survival_km_error_budget(spark, sf_dir):
         ).alias("d"),
         F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
     )
+
+
+def _km_readout(spark: SparkSession, dur: DataFrame) -> DataFrame:
+    """KM product-limit fold + horizon picks over a (user_id, d, ev)
+    duration frame — the tail of ev_survival_km_error_budget, shared
+    with the streaming twin's readout test."""
+    from pyspark.sql import Window
+
     nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
     hist = dur.groupBy(F.col("d").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c_all"),
@@ -3570,6 +3586,377 @@ def ev_survival_logrank_error_first(spark, sf_dir):
             (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1"))
             > F.lit(_LOGRANK_CRIT) * F.col("var1")
         ).alias("reject_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard + Greenwood variance bands on the SAME
+# error-budget clock as the KM curve (Nelson 1972 / Aalen 1978;
+# Greenwood 1926 — public literature). H(t) = sum d_j/n_j is the
+# hazard-scale companion to KM's product-limit S(t): exp(-H) ~= S with
+# equality only in the continuous limit, and the GAP between them is a
+# direct readout of tie mass. Greenwood's formula Var(S) = S^2 * sum
+# d_j/(n_j(n_j-d_j)) gives the variance KM itself cannot: publishing a
+# survival curve without its confidence band invites over-reading, and
+# the band width at each horizon is the "how sure are we" number an
+# SLO review actually needs.
+
+_Z95 = 1.959964  # two-sided normal 95% critical value
+
+_NA_SQL = f"""WITH t0 AS (
+      SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le
+      FROM events GROUP BY 1),
+    er AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'),
+    te AS (SELECT user_id, ts AS te FROM er WHERE rn = {_KM_BUDGET}),
+    dur AS (
+      SELECT t.user_id,
+             date_diff('second', t.t0, COALESCE(x.te, t.le)) AS d,
+             CASE WHEN x.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 t LEFT JOIN te x USING (user_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM dur),
+    hist AS (
+      SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev
+      FROM dur GROUP BY 1),
+    spine AS (
+      SELECT v, c_ev,
+             COALESCE(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist),
+    km AS (
+      SELECT v,
+             SUM(CASE WHEN c_ev > 0
+                      THEN c_ev * 1.0 / ((SELECT nu FROM n) - cb)
+                      ELSE 0.0 END)
+               OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hz,
+             EXP(SUM(CASE WHEN c_ev > 0
+                          THEN LN(1.0 - c_ev * 1.0
+                                  / ((SELECT nu FROM n) - cb))
+                          ELSE 0.0 END)
+                 OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) AS s,
+             SUM(CASE WHEN c_ev > 0
+                       AND ((SELECT nu FROM n) - cb) > c_ev
+                      THEN c_ev * 1.0
+                           / ((((SELECT nu FROM n) - cb) * 1.0)
+                              * (((SELECT nu FROM n) - cb) - c_ev))
+                      ELSE 0.0 END)
+               OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS gw
+      FROM spine),
+    h(horizon_hours) AS (VALUES {", ".join(f"({x})" for x in _KM_HORIZONS_H)}),
+    pick AS (
+      SELECT h.horizon_hours, k.hz, k.s, k.gw,
+             row_number() OVER (PARTITION BY h.horizon_hours
+                                ORDER BY k.v DESC) AS rk
+      FROM h LEFT JOIN km k ON k.v <= h.horizon_hours * 3600),
+    r AS (
+      SELECT horizon_hours, COALESCE(hz, 0.0) AS hz,
+             COALESCE(s, 1.0) AS s, COALESCE(gw, 0.0) AS gw
+      FROM pick WHERE rk = 1),
+    se AS (SELECT horizon_hours, hz, s, s * SQRT(gw) AS se FROM r)
+    SELECT CAST(horizon_hours AS INT) AS horizon_hours,
+           ROUND(hz, 6) AS cum_hazard,
+           ROUND(EXP(-hz), 6) AS s_nelson_aalen,
+           ROUND(s, 6) AS survival,
+           ROUND(se, 6) AS greenwood_se,
+           ROUND(GREATEST(0.0, s - {_Z95!r} * se), 6) AS ci_lo95,
+           ROUND(LEAST(1.0, s + {_Z95!r} * se), 6) AS ci_hi95
+    FROM se
+    ORDER BY horizon_hours"""
+
+
+@register("ev_survival_na_bands", _NA_SQL)
+def ev_survival_na_bands(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard and Greenwood 95% confidence
+    bands around the KM curve at the fixed horizons: (horizon_hours,
+    cum_hazard, s_nelson_aalen, survival, greenwood_se, ci_lo95,
+    ci_hi95). H = sum d_j/n_j over event times <= the horizon,
+    s_nelson_aalen = exp(-H) (the Fleming-Harrington estimate), and the
+    band is survival +- z95 * S*sqrt(sum d_j/(n_j(n_j-d_j))), clamped
+    to [0,1] (plain Greenwood; the term with n_j = d_j is excluded, as
+    S has already hit 0 there and the variance is degenerate).
+
+    Exactness: identical contract to ev_survival_km_error_budget — all
+    d_j, n_j integer, every hazard/variance term one exact division,
+    the three cumulative folds run in ascending-time frame order on
+    both engines, sqrt is correctly-rounded IEEE, and exp/ln ulp noise
+    sits under the 6-dp display round. se is computed once as
+    s * SQRT(gw) and reused by both band edges so the float assembly
+    order is identical on both engines.
+
+    Scale shape: same as the KM op — per-user aggregate, one user-
+    partitioned rank window, then histogram-spine folds (single-task
+    over distinct durations, LARGE-DOMAIN ESCAPE HATCH documented at
+    op_ks_drift_by_source), model-sized horizon picks."""
+    from pyspark.sql import Window
+
+    dur = _error_budget_durations(load_events(spark, sf_dir))
+    nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    hist = dur.groupBy(F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+    )
+    wv = Window.orderBy("v")
+    spine = hist.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum("c_all").over(
+                wv.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("v", "c_ev", "cb")
+    nj = F.col("nu") - F.col("cb")
+    wcum = wv.rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        spine.join(F.broadcast(nu))
+        .withColumn(
+            "hzt",
+            F.when(
+                F.col("c_ev") > 0, F.col("c_ev") * F.lit(1.0) / nj
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "logf",
+            F.when(
+                F.col("c_ev") > 0,
+                F.log(F.lit(1.0) - F.col("c_ev") * F.lit(1.0) / nj),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "gwt",
+            F.when(
+                (F.col("c_ev") > 0) & (nj > F.col("c_ev")),
+                F.col("c_ev")
+                * F.lit(1.0)
+                / ((nj * F.lit(1.0)) * (nj - F.col("c_ev"))),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("hz", F.sum("hzt").over(wcum))
+        .withColumn("s", F.exp(F.sum("logf").over(wcum)))
+        .withColumn("gw", F.sum("gwt").over(wcum))
+    )
+    hz = spark.createDataFrame(
+        [(h,) for h in _KM_HORIZONS_H], "horizon_hours int"
+    )
+    wpick = Window.partitionBy("horizon_hours").orderBy(
+        F.desc_nulls_last("v")
+    )
+    picked = (
+        F.broadcast(hz)
+        .join(km, F.col("v") <= F.col("horizon_hours") * 3600, "left")
+        .withColumn("rk", F.row_number().over(wpick))
+        .where(F.col("rk") == 1)
+        .select(
+            "horizon_hours",
+            F.coalesce("hz", F.lit(0.0)).alias("hzv"),
+            F.coalesce("s", F.lit(1.0)).alias("sv"),
+            F.coalesce("gw", F.lit(0.0)).alias("gwv"),
+        )
+        .withColumn("se", F.col("sv") * F.sqrt("gwv"))
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return picked.select(
+        F.col("horizon_hours").cast("int"),
+        F.round("hzv", 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("hzv")), 6).alias("s_nelson_aalen"),
+        F.round("sv", 6).alias("survival"),
+        F.round("se", 6).alias("greenwood_se"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), F.col("sv") - F.lit(_Z95) * F.col("se")
+            ),
+            6,
+        ).alias("ci_lo95"),
+        F.round(
+            F.least(F.lit(1.0), F.col("sv") + F.lit(_Z95) * F.col("se")),
+            6,
+        ).alias("ci_hi95"),
+    ).transform(bounded_sort, "horizon_hours")
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time (Royston & Parmar 2013's preferred
+# summary; the estimator itself is classical — Irwin 1949): RMST(tau) =
+# integral_0^tau S(t) dt, the area under the KM step curve up to the
+# horizon. Unlike the median or a point S(tau), RMST is defined even
+# when the curve never crosses 0.5 and uses the WHOLE curve shape —
+# "expected hours of healthy error budget within the first tau hours"
+# is the number an SLO costs out directly. The KM curve is a right-
+# continuous step function, so the integral is an exact finite sum of
+# S(v_i) * (segment width), plus the S=1 head segment before the first
+# observed duration.
+
+_RMST_SQL = f"""WITH t0 AS (
+      SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le
+      FROM events GROUP BY 1),
+    er AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'),
+    te AS (SELECT user_id, ts AS te FROM er WHERE rn = {_KM_BUDGET}),
+    dur AS (
+      SELECT t.user_id,
+             date_diff('second', t.t0, COALESCE(x.te, t.le)) AS d,
+             CASE WHEN x.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 t LEFT JOIN te x USING (user_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM dur),
+    hist AS (
+      SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev
+      FROM dur GROUP BY 1),
+    spine AS (
+      SELECT v, c_ev,
+             COALESCE(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist),
+    km AS (
+      SELECT v,
+             EXP(SUM(CASE WHEN c_ev > 0
+                          THEN LN(1.0 - c_ev * 1.0
+                                  / ((SELECT nu FROM n) - cb))
+                          ELSE 0.0 END)
+                 OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) AS s,
+             LEAD(v) OVER (ORDER BY v) AS nxt
+      FROM spine),
+    h(horizon_hours) AS (VALUES {", ".join(f"({x})" for x in _KM_HORIZONS_H)}),
+    head AS (
+      SELECT h.horizon_hours,
+             LEAST((SELECT MIN(v) FROM km),
+                   h.horizon_hours * 3600) * 1.0 AS head_area
+      FROM h),
+    segs AS (
+      SELECT h.horizon_hours,
+             SUM(k.s * (LEAST(COALESCE(k.nxt, h.horizon_hours * 3600),
+                              h.horizon_hours * 3600) - k.v))
+               AS seg_area
+      FROM h JOIN km k ON k.v < h.horizon_hours * 3600
+      GROUP BY 1),
+    r AS (
+      SELECT hd.horizon_hours,
+             hd.head_area + COALESCE(sg.seg_area, 0.0) AS area
+      FROM head hd LEFT JOIN segs sg USING (horizon_hours))
+    SELECT CAST(horizon_hours AS INT) AS horizon_hours,
+           ROUND(area / 3600.0, 6) AS rmst_hours,
+           ROUND(area / (3600.0 * horizon_hours), 6) AS rmst_share
+    FROM r
+    ORDER BY horizon_hours"""
+
+
+@register("ev_survival_rmst", _RMST_SQL)
+def ev_survival_rmst(spark, sf_dir):
+    """Restricted mean survival time of the error budget at each fixed
+    horizon: (horizon_hours, rmst_hours, rmst_share). rmst_hours is the
+    exact area under the KM step curve up to the horizon, in hours —
+    the expected healthy-budget time a user accrues within the first
+    tau hours; rmst_share = RMST/tau is the normalized [0,1] version
+    comparable across horizons (1 means nobody exhausts within tau).
+
+    Exactness: the step curve's ordinates are the KM products (same
+    EXP(SUM(LN)) fold as the KM op, same ulp contract); segment widths
+    are exact integers (clipped at the horizon with LEAST); each term
+    is one double multiply and the per-horizon SUM's association noise
+    sits under the 6-dp display round (the logrank family's accepted
+    contract). The S=1 head segment before the first observed duration
+    is added explicitly so short horizons are exact too.
+
+    Scale shape: identical to the KM op through the histogram spine;
+    the horizon clip is a |horizons| x spine broadcast join feeding a
+    map-side-combined SUM — model-sized output."""
+    from pyspark.sql import Window
+
+    dur = _error_budget_durations(load_events(spark, sf_dir))
+    nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    hist = dur.groupBy(F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+    )
+    wv = Window.orderBy("v")
+    spine = hist.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum("c_all").over(
+                wv.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("v", "c_ev", "cb")
+    km = (
+        spine.join(F.broadcast(nu))
+        .withColumn(
+            "logf",
+            F.when(
+                F.col("c_ev") > 0,
+                F.log(
+                    F.lit(1.0)
+                    - F.col("c_ev")
+                    * F.lit(1.0)
+                    / (F.col("nu") - F.col("cb"))
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "s",
+            F.exp(
+                F.sum("logf").over(
+                    wv.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ),
+        )
+        .withColumn("nxt", F.lead("v").over(wv))
+        .select("v", "s", "nxt")
+    )
+    hz = spark.createDataFrame(
+        [(h,) for h in _KM_HORIZONS_H], "horizon_hours int"
+    )
+    vmin = km.agg(F.min("v").alias("vmin"))
+    head = (
+        F.broadcast(hz)
+        .join(F.broadcast(vmin))
+        .select(
+            "horizon_hours",
+            (
+                F.least(F.col("vmin"), F.col("horizon_hours") * 3600)
+                * F.lit(1.0)
+            ).alias("head_area"),
+        )
+    )
+    tau = F.col("horizon_hours") * 3600
+    segs = (
+        F.broadcast(hz)
+        .join(km, F.col("v") < tau)
+        .groupBy("horizon_hours")
+        .agg(
+            F.sum(
+                F.col("s")
+                * (F.least(F.coalesce("nxt", tau), tau) - F.col("v"))
+            ).alias("seg_area")
+        )
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        head.join(segs, "horizon_hours", "left")
+        .select(
+            F.col("horizon_hours").cast("int"),
+            (
+                F.col("head_area") + F.coalesce("seg_area", F.lit(0.0))
+            ).alias("area"),
+        )
+        .select(
+            "horizon_hours",
+            F.round(F.col("area") / F.lit(3600.0), 6).alias("rmst_hours"),
+            F.round(
+                F.col("area") / (F.lit(3600.0) * F.col("horizon_hours")),
+                6,
+            ).alias("rmst_share"),
+        )
+        .transform(bounded_sort, "horizon_hours")
     )
 
 
@@ -3930,3 +4317,164 @@ def ev_autocorrelation_seasonal(spark, sf_dir):
         )
         .transform(bounded_sort, "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly Wasserstein-1 drift monitor over user activity: for each ISO
+# week, the exact W1 distance between that week's distribution of
+# per-user event counts and the pooled (all-weeks) distribution, plus
+# the signed mean shift. This is op_drift_wasserstein_by_source's
+# integral-EDF algebra pointed at TIME instead of source strata — the
+# monitoring series a drift dashboard actually plots: a rising W1 with
+# a flat mean says user behavior is polarizing (mass moving both ways),
+# a mean tracking W1 says the whole population shifted. The per-user-
+# week count domain is integer, so the W1 numerator is exact end to end
+# (decimal(38,0) / HUGEINT segment sums), matching the drift family's
+# exactness contract.
+
+_W1_WEEKLY_SQL = """WITH uw AS (
+      SELECT user_id, CAST(date_trunc('week', ts::TIMESTAMP) AS DATE) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    domain AS (
+      SELECT c AS v,
+             SUM(COUNT(*)) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS rp,
+             LEAD(c) OVER (ORDER BY c) AS nxt
+      FROM uw GROUP BY c),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sx FROM uw),
+    wks AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS ns,
+                   CAST(SUM(c) AS BIGINT) AS sxs
+            FROM uw GROUP BY wk),
+    scum AS (
+      SELECT wk, c AS v,
+             SUM(COUNT(*)) OVER (PARTITION BY wk ORDER BY c
+                                 ROWS UNBOUNDED PRECEDING) AS rs
+      FROM uw GROUP BY wk, c),
+    spine AS (
+      SELECT w.wk, w.ns, w.sxs, d.v, d.rp, d.nxt,
+             COALESCE(
+               (SELECT MAX(rs) FROM scum s
+                WHERE s.wk = w.wk AND s.v <= d.v), 0) AS rs
+      FROM wks w CROSS JOIN domain d),
+    seg AS (
+      SELECT wk, ns, sxs,
+             ABS(rs * (SELECT n FROM tot) - rp * ns)::HUGEINT
+               * (COALESCE(nxt, v) - v) AS dseg
+      FROM spine),
+    agg AS (
+      SELECT wk, ns, sxs, SUM(dseg) AS wnum
+      FROM seg GROUP BY 1, 2, 3)
+    SELECT wk AS week_start,
+           ns AS n_active_users,
+           ROUND(wnum / (1.0 * ns * (SELECT n FROM tot)), 6) AS w1_drift,
+           ROUND(sxs * 1.0 / ns - (SELECT sx * 1.0 / n FROM tot), 6)
+             AS mean_shift
+    FROM agg
+    ORDER BY week_start"""
+
+
+@register("ev_drift_w1_weekly", _W1_WEEKLY_SQL)
+def ev_drift_w1_weekly(spark, sf_dir):
+    """Per-week exact Wasserstein-1 distance between the week's and the
+    pooled per-user event-count distribution, plus the signed mean
+    shift: (week_start, n_active_users, w1_drift, mean_shift). The unit
+    of observation is a (user, week) activity count; the pooled EDF
+    over ALL user-weeks is the reference each week is compared to, so
+    the series reads as "how far did this week's engagement shape move
+    from the long-run norm" — W1 >= |mean_shift| always (Jensen), and
+    the gap between them separates polarization from wholesale shift.
+
+    Exactness: per-value deviation |rs*N - rp*ns| and domain gaps are
+    integers; segment products sum in decimal(38,0)/HUGEINT so the W1
+    numerator is exact; the two displayed floats are one division each
+    under the 6-dp round. date_trunc('week') is Monday-start ISO on
+    both engines.
+
+    Plan shape: the op_drift_wasserstein_by_source template with weeks
+    as strata — one (user, week) aggregate (map-side combined), two
+    histogram collapses, the per-week cumulative window (partitioned by
+    wk), the weeks x domain spine via broadcast + last(ignorenulls),
+    then one map-side-combined SUM per week. The pooled cumulative is a
+    single task over HISTOGRAM rows (distinct activity counts, ~10^2);
+    same LARGE-DOMAIN ESCAPE HATCH as the KS/W1 ops beyond that."""
+    from pyspark.sql import Window
+
+    uw = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wd = Window.orderBy("v")
+    domain = (
+        uw.groupBy(F.col("c").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rp",
+            F.sum("cnt").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("nxt", F.lead("v").over(wd))
+        .select("v", "rp", "nxt")
+    )
+    tot = uw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+    )
+    wks = uw.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("c").cast("bigint").alias("sxs"),
+    )
+    scum = (
+        uw.groupBy("wk", F.col("c").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rs",
+            F.sum("cnt").over(
+                Window.partitionBy("wk")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("wk", "v", "rs")
+    )
+    spine = (
+        wks.crossJoin(F.broadcast(domain))
+        .join(scum, ["wk", "v"], "left")
+        .withColumn(
+            "rs_f",
+            F.coalesce(
+                F.last("rs", ignorenulls=True).over(
+                    Window.partitionBy("wk")
+                    .orderBy("v")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    seg = spine.join(F.broadcast(tot)).withColumn(
+        "dseg",
+        d38(F.abs(F.col("rs_f") * F.col("n") - F.col("rp") * F.col("ns")))
+        * d38(F.coalesce(F.col("nxt"), F.col("v")) - F.col("v")),
+    )
+    agg = seg.groupBy("wk", "ns", "sxs", "n", "sx").agg(
+        F.sum("dseg").alias("wnum")
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return agg.select(
+        F.col("wk").alias("week_start"),
+        F.col("ns").alias("n_active_users"),
+        F.round(
+            F.col("wnum") / (F.lit(1.0) * F.col("ns") * F.col("n")), 6
+        ).alias("w1_drift"),
+        F.round(
+            F.col("sxs") * F.lit(1.0) / F.col("ns")
+            - F.col("sx") * F.lit(1.0) / F.col("n"),
+            6,
+        ).alias("mean_shift"),
+    ).transform(bounded_sort, "week_start")

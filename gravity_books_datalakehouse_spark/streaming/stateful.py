@@ -641,3 +641,91 @@ def streaming_attribution_journeys(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# EIGHTH batch/stream twin: per-user survival durations on the error-
+# budget clock (the batch side is ev_survival_km_error_budget's
+# _error_budget_durations frame). State per user is O(1) — first-event
+# ns, last-event ns + event_id, errors seen (capped at the budget), and
+# the budget-exhaustion ns once reached; a FLUSH sentinel closes the
+# user and emits ONE (user_id, d, ev) row with d in integer epoch-floor
+# seconds, exactly the batch frame's algebra. Feeding the emitted rows
+# through the shared _km_readout fold reproduces the batch KM table
+# bit-for-bit (tests/test_streaming.py) — the twin contract.
+
+SURV_BUDGET = 10  # pin of event_queries._KM_BUDGET (test-asserted)
+SURV_OUTPUT_SCHEMA = "user_id long, d long, ev int"
+SURV_STATE_SCHEMA = (
+    "last_ts long, last_eid long, t0 long, nerr long, te long"
+)
+
+
+def _survival_update(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_ts, last_eid, t0, nerr, te = state.get
+    else:
+        last_ts, last_eid, t0, nerr, te = -1, -1, -1, 0, -1
+    out = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for ts, eid, etype in zip(
+            pdf["ts"].astype("int64"), pdf["event_id"], pdf["event_type"]
+        ):
+            ts, eid = int(ts), int(eid)
+            if etype == FLUSH_SENTINEL:
+                if t0 >= 0:
+                    end = te if te >= 0 else last_ts
+                    d = end // 1_000_000_000 - t0 // 1_000_000_000
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "d": d,
+                            "ev": 1 if te >= 0 else 0,
+                        }
+                    )
+                    last_ts, last_eid, t0, nerr, te = -1, -1, -1, 0, -1
+                continue
+            if last_ts >= 0 and (
+                ts < last_ts or (ts == last_ts and eid <= last_eid)
+            ):
+                raise ValueError(
+                    "streaming survival fold requires per-user "
+                    "(ts, event_id)-ordered arrival across micro-"
+                    f"batches; got ({ts}, {eid}) after ({last_ts}, "
+                    f"{last_eid}) for user {key[0]}"
+                )
+            if t0 < 0:
+                t0 = ts
+            if etype == "error" and te < 0:
+                nerr += 1
+                if nerr == SURV_BUDGET:
+                    te = ts
+            last_ts, last_eid = ts, eid
+    state.update((last_ts, last_eid, t0, nerr, te))
+    yield pd.DataFrame(out, columns=["user_id", "d", "ev"]).astype(
+        {"user_id": "int64", "d": "int64", "ev": "int32"}
+    )
+
+
+def streaming_survival_durations(events: DataFrame) -> DataFrame:
+    """Per-user right-censored survival durations on the error-budget
+    clock: one (user_id, d, ev) row per user at flush, where d is the
+    integer-second span from first event to the budget-th error (ev=1)
+    or the last observed event (ev=0). Input needs (user_id, ts,
+    event_id, event_type); append a FLUSH_SENTINEL row per user AFTER
+    that user's last event to close them out. The emitted frame equals
+    batch _error_budget_durations exactly, so downstream KM / Nelson-
+    Aalen / log-rank readouts are the shared batch folds."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _survival_update,
+        outputStructType=SURV_OUTPUT_SCHEMA,
+        stateStructType=SURV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -130,6 +130,9 @@ SHOW = {
     "op_drift_wasserstein_by_source": "Two histogram aggregates collapse the corpus map-side to domain-sized outputs; per-source cumulative window + the strata x domain spine fill (last ignorenulls); W1 numerator sums exact decimal(38,0) segment products in one map-side-combined groupBy per source — the KS plan with a SUM where KS ranks (round 13).",
     "ev_survival_km_error_budget": "One per-user aggregate + one user-partitioned rank window (budget exhaustion), then the USER-histogram duration spine: cumulative risk-set window, log-sum KM fold, and |horizons| x spine broadcast picks — corpus touched exactly twice, everything after is histogram-sized (round 13).",
     "ev_attribution_decay_sweep": "The shared journey window chain plus a 3-way in-row explode (never a join) and one map-side-combined groupBy to 3 x |channels| rows — dyadic bases keep every power an exact double (round 13).",
+    "ev_survival_na_bands": "The KM plan with two extra per-row terms riding the SAME ascending-time frame folds (hazard and Greenwood increments beside the log-survival sum) — no new shuffle, no new scan; horizon picks stay |horizons| x spine broadcast joins (round 13).",
+    "ev_survival_rmst": "The KM histogram spine with a LEAD segment width; the horizon clip is a |horizons| x spine broadcast join feeding one map-side-combined SUM — the integral costs one small join more than the point estimate (round 13).",
+    "ev_drift_w1_weekly": "One (user, week) aggregate collapses the corpus map-side, then the op_drift_wasserstein_by_source template with weeks as strata: count-histogram domain (single small task), per-week cumulative window, weeks x domain broadcast spine, exact decimal(38,0) segment sums per week (round 13).",
 }
 
 

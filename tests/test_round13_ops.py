@@ -256,3 +256,229 @@ def test_decay_sweep_conserves_credit_per_base(spark):
     # k=1/uniform-position journeys — pin at least ONE channel moved
     got8 = {r.channel: r.credit for r in out if r.decay_base == 8.0}
     assert any(abs(got8[c] - got2[c]) > 1e-9 for c in got2)
+
+
+def test_na_bands_matches_python_replay(spark):
+    """Recompute the Nelson-Aalen hazard, Fleming-Harrington survival
+    and Greenwood bands in pure python over the same per-user durations
+    and demand identical displayed rows; pin the discrete-tie
+    inequality exp(-H) >= KM S at every horizon (ln(1-x) <= -x), the
+    band containing the KM point estimate, band edges in [0,1], and a
+    non-decreasing cumulative hazard."""
+    import math
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _KM_BUDGET,
+        _KM_HORIZONS_H,
+        _Z95,
+        ev_survival_na_bands,
+        load_events,
+    )
+
+    rows = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    durs = []
+    for u, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        t0 = int(evs[0].ts.timestamp())
+        errs = [r for r in evs if r.event_type == "error"]
+        if len(errs) >= _KM_BUDGET:
+            durs.append((int(errs[_KM_BUDGET - 1].ts.timestamp()) - t0, 1))
+        else:
+            durs.append((int(evs[-1].ts.timestamp()) - t0, 0))
+    n = len(durs)
+    hist = defaultdict(lambda: [0, 0])
+    for d, ev in durs:
+        hist[d][0] += 1
+        hist[d][1] += ev
+    want = {}
+    for hh in _KM_HORIZONS_H:
+        lim = hh * 3600
+        hz, logsum, gw, seen = 0.0, 0.0, 0.0, 0
+        for v in sorted(hist):
+            if v > lim:
+                break
+            c_all, c_ev = hist[v]
+            nj = n - seen
+            if c_ev > 0:
+                hz += c_ev * 1.0 / nj
+                logsum += math.log(1.0 - c_ev * 1.0 / nj)
+                if nj > c_ev:
+                    gw += c_ev * 1.0 / ((nj * 1.0) * (nj - c_ev))
+            seen += c_all
+        s = math.exp(logsum)
+        se = s * math.sqrt(gw)
+        want[hh] = (
+            round(hz, 6),
+            round(math.exp(-hz), 6),
+            round(s, 6),
+            round(se, 6),
+            round(max(0.0, s - _Z95 * se), 6),
+            round(min(1.0, s + _Z95 * se), 6),
+        )
+
+    out = ev_survival_na_bands(spark, SF_SMOKE).collect()
+    got = {
+        r.horizon_hours: (
+            r.cum_hazard,
+            r.s_nelson_aalen,
+            r.survival,
+            r.greenwood_se,
+            r.ci_lo95,
+            r.ci_hi95,
+        )
+        for r in out
+    }
+    assert got == want
+    hzs = [got[h][0] for h in sorted(got)]
+    assert hzs == sorted(hzs)  # cumulative hazard non-decreasing
+    for h, (hz, sna, s, se, lo, hi) in got.items():
+        assert sna + 1e-9 >= s, h  # exp(-H) >= product-limit S
+        assert lo <= s <= hi, h
+        assert 0.0 <= lo and hi <= 1.0, h
+        assert se > 0, h  # events exist at smoke scale by this horizon
+
+
+def test_w1_weekly_matches_python_replay_and_jensen(spark):
+    """Recompute the weekly W1 drift in pure python (integer segment
+    sums over the sorted per-user-week count domain) and demand
+    identical displayed values; pin Jensen (W1 >= |mean_shift|) per
+    week and that weeks partition the pooled observations."""
+    from collections import Counter, defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        ev_drift_w1_weekly,
+        load_events,
+    )
+
+    uw = (
+        load_events(spark, SF_SMOKE)
+        .groupBy(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    pool = Counter()
+    per_wk: dict = defaultdict(Counter)
+    sx = 0
+    sxs: dict = defaultdict(int)
+    for r in uw:
+        pool[r.c] += 1
+        per_wk[r.wk][r.c] += 1
+        sx += r.c
+        sxs[r.wk] += r.c
+    n = len(uw)
+    dom = sorted(pool)
+    rp = {}
+    run = 0
+    for v in dom:
+        run += pool[v]
+        rp[v] = run
+    want = {}
+    for wk, cnt in per_wk.items():
+        ns = sum(cnt.values())
+        rs = 0
+        wnum = 0
+        for i, v in enumerate(dom):
+            rs += cnt.get(v, 0)
+            gap = (dom[i + 1] - v) if i + 1 < len(dom) else 0
+            wnum += abs(rs * n - rp[v] * ns) * gap
+        want[wk] = (
+            ns,
+            round(wnum / (1.0 * ns * n), 6),
+            round(sxs[wk] * 1.0 / ns - sx * 1.0 / n, 6),
+        )
+
+    out = ev_drift_w1_weekly(spark, SF_SMOKE).collect()
+    got = {
+        r.week_start: (r.n_active_users, r.w1_drift, r.mean_shift)
+        for r in out
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == n  # weeks partition pool
+    for wk, (ns, w1, shift) in got.items():
+        assert w1 + 1e-6 >= abs(shift), wk  # Jensen
+
+
+def test_rmst_matches_python_replay_and_bounds(spark):
+    """Recompute RMST in pure python (area under the replayed KM step
+    curve, horizon-clipped, with the S=1 head segment) and demand
+    identical displayed rows; pin rmst_hours <= horizon and increasing
+    in the horizon, and rmst_share in (0, 1] and non-increasing in the
+    horizon (it is the running average of a non-increasing S)."""
+    import math
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _KM_BUDGET,
+        _KM_HORIZONS_H,
+        ev_survival_rmst,
+        load_events,
+    )
+
+    rows = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    durs = []
+    for u, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        t0 = int(evs[0].ts.timestamp())
+        errs = [r for r in evs if r.event_type == "error"]
+        if len(errs) >= _KM_BUDGET:
+            durs.append((int(errs[_KM_BUDGET - 1].ts.timestamp()) - t0, 1))
+        else:
+            durs.append((int(evs[-1].ts.timestamp()) - t0, 0))
+    n = len(durs)
+    hist = defaultdict(lambda: [0, 0])
+    for d, ev in durs:
+        hist[d][0] += 1
+        hist[d][1] += ev
+    dom = sorted(hist)
+    # replay the KM ordinates once over the full domain
+    s_at = {}
+    logsum, seen = 0.0, 0
+    for v in dom:
+        c_all, c_ev = hist[v]
+        if c_ev > 0:
+            logsum += math.log(1.0 - c_ev * 1.0 / (n - seen))
+        seen += c_all
+        s_at[v] = math.exp(logsum)
+    want = {}
+    for hh in _KM_HORIZONS_H:
+        tau = hh * 3600
+        area = min(dom[0], tau) * 1.0
+        for i, v in enumerate(dom):
+            if v >= tau:
+                break
+            nxt = dom[i + 1] if i + 1 < len(dom) else tau
+            area += s_at[v] * (min(nxt, tau) - v)
+        want[hh] = (
+            round(area / 3600.0, 6),
+            round(area / (3600.0 * hh), 6),
+        )
+
+    out = ev_survival_rmst(spark, SF_SMOKE).collect()
+    got = {r.horizon_hours: (r.rmst_hours, r.rmst_share) for r in out}
+    assert got == want
+    hs = sorted(got)
+    rm = [got[h][0] for h in hs]
+    sh = [got[h][1] for h in hs]
+    assert rm == sorted(rm)  # RMST increases with the horizon
+    assert sh == sorted(sh, reverse=True)  # share non-increasing
+    for h in hs:
+        assert 0.0 < got[h][1] <= 1.0, h
+        assert got[h][0] <= h + 1e-6, h

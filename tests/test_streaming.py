@@ -1288,3 +1288,119 @@ def test_streaming_attribution_journeys_equals_batch(spark, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_streaming_survival_durations_equals_batch(spark, tmp_path):
+    """The EIGHTH batch/stream twin: per-user error-budget survival
+    durations fed a mid-stream two-file split plus a flush file must
+    (a) reproduce the batch _error_budget_durations frame EXACTLY
+    (every user, duration and censoring flag), and (b) yield the batch
+    ev_survival_km_error_budget table bit-for-bit when the emitted rows
+    run through the shared _km_readout fold."""
+    import glob as g
+    import os
+    import time as _time
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _KM_BUDGET,
+        _error_budget_durations,
+        _km_readout,
+        ev_survival_km_error_budget,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        FLUSH_SENTINEL,
+        SURV_BUDGET,
+        streaming_survival_durations,
+    )
+
+    assert SURV_BUDGET == _KM_BUDGET  # the twin's constant is a pin
+
+    ev = load_events(spark, SF_SMOKE)
+    cut = ev.agg(
+        F.timestamp_seconds(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY unix_timestamp(ts))"
+            )
+        ).alias("c")
+    ).first().c
+    src = str(tmp_path / "surv_src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d1"
+    )
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d2"
+    )
+    mx = ev.agg(
+        F.max("ts").alias("mt"), F.max("event_id").alias("me")
+    ).first()
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            (F.lit(mx.me) + F.row_number().over(
+                Window.orderBy("user_id")
+            )).cast("long").alias("event_id"),
+            (F.lit(mx.mt) + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            F.col("user_id").cast("long"),
+            F.lit(FLUSH_SENTINEL).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    flush.coalesce(1).write.mode("overwrite").parquet(src + "/d3")
+    merged = str(tmp_path / "surv_merged")
+    os.makedirs(merged)
+    now = _time.time()
+    for i, d in enumerate(("d1", "d2", "d3")):
+        f = shutil.copy(
+            g.glob(src + f"/{d}/part-*.parquet")[0],
+            merged + f"/0{i + 1}.parquet",
+        )
+        os.utime(f, (now - 100 + i * 50, now - 100 + i * 50))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    q = (
+        streaming_survival_durations(stream)
+        .writeStream.format("memory")
+        .queryName("surv_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM surv_stream").collect()
+    assert rows, "survival twin produced no rows at smoke scale"
+
+    got = sorted((r.user_id, r.d, r.ev) for r in rows)
+    want = sorted(
+        (r.user_id, r.d, r.ev)
+        for r in _error_budget_durations(ev).collect()
+    )
+    assert got == want
+    assert len(got) == len({u for u, _, _ in got})  # one row per user
+
+    # shared KM fold on the streamed frame == the batch op, bit-for-bit
+    dur_df = spark.createDataFrame(
+        [(u, d, e) for u, d, e in got],
+        "user_id long, d long, ev int",
+    )
+    km_stream = [
+        tuple(r)
+        for r in _km_readout(spark, dur_df)
+        .orderBy("horizon_hours")
+        .collect()
+    ]
+    km_batch = [
+        tuple(r)
+        for r in ev_survival_km_error_budget(spark, SF_SMOKE)
+        .orderBy("horizon_hours")
+        .collect()
+    ]
+    assert km_stream == km_batch
