@@ -547,6 +547,12 @@ EV_QUERIES = (
     "ev_seasonality_strength",    # round 12: 24-group ANOVA over the spine
     "ev_markov_attribution",      # round 12: session windows + driver-side
                                   # removal-effect chains at 20x journeys
+    "ev_survival_km_error_budget",  # round 13: survival-family scale
+                                  # signal — per-user clock aggregate +
+                                  # budget rank window + duration-
+                                  # histogram folds at 20x users
+    "ev_drift_w1_weekly",         # round 13: the weeks x count-domain
+                                  # W1 spine at 20x user-weeks
 )
 
 

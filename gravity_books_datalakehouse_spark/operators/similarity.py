@@ -2117,12 +2117,18 @@ def sim_matryoshka_truncation(spark, sf_dir):
 
     Scale shape: the |Q| queries broadcast against ONE corpus scan
     (per-vector truncated norms precomputed per row — never per pair);
-    the 4 dim levels ride an in-row explode of the per-pair dot
-    prefix results, so pair work is one zip_with pass per level over
-    the already-joined rows; everything after the per-(dim, qid)
-    window is |Q| x 4-sized. At production scale the truncated
-    rankings reuse the IVF/LSH candidate sets like every other
-    evaluation leg."""
+    per pair the element products are computed ONCE (zip_with) and
+    every level's dot is a prefix-slice fold of that shared array —
+    bit-identical to per-level zip_with folds but 64 multiplies
+    instead of 120+; the four cosines materialize as scalar columns
+    BELOW the explode because generator expressions get no common-
+    subexpression elimination (re-evaluating the full fold per struct
+    measured ~2x whole-query cost at the 20x embeddings replica —
+    round 13). The rank filter plans as partial+final WindowGroupLimit,
+    so the shuffle carries ~k rows per (dim, qid) per task, not the
+    |Q| x N pair fan-out; everything after the per-(dim, qid) window
+    is |Q| x 4-sized. At production scale the truncated rankings reuse
+    the IVF/LSH candidate sets like every other evaluation leg."""
     e = load_table(spark, sf_dir, "embeddings")
     dims = list(_MRL_DIMS)
 
@@ -2153,47 +2159,60 @@ def sim_matryoshka_truncation(spark, sf_dir):
         *[_norm_d("embedding", d).alias(f"nb{d}") for d in trunc],
     )
 
+    # One element-product array per pair, then each dot is a sequential
+    # fold over its dim-prefix SLICE of that array — bit-identical to
+    # folding zip_with(slice, slice) (same products, same left-to-right
+    # order) but the 64 multiplies run once instead of once per level.
+    prod = F.zip_with(
+        "va", "vb", lambda x, y: x.cast("double") * y.cast("double")
+    )
+
     def _dot_d(d: int | None) -> Column:
-        va = F.col("va") if d is None else F.slice("va", 1, d)
-        vb = F.col("vb") if d is None else F.slice("vb", 1, d)
-        return F.aggregate(
-            F.zip_with(
-                va,
-                vb,
-                lambda x, y: x.cast("double") * y.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        arr = F.col("p") if d is None else F.slice("p", 1, d)
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
     cos_full = _dot_d(None) / (F.col("naf") * F.col("nbf"))
-    pairs = (
+    # The four cosines are materialized as plain scalar columns in a
+    # projection BELOW the explode: generator expressions get no
+    # common-subexpression elimination, so referencing the full-dim
+    # fold inside every struct re-evaluated it per level (measured
+    # ~2x whole-query cost at the 20x embeddings replica). The Generate
+    # node now only copies scalars.
+    scored = (
         F.broadcast(a)
         .crossJoin(b)
         .filter(F.col("qid") != F.col("nid"))
+        .withColumn("p", prod)
         .select(
             "qid",
             "nid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("dim"),
-                            (
-                                cos_full
-                                if d == dims[-1]
-                                else _dot_d(d)
-                                / (F.col(f"na{d}") * F.col(f"nb{d}"))
-                            ).alias("cos_d"),
-                            cos_full.alias("cos_full"),
-                        )
-                        for d in dims
-                    ]
+            *[
+                (_dot_d(d) / (F.col(f"na{d}") * F.col(f"nb{d}"))).alias(
+                    f"c{d}"
                 )
-            ).alias("s"),
+                for d in trunc
+            ],
+            cos_full.alias("cf"),
         )
-        .select("qid", "nid", "s.dim", "s.cos_d", "s.cos_full")
     )
+    pairs = scored.select(
+        "qid",
+        "nid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.col(
+                            "cf" if d == dims[-1] else f"c{d}"
+                        ).alias("cos_d"),
+                        F.col("cf").alias("cos_full"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("s"),
+    ).select("qid", "nid", "s.dim", "s.cos_d", "s.cos_full")
     w = Window.partitionBy("dim", "qid").orderBy(
         F.desc("cos_d"), F.asc("nid")
     )

@@ -3961,6 +3961,267 @@ def ev_survival_rmst(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Competing-risks cumulative incidence (Aalen-Johansen 1978 — public
+# literature): on the same per-user clock, TWO absorbing events
+# compete — the user's first purchase (conversion) vs the 10th error
+# (budget exhaustion) — and whichever strikes first absorbs the user;
+# neither = right-censored at the last event. The Aalen-Johansen
+# CIF_k(t) = sum S(t_{j-1}) * d_kj / n_j is the only correct per-cause
+# probability under competing risks: the naive per-cause KM (censoring
+# the other cause) overstates BOTH incidences because it redistributes
+# the competitor's mass, and the two naive curves can sum past 1. The
+# identity S_any + CIF_conv + CIF_exhaust = 1 holds exactly and is
+# test-pinned. The readout is a product number: "probability a user
+# converts before burning the error budget, by horizon".
+
+_CR_SQL = f"""WITH t0 AS (
+      SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le
+      FROM events GROUP BY 1),
+    er AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'),
+    te AS (SELECT user_id, ts AS te FROM er WHERE rn = {_KM_BUDGET}),
+    tc AS (
+      SELECT user_id, MIN(ts::TIMESTAMP) AS tc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    dur AS (
+      SELECT t.user_id,
+             CASE
+               WHEN x.te IS NOT NULL AND (c.tc IS NULL OR x.te <= c.tc)
+                 THEN date_diff('second', t.t0, x.te)
+               WHEN c.tc IS NOT NULL
+                 THEN date_diff('second', t.t0, c.tc)
+               ELSE date_diff('second', t.t0, t.le)
+             END AS d,
+             CASE
+               WHEN x.te IS NOT NULL AND (c.tc IS NULL OR x.te <= c.tc)
+                 THEN 1
+               WHEN c.tc IS NOT NULL THEN 2
+               ELSE 0
+             END AS cause
+      FROM t0 t
+      LEFT JOIN te x USING (user_id)
+      LEFT JOIN tc c USING (user_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM dur),
+    hist AS (
+      SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_e,
+             CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_c
+      FROM dur GROUP BY 1),
+    spine AS (
+      SELECT v, c_e, c_c,
+             COALESCE(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist),
+    aj AS (
+      SELECT v,
+             CASE WHEN COALESCE(MAX(CASE WHEN c_e + c_c =
+                          ((SELECT nu FROM n) - cb)
+                          THEN 1 ELSE 0 END)
+                 OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) = 1 THEN 0.0
+             ELSE EXP(COALESCE(SUM(CASE WHEN c_e + c_c > 0
+                               AND c_e + c_c < ((SELECT nu FROM n) - cb)
+                          THEN LN(1.0 - (c_e + c_c) * 1.0
+                                  / ((SELECT nu FROM n) - cb))
+                          ELSE 0.0 END)
+                 OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0.0)) END AS s_prev,
+             c_e, c_c, ((SELECT nu FROM n) - cb) AS nj
+      FROM spine),
+    cum AS (
+      SELECT v,
+             SUM(s_prev * (c_e * 1.0 / nj))
+               OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cif_e,
+             SUM(s_prev * (c_c * 1.0 / nj))
+               OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cif_c,
+             CASE WHEN MAX(CASE WHEN c_e + c_c = nj THEN 1 ELSE 0 END)
+                 OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+             ELSE EXP(SUM(CASE WHEN c_e + c_c > 0
+                               AND c_e + c_c < nj
+                          THEN LN(1.0 - (c_e + c_c) * 1.0 / nj)
+                          ELSE 0.0 END)
+                 OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) END AS s_any
+      FROM aj),
+    h(horizon_hours) AS (VALUES {", ".join(f"({x})" for x in _KM_HORIZONS_H)}),
+    pick AS (
+      SELECT h.horizon_hours, k.cif_e, k.cif_c, k.s_any,
+             row_number() OVER (PARTITION BY h.horizon_hours
+                                ORDER BY k.v DESC) AS rk
+      FROM h LEFT JOIN cum k ON k.v <= h.horizon_hours * 3600)
+    SELECT CAST(horizon_hours AS INT) AS horizon_hours,
+           ROUND(COALESCE(cif_c, 0.0), 6) AS cif_convert,
+           ROUND(COALESCE(cif_e, 0.0), 6) AS cif_exhaust,
+           ROUND(COALESCE(s_any, 1.0), 6) AS s_event_free
+    FROM pick WHERE rk = 1
+    ORDER BY horizon_hours"""
+
+
+@register("ev_survival_competing_risks", _CR_SQL)
+def ev_survival_competing_risks(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence under competing risks:
+    (horizon_hours, cif_convert, cif_exhaust, s_event_free). Per user,
+    the first purchase (cause=convert) competes with the 10th error
+    (cause=exhaust) from the first event; whichever strikes first
+    absorbs the user (ties go to exhaustion, deterministically on both
+    engines), neither = censored at the last event. CIF_k(tau) =
+    sum_{t_j <= tau} S(t_{j-1}) * d_kj / n_j with S the ALL-cause KM,
+    so s_event_free + cif_convert + cif_exhaust = 1 exactly (test-
+    pinned) — the per-cause naive KM has no such identity and
+    overstates both incidences.
+
+    Exactness: same contract as the KM family — integer durations and
+    risk sets, each per-row term one multiply of an EXP(prior-LN-sum)
+    and an exact division, all three cumulative folds in ascending-
+    time frame order on both engines, ulp noise under the 6-dp round.
+
+    Scale shape: the KM plan plus one more per-user aggregate (first
+    purchase, map-side combined); everything downstream runs on the
+    duration histogram (same LARGE-DOMAIN ESCAPE HATCH), horizon picks
+    model-sized."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    t0 = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("le")
+    )
+    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    te = (
+        e.where(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == _KM_BUDGET)
+        .select("user_id", F.col("ts").alias("te"))
+    )
+    tc = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    exh_first = F.col("te").isNotNull() & (
+        F.col("tc").isNull() | (F.col("te") <= F.col("tc"))
+    )
+    dur = (
+        t0.join(te, "user_id", "left")
+        .join(tc, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(
+                exh_first,
+                F.unix_timestamp("te") - F.unix_timestamp("t0"),
+            )
+            .when(
+                F.col("tc").isNotNull(),
+                F.unix_timestamp("tc") - F.unix_timestamp("t0"),
+            )
+            .otherwise(F.unix_timestamp("le") - F.unix_timestamp("t0"))
+            .alias("d"),
+            F.when(exh_first, 1)
+            .when(F.col("tc").isNotNull(), 2)
+            .otherwise(0)
+            .alias("cause"),
+        )
+    )
+    nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    hist = dur.groupBy(F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_e"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_c"),
+    )
+    wv = Window.orderBy("v")
+    wprev = wv.rowsBetween(Window.unboundedPreceding, -1)
+    wcum = wv.rowsBetween(Window.unboundedPreceding, 0)
+    spine = hist.withColumn(
+        "cb", F.coalesce(F.sum("c_all").over(wprev), F.lit(0))
+    )
+    nj = F.col("nu") - F.col("cb")
+    cc = F.col("c_e") + F.col("c_c")
+    logf = F.when(
+        (cc > 0) & (cc < nj),
+        F.log(F.lit(1.0) - cc * F.lit(1.0) / nj),
+    ).otherwise(F.lit(0.0))
+    # dead = the whole remaining risk set is absorbed at this time (the
+    # largest-duration user has an event, no censoring after): S hits
+    # exactly 0 and the EXP(SUM(LN)) trick is undefined there — the
+    # flag pins S to 0.0 from that row on (it is necessarily the last
+    # spine row, but the guard keeps the algebra total)
+    dead = F.when(cc == nj, 1).otherwise(0)
+    aj = (
+        spine.join(F.broadcast(nu))
+        .withColumn("logf", logf)
+        .withColumn("dead", dead)
+        .withColumn(
+            "s_prev",
+            F.when(
+                F.coalesce(F.max("dead").over(wprev), F.lit(0)) == 1,
+                F.lit(0.0),
+            ).otherwise(
+                F.exp(
+                    F.coalesce(F.sum("logf").over(wprev), F.lit(0.0))
+                )
+            ),
+        )
+        .withColumn("nj", nj)
+    )
+    cum = (
+        aj.withColumn(
+            "cif_e",
+            F.sum(
+                F.col("s_prev") * (F.col("c_e") * F.lit(1.0) / F.col("nj"))
+            ).over(wcum),
+        )
+        .withColumn(
+            "cif_c",
+            F.sum(
+                F.col("s_prev") * (F.col("c_c") * F.lit(1.0) / F.col("nj"))
+            ).over(wcum),
+        )
+        .withColumn(
+            "s_any",
+            F.when(F.max("dead").over(wcum) == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("logf").over(wcum))
+            ),
+        )
+    )
+    hz = spark.createDataFrame(
+        [(h,) for h in _KM_HORIZONS_H], "horizon_hours int"
+    )
+    wpick = Window.partitionBy("horizon_hours").orderBy(
+        F.desc_nulls_last("v")
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        F.broadcast(hz)
+        .join(cum, F.col("v") <= F.col("horizon_hours") * 3600, "left")
+        .withColumn("rk", F.row_number().over(wpick))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("horizon_hours").cast("int"),
+            F.round(F.coalesce("cif_c", F.lit(0.0)), 6).alias(
+                "cif_convert"
+            ),
+            F.round(F.coalesce("cif_e", F.lit(0.0)), 6).alias(
+                "cif_exhaust"
+            ),
+            F.round(F.coalesce("s_any", F.lit(1.0)), 6).alias(
+                "s_event_free"
+            ),
+        )
+        .transform(bounded_sort, "horizon_hours")
+    )
+
+
+# --------------------------------------------------------------------------
 # Classical attribution models beside the Markov removal effect — the
 # comparison table a marketing stack actually publishes: first-touch,
 # last-touch, linear, position-based (40/20/40) and time-decay credit

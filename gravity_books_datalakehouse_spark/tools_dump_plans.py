@@ -133,6 +133,7 @@ SHOW = {
     "ev_survival_na_bands": "The KM plan with two extra per-row terms riding the SAME ascending-time frame folds (hazard and Greenwood increments beside the log-survival sum) — no new shuffle, no new scan; horizon picks stay |horizons| x spine broadcast joins (round 13).",
     "ev_survival_rmst": "The KM histogram spine with a LEAD segment width; the horizon clip is a |horizons| x spine broadcast join feeding one map-side-combined SUM — the integral costs one small join more than the point estimate (round 13).",
     "ev_drift_w1_weekly": "One (user, week) aggregate collapses the corpus map-side, then the op_drift_wasserstein_by_source template with weeks as strata: count-histogram domain (single small task), per-week cumulative window, weeks x domain broadcast spine, exact decimal(38,0) segment sums per week (round 13).",
+    "ev_survival_competing_risks": "The KM plan plus one more per-user aggregate (first purchase); the Aalen-Johansen left-limit S and both CIF folds ride the SAME ascending-time histogram windows, with a dead-risk-set flag replacing the undefined LN(0) by an exact 0.0 (round 13).",
 }
 
 

@@ -673,3 +673,62 @@ def test_kn_trigram_has_no_single_partition_exchange(spark):
     scalar_leg = plan.split("Exchange SinglePartition", 1)[1]
     first_op = scalar_leg.splitlines()[1]
     assert "HashAggregate" in first_op and "partial_sum" in first_op
+
+
+def test_matryoshka_generator_carries_only_scalars(spark):
+    """Round-13 fix: the per-pair cosine folds must be materialized as
+    scalar columns BELOW the explode — generator expressions get no
+    common-subexpression elimination, so a fold referenced inside each
+    dim struct re-evaluated the whole-array aggregate per level
+    (measured ~2x whole-query cost at the 20x embeddings replica).
+    Pins: (a) source contract — the explode's struct array references
+    only plain scalar columns, never an aggregate/zip_with fold;
+    (b) the rank stage plans with partial+final WindowGroupLimit so
+    the shuffle carries ~k rows per (dim, qid) per task."""
+    import inspect
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gravity_books_datalakehouse_spark.operators import similarity as S
+
+    src_txt = inspect.getsource(S.sim_matryoshka_truncation)
+    gen_part = src_txt.split("F.explode", 1)[1].split(").select", 1)[0]
+    assert "aggregate" not in gen_part and "zip_with" not in gen_part
+    assert "F.col(" in gen_part  # structs carry scalar column refs only
+
+    # WindowGroupLimit fires for this rank-filter shape (the operator's
+    # own rank stage is hidden behind its localCheckpoint, so pin the
+    # shape on an equivalent fragment)
+    e = S.load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    pairs = (
+        e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"))
+        .crossJoin(
+            e.select(F.col("vec_id").alias("nid"))
+        )
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("dim"),
+                            (F.element_at("va", 1) * d).alias("cos_d"),
+                        )
+                        for d in (8, 16, 32, 64)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", "nid", "s.dim", "s.cos_d")
+    )
+    w = Window.partitionBy("dim", "qid").orderBy(
+        F.desc("cos_d"), F.asc("nid")
+    )
+    ranked = pairs.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 5
+    )
+    plan = _executed_plan(ranked)
+    assert "WindowGroupLimit" in plan

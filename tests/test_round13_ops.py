@@ -482,3 +482,91 @@ def test_rmst_matches_python_replay_and_bounds(spark):
     for h in hs:
         assert 0.0 < got[h][1] <= 1.0, h
         assert got[h][0] <= h + 1e-6, h
+
+
+def test_competing_risks_matches_python_replay_and_identity(spark):
+    """Recompute the Aalen-Johansen cumulative incidences in pure
+    python (all-cause KM left-limits times per-cause hazard, ascending
+    event times) and demand identical displayed rows; pin the AJ
+    identity s_event_free + cif_convert + cif_exhaust = 1 at every
+    horizon with any absorbed mass, both CIFs non-decreasing in the
+    horizon, and that conversion actually competes (cif_convert > 0)."""
+    import math
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _KM_BUDGET,
+        _KM_HORIZONS_H,
+        ev_survival_competing_risks,
+        load_events,
+    )
+
+    rows = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    durs = []  # (d, cause) cause: 1 exhaust, 2 convert, 0 censored
+    for u, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        t0 = evs[0].ts
+        errs = [r for r in evs if r.event_type == "error"]
+        te = errs[_KM_BUDGET - 1].ts if len(errs) >= _KM_BUDGET else None
+        purch = [r for r in evs if r.event_type == "purchase"]
+        tc = purch[0].ts if purch else None
+        if te is not None and (tc is None or te <= tc):
+            durs.append((int(te.timestamp()) - int(t0.timestamp()), 1))
+        elif tc is not None:
+            durs.append((int(tc.timestamp()) - int(t0.timestamp()), 2))
+        else:
+            durs.append(
+                (int(evs[-1].ts.timestamp()) - int(t0.timestamp()), 0)
+            )
+    n = len(durs)
+    hist = defaultdict(lambda: [0, 0, 0])  # c_all, c_e, c_c
+    for d, cause in durs:
+        h = hist[d]
+        h[0] += 1
+        if cause == 1:
+            h[1] += 1
+        elif cause == 2:
+            h[2] += 1
+    want = {}
+    for hh in _KM_HORIZONS_H:
+        lim = hh * 3600
+        cif_e = cif_c = 0.0
+        logsum, seen, dead = 0.0, 0, False
+        for v in sorted(hist):
+            if v > lim:
+                break
+            c_all, c_e, c_c = hist[v]
+            njv = n - seen
+            s_prev = 0.0 if dead else math.exp(logsum)
+            cc = c_e + c_c
+            if cc:
+                cif_e += s_prev * (c_e * 1.0 / njv)
+                cif_c += s_prev * (c_c * 1.0 / njv)
+                if cc == njv:
+                    dead = True
+                else:
+                    logsum += math.log(1.0 - cc * 1.0 / njv)
+            seen += c_all
+        s_any = 0.0 if dead else math.exp(logsum)
+        want[hh] = (round(cif_c, 6), round(cif_e, 6), round(s_any, 6))
+
+    out = ev_survival_competing_risks(spark, SF_SMOKE).collect()
+    got = {
+        r.horizon_hours: (r.cif_convert, r.cif_exhaust, r.s_event_free)
+        for r in out
+    }
+    assert got == want
+    hs = sorted(got)
+    assert [got[h][0] for h in hs] == sorted(got[h][0] for h in hs)
+    assert [got[h][1] for h in hs] == sorted(got[h][1] for h in hs)
+    for h in hs:
+        c, e, s = got[h]
+        assert abs(c + e + s - 1.0) < 1e-6, h  # AJ identity
+        assert c > 0, h  # conversion genuinely competes on this corpus
