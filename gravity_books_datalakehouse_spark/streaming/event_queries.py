@@ -3590,6 +3590,193 @@ def ev_survival_logrank_error_first(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Pike hazard-ratio estimate between the same two survival cohorts the
+# log-rank test compares (Pike 1972 — public literature): HR ~=
+# (O1/E1)/(O0/E0) from the log-rank O/E sums, with the standard
+# ln-scale CI exp(ln HR +- z*sqrt(1/E1 + 1/E0)). The log-rank chi2
+# says WHETHER the cohorts differ; this says BY HOW MUCH and in which
+# direction, with a band — the effect-size row a survival comparison
+# publishes next to its p-value.
+
+_Z95 = 1.959964  # two-sided normal 95% critical value
+
+_HR_SQL = f"""WITH t0 AS (
+      SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le
+      FROM events GROUP BY 1),
+    fe AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    coh AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS g
+      FROM fe WHERE rn = 1),
+    er AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'),
+    te AS (SELECT user_id, ts AS te FROM er WHERE rn = {_KM_BUDGET}),
+    dur AS (
+      SELECT t.user_id, c.g,
+             date_diff('second', t.t0, COALESCE(x.te, t.le)) AS d,
+             CASE WHEN x.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 t JOIN coh c USING (user_id) LEFT JOIN te x USING (user_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                 CAST(SUM(g) AS BIGINT) AS n1 FROM dur),
+    hist AS (
+      SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev,
+             CAST(SUM(g) AS BIGINT) AS c1_all,
+             CAST(SUM(g * ev) AS BIGINT) AS c1_ev
+      FROM dur GROUP BY 1),
+    spine AS (
+      SELECT v, c_ev, c1_ev,
+             COALESCE(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             COALESCE(SUM(c1_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb1
+      FROM hist),
+    terms AS (
+      SELECT ((SELECT nu FROM n) - cb) AS nj,
+             ((SELECT n1 FROM n) - cb1) AS n1j,
+             c_ev AS dj, c1_ev AS d1j
+      FROM spine WHERE c_ev > 0),
+    agg AS (
+      SELECT CAST(SUM(d1j) AS BIGINT) AS o1,
+             CAST(SUM(dj) AS BIGINT) AS ot,
+             SUM(dj * (n1j * 1.0 / nj)) AS e1
+      FROM terms),
+    hr AS (
+      SELECT o1, ot - o1 AS o0, e1,
+             (SELECT CAST(SUM(c_ev) AS DOUBLE) FROM hist) - e1 AS e0
+      FROM agg)
+    SELECT (SELECT n1 FROM n) AS n_cohort,
+           (SELECT nu - n1 FROM n) AS n_rest,
+           o1 AS observed_1,
+           CAST(o0 AS BIGINT) AS observed_0,
+           ROUND(e1, 6) AS expected_1,
+           ROUND(e0, 6) AS expected_0,
+           ROUND((o1 * 1.0 / e1) / (o0 * 1.0 / e0), 6) AS hazard_ratio,
+           ROUND(EXP(LN((o1 * 1.0 / e1) / (o0 * 1.0 / e0))
+                     - {_Z95!r} * SQRT(1.0 / e1 + 1.0 / e0)), 6)
+             AS hr_lo95,
+           ROUND(EXP(LN((o1 * 1.0 / e1) / (o0 * 1.0 / e0))
+                     + {_Z95!r} * SQRT(1.0 / e1 + 1.0 / e0)), 6)
+             AS hr_hi95
+    FROM hr"""
+
+
+@register("ev_survival_hazard_ratio", _HR_SQL)
+def ev_survival_hazard_ratio(spark, sf_dir):
+    """One-row Pike hazard-ratio estimate between error-first users and
+    the rest on the error-budget clock: (n_cohort, n_rest, observed_1,
+    observed_0, expected_1, expected_0, hazard_ratio, hr_lo95,
+    hr_hi95). HR = (O1/E1)/(O0/E0) from the log-rank O/E sums (E0 =
+    total exhaustions' expectation remainder — E1+E0 equals total
+    observed events by construction), CI = exp(ln HR +- z95 *
+    sqrt(1/E1 + 1/E0)). Read beside ev_survival_logrank_error_first:
+    the chi2 row answers "different?", this answers "how much worse".
+
+    Exactness: O's are exact integers from the shared duration
+    histogram; E1 accumulates the same per-time float terms as the
+    log-rank oracle (identical composition, engine-ordered sum under
+    the 6-dp round); HR/CI are a fixed expression tree over those two
+    scalars, spelled identically on both engines.
+
+    Scale shape: identical to the log-rank op — the KM plan plus two
+    integer columns, one-row aggregate over event-time histogram rows."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    t0 = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("le")
+    )
+    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    coh = (
+        e.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    te = (
+        e.where(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == _KM_BUDGET)
+        .select("user_id", F.col("ts").alias("te"))
+    )
+    dur = (
+        t0.join(coh, "user_id")
+        .join(te, "user_id", "left")
+        .select(
+            "g",
+            (
+                F.unix_timestamp(F.coalesce("te", "le"))
+                - F.unix_timestamp("t0")
+            ).alias("d"),
+            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    n = dur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("g").cast("bigint").alias("n1"),
+    )
+    hist = dur.groupBy(F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+        F.sum("g").cast("bigint").alias("c1_all"),
+        F.sum(F.col("g") * F.col("ev")).cast("bigint").alias("c1_ev"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    spine = (
+        hist.withColumn("cb", F.coalesce(F.sum("c_all").over(wv), F.lit(0)))
+        .withColumn("cb1", F.coalesce(F.sum("c1_all").over(wv), F.lit(0)))
+        .where(F.col("c_ev") > 0)
+    )
+    terms = spine.join(F.broadcast(n)).select(
+        (F.col("nu") - F.col("cb")).alias("nj"),
+        (F.col("n1") - F.col("cb1")).alias("n1j"),
+        F.col("c_ev").alias("dj"),
+        F.col("c1_ev").alias("d1j"),
+    )
+    share = F.col("n1j") * F.lit(1.0) / F.col("nj")
+    agg = terms.agg(
+        F.sum("d1j").cast("bigint").alias("o1"),
+        F.sum("dj").cast("bigint").alias("ot"),
+        F.sum(F.col("dj") * share).alias("e1"),
+    )
+    etot = hist.agg(F.sum("c_ev").cast("double").alias("et"))
+    hr_expr = (F.col("o1") * F.lit(1.0) / F.col("e1")) / (
+        F.col("o0") * F.lit(1.0) / F.col("e0")
+    )
+    half = F.lit(_Z95) * F.sqrt(
+        F.lit(1.0) / F.col("e1") + F.lit(1.0) / F.col("e0")
+    )
+    return (
+        agg.join(F.broadcast(etot))
+        .join(F.broadcast(n))
+        .withColumn("o0", F.col("ot") - F.col("o1"))
+        .withColumn("e0", F.col("et") - F.col("e1"))
+        .select(
+            F.col("n1").alias("n_cohort"),
+            (F.col("nu") - F.col("n1")).cast("bigint").alias("n_rest"),
+            F.col("o1").alias("observed_1"),
+            F.col("o0").cast("bigint").alias("observed_0"),
+            F.round("e1", 6).alias("expected_1"),
+            F.round("e0", 6).alias("expected_0"),
+            F.round(hr_expr, 6).alias("hazard_ratio"),
+            F.round(F.exp(F.log(hr_expr) - half), 6).alias("hr_lo95"),
+            F.round(F.exp(F.log(hr_expr) + half), 6).alias("hr_hi95"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Nelson-Aalen cumulative hazard + Greenwood variance bands on the SAME
 # error-budget clock as the KM curve (Nelson 1972 / Aalen 1978;
 # Greenwood 1926 — public literature). H(t) = sum d_j/n_j is the
@@ -3600,8 +3787,6 @@ def ev_survival_logrank_error_first(spark, sf_dir):
 # survival curve without its confidence band invites over-reading, and
 # the band width at each horizon is the "how sure are we" number an
 # SLO review actually needs.
-
-_Z95 = 1.959964  # two-sided normal 95% critical value
 
 _NA_SQL = f"""WITH t0 AS (
       SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le

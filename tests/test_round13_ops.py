@@ -570,3 +570,84 @@ def test_competing_risks_matches_python_replay_and_identity(spark):
         c, e, s = got[h]
         assert abs(c + e + s - 1.0) < 1e-6, h  # AJ identity
         assert c > 0, h  # conversion genuinely competes on this corpus
+
+
+def test_hazard_ratio_matches_python_replay(spark):
+    """Recompute the Pike HR and its ln-scale CI in pure python over
+    the same per-user durations/cohorts and demand identical displayed
+    values; pin hr_lo95 < hazard_ratio < hr_hi95, HR > 1 exactly when
+    O1 > E1, and consistency with the log-rank table's O/E row."""
+    import math
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _KM_BUDGET,
+        _Z95,
+        ev_survival_hazard_ratio,
+        ev_survival_logrank_error_first,
+        load_events,
+    )
+
+    rows = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    durs = []
+    for u, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        g = 1 if evs[0].event_type == "error" else 0
+        t0 = int(evs[0].ts.timestamp())
+        errs = [r for r in evs if r.event_type == "error"]
+        if len(errs) >= _KM_BUDGET:
+            durs.append((int(errs[_KM_BUDGET - 1].ts.timestamp()) - t0, 1, g))
+        else:
+            durs.append((int(evs[-1].ts.timestamp()) - t0, 0, g))
+    n = len(durs)
+    n1 = sum(g for _, _, g in durs)
+    hist = defaultdict(lambda: [0, 0, 0, 0])
+    for d, ev, g in durs:
+        h = hist[d]
+        h[0] += 1
+        h[1] += ev
+        h[2] += g
+        h[3] += g * ev
+    o1, ot, e1 = 0, 0, 0.0
+    cb = cb1 = 0
+    for v in sorted(hist):
+        c_all, c_ev, c1_all, c1_ev = hist[v]
+        if c_ev > 0:
+            nj, n1j = n - cb, n1 - cb1
+            o1 += c1_ev
+            ot += c_ev
+            e1 += c_ev * (n1j * 1.0 / nj)
+        cb += c_all
+        cb1 += c1_all
+    o0 = ot - o1
+    e0 = float(ot) - e1
+    hr = (o1 * 1.0 / e1) / (o0 * 1.0 / e0)
+    half = _Z95 * math.sqrt(1.0 / e1 + 1.0 / e0)
+    want = (
+        n1,
+        n - n1,
+        o1,
+        o0,
+        round(e1, 6),
+        round(e0, 6),
+        round(hr, 6),
+        round(math.exp(math.log(hr) - half), 6),
+        round(math.exp(math.log(hr) + half), 6),
+    )
+    out = ev_survival_hazard_ratio(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = tuple(out[0])
+    assert got == want
+    r = out[0]
+    assert r.hr_lo95 < r.hazard_ratio < r.hr_hi95
+    assert (r.hazard_ratio > 1.0) == (r.observed_1 > r.expected_1)
+    lr = ev_survival_logrank_error_first(spark, SF_SMOKE).collect()[0]
+    assert lr.observed == r.observed_1
+    assert lr.expected == r.expected_1
