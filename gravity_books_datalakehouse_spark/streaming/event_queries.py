@@ -3317,14 +3317,22 @@ def _error_budget_durations(e: DataFrame) -> DataFrame:
 def _km_readout(spark: SparkSession, dur: DataFrame) -> DataFrame:
     """KM product-limit fold + horizon picks over a (user_id, d, ev)
     duration frame — the tail of ev_survival_km_error_budget, shared
-    with the streaming twin's readout test."""
+    with the streaming twin's readout test.
+
+    The duration histogram is localCheckpoint'd (round 13): it is
+    histogram-sized (<= |users| rows) but its lineage holds the corpus
+    scan + per-user windows, and three downstream consumers (nu, the
+    KM spine, the at-risk leg) would each re-run that upstream — at
+    100 TB that is 3 corpus scans for one. nu is derived FROM the
+    histogram (sum of bucket counts — identical integer), so the
+    corpus is touched exactly once."""
     from pyspark.sql import Window
 
-    nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
     hist = dur.groupBy(F.col("d").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c_all"),
         F.sum("ev").cast("bigint").alias("c_ev"),
-    )
+    ).localCheckpoint()
+    nu = hist.agg(F.sum("c_all").cast("bigint").alias("nu"))
     wv = Window.orderBy("v")
     spine = hist.withColumn(
         "cb",
@@ -3535,15 +3543,17 @@ def ev_survival_logrank_error_first(spark, sf_dir):
             F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
         )
     )
-    n = dur.agg(
-        F.count(F.lit(1)).cast("bigint").alias("nu"),
-        F.sum("g").cast("bigint").alias("n1"),
-    )
+    # histogram checkpointed, (nu, n1) derived from it — one corpus
+    # pass (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c_all"),
         F.sum("ev").cast("bigint").alias("c_ev"),
         F.sum("g").cast("bigint").alias("c1_all"),
         F.sum(F.col("g") * F.col("ev")).cast("bigint").alias("c1_ev"),
+    ).localCheckpoint()
+    n = hist.agg(
+        F.sum("c_all").cast("bigint").alias("nu"),
+        F.sum("c1_all").cast("bigint").alias("n1"),
     )
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     spine = (
@@ -3722,15 +3732,17 @@ def ev_survival_hazard_ratio(spark, sf_dir):
             F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
         )
     )
-    n = dur.agg(
-        F.count(F.lit(1)).cast("bigint").alias("nu"),
-        F.sum("g").cast("bigint").alias("n1"),
-    )
+    # histogram checkpointed, (nu, n1) derived from it — one corpus
+    # pass (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c_all"),
         F.sum("ev").cast("bigint").alias("c_ev"),
         F.sum("g").cast("bigint").alias("c1_all"),
         F.sum(F.col("g") * F.col("ev")).cast("bigint").alias("c1_ev"),
+    ).localCheckpoint()
+    n = hist.agg(
+        F.sum("c_all").cast("bigint").alias("nu"),
+        F.sum("c1_all").cast("bigint").alias("n1"),
     )
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     spine = (
@@ -3879,11 +3891,13 @@ def ev_survival_na_bands(spark, sf_dir):
     from pyspark.sql import Window
 
     dur = _error_budget_durations(load_events(spark, sf_dir))
-    nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    # histogram checkpointed, nu derived from it — one corpus pass
+    # (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c_all"),
         F.sum("ev").cast("bigint").alias("c_ev"),
-    )
+    ).localCheckpoint()
+    nu = hist.agg(F.sum("c_all").cast("bigint").alias("nu"))
     wv = Window.orderBy("v")
     spine = hist.withColumn(
         "cb",
@@ -4056,11 +4070,13 @@ def ev_survival_rmst(spark, sf_dir):
     from pyspark.sql import Window
 
     dur = _error_budget_durations(load_events(spark, sf_dir))
-    nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    # histogram checkpointed, nu derived from it — one corpus pass
+    # (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c_all"),
         F.sum("ev").cast("bigint").alias("c_ev"),
-    )
+    ).localCheckpoint()
+    nu = hist.agg(F.sum("c_all").cast("bigint").alias("nu"))
     wv = Window.orderBy("v")
     spine = hist.withColumn(
         "cb",
@@ -4312,7 +4328,8 @@ def ev_survival_competing_risks(spark, sf_dir):
             .alias("cause"),
         )
     )
-    nu = dur.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    # histogram checkpointed, nu derived from it — one corpus pass
+    # (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c_all"),
         F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
@@ -4321,7 +4338,8 @@ def ev_survival_competing_risks(spark, sf_dir):
         F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
         .cast("bigint")
         .alias("c_c"),
-    )
+    ).localCheckpoint()
+    nu = hist.agg(F.sum("c_all").cast("bigint").alias("nu"))
     wv = Window.orderBy("v")
     wprev = wv.rowsBetween(Window.unboundedPreceding, -1)
     wcum = wv.rowsBetween(Window.unboundedPreceding, 0)
