@@ -4286,9 +4286,18 @@ def ev_survival_competing_risks(spark, sf_dir):
     purchase, map-side combined); everything downstream runs on the
     duration histogram (same LARGE-DOMAIN ESCAPE HATCH), horizon picks
     model-sized."""
+    return _cr_readout(spark, _competing_durations(load_events(spark, sf_dir)))
+
+
+def _competing_durations(e: DataFrame) -> DataFrame:
+    """(user_id, d, cause) per user under competing risks: cause 1 =
+    budget exhaustion strikes first (ties to exhaustion), 2 = first
+    purchase strikes first, 0 = censored at last event; d in integer
+    epoch-floor seconds. Factored out of ev_survival_competing_risks so
+    the streaming competing-risks twin's test can assert its per-user
+    state rows reproduce EXACTLY this frame."""
     from pyspark.sql import Window
 
-    e = load_events(spark, sf_dir)
     t0 = e.groupBy("user_id").agg(
         F.min("ts").alias("t0"), F.max("ts").alias("le")
     )
@@ -4307,7 +4316,7 @@ def ev_survival_competing_risks(spark, sf_dir):
     exh_first = F.col("te").isNotNull() & (
         F.col("tc").isNull() | (F.col("te") <= F.col("tc"))
     )
-    dur = (
+    return (
         t0.join(te, "user_id", "left")
         .join(tc, "user_id", "left")
         .select(
@@ -4328,6 +4337,14 @@ def ev_survival_competing_risks(spark, sf_dir):
             .alias("cause"),
         )
     )
+
+
+def _cr_readout(spark: SparkSession, dur: DataFrame) -> DataFrame:
+    """Aalen-Johansen fold + horizon picks over a (user_id, d, cause)
+    frame — the tail of ev_survival_competing_risks, shared with the
+    streaming competing-risks twin's readout test."""
+    from pyspark.sql import Window
+
     # histogram checkpointed, nu derived from it — one corpus pass
     # (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(

@@ -729,3 +729,95 @@ def streaming_survival_durations(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# NINTH batch/stream twin: per-user competing-risks durations (the
+# batch side is ev_survival_competing_risks' _competing_durations
+# frame). Extends the survival twin's O(1) state with the first-
+# purchase timestamp: a FLUSH sentinel emits ONE (user_id, d, cause)
+# row — cause 1 when the budget's 10th error strikes first (ties to
+# exhaustion, the batch rule), 2 when the first purchase does, 0 when
+# neither (censored at last event). Feeding the emitted rows through
+# the shared _cr_readout fold reproduces the batch Aalen-Johansen
+# table bit-for-bit (tests/test_streaming.py).
+
+CR_OUTPUT_SCHEMA = "user_id long, d long, cause int"
+CR_STATE_SCHEMA = (
+    "last_ts long, last_eid long, t0 long, nerr long, te long, tc long"
+)
+
+
+def _competing_update(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_ts, last_eid, t0, nerr, te, tc = state.get
+    else:
+        last_ts, last_eid, t0, nerr, te, tc = -1, -1, -1, 0, -1, -1
+    out = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for ts, eid, etype in zip(
+            pdf["ts"].astype("int64"), pdf["event_id"], pdf["event_type"]
+        ):
+            ts, eid = int(ts), int(eid)
+            if etype == FLUSH_SENTINEL:
+                if t0 >= 0:
+                    # the batch tie rule: exhaustion wins te <= tc
+                    if te >= 0 and (tc < 0 or te <= tc):
+                        end, cause = te, 1
+                    elif tc >= 0:
+                        end, cause = tc, 2
+                    else:
+                        end, cause = last_ts, 0
+                    d = end // 1_000_000_000 - t0 // 1_000_000_000
+                    out.append(
+                        {"user_id": key[0], "d": d, "cause": cause}
+                    )
+                    last_ts, last_eid, t0 = -1, -1, -1
+                    nerr, te, tc = 0, -1, -1
+                continue
+            if last_ts >= 0 and (
+                ts < last_ts or (ts == last_ts and eid <= last_eid)
+            ):
+                raise ValueError(
+                    "streaming competing-risks fold requires per-user "
+                    "(ts, event_id)-ordered arrival across micro-"
+                    f"batches; got ({ts}, {eid}) after ({last_ts}, "
+                    f"{last_eid}) for user {key[0]}"
+                )
+            if t0 < 0:
+                t0 = ts
+            if etype == "error" and te < 0:
+                nerr += 1
+                if nerr == SURV_BUDGET:
+                    te = ts
+            elif etype == "purchase" and tc < 0:
+                tc = ts
+            last_ts, last_eid = ts, eid
+    state.update((last_ts, last_eid, t0, nerr, te, tc))
+    yield pd.DataFrame(out, columns=["user_id", "d", "cause"]).astype(
+        {"user_id": "int64", "d": "int64", "cause": "int32"}
+    )
+
+
+def streaming_competing_durations(events: DataFrame) -> DataFrame:
+    """Per-user competing-risks durations: one (user_id, d, cause) row
+    per user at flush — cause 1 = 10th error first (ties to
+    exhaustion), 2 = first purchase first, 0 = censored at last event;
+    d in integer epoch-floor seconds. Input needs (user_id, ts,
+    event_id, event_type); append a FLUSH_SENTINEL row per user AFTER
+    that user's last event. The emitted frame equals batch
+    _competing_durations exactly, so the Aalen-Johansen readout is the
+    shared _cr_readout batch fold."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _competing_update,
+        outputStructType=CR_OUTPUT_SCHEMA,
+        stateStructType=CR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

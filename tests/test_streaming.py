@@ -1404,3 +1404,117 @@ def test_streaming_survival_durations_equals_batch(spark, tmp_path):
         .collect()
     ]
     assert km_stream == km_batch
+
+
+def test_streaming_competing_durations_equals_batch(spark, tmp_path):
+    """The NINTH batch/stream twin: per-user competing-risks durations
+    fed a mid-stream two-file split plus a flush file must (a)
+    reproduce the batch _competing_durations frame EXACTLY (duration
+    and cause per user, ties-to-exhaustion rule included), and (b)
+    yield the batch ev_survival_competing_risks table bit-for-bit
+    through the shared _cr_readout fold."""
+    import glob as g
+    import os
+    import time as _time
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _competing_durations,
+        _cr_readout,
+        ev_survival_competing_risks,
+    )
+    from gravity_books_datalakehouse_spark.streaming.events import EVENT_SCHEMA
+    from gravity_books_datalakehouse_spark.streaming.stateful import (
+        FLUSH_SENTINEL,
+        streaming_competing_durations,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    cut = ev.agg(
+        F.timestamp_seconds(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY unix_timestamp(ts))"
+            )
+        ).alias("c")
+    ).first().c
+    src = str(tmp_path / "cr_src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d1"
+    )
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
+        src + "/d2"
+    )
+    mx = ev.agg(
+        F.max("ts").alias("mt"), F.max("event_id").alias("me")
+    ).first()
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            (F.lit(mx.me) + F.row_number().over(
+                Window.orderBy("user_id")
+            )).cast("long").alias("event_id"),
+            (F.lit(mx.mt) + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            F.col("user_id").cast("long"),
+            F.lit(FLUSH_SENTINEL).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    flush.coalesce(1).write.mode("overwrite").parquet(src + "/d3")
+    merged = str(tmp_path / "cr_merged")
+    os.makedirs(merged)
+    now = _time.time()
+    for i, d in enumerate(("d1", "d2", "d3")):
+        f = shutil.copy(
+            g.glob(src + f"/{d}/part-*.parquet")[0],
+            merged + f"/0{i + 1}.parquet",
+        )
+        os.utime(f, (now - 100 + i * 50, now - 100 + i * 50))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    q = (
+        streaming_competing_durations(stream)
+        .writeStream.format("memory")
+        .queryName("cr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM cr_stream").collect()
+    assert rows, "competing-risks twin produced no rows at smoke scale"
+
+    got = sorted((r.user_id, r.d, r.cause) for r in rows)
+    want = sorted(
+        (r.user_id, r.d, r.cause)
+        for r in _competing_durations(ev).collect()
+    )
+    assert got == want
+    # conversion competes at every scale; censoring/exhaustion only
+    # appear at larger SFs (sf0.001: every user purchases first)
+    assert 2 in {c for _, _, c in got}
+    assert len(got) == len({u for u, _, _ in got})  # one row per user
+
+    dur_df = spark.createDataFrame(
+        [(u, d, c) for u, d, c in got],
+        "user_id long, d long, cause int",
+    )
+    aj_stream = [
+        tuple(r)
+        for r in _cr_readout(spark, dur_df)
+        .orderBy("horizon_hours")
+        .collect()
+    ]
+    aj_batch = [
+        tuple(r)
+        for r in ev_survival_competing_risks(spark, SF_SMOKE)
+        .orderBy("horizon_hours")
+        .collect()
+    ]
+    assert aj_stream == aj_batch
