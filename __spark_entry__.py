@@ -53,8 +53,10 @@ _PRIORITY_HEAD = [
     #      W1 of each week's per-user activity-count distribution vs
     #      the pooled norm) and ev_survival_competing_risks
     #      (Aalen-Johansen conversion-vs-exhaustion incidence) and
-    #      ev_survival_hazard_ratio (Pike O/E effect size + ln-CI) —
-    #      each with a python replay in tests/test_round13_ops.py;
+    #      ev_survival_hazard_ratio (Pike O/E effect size + ln-CI)
+    #      and ev_survival_logrank_stratified (Mantel pooled test over
+    #      activity terciles) — each with a python replay in
+    #      tests/test_round13_ops.py;
     #   2. operators whose PLAN or ORACLE changed in round 13 and must
     #      re-hash (both verified MATCH at sf0.01 after the change):
     #      ev_markov_attribution (oracle chan CTE now data-derived +
@@ -79,12 +81,13 @@ _PRIORITY_HEAD = [
     #      op_outliers_mad_tdigest (r11, rows-only refresh);
     #   5. (the three r7 tail fills initially here all yielded to the
     #      later round-13 additions; see the round-14 queue below).
-    # Round-14 queue, in order: first the eight r7 witnesses that
+    # Round-14 queue, in order: first the nine r7 witnesses that
     # yielded their round-13 slots to late additions (sim_mmr_rerank,
     # text_length_profile_by_source, text_token_stats,
     # q_returned_item_customers, q_top_urgent_orders,
     # sim_lsh_multiprobe_topk, q_profit_by_nation_year,
-    # q_pricing_summary), then the full round-8 block oldest-first —
+    # q_pricing_summary, q_nation_pair_flows), then the full round-8
+    # block oldest-first —
     # dedup_containment_pairs, dedup_jaccard_verify,
     # dedup_lsh_banded_pairs, dedup_minhash_lsh_pairs,
     # dedup_prefix_cosine_pairs, dedup_sorted_neighborhood,
@@ -108,6 +111,7 @@ _PRIORITY_HEAD = [
     "ev_survival_rmst",
     "ev_survival_competing_risks",
     "ev_survival_hazard_ratio",
+    "ev_survival_logrank_stratified",
     "ev_drift_w1_weekly",
     "op_sample_stratified_weighted",
     "ev_attribution_decay_sweep",
@@ -149,7 +153,6 @@ _PRIORITY_HEAD = [
     "q_basket_copurchase_lift",
     "q_large_volume_customers",
     "q_market_share_by_year",
-    "q_nation_pair_flows",
     # --- 4. family-coverage fills (oldest witness per family) ---
     "star_q5_priority_popularity",
     "mm_audio_window_plan",

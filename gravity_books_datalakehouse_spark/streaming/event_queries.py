@@ -3789,6 +3789,239 @@ def ev_survival_hazard_ratio(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# STRATIFIED log-rank (Mantel 1966's combined test over strata —
+# public literature): the error-first vs rest comparison, conditioned
+# on a user-activity tercile. High-activity users accumulate errors
+# faster AND are likelier to have an error first, so the unstratified
+# test partly measures activity, not the first-experience effect; the
+# stratified statistic sums O-E and V WITHIN each tercile (risk sets
+# never cross strata) and pools: chi2 = (sum(O-E))^2 / sum(V). Tercile
+# assignment is NTILE(3) over (event_count, user_id) — a total order,
+# so both engines assign identically.
+
+_SLR_SQL = f"""WITH uc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    strat AS (
+      SELECT user_id,
+             CAST(NTILE(3) OVER (ORDER BY cnt, user_id) AS INT) AS st
+      FROM uc),
+    t0 AS (
+      SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le
+      FROM events GROUP BY 1),
+    fe AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    coh AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS g
+      FROM fe WHERE rn = 1),
+    er AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'),
+    te AS (SELECT user_id, ts AS te FROM er WHERE rn = {_KM_BUDGET}),
+    dur AS (
+      SELECT t.user_id, s.st, c.g,
+             date_diff('second', t.t0, COALESCE(x.te, t.le)) AS d,
+             CASE WHEN x.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 t
+      JOIN strat s USING (user_id)
+      JOIN coh c USING (user_id)
+      LEFT JOIN te x USING (user_id)),
+    n AS (
+      SELECT st, CAST(COUNT(*) AS BIGINT) AS nu,
+             CAST(SUM(g) AS BIGINT) AS n1
+      FROM dur GROUP BY st),
+    hist AS (
+      SELECT st, d AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev,
+             CAST(SUM(g) AS BIGINT) AS c1_all,
+             CAST(SUM(g * ev) AS BIGINT) AS c1_ev
+      FROM dur GROUP BY st, d),
+    spine AS (
+      SELECT st, v, c_ev, c1_ev,
+             COALESCE(SUM(c_all) OVER (PARTITION BY st ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             COALESCE(SUM(c1_all) OVER (PARTITION BY st ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb1
+      FROM hist),
+    terms AS (
+      SELECT s.st, (n.nu - s.cb) AS nj, (n.n1 - s.cb1) AS n1j,
+             s.c_ev AS dj, s.c1_ev AS d1j
+      FROM spine s JOIN n ON n.st = s.st
+      WHERE s.c_ev > 0),
+    per AS (
+      SELECT st,
+             CAST(SUM(d1j) AS BIGINT) AS o1,
+             SUM(dj * (n1j * 1.0 / nj)) AS e1,
+             SUM(CASE WHEN nj > 1
+                 THEN dj * (n1j * 1.0 / nj) * (1.0 - n1j * 1.0 / nj)
+                      * ((nj - dj) * 1.0 / (nj - 1))
+                 ELSE 0.0 END) AS var1
+      FROM terms GROUP BY st),
+    pooled AS (
+      SELECT CAST(SUM(o1) AS BIGINT) AS po, SUM(e1) AS pe,
+             SUM(var1) AS pv
+      FROM per)
+    SELECT p.st AS stratum,
+           n.nu AS n_users,
+           n.n1 AS n_cohort,
+           p.o1 AS observed,
+           ROUND(p.e1, 6) AS expected,
+           ROUND(p.var1, 6) AS variance,
+           ROUND((SELECT (po - pe) * (po - pe) / pv FROM pooled), 6)
+             AS pooled_chi2,
+           (SELECT (po - pe) * (po - pe) > {_LOGRANK_CRIT!r} * pv
+            FROM pooled) AS pooled_reject_05
+    FROM per p JOIN n ON n.st = p.st
+    ORDER BY stratum"""
+
+
+@register("ev_survival_logrank_stratified", _SLR_SQL)
+def ev_survival_logrank_stratified(spark, sf_dir):
+    """Stratified log-rank of error-budget survival between error-first
+    users and the rest, conditioned on the user-activity tercile: one
+    row per stratum (stratum, n_users, n_cohort, observed, expected,
+    variance) plus the pooled Mantel statistic repeated on every row
+    (pooled_chi2, pooled_reject_05). Risk sets never cross strata, so
+    a cohort effect that is really an activity effect cancels within
+    each tercile — if the unstratified chi2 is large but the pooled
+    stratified one collapses, activity was the confounder.
+
+    Exactness: the logrank family's contract per stratum (integer risk
+    sets, identical per-time float composition, engine-ordered sums
+    under the 6-dp round); NTILE(3) over the total order (event_count,
+    user_id) assigns terciles identically on both engines.
+
+    Scale shape: the log-rank plan with one extra global NTILE window
+    over |users| rows (single task over the user-count aggregate — the
+    documented LARGE-DOMAIN ESCAPE HATCH applies: at production scale
+    swap for percentile-cut terciles computed map-side); histogram
+    spine windows are stratum-partitioned; output is 3 rows."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    uc = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    strat = uc.select(
+        "user_id",
+        F.ntile(3)
+        .over(Window.orderBy("cnt", "user_id"))
+        .cast("int")
+        .alias("st"),
+    )
+    t0 = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("le")
+    )
+    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    coh = (
+        e.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    te = (
+        e.where(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == _KM_BUDGET)
+        .select("user_id", F.col("ts").alias("te"))
+    )
+    dur = (
+        t0.join(strat, "user_id")
+        .join(coh, "user_id")
+        .join(te, "user_id", "left")
+        .select(
+            "st",
+            "g",
+            (
+                F.unix_timestamp(F.coalesce("te", "le"))
+                - F.unix_timestamp("t0")
+            ).alias("d"),
+            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    # histogram checkpointed, per-stratum totals derived from it — one
+    # corpus pass (the survival family's round-13 pattern)
+    hist = dur.groupBy("st", F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+        F.sum("g").cast("bigint").alias("c1_all"),
+        F.sum(F.col("g") * F.col("ev")).cast("bigint").alias("c1_ev"),
+    ).localCheckpoint()
+    n = hist.groupBy("st").agg(
+        F.sum("c_all").cast("bigint").alias("nu"),
+        F.sum("c1_all").cast("bigint").alias("n1"),
+    )
+    ws = Window.partitionBy("st").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    spine = (
+        hist.withColumn("cb", F.coalesce(F.sum("c_all").over(ws), F.lit(0)))
+        .withColumn("cb1", F.coalesce(F.sum("c1_all").over(ws), F.lit(0)))
+        .where(F.col("c_ev") > 0)
+    )
+    terms = spine.join(F.broadcast(n), "st").select(
+        "st",
+        (F.col("nu") - F.col("cb")).alias("nj"),
+        (F.col("n1") - F.col("cb1")).alias("n1j"),
+        F.col("c_ev").alias("dj"),
+        F.col("c1_ev").alias("d1j"),
+    )
+    share = F.col("n1j") * F.lit(1.0) / F.col("nj")
+    vterm = F.when(
+        F.col("nj") > 1,
+        F.col("dj")
+        * share
+        * (F.lit(1.0) - share)
+        * ((F.col("nj") - F.col("dj")) * F.lit(1.0) / (F.col("nj") - 1)),
+    ).otherwise(F.lit(0.0))
+    per = terms.groupBy("st").agg(
+        F.sum("d1j").cast("bigint").alias("o1"),
+        F.sum(F.col("dj") * share).alias("e1"),
+        F.sum(vterm).alias("var1"),
+    )
+    pooled = per.agg(
+        F.sum("o1").cast("bigint").alias("po"),
+        F.sum("e1").alias("pe"),
+        F.sum("var1").alias("pv"),
+    )
+    from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
+
+    return (
+        per.join(F.broadcast(n), "st")
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("st").alias("stratum"),
+            F.col("nu").alias("n_users"),
+            F.col("n1").alias("n_cohort"),
+            F.col("o1").alias("observed"),
+            F.round("e1", 6).alias("expected"),
+            F.round("var1", 6).alias("variance"),
+            F.round(
+                (F.col("po") - F.col("pe"))
+                * (F.col("po") - F.col("pe"))
+                / F.col("pv"),
+                6,
+            ).alias("pooled_chi2"),
+            (
+                (F.col("po") - F.col("pe")) * (F.col("po") - F.col("pe"))
+                > F.lit(_LOGRANK_CRIT) * F.col("pv")
+            ).alias("pooled_reject_05"),
+        )
+        .transform(bounded_sort, "stratum")
+    )
+
+
+# --------------------------------------------------------------------------
 # Nelson-Aalen cumulative hazard + Greenwood variance bands on the SAME
 # error-budget clock as the KM curve (Nelson 1972 / Aalen 1978;
 # Greenwood 1926 — public literature). H(t) = sum d_j/n_j is the

@@ -651,3 +651,98 @@ def test_hazard_ratio_matches_python_replay(spark):
     lr = ev_survival_logrank_error_first(spark, SF_SMOKE).collect()[0]
     assert lr.observed == r.observed_1
     assert lr.expected == r.expected_1
+
+
+def test_stratified_logrank_matches_python_replay(spark):
+    """Recompute the per-tercile O/E/V sums and the pooled Mantel
+    statistic in pure python (NTILE terciles over the (count, user_id)
+    total order, per-stratum risk sets) and demand identical displayed
+    rows; pin that strata partition the users, that the pooled chi2 is
+    built from the per-stratum sums, and the pooled flag's consistency
+    with the critical value."""
+    from collections import defaultdict
+
+    from gravity_books_datalakehouse_spark.streaming.event_queries import (
+        _KM_BUDGET,
+        _LOGRANK_CRIT,
+        ev_survival_logrank_stratified,
+        load_events,
+    )
+
+    rows = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    # NTILE(3) over (event count, user_id)
+    order = sorted(per_user, key=lambda u: (len(per_user[u]), u))
+    nusers = len(order)
+    tercile = {}
+    base, rem = divmod(nusers, 3)
+    sizes = [base + (1 if i < rem else 0) for i in range(3)]
+    idx = 0
+    for st, sz in enumerate(sizes, start=1):
+        for u in order[idx : idx + sz]:
+            tercile[u] = st
+        idx += sz
+    durs = defaultdict(list)  # st -> (d, ev, g)
+    for u, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        g = 1 if evs[0].event_type == "error" else 0
+        t0 = int(evs[0].ts.timestamp())
+        errs = [r for r in evs if r.event_type == "error"]
+        if len(errs) >= _KM_BUDGET:
+            d, ev = int(errs[_KM_BUDGET - 1].ts.timestamp()) - t0, 1
+        else:
+            d, ev = int(evs[-1].ts.timestamp()) - t0, 0
+        durs[tercile[u]].append((d, ev, g))
+    want = {}
+    po, pe, pv = 0, 0.0, 0.0
+    for st, lst in durs.items():
+        n = len(lst)
+        n1 = sum(g for _, _, g in lst)
+        hist = defaultdict(lambda: [0, 0, 0, 0])
+        for d, ev, g in lst:
+            h = hist[d]
+            h[0] += 1
+            h[1] += ev
+            h[2] += g
+            h[3] += g * ev
+        o1, e1, var1 = 0, 0.0, 0.0
+        cb = cb1 = 0
+        for v in sorted(hist):
+            c_all, c_ev, c1_all, c1_ev = hist[v]
+            if c_ev > 0:
+                nj, n1j = n - cb, n1 - cb1
+                share = n1j * 1.0 / nj
+                o1 += c1_ev
+                e1 += c_ev * share
+                if nj > 1:
+                    var1 += (
+                        c_ev
+                        * share
+                        * (1.0 - share)
+                        * ((nj - c_ev) * 1.0 / (nj - 1))
+                    )
+            cb += c_all
+            cb1 += c1_all
+        want[st] = (n, n1, o1, round(e1, 6), round(var1, 6))
+        po += o1
+        pe += e1
+        pv += var1
+    chi2 = round((po - pe) * (po - pe) / pv, 6)
+    rej = (po - pe) * (po - pe) > _LOGRANK_CRIT * pv
+
+    out = ev_survival_logrank_stratified(spark, SF_SMOKE).collect()
+    got = {
+        r.stratum: (r.n_users, r.n_cohort, r.observed, r.expected, r.variance)
+        for r in out
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == nusers  # strata partition
+    for r in out:
+        assert r.pooled_chi2 == chi2
+        assert r.pooled_reject_05 == rej
