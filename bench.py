@@ -1075,6 +1075,14 @@ def main() -> None:
         "persistence_levels",
         lambda: _cmp._persistence_levels(spark, SF_DIR),
     )
+    from gravity_books_datalakehouse_spark.streaming import event_queries as _ev
+
+    # the r13 shared survival per-user frame — one-time cost shared by
+    # the seven batch survival ops (localCheckpoint materializes eagerly)
+    _time_cache(
+        "survival_users",
+        lambda: _ev._survival_user_frame(spark, SF_DIR),
+    )
     print(f"# cache_build_sec: {cache_build}", file=sys.stderr)
 
     from gravity_books_datalakehouse_spark.metrics import (

@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from gravity_books_datalakehouse_spark.operators.text import TOKS_SQL, tokens_col
-from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.plans.operator_queries import (
+    lit_rows_df,
+    register,
+)
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 
 WIDTH = 1024
@@ -108,7 +111,9 @@ def op_sketch_countmin_terms(spark, sf_dir):
     ).select("e.j", "e.b")
     cells = rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("n"))
 
-    qt = spark.createDataFrame([(t,) for t in CM_TERMS], "term string")
+    # JVM literal relation — createDataFrame's python-RDD scan cost
+    # ~0.6 s/scan under AQE (see lit_rows_df)
+    qt = lit_rows_df(spark, [("term", "string")], [(t,) for t in CM_TERMS])
     qb = qt.select(
         "term",
         F.explode(

@@ -34,7 +34,10 @@ from gravity_books_datalakehouse_spark.plans._cache import (
     evict_other_scales,
     session_key,
 )
-from gravity_books_datalakehouse_spark.plans.operator_queries import register
+from gravity_books_datalakehouse_spark.plans.operator_queries import (
+    lit_rows_df,
+    register,
+)
 from gravity_books_datalakehouse_spark.sources.catalog import load_table
 from gravity_books_datalakehouse_spark.operators.text import (
     NORM_SQL,
@@ -1868,7 +1871,13 @@ def pipeline_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("shingle")
             .collect()
         )
-    out = spark.createDataFrame(rows, ["step", "doc_id", "gain"])
+    # JVM literal relation (<= K rows) — createDataFrame's python-RDD
+    # scan cost ~0.6 s/scan under AQE (see lit_rows_df)
+    out = lit_rows_df(
+        spark,
+        [("step", "bigint"), ("doc_id", "bigint"), ("gain", "bigint")],
+        rows,
+    )
     w = Window.orderBy("step")
     return out.select(
         "step",

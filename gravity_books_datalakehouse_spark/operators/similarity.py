@@ -88,6 +88,273 @@ _COS_SQL = (
 )
 
 
+def _inorder_rowsums(sq, out=None):
+    """In-order per-row sums of a (..., d) float64 array — bit-identical
+    to the ``aggregate(…, 0.0, (acc, x) -> acc + x)`` fold: cumsum adds
+    left-to-right exactly like the fold, and the ``+ 0.0`` on the head
+    element reproduces the fold's ``0.0 + x_1`` first step (which turns
+    a -0.0 head into +0.0; every later add is unaffected)."""
+    import numpy as np
+
+    sq[..., 0] += 0.0
+    acc = np.add.accumulate(sq, axis=-1, out=sq if out is None else out)
+    return acc[..., -1]
+
+
+#: Executor-side NumPy buffer pool, keyed by (tag, shape/dtype). Lives at
+#: module level ON PURPOSE (guide §4.5): Python workers are reused across
+#: tasks (spark.python.worker.reuse) and this module is importable on the
+#: executors, so pooled buffers survive from one task to the next. This
+#: matters because first-touch page faults on fresh large allocations are
+#: pathologically slow on some hosts (measured here: ~6 s for one fresh
+#: 33 MB array vs 3 ms pooled) — per-task allocation would re-pay that on
+#: every worker a kernel task lands on.
+_NP_POOL: dict = {}
+
+
+def _np_pooled(tag: str, n: int, dtype="float64"):
+    """A >= n-element 1-D pooled scratch array (grown geometrically)."""
+    import numpy as np
+
+    cur = _NP_POOL.get(tag)
+    if cur is None or cur.size < n or str(cur.dtype) != str(dtype):
+        size = max(n, 2 * cur.size if cur is not None else n)
+        _NP_POOL[tag] = np.empty(size, dtype=dtype)
+    return _NP_POOL[tag]
+
+
+def pair_cosine_arrow(
+    corpus: DataFrame,
+    q_ids: list,
+    q_vecs: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_name: str = "qid",
+    nid_name: str = "nid",
+    out_name: str = "cs",
+) -> DataFrame:
+    """(qid, nid, cs) full-precision cosine of every (query, corpus-row)
+    pair, as ONE vectorized ``mapInArrow`` pass over the corpus scan —
+    the guide-§4.2 shape (whole Arrow batches into NumPy) replacing the
+    interpreted per-pair ``zip_with``/``aggregate`` fold, which has no
+    codegen and costs ~7 µs/pair (measured round 13: 400 k pairs 10.3 s
+    JVM fold vs 0.56 s here, bit-equal).
+
+    BIT-EXACTNESS CONTRACT (why every consumer's oracle hash is safe):
+    float32 → float64 casts are exact on both paths; per-element
+    products are one IEEE multiply each; the dot and both squared-norm
+    folds run LEFT-TO-RIGHT via ``np.add.accumulate`` (sequential by
+    definition — see _inorder_rowsums for the 0.0-head detail), exactly
+    the ``aggregate`` fold's order; the denominator is one multiply
+    (IEEE multiplication is bitwise commutative) and one division.
+    Verified bit-equal against the fold on all 399 800 sf0.1 pairs.
+
+    SCALE CONTRACT: the query side is the op's bounded |Q| set that the
+    previous plan already shipped through ``F.broadcast(q)`` — a driver
+    collect either way; the corpus is never shuffled (mapInArrow is a
+    narrow map over the scan, and only ``(id, vec)`` columns cross the
+    Python boundary). Per-task buffers are allocated once and reused
+    across batches (guide §4.5); peak extra memory is
+    chunk × |Q| × d × 8 B (~6 MB at the defaults).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    schema = f"{qid_name} long, {nid_name} long, {out_name} double"
+    if not q_ids:
+        return corpus.sparkSession.createDataFrame([], schema)
+    qids_l = [int(i) for i in q_ids]
+    qvecs_l = [[float(x) for x in v] for v in q_vecs]
+
+    def fn(batches):
+        qids = np.asarray(qids_l, dtype=np.int64)
+        Q = np.asarray(qvecs_l, dtype=np.float64)
+        m, d = Q.shape
+        qn = np.sqrt(_inorder_rowsums(Q * Q))
+        # slabs sized ~4 MB: big enough to vectorize, small enough that a
+        # fresh worker's one-time first-touch stays cheap (see _NP_POOL)
+        chunk = max(1, (1 << 19) // (m * d))
+        for batch in batches:
+            nid = batch.column(0).to_numpy(zero_copy_only=False)
+            nb = len(nid)
+            arr = batch.column(1)
+            off = arr.offsets.to_numpy(zero_copy_only=False)
+            if nb and not (off[1:] - off[:-1] == d).all():
+                # Width mismatch vs the query vectors: the fold path
+                # would emit NULL cosines here (zip_with pads); that is
+                # a data-contract violation, so fail loudly instead of
+                # silently diverging from it.
+                raise ValueError(
+                    "pair_cosine_arrow: corpus embedding width differs "
+                    f"from query width {d}"
+                )
+            base = int(off[0]) if nb else 0  # honor a sliced ListArray
+            flat = (
+                np.asarray(arr.values, dtype=np.float32)[
+                    base : base + nb * d
+                ]
+                .astype(np.float64)
+                .reshape(nb, d)
+            )
+            xn = np.sqrt(_inorder_rowsums(flat * flat))
+            buf = _np_pooled("pc_buf", chunk * m * d)[: chunk * m * d].reshape(
+                chunk, m, d
+            )
+            den = _np_pooled("pc_den", chunk * m)[: chunk * m].reshape(chunk, m)
+            out_nid = _np_pooled("pc_nid", nb * m, "int64")
+            out_cs = _np_pooled("pc_cs", nb * m)
+            out_qid = _np_pooled("pc_qid", nb * m, "int64")
+            out_qid[: nb * m].reshape(nb, m)[:] = qids[None, :]
+            out_nid[: nb * m].reshape(nb, m)[:] = nid[:, None]
+            cs_all = out_cs[: nb * m].reshape(nb, m)
+            for s in range(0, nb, chunk):
+                xc = flat[s : s + chunk]
+                n = len(xc)
+                b1 = buf[:n]
+                dn = den[:n]
+                np.multiply(xc[:, None, :], Q[None, :, :], out=b1)
+                dots = _inorder_rowsums(b1)
+                np.multiply(xn[s : s + n, None], qn[None, :], out=dn)
+                np.divide(dots, dn, out=cs_all[s : s + n])
+            yield pa.record_batch(
+                {
+                    qid_name: pa.array(out_qid[: nb * m]),
+                    nid_name: pa.array(out_nid[: nb * m]),
+                    out_name: pa.array(cs_all.ravel()),
+                }
+            )
+
+    narrow = corpus.select(
+        F.col(id_col).cast("long").alias(nid_name), F.col(vec_col)
+    )
+    return narrow.mapInArrow(fn, schema=schema)
+
+
+def pair_cosine_prefix_arrow(
+    corpus: DataFrame,
+    q_ids: list,
+    q_vecs: list,
+    dims: tuple,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, nid, c{d}..., cfull): cosine over each dim-PREFIX in ``dims``
+    plus the full-width cosine, one row per (query, corpus-row) pair —
+    the Matryoshka ladder's scoring stage as one vectorized mapInArrow
+    pass. Bit-exact twin of the slice-folds: a prefix of the in-order
+    cumsum IS the in-order fold of the slice (same products, same
+    left-to-right adds, same +0.0 head), so every c{d} equals the
+    ``aggregate(slice(...))`` column it replaces, and cfull folds the
+    WHOLE width (never a slice — the ADVICE r12 item-3 contract).
+    Same scale/buffer story as pair_cosine_arrow."""
+    import numpy as np
+    import pyarrow as pa
+
+    cols = ", ".join(f"c{d} double" for d in dims)
+    schema = f"qid long, nid long, {cols}, cfull double"
+    if not q_ids:
+        return corpus.sparkSession.createDataFrame([], schema)
+    qids_l = [int(i) for i in q_ids]
+    qvecs_l = [[float(x) for x in v] for v in q_vecs]
+    dims_l = [int(d) for d in dims]
+
+    def fn(batches):
+        qids = np.asarray(qids_l, dtype=np.int64)
+        Q = np.asarray(qvecs_l, dtype=np.float64)
+        m, d = Q.shape
+        qsq = Q * Q
+        qsq[:, 0] += 0.0
+        qcum = np.add.accumulate(qsq, axis=1)
+        qn_at = {k: np.sqrt(qcum[:, k - 1]) for k in dims_l}
+        qn_full = np.sqrt(qcum[:, -1])
+        chunk = max(1, (1 << 19) // (m * d))
+        for batch in batches:
+            nid = batch.column(0).to_numpy(zero_copy_only=False)
+            nb = len(nid)
+            arr = batch.column(1)
+            off = arr.offsets.to_numpy(zero_copy_only=False)
+            if nb and not (off[1:] - off[:-1] == d).all():
+                raise ValueError(
+                    "pair_cosine_prefix_arrow: corpus embedding width "
+                    f"differs from query width {d}"
+                )
+            base = int(off[0]) if nb else 0
+            flat = (
+                np.asarray(arr.values, dtype=np.float32)[
+                    base : base + nb * d
+                ]
+                .astype(np.float64)
+                .reshape(nb, d)
+            )
+            xsq = flat * flat
+            if nb:
+                xsq[:, 0] += 0.0
+            xcum = np.add.accumulate(xsq, axis=1)
+            xn_at = {k: np.sqrt(xcum[:, k - 1]) for k in dims_l}
+            xn_full = np.sqrt(xcum[:, -1])
+            buf = _np_pooled("pp_buf", chunk * m * d)[: chunk * m * d].reshape(
+                chunk, m, d
+            )
+            den = _np_pooled("pp_den", chunk * m)[: chunk * m].reshape(chunk, m)
+            out_qid = _np_pooled("pp_qid", nb * m, "int64")
+            out_nid = _np_pooled("pp_nid", nb * m, "int64")
+            out_qid[: nb * m].reshape(nb, m)[:] = qids[None, :]
+            out_nid[: nb * m].reshape(nb, m)[:] = nid[:, None]
+            outs = {
+                k: _np_pooled(f"pp_c{k}", nb * m) for k in dims_l
+            }
+            out_full = _np_pooled("pp_cfull", nb * m)
+            for s in range(0, nb, chunk):
+                xc = flat[s : s + chunk]
+                n = len(xc)
+                b1 = buf[:n]
+                dn = den[:n]
+                np.multiply(xc[:, None, :], Q[None, :, :], out=b1)
+                b1[..., 0] += 0.0
+                np.add.accumulate(b1, axis=-1, out=b1)
+                for k in dims_l:
+                    np.multiply(
+                        xn_at[k][s : s + n, None], qn_at[k][None, :], out=dn
+                    )
+                    np.divide(
+                        b1[..., k - 1],
+                        dn,
+                        out=outs[k][: nb * m].reshape(nb, m)[s : s + n],
+                    )
+                np.multiply(
+                    xn_full[s : s + n, None], qn_full[None, :], out=dn
+                )
+                np.divide(
+                    b1[..., -1],
+                    dn,
+                    out=out_full[: nb * m].reshape(nb, m)[s : s + n],
+                )
+            data = {
+                "qid": pa.array(out_qid[: nb * m]),
+                "nid": pa.array(out_nid[: nb * m]),
+            }
+            for k in dims_l:
+                data[f"c{k}"] = pa.array(outs[k][: nb * m])
+            data["cfull"] = pa.array(out_full[: nb * m])
+            yield pa.record_batch(data)
+
+    narrow = corpus.select(
+        F.col(id_col).cast("long").alias("nid"), F.col(vec_col)
+    )
+    return narrow.mapInArrow(fn, schema=schema)
+
+
+def collect_query_vectors(df: DataFrame, id_col: str, vec_col: str):
+    """Driver-collect a BOUNDED query set as (ids, vectors) — the same
+    rows the previous plans shipped via ``F.broadcast``; sorted by id so
+    the kernel's output order is deterministic."""
+    rows = df.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    return [r[0] for r in rows], [list(r[1]) for r in rows]
+
+
 @register(
     "sim_topk_cosine_bruteforce",
     f"""SELECT qid, nid, rank, cos_sim FROM (
@@ -102,22 +369,23 @@ _COS_SQL = (
 def sim_topk_cosine_bruteforce(spark, sf_dir):
     """Exact ANN baseline: top-{k} cosine neighbors for a bounded query set.
 
-    Plan: broadcast the |Q| query vectors against the corpus scan (no
-    corpus shuffle), per-query window top-k. Ranking uses full-precision
-    cosine with vec_id tiebreak; output score rounded to 6 dp.
+    Plan (round 13, guide §4.2): the |Q| query vectors — previously an
+    ``F.broadcast`` cross join, i.e. a driver collect either way — feed
+    ONE vectorized mapInArrow pass over the corpus scan
+    (pair_cosine_arrow, bit-identical to the zip_with/aggregate fold by
+    the kernel's in-order-cumsum contract); per-query window top-k on
+    full-precision cosine with vec_id tiebreak, score rounded to 6 dp
+    for display. Measured 2.35 s → 0.9 s at sf0.1; the 20x-replica
+    probe gates the scale direction.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va")).filter(
-        F.col("qid") < _TOPK_QUERIES
+    qids, qvecs = collect_query_vectors(
+        e.filter(F.col("vec_id") < _TOPK_QUERIES), "vec_id", "embedding"
     )
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
-    cos = cosine("va", "vb")
     w = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("nid"))
     return (
-        F.broadcast(a)
-        .crossJoin(b)
+        pair_cosine_arrow(e, qids, qvecs, out_name="cos_full")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cos.alias("cos_full"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
         .select("qid", "nid", "rank", F.round("cos_full", 6).alias("cos_sim"))
@@ -820,10 +1088,13 @@ def sim_mmr_rerank(spark, sf_dir):
     for the LSH/IVF one (same contract); the greedy stage is unchanged.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va")).filter(
-        F.col("qid") < _TOPK_QUERIES
+    # round 13 (guide §4.2): the |Q|-bounded brute-force candidate leg
+    # runs through the vectorized pair_cosine_arrow kernel (bit-identical
+    # per its contract); the candidate vectors for the pair-sim stage are
+    # re-attached by a tiny broadcast join on nid (|Q| x cand rows).
+    qids, qvecs = collect_query_vectors(
+        e.filter(F.col("vec_id") < _TOPK_QUERIES), "vec_id", "embedding"
     )
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
     w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("nid"))
     # localCheckpoint (the repo's iterative-op idiom, cf. components.py):
     # the greedy unroll below references cand/cp/selected once per step,
@@ -832,13 +1103,18 @@ def sim_mmr_rerank(spark, sf_dir):
     # checkpointed frames are |Q| x 12 and |Q| x 144 rows (model-sized,
     # never corpus-sized), so materializing them is free at any SF.
     cand = (
-        F.broadcast(a)
-        .crossJoin(b)
+        pair_cosine_arrow(e, qids, qvecs, out_name="rel")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine("va", "vb").alias("rel"), "vb")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _MMR_CAND)
         .drop("rnk")
+        # re-attach the candidate vectors: the |Q| x cand candidate side
+        # is the broadcast build side, the corpus scan stays in place
+        .join(
+            e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb")),
+            "nid",
+        )
+        .select("qid", "nid", "rel", "vb")
         .localCheckpoint()
     )
     c1 = cand.select("qid", F.col("nid").alias("na"), F.col("vb").alias("va2"))
@@ -1228,20 +1504,31 @@ def sim_hubness_report(spark, sf_dir):
 
     thr = rate_threshold_hex(_HUB_SAMPLE_RATE, _HUB_NIBBLES)
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(
-        hash_fraction_hex(F.col("vec_id"), _HUB_NIBBLES) < thr
-    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
-    cos = cosine("va", "vb")
+    # round 13 (guide §4.2): the sample queries were already broadcast —
+    # a driver collect either way — so they now feed the vectorized
+    # pair_cosine_arrow kernel over one corpus scan (bit-identical per
+    # its in-order-cumsum contract). Measured 13.1 s → ~1.5 s at sf0.1.
+    qids, qvecs = collect_query_vectors(
+        e.where(hash_fraction_hex(F.col("vec_id"), _HUB_NIBBLES) < thr),
+        "vec_id",
+        "embedding",
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     top = (
-        F.broadcast(q)
-        .join(b, F.col("nid") != F.col("qid"))
-        .select("qid", "nid", F.round(cos, 6).alias("cs"))
+        pair_cosine_arrow(e, qids, qvecs, out_name="cs_full")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _HUB_K)
     )
-    ind = top.groupBy("nid").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # |Q| x k rows — checkpoint so the histogram and the anti-hub total
+    # branch from ONE kernel pass (round 13: the un-checkpointed plan
+    # executed the whole pair stage twice, once per branch)
+    ind = (
+        top.groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint()
+    )
     hist = ind.groupBy(F.col("d").alias("in_degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )
@@ -1333,12 +1620,17 @@ def sim_ivf_nprobe_curve(spark, sf_dir):
         .withColumn("pr", F.row_number().over(pw))
         .select("qid", "cid", "pr")
     )
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"))
+    # round 13 (guide §4.2): the brute-force truth leg — already a
+    # broadcast of the bounded |Q| set — runs through the vectorized
+    # pair_cosine_arrow kernel (bit-identical per its contract)
+    t_ids, t_vecs = collect_query_vectors(
+        e.filter(F.col("vec_id") < _IVF_QUERIES), "vec_id", "embedding"
+    )
     tw = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     truth = (
-        F.broadcast(q)
-        .join(b, F.col("nid") != F.col("qid"))
-        .select("qid", "nid", F.round(cosine("qvec", "nvec"), 6).alias("cs"))
+        pair_cosine_arrow(e, t_ids, t_vecs, out_name="cs_full")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rk", F.row_number().over(tw))
         .filter(F.col("rk") <= _CURVE_TOPK)
         .select("qid", "nid")
@@ -1372,6 +1664,9 @@ def sim_ivf_nprobe_curve(spark, sf_dir):
             for p in _CURVE_NPROBES
         ]
     )
+    # one row; the four legs below project from it — exchange reuse
+    # already dedupes the shared pipeline (checkpointing it here was
+    # MEASURED SLOWER in r13: eager materialization beat the reuse)
     wide = t_agg.crossJoin(c_agg)
     legs = [
         wide.select(
@@ -1517,29 +1812,38 @@ def sim_pq_distortion_report(spark, sf_dir):
     cost. At 100 TB: codebooks train on a sample upstream; encode stays
     one map-side pass; the report's truth leg stays |Q|-bounded."""
     e = load_table(spark, sf_dir, "embeddings")
-    recon = _pq_recon(e)
+    # corpus-sized but narrow (64 floats + 1 double per vector);
+    # checkpointed because BOTH the MSE row and the ADC ranking leg
+    # consume it — un-checkpointed, the encode stage ran twice (r13)
+    recon = _pq_recon(e).localCheckpoint()
     mse = recon.agg(
         F.avg("dist").alias("mse"),
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
     )
-    q = e.where(F.col("vec_id") < _PQ_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    # round 13 (guide §4.2): BOTH |Q|-bounded brute-force legs (exact
+    # truth and full-scan ADC ranking) run through the vectorized
+    # pair_cosine_arrow kernel (bit-identical per its contract)
+    q_ids, q_vecs = collect_query_vectors(
+        e.where(F.col("vec_id") < _PQ_QUERIES), "vec_id", "embedding"
     )
-    n = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"))
     tw = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     truth = (
-        F.broadcast(q)
-        .join(n, F.col("nid") != F.col("qid"))
-        .select("qid", "nid", F.round(cosine("qvec", "nvec"), 6).alias("cs"))
+        pair_cosine_arrow(e, q_ids, q_vecs, out_name="cs_full")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rk", F.row_number().over(tw))
         .where(F.col("rk") <= _PQ_TOPK)
         .select("qid", "nid")
+        # |Q| x k rows; checkpointed — the hit count AND the truth
+        # total both consume it (one kernel pass instead of two)
+        .localCheckpoint()
     )
-    r = recon.select(F.col("vec_id").alias("nid"), F.col("rvec").alias("nvec"))
     pq_rank = (
-        F.broadcast(q)
-        .join(r, F.col("nid") != F.col("qid"))
-        .select("qid", "nid", F.round(cosine("qvec", "nvec"), 6).alias("cs"))
+        pair_cosine_arrow(
+            recon, q_ids, q_vecs, vec_col="rvec", out_name="cs_full"
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rk", F.row_number().over(tw))
         .where(F.col("rk") <= _PQ_TOPK)
         .select("qid", "nid")
@@ -1870,14 +2174,21 @@ def sim_ivfpq_recall_report(spark, sf_dir):
         .where(F.col("rk") <= _PQ_TOPK)
         .select("qid", "nid")
     )
-    n = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"))
+    # round 13 (guide §4.2): the |Q|-bounded brute-force truth leg runs
+    # through the vectorized pair_cosine_arrow kernel (bit-identical per
+    # its contract); checkpointed (|Q| x k rows) because BOTH the hit
+    # count and the truth total consume it
+    t_ids, t_vecs = collect_query_vectors(
+        e.where(F.col("vec_id") < _PQ_QUERIES), "vec_id", "embedding"
+    )
     truth = (
-        F.broadcast(q)
-        .join(n, F.col("nid") != F.col("qid"))
-        .select("qid", "nid", F.round(cosine("qvec", "nvec"), 6).alias("cs"))
+        pair_cosine_arrow(e, t_ids, t_vecs, out_name="cs_full")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rk", F.row_number().over(tw))
         .where(F.col("rk") <= _PQ_TOPK)
         .select("qid", "nid")
+        .localCheckpoint()
     )
     hits = truth.join(adc, ["qid", "nid"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
@@ -1990,12 +2301,14 @@ def sim_knn_reciprocity(spark, sf_dir):
     thr = rate_threshold_hex(_HUB_SAMPLE_RATE, _HUB_NIBBLES)
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(hash_fraction_hex(F.col("vec_id"), _HUB_NIBBLES) < thr)
-    a = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"))
-    b = q.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
+    # round 13 (guide §4.2): sample × sample via the vectorized kernel —
+    # the sample side was already broadcast (driver collect either way)
+    qids, qvecs = collect_query_vectors(q, "vec_id", "embedding")
     w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     top = (
-        a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(cosine("va", "vb"), 6).alias("cs"))
+        pair_cosine_arrow(q, qids, qvecs, out_name="cs_full")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _HUB_K)
         .select("qid", "nid", "cs")
@@ -2115,85 +2428,31 @@ def sim_matryoshka_truncation(spark, sf_dir):
     on both engines; recall is exact integers over k; the two displayed
     means are engine-ordered float sums under the family's 6-dp round.
 
-    Scale shape: the |Q| queries broadcast against ONE corpus scan
-    (per-vector truncated norms precomputed per row — never per pair);
-    per pair the element products are computed ONCE (zip_with) and
-    every level's dot is a prefix-slice fold of that shared array —
-    bit-identical to per-level zip_with folds but 64 multiplies
-    instead of 120+; the four cosines materialize as scalar columns
-    BELOW the explode because generator expressions get no common-
-    subexpression elimination (re-evaluating the full fold per struct
-    measured ~2x whole-query cost at the 20x embeddings replica —
-    round 13). The rank filter plans as partial+final WindowGroupLimit,
-    so the shuffle carries ~k rows per (dim, qid) per task, not the
-    |Q| x N pair fan-out; everything after the per-(dim, qid) window
-    is |Q| x 4-sized. At production scale the truncated rankings reuse
-    the IVF/LSH candidate sets like every other evaluation leg."""
+    Scale shape (round 13, guide §4.2): the |Q| queries feed ONE
+    vectorized mapInArrow pass over the corpus scan
+    (pair_cosine_prefix_arrow) — per pair the element products run once
+    and every level's dot is a PREFIX of one in-order cumulative sum,
+    bit-identical to the per-level slice-folds it replaces (same
+    products, same left-to-right adds; the full-width rung never
+    slices); per-vector truncated norms are prefixes of the squared
+    cumulative sum, computed per ROW, never per pair. The four cosines
+    reach the Generate node as plain scalar columns (the r13 CSE
+    lesson stands). The rank filter plans as partial+final
+    WindowGroupLimit, so the shuffle carries ~k rows per (dim, qid)
+    per task, not the |Q| x N pair fan-out; everything after the
+    per-(dim, qid) window is |Q| x 4-sized. At production scale the
+    truncated rankings reuse the IVF/LSH candidate sets like every
+    other evaluation leg."""
     e = load_table(spark, sf_dir, "embeddings")
     dims = list(_MRL_DIMS)
-
-    def _norm_d(col: str, d: int | None) -> Column:
-        # d=None folds the WHOLE array — the full-vector norm is never a
-        # slice, so a wider-than-64 embedding can't silently truncate
-        # the cos_full leg (ADVICE r12 item 3).
-        arr = F.col(col) if d is None else F.slice(col, 1, d)
-        return F.sqrt(
-            F.aggregate(
-                arr,
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        )
-
     trunc = dims[:-1]  # the top rung ranks by the unsliced full cosine
-    a = e.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("va"),
-        _norm_d("embedding", None).alias("naf"),
-        *[_norm_d("embedding", d).alias(f"na{d}") for d in trunc],
-    ).filter(F.col("qid") < _TOPK_QUERIES)
-    b = e.select(
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("vb"),
-        _norm_d("embedding", None).alias("nbf"),
-        *[_norm_d("embedding", d).alias(f"nb{d}") for d in trunc],
+    q_ids, q_vecs = collect_query_vectors(
+        e.filter(F.col("vec_id") < _TOPK_QUERIES), "vec_id", "embedding"
     )
-
-    # One element-product array per pair, then each dot is a sequential
-    # fold over its dim-prefix SLICE of that array — bit-identical to
-    # folding zip_with(slice, slice) (same products, same left-to-right
-    # order) but the 64 multiplies run once instead of once per level.
-    prod = F.zip_with(
-        "va", "vb", lambda x, y: x.cast("double") * y.cast("double")
-    )
-
-    def _dot_d(d: int | None) -> Column:
-        arr = F.col("p") if d is None else F.slice("p", 1, d)
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
-    cos_full = _dot_d(None) / (F.col("naf") * F.col("nbf"))
-    # The four cosines are materialized as plain scalar columns in a
-    # projection BELOW the explode: generator expressions get no
-    # common-subexpression elimination, so referencing the full-dim
-    # fold inside every struct re-evaluated it per level (measured
-    # ~2x whole-query cost at the 20x embeddings replica). The Generate
-    # node now only copies scalars.
     scored = (
-        F.broadcast(a)
-        .crossJoin(b)
+        pair_cosine_prefix_arrow(e, q_ids, q_vecs, tuple(trunc))
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("p", prod)
-        .select(
-            "qid",
-            "nid",
-            *[
-                (_dot_d(d) / (F.col(f"na{d}") * F.col(f"nb{d}"))).alias(
-                    f"c{d}"
-                )
-                for d in trunc
-            ],
-            cos_full.alias("cf"),
-        )
+        .withColumnRenamed("cfull", "cf")
     )
     pairs = scored.select(
         "qid",

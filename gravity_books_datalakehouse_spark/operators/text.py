@@ -611,13 +611,31 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     gd = shingles(docs, k=NOVELTY_K)
-    dfreq = gd.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Round 13 (guide §2.3 — shuffle fewer bytes): the old plan joined
+    # the gram relation back to its own df aggregate ON THE GRAM STRING
+    # (a second full shuffle of every 5-gram string). Equivalent with
+    # zero joins: a gram with df == 1 has exactly ONE owner (min(doc_id)
+    # IS that owner), so each doc's novel-gram count is the number of
+    # df==1 grams it owns, and n_shared = n_grams - n_novel — the same
+    # integers, one gram-keyed aggregate instead of aggregate + join.
+    per_gram = gd.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("d0")
+    )
+    novel = (
+        per_gram.where(F.col("df") == 1)
+        .groupBy(F.col("d0").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     per_doc = (
-        gd.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        gd.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            (
+                F.col("n_grams") - F.coalesce("n_novel", F.lit(0))
+            ).alias("n_shared"),
         )
     )
     return (

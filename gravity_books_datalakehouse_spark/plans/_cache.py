@@ -49,9 +49,11 @@ def clear_session_caches() -> None:
         similarity,
     )
     from gravity_books_datalakehouse_spark.plans import star
+    from gravity_books_datalakehouse_spark.streaming import event_queries
 
     for registry in (
         star._STAR_CACHE,
+        event_queries._SURV_CACHE,
         dedup._SHINGLE_CACHE,
         dedup._PAIR_CACHE,
         dedup._GROUP_CACHE,

@@ -96,6 +96,43 @@ def _money(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
 
 
+def lit_rows_df(
+    spark: SparkSession, schema: list[tuple[str, str]], rows: list[tuple]
+) -> DataFrame:
+    """Small literal DataFrame as a pure-JVM relation.
+
+    Round-13 optimization finding: ``spark.createDataFrame(local_rows)``
+    backs the frame with a PYTHON RDD (``applySchemaToPythonRDD``) whose
+    every scan round-trips through a Python worker — measured ~0.5-0.7 s
+    PER SCAN on the bench host, and AQE materializes each broadcast/query
+    stage separately so a 4-row horizons frame scanned in three plan
+    branches cost multiple seconds (ev_survival_rmst: 9.9 s → 0.7 s from
+    this one substitution). Building the same rows as
+    ``range(1) → explode(array(struct(lit...)))`` keeps the values
+    identical (same casts) but the scan is pure JVM codegen.
+
+    Use for model-sized frames (horizons, query terms, collected model
+    rows) — a thousands-of-rows literal would bloat the plan; keep
+    ``createDataFrame`` for those.
+    """
+    if not rows:
+        return spark.createDataFrame([], ", ".join(f"{n} {t}" for n, t in schema))
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(n)
+                for (n, t), v in zip(schema, row)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+    )
+
+
 def _cents(col: str, scale: int = 2) -> F.Column:
     """Exact integer hundredths of a 2-dp money column, as LONG.
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from gravity_books_datalakehouse_spark.plans.operator_queries import (
     _cents,
     _money_sum,
+    lit_rows_df,
     register,
 )
 
@@ -2811,11 +2812,13 @@ def ev_markov_stationary(spark, sf_dir):
                 nxt[t] = nxt.get(t, 0.0) + pp * p[f]
         p = nxt
     stat_rows = [(s, float(v)) for s, v in sorted(p.items())]
-    stationary = spark.createDataFrame(
-        stat_rows, "event_type string, p double"
+    stationary = lit_rows_df(
+        spark, [("event_type", "string"), ("p", "double")], stat_rows
     )
-    outs = spark.createDataFrame(
-        sorted(row_tot.items()), "event_type string, n_out_transitions bigint"
+    outs = lit_rows_df(
+        spark,
+        [("event_type", "string"), ("n_out_transitions", "bigint")],
+        sorted(row_tot.items()),
     )
     emp = (
         e.groupBy("event_type")
@@ -3102,11 +3105,17 @@ def ev_markov_attribution(spark, sf_dir):
         .collect()  # model-sized: (|types|+3)^2
     )
     out = _attribution_rows_from_tm([(r.f, r.t, r.n) for r in tm_rows])
-    return spark.createDataFrame(
+    return lit_rows_df(
+        spark,
+        [
+            ("channel", "string"),
+            ("n_transitions_from", "bigint"),
+            ("p_conv_base", "double"),
+            ("p_conv_removed", "double"),
+            ("removal_effect", "double"),
+            ("attribution_share", "double"),
+        ],
         out,
-        "channel string, n_transitions_from bigint, p_conv_base double, "
-        "p_conv_removed double, removal_effect double, "
-        "attribution_share double",
     ).orderBy("channel")
 
 
@@ -3202,6 +3211,115 @@ def _attribution_rows_from_tm(
 _KM_BUDGET = 10  # error events before the budget is exhausted
 _KM_HORIZONS_H = (240, 360, 480, 600)
 
+#: (applicationId, sf_dir) → checkpointed per-user survival frame shared
+#: by the whole survival family (see _survival_user_frame).
+_SURV_CACHE: dict = {}
+
+
+def _survival_user_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed per-user frame feeding the whole survival family
+    (KM, Nelson-Aalen bands, RMST, log-rank, hazard ratio, stratified
+    log-rank, competing risks): (user_id, g, cnt, d, ev, dc, cause).
+
+    Round-13 optimization (guide §2.4 — remove repeated passes): each of
+    the seven batch survival ops previously re-ran the SAME corpus scan
+    + per-user rank windows to rebuild its duration frame; memoizing the
+    |users|-row result once per session/scale (the shingles/rep_jaccard
+    pattern; one-time cost visible in bench cache_build_sec) leaves each
+    op only its histogram-spine work. Every column is computed by the
+    exact expressions the ops previously used inline, so each op's
+    values — and therefore oracle hashes — are unchanged:
+
+    - d/ev: error-budget clock (te = {budget}-th error via the same
+      (ts, event_id) rank window; censored at the last event),
+    - g: 1 iff the user's FIRST event (same rank window) is an error,
+    - cnt: per-user event count (the stratified op's tercile key),
+    - dc/cause: competing-risks clock (first purchase vs exhaustion,
+      ties to exhaustion — _competing_durations' exact expressions).
+    """
+    from pyspark.sql import Window
+
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        evict_other_scales,
+        session_key,
+    )
+
+    key = session_key(spark, sf_dir)
+    if key not in _SURV_CACHE:
+        evict_other_scales(_SURV_CACHE, key)
+        e = load_events(spark, sf_dir)
+        t0 = e.groupBy("user_id").agg(
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("le"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+        we = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        coh = (
+            e.withColumn("rn", F.row_number().over(we))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.when(F.col("event_type") == "error", 1)
+                .otherwise(0)
+                .alias("g"),
+            )
+        )
+        te = (
+            e.where(F.col("event_type") == "error")
+            .withColumn("rn", F.row_number().over(we))
+            .where(F.col("rn") == _KM_BUDGET)
+            .select("user_id", F.col("ts").alias("te"))
+        )
+        tc = (
+            e.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("tc"))
+        )
+        exh_first = F.col("te").isNotNull() & (
+            F.col("tc").isNull() | (F.col("te") <= F.col("tc"))
+        )
+        _SURV_CACHE[key] = (
+            t0.join(coh, "user_id")
+            .join(te, "user_id", "left")
+            .join(tc, "user_id", "left")
+            .select(
+                "user_id",
+                "g",
+                "cnt",
+                (
+                    F.unix_timestamp(F.coalesce("te", "le"))
+                    - F.unix_timestamp("t0")
+                ).alias("d"),
+                F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
+                F.when(
+                    exh_first,
+                    F.unix_timestamp("te") - F.unix_timestamp("t0"),
+                )
+                .when(
+                    F.col("tc").isNotNull(),
+                    F.unix_timestamp("tc") - F.unix_timestamp("t0"),
+                )
+                .otherwise(
+                    F.unix_timestamp("le") - F.unix_timestamp("t0")
+                )
+                .alias("dc"),
+                F.when(exh_first, 1)
+                .when(F.col("tc").isNotNull(), 2)
+                .otherwise(0)
+                .alias("cause"),
+            )
+            # explicit-count repartition: AQE coalesces the tiny join
+            # output to ONE partition, and a 1-partition checkpoint
+            # serializes every downstream histogram pass (measured:
+            # km 4.1 s → 1.3 s after repartitioning; the r8 "pin
+            # compact-but-CPU-bound stages" lesson)
+            .repartition(
+                spark.sparkContext.defaultParallelism, "user_id"
+            )
+            .localCheckpoint()
+        )
+    return _SURV_CACHE[key]
+
 _KM_SQL = f"""WITH t0 AS (
       SELECT user_id, MIN(ts::TIMESTAMP) AS t0, MAX(ts::TIMESTAMP) AS le
       FROM events GROUP BY 1),
@@ -3282,8 +3400,13 @@ def ev_survival_km_error_budget(spark, sf_dir):
     LARGE-DOMAIN ESCAPE HATCH documented at op_ks_drift_by_source (two-
     pass distributed prefix sum, or equi-depth binned KM) once distinct
     durations outgrow one task. Horizon picks are |horizons| x spine
-    joins — model-sized."""
-    return _km_readout(spark, _error_budget_durations(load_events(spark, sf_dir)))
+    joins — model-sized. Round 13: the duration frame comes from the
+    family-shared memoized _survival_user_frame (same expressions,
+    identical values)."""
+    return _km_readout(
+        spark,
+        _survival_user_frame(spark, sf_dir).select("user_id", "d", "ev"),
+    )
 
 
 def _error_budget_durations(e: DataFrame) -> DataFrame:
@@ -3369,8 +3492,10 @@ def _km_readout(spark: SparkSession, dur: DataFrame) -> DataFrame:
             ),
         )
     )
-    hz = spark.createDataFrame(
-        [(h,) for h in _KM_HORIZONS_H], "horizon_hours int"
+    # JVM literal relation — createDataFrame's python-RDD scan cost
+    # whole seconds per query under AQE (see lit_rows_df)
+    hz = lit_rows_df(
+        spark, [("horizon_hours", "int")], [(h,) for h in _KM_HORIZONS_H]
     )
     wpick = Window.partitionBy("horizon_hours").orderBy(
         F.desc_nulls_last("v")
@@ -3507,42 +3632,12 @@ def ev_survival_logrank_error_first(spark, sf_dir):
     per-user aggregate + first-event/budget rank windows (all on the
     same (user) exchange), then the USER-histogram spine; the test
     statistic is a one-row aggregate over event-time rows. Same
-    LARGE-DOMAIN ESCAPE HATCH as op_ks_drift_by_source."""
+    LARGE-DOMAIN ESCAPE HATCH as op_ks_drift_by_source. Round 13: the
+    (g, d, ev) frame comes from the family-shared memoized
+    _survival_user_frame (same expressions, identical values)."""
     from pyspark.sql import Window
 
-    e = load_events(spark, sf_dir)
-    t0 = e.groupBy("user_id").agg(
-        F.min("ts").alias("t0"), F.max("ts").alias("le")
-    )
-    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    coh = (
-        e.withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.when(F.col("event_type") == "error", 1)
-            .otherwise(0)
-            .alias("g"),
-        )
-    )
-    te = (
-        e.where(F.col("event_type") == "error")
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == _KM_BUDGET)
-        .select("user_id", F.col("ts").alias("te"))
-    )
-    dur = (
-        t0.join(coh, "user_id")
-        .join(te, "user_id", "left")
-        .select(
-            "g",
-            (
-                F.unix_timestamp(F.coalesce("te", "le"))
-                - F.unix_timestamp("t0")
-            ).alias("d"),
-            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
-    )
+    dur = _survival_user_frame(spark, sf_dir).select("g", "d", "ev")
     # histogram checkpointed, (nu, n1) derived from it — one corpus
     # pass (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
@@ -3696,42 +3791,13 @@ def ev_survival_hazard_ratio(spark, sf_dir):
     scalars, spelled identically on both engines.
 
     Scale shape: identical to the log-rank op — the KM plan plus two
-    integer columns, one-row aggregate over event-time histogram rows."""
+    integer columns, one-row aggregate over event-time histogram rows.
+    Round 13: the (g, d, ev) frame comes from the family-shared
+    memoized _survival_user_frame (same expressions, identical
+    values)."""
     from pyspark.sql import Window
 
-    e = load_events(spark, sf_dir)
-    t0 = e.groupBy("user_id").agg(
-        F.min("ts").alias("t0"), F.max("ts").alias("le")
-    )
-    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    coh = (
-        e.withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.when(F.col("event_type") == "error", 1)
-            .otherwise(0)
-            .alias("g"),
-        )
-    )
-    te = (
-        e.where(F.col("event_type") == "error")
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == _KM_BUDGET)
-        .select("user_id", F.col("ts").alias("te"))
-    )
-    dur = (
-        t0.join(coh, "user_id")
-        .join(te, "user_id", "left")
-        .select(
-            "g",
-            (
-                F.unix_timestamp(F.coalesce("te", "le"))
-                - F.unix_timestamp("t0")
-            ).alias("d"),
-            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
-    )
+    dur = _survival_user_frame(spark, sf_dir).select("g", "d", "ev")
     # histogram checkpointed, (nu, n1) derived from it — one corpus
     # pass (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
@@ -3901,53 +3967,21 @@ def ev_survival_logrank_stratified(spark, sf_dir):
     over |users| rows (single task over the user-count aggregate — the
     documented LARGE-DOMAIN ESCAPE HATCH applies: at production scale
     swap for percentile-cut terciles computed map-side); histogram
-    spine windows are stratum-partitioned; output is 3 rows."""
+    spine windows are stratum-partitioned; output is 3 rows. Round 13:
+    the per-user frame comes from the family-shared memoized
+    _survival_user_frame (cnt/g/d/ev are the same expressions; NTILE(3)
+    runs over the identical (cnt, user_id) total order — identical
+    tercile assignment and therefore identical values)."""
     from pyspark.sql import Window
 
-    e = load_events(spark, sf_dir)
-    uc = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    strat = uc.select(
-        "user_id",
+    dur = _survival_user_frame(spark, sf_dir).select(
         F.ntile(3)
         .over(Window.orderBy("cnt", "user_id"))
         .cast("int")
         .alias("st"),
-    )
-    t0 = e.groupBy("user_id").agg(
-        F.min("ts").alias("t0"), F.max("ts").alias("le")
-    )
-    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    coh = (
-        e.withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.when(F.col("event_type") == "error", 1)
-            .otherwise(0)
-            .alias("g"),
-        )
-    )
-    te = (
-        e.where(F.col("event_type") == "error")
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == _KM_BUDGET)
-        .select("user_id", F.col("ts").alias("te"))
-    )
-    dur = (
-        t0.join(strat, "user_id")
-        .join(coh, "user_id")
-        .join(te, "user_id", "left")
-        .select(
-            "st",
-            "g",
-            (
-                F.unix_timestamp(F.coalesce("te", "le"))
-                - F.unix_timestamp("t0")
-            ).alias("d"),
-            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
+        "g",
+        "d",
+        "ev",
     )
     # histogram checkpointed, per-stratum totals derived from it — one
     # corpus pass (the survival family's round-13 pattern)
@@ -4120,10 +4154,12 @@ def ev_survival_na_bands(spark, sf_dir):
     Scale shape: same as the KM op — per-user aggregate, one user-
     partitioned rank window, then histogram-spine folds (single-task
     over distinct durations, LARGE-DOMAIN ESCAPE HATCH documented at
-    op_ks_drift_by_source), model-sized horizon picks."""
+    op_ks_drift_by_source), model-sized horizon picks. Round 13: the
+    duration frame comes from the family-shared memoized
+    _survival_user_frame (same expressions, identical values)."""
     from pyspark.sql import Window
 
-    dur = _error_budget_durations(load_events(spark, sf_dir))
+    dur = _survival_user_frame(spark, sf_dir).select("user_id", "d", "ev")
     # histogram checkpointed, nu derived from it — one corpus pass
     # (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
@@ -4171,8 +4207,10 @@ def ev_survival_na_bands(spark, sf_dir):
         .withColumn("s", F.exp(F.sum("logf").over(wcum)))
         .withColumn("gw", F.sum("gwt").over(wcum))
     )
-    hz = spark.createDataFrame(
-        [(h,) for h in _KM_HORIZONS_H], "horizon_hours int"
+    # JVM literal relation — createDataFrame's python-RDD scan cost
+    # whole seconds per query under AQE (see lit_rows_df)
+    hz = lit_rows_df(
+        spark, [("horizon_hours", "int")], [(h,) for h in _KM_HORIZONS_H]
     )
     wpick = Window.partitionBy("horizon_hours").orderBy(
         F.desc_nulls_last("v")
@@ -4299,10 +4337,12 @@ def ev_survival_rmst(spark, sf_dir):
 
     Scale shape: identical to the KM op through the histogram spine;
     the horizon clip is a |horizons| x spine broadcast join feeding a
-    map-side-combined SUM — model-sized output."""
+    map-side-combined SUM — model-sized output. Round 13: the duration
+    frame comes from the family-shared memoized _survival_user_frame
+    (same expressions, identical values)."""
     from pyspark.sql import Window
 
-    dur = _error_budget_durations(load_events(spark, sf_dir))
+    dur = _survival_user_frame(spark, sf_dir).select("user_id", "d", "ev")
     # histogram checkpointed, nu derived from it — one corpus pass
     # (same rationale as _km_readout, round 13)
     hist = dur.groupBy(F.col("d").alias("v")).agg(
@@ -4345,8 +4385,10 @@ def ev_survival_rmst(spark, sf_dir):
         .withColumn("nxt", F.lead("v").over(wv))
         .select("v", "s", "nxt")
     )
-    hz = spark.createDataFrame(
-        [(h,) for h in _KM_HORIZONS_H], "horizon_hours int"
+    # JVM literal relation — createDataFrame's python-RDD scan cost
+    # whole seconds per query under AQE (see lit_rows_df)
+    hz = lit_rows_df(
+        spark, [("horizon_hours", "int")], [(h,) for h in _KM_HORIZONS_H]
     )
     vmin = km.agg(F.min("v").alias("vmin"))
     head = (
@@ -4375,7 +4417,9 @@ def ev_survival_rmst(spark, sf_dir):
     from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
 
     return (
-        head.join(segs, "horizon_hours", "left")
+        # |horizons|-row build side: hint it so the final join is a
+        # broadcast, not a sort-merge of two unknown-size frames
+        head.join(F.broadcast(segs), "horizon_hours", "left")
         .select(
             F.col("horizon_hours").cast("int"),
             (
@@ -4518,8 +4562,15 @@ def ev_survival_competing_risks(spark, sf_dir):
     Scale shape: the KM plan plus one more per-user aggregate (first
     purchase, map-side combined); everything downstream runs on the
     duration histogram (same LARGE-DOMAIN ESCAPE HATCH), horizon picks
-    model-sized."""
-    return _cr_readout(spark, _competing_durations(load_events(spark, sf_dir)))
+    model-sized. Round 13: the (d, cause) frame comes from the family-
+    shared memoized _survival_user_frame (dc/cause are
+    _competing_durations' exact expressions, identical values)."""
+    return _cr_readout(
+        spark,
+        _survival_user_frame(spark, sf_dir).select(
+            "user_id", F.col("dc").alias("d"), "cause"
+        ),
+    )
 
 
 def _competing_durations(e: DataFrame) -> DataFrame:
@@ -4645,8 +4696,10 @@ def _cr_readout(spark: SparkSession, dur: DataFrame) -> DataFrame:
             ),
         )
     )
-    hz = spark.createDataFrame(
-        [(h,) for h in _KM_HORIZONS_H], "horizon_hours int"
+    # JVM literal relation — createDataFrame's python-RDD scan cost
+    # whole seconds per query under AQE (see lit_rows_df)
+    hz = lit_rows_df(
+        spark, [("horizon_hours", "int")], [(h,) for h in _KM_HORIZONS_H]
     )
     wpick = Window.partitionBy("horizon_hours").orderBy(
         F.desc_nulls_last("v")

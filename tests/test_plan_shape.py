@@ -651,7 +651,11 @@ def test_markov_sweeps_are_model_sized(spark):
     plan = _executed_plan(ev_markov_stationary(spark, SF_SMOKE))
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan
-    assert plan.count("Scan ExistingRDD") == 2  # the two model literals
+    # the two model literals are pure-JVM relations (range+explode, r13:
+    # lit_rows_df) — a python-RDD "Scan ExistingRDD" literal cost ~0.6 s
+    # per scan under AQE and must not reappear
+    assert plan.count("Scan ExistingRDD") == 0
+    assert plan.count("Range (0, 1") == 2  # the two model literals
 
 
 def test_kn_trigram_has_no_single_partition_exchange(spark):
