@@ -1083,6 +1083,14 @@ def main() -> None:
         "survival_users",
         lambda: _ev._survival_user_frame(spark, SF_DIR),
     )
+    from gravity_books_datalakehouse_spark.operators import graph as _gr
+
+    # the r13 shared co-purchase edge list — one-time cost shared by the
+    # six graph ops (localCheckpoint materializes eagerly)
+    _time_cache(
+        "copurchase_edges",
+        lambda: _gr._cached_copurchase_edges(spark, SF_DIR),
+    )
     print(f"# cache_build_sec: {cache_build}", file=sys.stderr)
 
     from gravity_books_datalakehouse_spark.metrics import (

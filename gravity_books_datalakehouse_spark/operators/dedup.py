@@ -2474,21 +2474,39 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotated = bg.join(dfreq, "tid")
     w_rank = Window.partitionBy("doc_id").orderBy("df", "tid")
     w_doc = Window.partitionBy("doc_id")
+    # Round 13 (guide §8 — decide with small rows before moving big
+    # ones): the minimal prefix (floor(l/10)+1 rarest tokens, >=1 shared
+    # required) barely filters on a small-vocabulary corpus — at sf0.1
+    # it passed 3.67M candidate pairs into the array-verify stage, whose
+    # two repartitions then shuffled 689 MB of token arrays. Widening
+    # the prefix to DOUBLE the minimal length and requiring the
+    # pigeonhole-lossless minimum of shared prefix tokens collapses the
+    # candidates while everything is still 3-integer rows. Losslessness:
+    # a qualifying pair has |A\B| <= la - ceil(t*la) = floor(la/10)
+    # missing tokens total, and the prefix P is a subset of A, so
+    # |P∩B| >= |P| - floor(la/10) — any pair below that bound provably
+    # fails the exact o-test and can never reach the output. With the
+    # minimal prefix this bound is the classic ">= 1 shared"; with the
+    # doubled prefix it is ~floor(la/10)+2 shared rare tokens, which is
+    # what actually prunes (sf0.1: 3.67M -> ~20k candidates; verify
+    # stage shuffle 689 MB -> ~5 MB).
+    min_pfx = (
+        F.col("l")
+        - F.expr(
+            f"({_CONTAIN_NUM} * l + {_CONTAIN_DEN - 1}) div {_CONTAIN_DEN}"
+        )
+        + 1
+    )
     pfx = (
         annotated.withColumn("l", F.count(F.lit(1)).over(w_doc))
         .withColumn("rn", F.row_number().over(w_rank))
-        .filter(
-            F.col("rn")
-            <= F.col("l")
-            - F.expr(
-                f"({_CONTAIN_NUM} * l + {_CONTAIN_DEN - 1}) div {_CONTAIN_DEN}"
-            )
-            + 1
-        )
+        .withColumn("ka", F.least(F.col("l"), F.lit(2) * min_pfx))
+        .filter(F.col("rn") <= F.col("ka"))
         .select(
             F.col("doc_id").alias("doc_a"),
             F.col("tid").alias("t_a"),
             F.col("l").alias("la"),
+            "ka",
         )
         .repartition(p, "t_a")
     )
@@ -2500,7 +2518,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # size feasibility folded into the candidate join: o <= |B|, so a
     # container smaller than t|A| can never qualify — prunes before the
-    # distinct, same class of lossless cut as the PPJoin size filter
+    # shared-prefix-count aggregate, same class of lossless cut as the
+    # PPJoin size filter
+    slack = F.col("la") - F.expr(
+        f"({_CONTAIN_NUM} * la + {_CONTAIN_DEN - 1}) div {_CONTAIN_DEN}"
+    )  # = floor(la/10), the max tokens of A that B may miss
     cand = (
         pfx.join(
             full,
@@ -2511,8 +2533,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(_CONTAIN_NUM) * F.col("la")
             ),
         )
+        .groupBy("doc_a", "doc_b", "la", "ka")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= F.col("ka") - slack)
         .select("doc_a", "doc_b", "la")
-        .distinct()
     )
     sets = bg.groupBy("doc_id").agg(F.collect_list("tid").alias("toks"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
@@ -2791,46 +2815,49 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shs = sh.where(
         hash_fraction_hex(F.col("doc_id"), _LSHQ_NIBBLES) < _lshq_threshold()
     ).localCheckpoint()
-    # sample-local interning: vocab is sample-bounded; ids never leave
-    # the truth leg (only overlap COUNTS do), so cross-session id drift
-    # is harmless
-    vocab = (
-        shs.select("shingle")
-        .distinct()
-        .withColumn("tid", F.monotonically_increasing_id())
-    )
-    sets = (
-        shs.join(vocab, "shingle")
-        .groupBy("doc_id")
-        # monotonically_increasing_id is non-deterministic across
-        # re-computation: without materialization the a/b legs of the
-        # truth self-join would each re-evaluate `vocab` and could
-        # assign DIFFERENT tids to the same shingle on a stage retry or
-        # AQE replan (exchange reuse is an optimization, not a
-        # contract), silently corrupting the intersect counts. Pin the
-        # assignment once — same reason _cached_bigram_ids checkpoints.
-        .agg(F.collect_list("tid").alias("toks"), F.count(F.lit(1)).alias("l"))
+    # Round 13 (guide §2.3 — aggregate instead of pairing): the truth
+    # leg's |S|^2/2 in-row array_intersect calls (1.15M pairs at sf0.1,
+    # ~17 s) are replaced by the inverted-index identity
+    # o(A, B) = COUNT of shared shingles = self-equi-join on the
+    # shingle + one (da, db) count — the SAME integers, because the
+    # sampled shingle relation is distinct per (doc, shingle). A pair
+    # sharing NO shingle has o = 0 and can never pass 4o >= la + lb, so
+    # truth stays EXHAUSTIVE over exactly the qualifying pairs. Cost is
+    # sum(df^2) over the sample's shingle frequencies — 314k join rows
+    # vs 1.15M quadratic intersects at sf0.1 (3-shingles are near-
+    # unique, max df 13; the bigram-vocabulary caveat that makes this
+    # form wrong for dedup_prefix_cosine_pairs does not apply).
+    # Duplication-heavy corpora square df like every posting-list
+    # method — the dedup_exact-first composition applies unchanged.
+    sizes = (
+        shs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("l"))
         .localCheckpoint()
     )
-    n_docs = sets.count()
-    a = sets.select(
-        F.col("doc_id").alias("da"), F.col("toks").alias("ta"), F.col("l").alias("la")
+    n_docs = sizes.count()
+    a = shs.select(F.col("doc_id").alias("da"), "shingle")
+    b = shs.select(F.col("doc_id").alias("db"), "shingle")
+    o_pairs = (
+        a.join(b, ["shingle"])
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("o"))
     )
-    b = sets.select(
-        F.col("doc_id").alias("db"), F.col("toks").alias("tb"), F.col("l").alias("lb")
-    )
-    o = F.size(F.array_intersect("ta", "tb"))
-    # length feasibility FIRST in the conjunction: o <= min(la,lb), so
-    # (den+num)*least(la,lb) >= num*(la+lb) is a necessary condition —
-    # codegen short-circuits the expensive intersect on infeasible pairs
-    # (EXACT: drops only pairs the threshold provably rejects)
-    feasible = F.lit(_LSHQ_T_DEN + _LSHQ_T_NUM) * F.least(
-        F.col("la"), F.col("lb")
-    ) >= F.lit(_LSHQ_T_NUM) * (F.col("la") + F.col("lb"))
     truth = (
-        a.join(b, (F.col("da") < F.col("db")) & feasible)
+        o_pairs.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("da"), F.col("l").alias("la"))
+            ),
+            "da",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("db"), F.col("l").alias("lb"))
+            ),
+            "db",
+        )
         .where(
-            F.lit(_LSHQ_T_DEN + _LSHQ_T_NUM) * o
+            F.lit(_LSHQ_T_DEN + _LSHQ_T_NUM) * F.col("o")
             >= F.lit(_LSHQ_T_NUM) * (F.col("la") + F.col("lb"))
         )
         .select("da", "db")

@@ -62,6 +62,39 @@ MIN_SUPPORT = 2
 TOP_K = 20
 
 
+#: (applicationId, sf_dir) → checkpointed symmetric co-purchase edge list
+#: shared by the six graph ops (see _cached_copurchase_edges).
+_EDGE_CACHE: dict = {}
+
+
+def _cached_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support->=2 co-purchase edge list, built ONCE per
+    session/scale and checkpointed (round-13 optimization, guide §2.4:
+    all six graph ops — pagerank, triangles, label-prop, k-core, degree
+    distribution, global stats — previously each re-ran the same
+    basket-explode pair pipeline). Same memoization contract as the
+    dedup shingle cache; the one-time cost is visible in the bench's
+    cache_build_sec. Values identical: this IS copurchase_edges(),
+    materialized."""
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        evict_other_scales,
+        session_key,
+    )
+
+    key = session_key(spark, sf_dir)
+    if key not in _EDGE_CACHE:
+        evict_other_scales(_EDGE_CACHE, key)
+        _EDGE_CACHE[key] = (
+            copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+            # explicit-count repartition: pins parallelism for the
+            # CPU-bound iterative consumers past AQE coalescing (the
+            # r8 lesson) and matches the groupBy(src) layout
+            .repartition(spark.sparkContext.defaultParallelism, "src")
+            .localCheckpoint()
+        )
+    return _EDGE_CACHE[key]
+
+
 def copurchase_edges(li: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame:
     """Symmetric directed edge list (src, dst) of parts co-purchased in
     >= ``min_support`` orders. Basket-explode pair generation: cost is
@@ -223,8 +256,7 @@ def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew split); the support filter already caps hub degree here.
     Per-node rollup explodes each triangle into its three members —
     3|T| rows, the algorithm's output size, not a blowup."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
+    edges = _cached_copurchase_edges(spark, sf_dir)
     # canonical u<v form, one row per undirected edge
     e = (
         edges.where(F.col("src") < F.col("dst"))
@@ -278,7 +310,7 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Final ordering on the 6-dp-rounded rank with part-key tiebreak runs
     as a TakeOrderedAndProject; the <=20-row name lookup is a broadcast
     join at the very end."""
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = _cached_copurchase_edges(spark, sf_dir)
     ranks = pagerank(edges)
     names = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
@@ -400,7 +432,7 @@ def op_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded sort."""
     from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
 
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = _cached_copurchase_edges(spark, sf_dir)
     labels = label_propagation(edges)
     return (
         labels.groupBy(F.col("lab").alias("community"))
@@ -515,8 +547,7 @@ def op_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (communities). Pure integer math end to end: degrees, the >= k
     comparisons, and the survivor set have zero float surface, so the
     oracle comparison needs no rounding margins."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
+    edges = _cached_copurchase_edges(spark, sf_dir)
     full_deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("degree_full")
     )
@@ -573,9 +604,8 @@ def op_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join), one groupBy(src) for degrees, then the histogram
     collapses to |distinct degrees| rows before the (tiny) cumulative
     window. Output is bounded by max degree, not corpus size."""
-    li = load_table(spark, sf_dir, "lineitem")
     deg = (
-        copurchase_edges(li)
+        _cached_copurchase_edges(spark, sf_dir)
         .groupBy("src")
         .agg(F.count("*").cast("bigint").alias("degree"))
     )
@@ -680,8 +710,7 @@ def op_graph_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment sums — every stage keys on a vertex or is a scalar
     aggregate. At 100 TB the wedge skew mitigations of the triangle
     kernel apply unchanged; the report itself is one row."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
+    edges = _cached_copurchase_edges(spark, sf_dir)
     e = (
         edges.where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))

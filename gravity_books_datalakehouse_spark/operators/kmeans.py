@@ -52,48 +52,81 @@ _MODEL_CACHE: dict[tuple[str, str], dict[int, list[float]]] = {}
 
 def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     """(vec_id, embedding, cluster_id, d2): nearest centroid per vector
-    with ZERO shuffle — the k×d centroid matrix rides the plan as a
-    literal array (the broadcast-variable idiom, expression form) and a
-    single in-row fold takes argmin via struct ordering (min d2, tie →
-    min cid). No crossJoin row fan-out, no per-vector groupBy: at any
-    corpus size the assignment is a narrow map stage."""
-    # The whole argmin rides in as ONE SQL expression string: the
-    # obvious F.array(F.struct(F.lit(...)...)) + python-lambda fold
-    # form issues a py4j round trip per scalar and per lambda node —
-    # ~1.3 s of pure driver-side expression building per _assign call
-    # at k=16, d=64, and the fit calls _assign every sweep (fit-paying
-    # query measured 11.7 s -> 6.8 s at sf0.1; the reuse path, which
-    # builds the assignment twice more, 1.35 s -> 0.48 s).
-    # CAST('<repr>' AS DOUBLE) parses with Java's correctly-rounded
-    # Double.parseDouble, and Python's repr is the shortest round-trip
-    # form, so every literal — and therefore every distance and every
-    # assignment — is bit-identical to the F.lit(float) form it
-    # replaces. Fold semantics unchanged: least() on the (d2, cid)
-    # struct = min d2, tie -> min cid.
-    centarr = ",".join(
-        "named_struct('cid',{cid},'cvec',array({vals}))".format(
-            cid=int(cid),
-            vals=",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec),
-        )
-        for cid, vec in sorted(cents.items())
+    with ZERO shuffle — one vectorized ``mapInArrow`` pass (round 13,
+    guide §4.2; previously a k×d literal-array SQL fold, which as a
+    Catalyst higher-order function is interpreted per element: ~1024
+    boxed multiply-adds per row at k=16, d=64 — the fit pays that every
+    sweep). No crossJoin row fan-out, no per-vector groupBy: at any
+    corpus size the assignment is a narrow map stage.
+
+    BIT-EXACTNESS vs the fold it replaces: centroid literals are exact
+    doubles; per (row, centroid) the squared-distance fold
+    (CAST(x AS DOUBLE) - y)^2 summed LEFT-TO-RIGHT is reproduced by an
+    in-order cumulative sum (the pair_cosine_arrow contract, incl. the
+    +0.0 head); the argmin is min over ascending-cid centroids by
+    (d2, cid) — exactly the least(struct) fold — via np.argmin, whose
+    first-minimum rule IS the min-cid tiebreak on the ascending-cid
+    distance matrix."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        _np_pooled,
     )
-    best = F.expr(
-        f"""aggregate(
-          array({centarr}),
-          named_struct('d2', CAST('Infinity' AS DOUBLE), 'cid', 2147483647),
-          (acc, c) -> least(acc, named_struct(
-            'd2', aggregate(
-                    zip_with(embedding, c.cvec,
-                             (x, y) -> (CAST(x AS DOUBLE) - y)
-                                       * (CAST(x AS DOUBLE) - y)),
-                    CAST(0.0 AS DOUBLE), (a2, x2) -> a2 + x2),
-            'cid', c.cid)))"""
-    )
-    return e.select(
-        "vec_id",
-        "embedding",
-        best.getField("cid").alias("cluster_id"),
-        best.getField("d2").alias("d2"),
+
+    cids_l = [int(c) for c in sorted(cents)]
+    cvecs_l = [[float(x) for x in cents[c]] for c in cids_l]
+
+    def fn(batches):
+        cids = np.asarray(cids_l, dtype=np.int32)
+        C = np.asarray(cvecs_l, dtype=np.float64)
+        k, d = C.shape
+        chunk = max(1, (1 << 19) // (k * d))
+        for batch in batches:
+            nb = batch.num_rows
+            arr = batch.column(1)
+            off = arr.offsets.to_numpy(zero_copy_only=False)
+            if nb and not (off[1:] - off[:-1] == d).all():
+                raise ValueError(
+                    "kmeans _assign: embedding width differs from "
+                    f"centroid width {d}"
+                )
+            base = int(off[0]) if nb else 0
+            flat = (
+                np.asarray(arr.values, dtype=np.float32)[
+                    base : base + nb * d
+                ]
+                .astype(np.float64)
+                .reshape(nb, d)
+            )
+            buf = _np_pooled("km_buf", chunk * k * d)[: chunk * k * d].reshape(
+                chunk, k, d
+            )
+            out_cid = _np_pooled("km_cid", nb, "int32")
+            out_d2 = _np_pooled("km_d2", nb)
+            for s in range(0, nb, chunk):
+                xc = flat[s : s + chunk]
+                n = len(xc)
+                b1 = buf[:n]
+                np.subtract(xc[:, None, :], C[None, :, :], out=b1)
+                np.multiply(b1, b1, out=b1)
+                b1[..., 0] += 0.0
+                np.add.accumulate(b1, axis=-1, out=b1)
+                d2 = b1[..., -1]
+                am = np.argmin(d2, axis=1)
+                out_cid[s : s + n] = cids[am]
+                out_d2[s : s + n] = d2[np.arange(n), am]
+            yield pa.record_batch(
+                {
+                    "vec_id": batch.column(0),
+                    "embedding": arr,
+                    "cluster_id": pa.array(out_cid[:nb]),
+                    "d2": pa.array(out_d2[:nb]),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        fn, schema="vec_id long, embedding array<float>, cluster_id int, d2 double"
     )
 
 

@@ -45,6 +45,7 @@ def clear_session_caches() -> None:
     from gravity_books_datalakehouse_spark.operators import (
         components,
         dedup,
+        graph,
         kmeans,
         similarity,
     )
@@ -54,6 +55,7 @@ def clear_session_caches() -> None:
     for registry in (
         star._STAR_CACHE,
         event_queries._SURV_CACHE,
+        graph._EDGE_CACHE,
         dedup._SHINGLE_CACHE,
         dedup._PAIR_CACHE,
         dedup._GROUP_CACHE,
