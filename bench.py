@@ -1494,13 +1494,33 @@ def main() -> None:
         "scaling_spark_vs_duckdb_sec": scaling,
         "detail_file": "BENCH_DETAIL.json",
     }
+    # Round 14 (VERDICT r13 item 2): the driver keeps only the LAST ~2000
+    # chars of stdout, and a longer line is cut MID-JSON at the front —
+    # the driver then parses nothing and the round-over-round per-query
+    # comparison (PERF per_query) comes back empty (it did, two rounds
+    # running). The old stepwise truncation still left the probe blocks
+    # (sf1/docs_replica/scurve/memory_pressure/star_batch/cache_build/
+    # floors/stage-parts) inline, ~7 KB. Fix: those blocks live ONLY in
+    # BENCH_DETAIL.json (payload_stdout_full there preserves the exact
+    # old stdout payload, so no number is lost round-over-round); stdout
+    # carries scalars + gate ratios + the slowest-15 headline dict, and
+    # is guaranteed to fit. No timed region changed.
+    payload_full = dict(payload)
+    for k in (
+        "family_sec",
+        "cache_build_sec",
+        "spark_fixed_floor_sec",
+        "q_family_stage_corrected_parts",
+        "star_family_stage_corrected_parts",
+        "memory_pressure_probe",
+        "star_batch_probe",
+        "sf1_probe",
+        "docs_replica_probe",
+        "scurve_middecile_probe",
+        "scaling_spark_vs_duckdb_sec",
+    ):
+        payload.pop(k, None)
     line = json.dumps(payload, separators=(",", ":"))
-    # Driver stdout capture keeps only the tail of stdout (~2000 chars in
-    # round 1); degrade stepwise until the single line fits,
-    # least-informative first: per-query ratios are summarized by
-    # baseline_subset_ratio and duplicated in BENCH_DETAIL.json, so the
-    # headline dict truncates FIRST; family_sec and the scaling trend are
-    # the per-round judge signals, so they go last.
     if len(line) > 1900:
         slowest = sorted(headline, key=lambda n: headline[n][0])[-15:]
         payload["queries_sec_and_ratio_vs_duckdb"] = {
@@ -1509,10 +1529,7 @@ def main() -> None:
         payload["queries_truncated_to_slowest"] = 15
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
-        payload.pop("family_sec")
-        line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:
-        payload.pop("scaling_spark_vs_duckdb_sec")
+        payload["errored_queries"] = payload["errored_queries"][:3]
         line = json.dumps(payload, separators=(",", ":"))
 
     detail_path = os.path.join(
@@ -1547,6 +1564,11 @@ def main() -> None:
              "noise_sentinel_duckdb_sec": sentinel,
              "noise_sentinel_spark_sec": spark_sentinel,
              "normalized_total_sec": payload.get("normalized_total_sec"),
+             "cache_build_sec": cache_build or None,
+             # the exact pre-truncation stdout payload (round 14: probe
+             # blocks moved off stdout so the line always parses; the old
+             # numbers all remain here)
+             "payload_stdout_full": payload_full,
              "queries": detail},
             f,
             indent=1,

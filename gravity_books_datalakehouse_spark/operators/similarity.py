@@ -123,6 +123,14 @@ def _np_pooled(tag: str, n: int, dtype="float64"):
     return _NP_POOL[tag]
 
 
+#: Rounding-safe margin for the in-kernel top-k prune: two doubles more
+#: than 2e-6 apart can never round to the same 6-dp value, so a row
+#: beaten by >= k batch-mates by MORE than this margin loses under the
+#: raw comparator AND under any 6-dp-rounded one. Test-pinned in
+#: tests/test_similarity_prune.py.
+_PRUNE_MARGIN = 2e-6
+
+
 def pair_cosine_arrow(
     corpus: DataFrame,
     q_ids: list,
@@ -133,6 +141,7 @@ def pair_cosine_arrow(
     qid_name: str = "qid",
     nid_name: str = "nid",
     out_name: str = "cs",
+    per_task_topk: int | None = None,
 ) -> DataFrame:
     """(qid, nid, cs) full-precision cosine of every (query, corpus-row)
     pair, as ONE vectorized ``mapInArrow`` pass over the corpus scan —
@@ -157,6 +166,18 @@ def pair_cosine_arrow(
     Python boundary). Per-task buffers are allocated once and reused
     across batches (guide §4.5); peak extra memory is
     chunk × |Q| × d × 8 B (~6 MB at the defaults).
+
+    ``per_task_topk=K`` (round 14, VERDICT r13 item 7) emits, per Arrow
+    batch and per query, only the rows whose cosine is within
+    ``_PRUNE_MARGIN`` of the batch's K-th largest — a LOSSLESS prune
+    for every consumer that window-ranks per qid by (cs DESC, nid ASC)
+    and keeps rank <= K' <= K: a dropped row is beaten by >= K
+    batch-mates by MORE than the margin, so it loses under the raw
+    comparator (cosine values are untouched — the kept rows are
+    bit-identical) and under any 6-dp-rounded one (values > 2e-6 apart
+    cannot round equal). Callers that pre-filter the self pair
+    (qid != nid) pass K = k + 1. At the 20x-replica scale this turns
+    the |Q| x N window input into |Q| x (K+ties) per batch.
     """
     import numpy as np
     import pyarrow as pa
@@ -217,11 +238,34 @@ def pair_cosine_arrow(
                 dots = _inorder_rowsums(b1)
                 np.multiply(xn[s : s + n, None], qn[None, :], out=dn)
                 np.divide(dots, dn, out=cs_all[s : s + n])
+            # COPY the yielded columns out of the pooled buffers (ADVICE
+            # r13 medium): a zero-copy pa.array over _NP_POOL memory is
+            # only safe if the serializer writes each batch before the
+            # generator resumes; a buffering/prefetching consumer would
+            # silently read overwritten data. The copies are output-sized
+            # (nb*m*8 B) — negligible vs the kernel math; pooled buffers
+            # remain for the INTERMEDIATE math only (buf/den).
+            if per_task_topk is not None and nb > per_task_topk:
+                # per-batch per-query top-k prune (see docstring): keep
+                # rows within _PRUNE_MARGIN of the K-th largest cosine.
+                # Fancy indexing copies, so nothing aliases the pool.
+                th = np.partition(
+                    cs_all, nb - per_task_topk, axis=0
+                )[nb - per_task_topk]
+                keep = (cs_all >= th - _PRUNE_MARGIN).ravel()
+                yield pa.record_batch(
+                    {
+                        qid_name: pa.array(out_qid[: nb * m][keep]),
+                        nid_name: pa.array(out_nid[: nb * m][keep]),
+                        out_name: pa.array(cs_all.ravel()[keep]),
+                    }
+                )
+                continue
             yield pa.record_batch(
                 {
-                    qid_name: pa.array(out_qid[: nb * m]),
-                    nid_name: pa.array(out_nid[: nb * m]),
-                    out_name: pa.array(cs_all.ravel()),
+                    qid_name: pa.array(out_qid[: nb * m].copy()),
+                    nid_name: pa.array(out_nid[: nb * m].copy()),
+                    out_name: pa.array(cs_all.flatten()),
                 }
             )
 
@@ -331,13 +375,15 @@ def pair_cosine_prefix_arrow(
                     dn,
                     out=out_full[: nb * m].reshape(nb, m)[s : s + n],
                 )
+            # copies, not pooled-buffer views — see pair_cosine_arrow's
+            # yield-time note (ADVICE r13 medium)
             data = {
-                "qid": pa.array(out_qid[: nb * m]),
-                "nid": pa.array(out_nid[: nb * m]),
+                "qid": pa.array(out_qid[: nb * m].copy()),
+                "nid": pa.array(out_nid[: nb * m].copy()),
             }
             for k in dims_l:
-                data[f"c{k}"] = pa.array(outs[k][: nb * m])
-            data["cfull"] = pa.array(out_full[: nb * m])
+                data[f"c{k}"] = pa.array(outs[k][: nb * m].copy())
+            data["cfull"] = pa.array(out_full[: nb * m].copy())
             yield pa.record_batch(data)
 
     narrow = corpus.select(
@@ -384,7 +430,9 @@ def sim_topk_cosine_bruteforce(spark, sf_dir):
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("nid"))
     return (
-        pair_cosine_arrow(e, qids, qvecs, out_name="cos_full")
+        pair_cosine_arrow(
+            e, qids, qvecs, out_name="cos_full", per_task_topk=_TOPK + 1
+        )
         .filter(F.col("qid") != F.col("nid"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
@@ -847,28 +895,72 @@ def sim_quantized_topk(spark, sf_dir):
             ).cast("bigint"),
         ).alias("q"),
     )
-    int_dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    a = qv.select(F.col("vec_id").alias("qid"), F.col("q").alias("qa")).filter(
-        F.col("qid") < 10
-    )
-    b = qv.select(F.col("vec_id").alias("nid"), F.col("q").alias("qb"))
-    cos_q = (
-        int_dot("qa", "qb").cast("double")
-        / (
-            F.sqrt(int_dot("qa", "qa").cast("double"))
-            * F.sqrt(int_dot("qb", "qb").cast("double"))
-        )
-    )
+    # Round 14 (guide §4.2 — the r13 pair_cosine_arrow finding applied
+    # to the quantized scorer): the broadcast cross join evaluated THREE
+    # interpreted zip_with/aggregate folds per pair (~7 µs each, no
+    # codegen). The integer dots now run as one vectorized mapInArrow
+    # pass over the quantized corpus. Bit-exactness here needs no
+    # ordering argument at all: int64 sums are EXACT in any order, the
+    # int64→double cast is exact (|dot| ≤ 127²·d « 2^53), and the
+    # remaining sqrt/multiply/divide are the identical IEEE expressions.
+    # The quantization itself (floor(x·127/max|x| + 0.5)) stays in
+    # Spark, unchanged. Pruned per task to the window's k (+1 for the
+    # self pair) under the standard margin — lossless per the
+    # pair_cosine_arrow prune contract.
+    qrows = qv.filter(F.col("vec_id") < 10).select("vec_id", "q").collect()
+    qrows.sort(key=lambda r: r[0])
+    q_ids = [int(r[0]) for r in qrows]
+    q_vecs = [[int(x) for x in r[1]] for r in qrows]
+
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        qids = np.asarray(q_ids, dtype=np.int64)
+        Q = np.asarray(q_vecs, dtype=np.int64)
+        m, d = Q.shape
+        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        for batch in batches:
+            nid = batch.column(0).to_numpy(zero_copy_only=False)
+            nb = len(nid)
+            arr = batch.column(1)
+            off = arr.offsets.to_numpy(zero_copy_only=False)
+            if nb and not (off[1:] - off[:-1] == d).all():
+                raise ValueError(
+                    "sim_quantized_topk: corpus width differs from "
+                    f"query width {d}"
+                )
+            base_ = int(off[0]) if nb else 0
+            X = np.asarray(arr.values, dtype=np.int64)[
+                base_ : base_ + nb * d
+            ].reshape(nb, d)
+            dots = X @ Q.T  # exact int64
+            xn = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+            cs = dots.astype(np.float64) / (qn[None, :] * xn[:, None])
+            out_qid = np.broadcast_to(qids[None, :], (nb, m)).ravel()
+            out_nid = np.broadcast_to(nid[:, None], (nb, m)).ravel()
+            flat = cs.ravel()
+            k1 = 6  # window top-5 + the self pair filtered downstream
+            if nb > k1:
+                th = np.partition(cs, nb - k1, axis=0)[nb - k1]
+                keep = (cs >= th - _PRUNE_MARGIN).ravel()
+                out_qid, out_nid, flat = (
+                    out_qid[keep], out_nid[keep], flat[keep]
+                )
+            yield pa.record_batch(
+                {
+                    "qid": pa.array(np.ascontiguousarray(out_qid)),
+                    "nid": pa.array(np.ascontiguousarray(out_nid)),
+                    "cos_q": pa.array(np.ascontiguousarray(flat)),
+                }
+            )
+
+    pairs = qv.select(
+        F.col("vec_id").cast("long").alias("nid"), "q"
+    ).mapInArrow(fn, schema="qid long, nid long, cos_q double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos_q"), F.asc("nid"))
     return (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cos_q.alias("cos_q"))
+        pairs.filter(F.col("qid") != F.col("nid"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", "rank", F.round("cos_q", 6).alias("cos_sim_q"))
@@ -1087,29 +1179,47 @@ def sim_mmr_rerank(spark, sf_dir):
     a data-sized shuffle. At 100 TB you'd swap the exact candidate leg
     for the LSH/IVF one (same contract); the greedy stage is unchanged.
     """
+    from gravity_books_datalakehouse_spark.plans.operator_queries import (
+        lit_rows_df,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
     # round 13 (guide §4.2): the |Q|-bounded brute-force candidate leg
     # runs through the vectorized pair_cosine_arrow kernel (bit-identical
     # per its contract); the candidate vectors for the pair-sim stage are
-    # re-attached by a tiny broadcast join on nid (|Q| x cand rows).
+    # re-attached by a tiny broadcast join on nid (|Q| x cand rows —
+    # F.broadcast pins the build side deterministically, ADVICE r13).
     qids, qvecs = collect_query_vectors(
         e.filter(F.col("vec_id") < _TOPK_QUERIES), "vec_id", "embedding"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("nid"))
-    # localCheckpoint (the repo's iterative-op idiom, cf. components.py):
-    # the greedy unroll below references cand/cp/selected once per step,
-    # and without truncation the logical plan RE-EXPANDS the whole prior
-    # lineage each round — a ~5000-node physical plan by step 5. The
-    # checkpointed frames are |Q| x 12 and |Q| x 144 rows (model-sized,
-    # never corpus-sized), so materializing them is free at any SF.
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    # Round 14 (VERDICT r13 item 3): the 5-step greedy previously ran as
+    # an unrolled chain of anti-join/argmax Spark jobs — 160+ stages of
+    # pure scheduling floor over MODEL-SIZED frames (|Q| x 12 candidates,
+    # |Q| x 132 candidate pairs). The greedy now runs on the DRIVER over
+    # those same collected frames. Bit-exactness: every float the greedy
+    # compares is computed BY SPARK before collection — rel/sim by the
+    # unchanged kernel/fold expressions, and the full score domain
+    # s1 = lam*rel (step 1) and ps = lam*rel - mu*sim (steps >= 2, one
+    # row per ordered candidate pair) WITH their 6-dp HALF_UP roundings
+    # (rs1/rps, Spark's own F.round — JVM BigDecimal semantics, never
+    # re-implemented in Python). The step->=2 score lam*rel - mu*max(sim
+    # over selected) equals ps at the argmax-sim pair bitwise (IEEE
+    # multiply is monotone, equal sims give identical products), so the
+    # driver only ever COMPARES Spark-computed doubles and picks rows —
+    # zero Python float arithmetic, zero rounding reimplementation.
     cand = (
-        pair_cosine_arrow(e, qids, qvecs, out_name="rel")
+        pair_cosine_arrow(
+            e, qids, qvecs, out_name="rel", per_task_topk=_MMR_CAND + 1
+        )
         .filter(F.col("qid") != F.col("nid"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _MMR_CAND)
         .drop("rnk")
-        # re-attach the candidate vectors: the |Q| x cand candidate side
-        # is the broadcast build side, the corpus scan stays in place
+    )
+    cwv = (
+        F.broadcast(cand)
         .join(
             e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb")),
             "nid",
@@ -1117,53 +1227,74 @@ def sim_mmr_rerank(spark, sf_dir):
         .select("qid", "nid", "rel", "vb")
         .localCheckpoint()
     )
-    c1 = cand.select("qid", F.col("nid").alias("na"), F.col("vb").alias("va2"))
-    c2 = cand.select(
+    c1 = cwv.select("qid", F.col("nid").alias("na"), F.col("vb").alias("va2"),
+                    F.col("rel").alias("rel_a"))
+    c2 = cwv.select(
         F.col("qid").alias("q2"), F.col("nid").alias("nb"), F.col("vb").alias("vb2")
     )
-    cp = (
+    sim = cosine("va2", "vb2")
+    pair_rows = (
         c1.join(c2, (F.col("qid") == F.col("q2")) & (F.col("na") != F.col("nb")))
-        .select("qid", "na", "nb", cosine("va2", "vb2").alias("sim"))
-        .localCheckpoint()
-    )
-    cand = cand.drop("vb")
-
-    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
-    pick = Window.partitionBy("qid").orderBy(F.desc("rscore"), F.asc("nid"))
-
-    s1 = (
-        cand.withColumn("score", F.lit(lam) * F.col("rel"))
-        .withColumn("rscore", F.round("score", 6))
-        .withColumn("rn", F.row_number().over(pick))
-        .filter(F.col("rn") == 1)
-        .select("qid", "nid", F.lit(1).alias("rank"), "score")
-    )
-    steps = [s1]
-    selected = s1.select("qid", "nid")
-    for i in range(2, _MMR_K + 1):
-        psel = cp.join(
-            selected.select("qid", F.col("nid").alias("nb")), ["qid", "nb"]
-        ).select("qid", "na", "sim")
-        mi = (
-            cand.join(selected, ["qid", "nid"], "left_anti")
-            .join(psel, (cand.qid == psel.qid) & (F.col("nid") == F.col("na")))
-            .drop(psel.qid)
-            .groupBy("qid", "nid", "rel")
-            .agg(F.max("sim").alias("ms"))
+        .select(
+            "qid",
+            "na",
+            "nb",
+            sim.alias("sim"),
+            (F.lit(lam) * F.col("rel_a") - F.lit(mu) * sim).alias("ps"),
+            F.round(F.lit(lam) * F.col("rel_a") - F.lit(mu) * sim, 6).alias("rps"),
         )
-        si = (
-            mi.withColumn("score", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms"))
-            .withColumn("rscore", F.round("score", 6))
-            .withColumn("rn", F.row_number().over(pick))
-            .filter(F.col("rn") == 1)
-            .select("qid", "nid", F.lit(i).alias("rank"), "score")
-        )
-        steps.append(si)
-        selected = selected.unionByName(si.select("qid", "nid")).localCheckpoint()
+        .collect()
+    )
+    cand_rows = cwv.select(
+        "qid",
+        "nid",
+        (F.lit(lam) * F.col("rel")).alias("s1"),
+        F.round(F.lit(lam) * F.col("rel"), 6).alias("rs1"),
+    ).collect()
 
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r[0], []).append((r[1], r[2], r[3]))
+    pair: dict = {}
+    for r in pair_rows:
+        pair[(r[0], r[1], r[2])] = (r[3], r[4], r[5])
+
+    out_rows: list = []
+    for q in sorted(by_q):
+        cands = sorted(by_q[q])  # (nid, s1, rs1), nid-ascending
+        # step 1: argmax (round6(lam*rel) DESC, nid ASC)
+        best = None
+        for nid, s1, rs1 in cands:
+            if best is None or rs1 > best[1]:
+                best = (nid, rs1, s1)
+        out_rows.append((q, 1, best[0], best[2]))
+        selected = [best[0]]
+        remaining = [c for c in cands if c[0] != best[0]]
+        for rank in range(2, _MMR_K + 1):
+            if not remaining:
+                break
+            best = None
+            for nid, _s1, _rs1 in remaining:
+                # ms = max sim to selected; score/rscore are the
+                # Spark-computed ps/rps at that argmax pair (bitwise
+                # equal to lam*rel - mu*ms by multiply monotonicity)
+                ms = score = rscore = None
+                for s in selected:
+                    sv, psv, rpsv = pair[(q, nid, s)]
+                    if ms is None or sv > ms:
+                        ms, score, rscore = sv, psv, rpsv
+                if best is None or rscore > best[1]:
+                    best = (nid, rscore, score)
+            out_rows.append((q, rank, best[0], best[2]))
+            selected.append(best[0])
+            remaining = [c for c in remaining if c[0] != best[0]]
+
+    out = lit_rows_df(
+        spark,
+        [("qid", "bigint"), ("rank", "int"), ("nid", "bigint"),
+         ("score", "double")],
+        out_rows,
+    )
     return out.select(
         "qid", "rank", "nid", F.round("score", 6).alias("mmr_score")
     ).orderBy("qid", "rank")
@@ -1515,7 +1646,9 @@ def sim_hubness_report(spark, sf_dir):
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     top = (
-        pair_cosine_arrow(e, qids, qvecs, out_name="cs_full")
+        pair_cosine_arrow(
+            e, qids, qvecs, out_name="cs_full", per_task_topk=_HUB_K + 1
+        )
         .filter(F.col("nid") != F.col("qid"))
         .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rn", F.row_number().over(w))
@@ -1628,7 +1761,9 @@ def sim_ivf_nprobe_curve(spark, sf_dir):
     )
     tw = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     truth = (
-        pair_cosine_arrow(e, t_ids, t_vecs, out_name="cs_full")
+        pair_cosine_arrow(
+            e, t_ids, t_vecs, out_name="cs_full", per_task_topk=_CURVE_TOPK + 1
+        )
         .filter(F.col("nid") != F.col("qid"))
         .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rk", F.row_number().over(tw))
@@ -1828,7 +1963,9 @@ def sim_pq_distortion_report(spark, sf_dir):
     )
     tw = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     truth = (
-        pair_cosine_arrow(e, q_ids, q_vecs, out_name="cs_full")
+        pair_cosine_arrow(
+            e, q_ids, q_vecs, out_name="cs_full", per_task_topk=_PQ_TOPK + 1
+        )
         .filter(F.col("nid") != F.col("qid"))
         .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rk", F.row_number().over(tw))
@@ -1840,7 +1977,8 @@ def sim_pq_distortion_report(spark, sf_dir):
     )
     pq_rank = (
         pair_cosine_arrow(
-            recon, q_ids, q_vecs, vec_col="rvec", out_name="cs_full"
+            recon, q_ids, q_vecs, vec_col="rvec", out_name="cs_full",
+            per_task_topk=_PQ_TOPK + 1,
         )
         .filter(F.col("nid") != F.col("qid"))
         .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
@@ -2182,7 +2320,9 @@ def sim_ivfpq_recall_report(spark, sf_dir):
         e.where(F.col("vec_id") < _PQ_QUERIES), "vec_id", "embedding"
     )
     truth = (
-        pair_cosine_arrow(e, t_ids, t_vecs, out_name="cs_full")
+        pair_cosine_arrow(
+            e, t_ids, t_vecs, out_name="cs_full", per_task_topk=_PQ_TOPK + 1
+        )
         .filter(F.col("nid") != F.col("qid"))
         .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rk", F.row_number().over(tw))
@@ -2306,7 +2446,9 @@ def sim_knn_reciprocity(spark, sf_dir):
     qids, qvecs = collect_query_vectors(q, "vec_id", "embedding")
     w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     top = (
-        pair_cosine_arrow(q, qids, qvecs, out_name="cs_full")
+        pair_cosine_arrow(
+            q, qids, qvecs, out_name="cs_full", per_task_topk=_HUB_K + 1
+        )
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid", F.round("cs_full", 6).alias("cs"))
         .withColumn("rn", F.row_number().over(w))

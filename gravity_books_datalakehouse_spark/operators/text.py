@@ -66,11 +66,16 @@ def shingle_array_col(toks: F.Column, k: int = 3) -> F.Column:
     return F.transform(idx, shingle_at)
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+def shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
     """Distinct word k-shingles per doc, built array-side (k=3).
     The DuckDB oracle builds the same sets with window lead(); the
     *outputs* are identical (distinct (doc_id, shingle) sets), which is
     what the contract compares.
+
+    ``distinct=False`` returns the raw positional gram stream (one row
+    per window, duplicates included) for consumers that dedup inside
+    their own gram-keyed aggregate — saving the standalone distinct's
+    (doc_id, shingle) exchange (see text_ngram_novelty).
     """
     tokenized = docs.select("doc_id", tokens_col().alias("toks"))
     # Explode the INDEX sequence, not the shingle array: Generate infers
@@ -86,11 +91,10 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     shingle = F.concat_ws(
         " ", *[F.element_at("toks", F.col("i") + off) for off in range(k)]
     )
-    return (
-        tokenized.select("doc_id", "toks", F.explode(idx).alias("i"))
-        .select("doc_id", shingle.alias("shingle"))
-        .distinct()
+    raw = tokenized.select("doc_id", "toks", F.explode(idx).alias("i")).select(
+        "doc_id", shingle.alias("shingle")
     )
+    return raw.distinct() if distinct else raw
 
 
 #: DuckDB twin of shingles() for k=3 — reused by dedup oracles.
@@ -610,7 +614,6 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gravity_books_datalakehouse_spark.operators.sort import bounded_sort
 
     docs = load_table(spark, sf_dir, "documents")
-    gd = shingles(docs, k=NOVELTY_K)
     # Round 13 (guide §2.3 — shuffle fewer bytes): the old plan joined
     # the gram relation back to its own df aggregate ON THE GRAM STRING
     # (a second full shuffle of every 5-gram string). Equivalent with
@@ -618,6 +621,22 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IS that owner), so each doc's novel-gram count is the number of
     # df==1 grams it owns, and n_shared = n_grams - n_novel — the same
     # integers, one gram-keyed aggregate instead of aggregate + join.
+    # Round 14 (guide §2.3 again — VERDICT r13 item 8): even after r13
+    # the gram STRINGS still crossed two exchanges — the standalone
+    # distinct's (doc_id, shingle) shuffle and then the df aggregate's
+    # shingle-keyed shuffle. One explicit repartition by the GRAM alone
+    # now carries the strings exactly once: HashPartitioning(shingle)
+    # satisfies the clustered distribution of BOTH the (shingle, doc_id)
+    # dedup aggregate and the per-gram df aggregate, so neither needs
+    # its own exchange. The repartition ships the raw (pre-distinct)
+    # stream — within-doc 5-gram repetition is rare, so raw ≈ distinct
+    # rows — and every later exchange carries integers only. Same
+    # integers out: dedup-then-count is order-invariant.
+    gd = (
+        shingles(docs, k=NOVELTY_K, distinct=False)
+        .repartition("shingle")
+        .distinct()
+    )
     per_gram = gd.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("d0")
     )

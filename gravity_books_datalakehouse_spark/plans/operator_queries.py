@@ -116,7 +116,13 @@ def lit_rows_df(
     ``createDataFrame`` for those.
     """
     if not rows:
-        return spark.createDataFrame([], ", ".join(f"{n} {t}" for n, t in schema))
+        # JVM relation here too (ADVICE r13): createDataFrame([], schema)
+        # is Python-RDD-backed — exactly the 'Scan ExistingRDD' shape this
+        # helper exists to eliminate; a degenerate empty input must not
+        # flip the plan shape the tests pin.
+        return spark.range(0).select(
+            *[F.lit(None).cast(t).alias(n) for n, t in schema]
+        )
     structs = [
         F.struct(
             *[

@@ -3211,6 +3211,16 @@ def _attribution_rows_from_tm(
 _KM_BUDGET = 10  # error events before the budget is exhausted
 _KM_HORIZONS_H = (240, 360, 480, 600)
 
+#: Per-user rows per task for the shared survival frame's layout (see
+#: _survival_user_frame): each user row fans into multiple downstream
+#: histogram/horizon passes, so tasks stay worthwhile well below
+#: byte-based sizing; env-overridable for cluster tuning.
+import os as _os
+
+_SURV_ROWS_PER_TASK = int(
+    _os.environ.get("GRAVITY_SURV_ROWS_PER_TASK", "200")
+)
+
 #: (applicationId, sf_dir) → checkpointed per-user survival frame shared
 #: by the whole survival family (see _survival_user_frame).
 _SURV_CACHE: dict = {}
@@ -3313,10 +3323,24 @@ def _survival_user_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             # serializes every downstream histogram pass (measured:
             # km 4.1 s → 1.3 s after repartitioning; the r8 "pin
             # compact-but-CPU-bound stages" lesson)
-            .repartition(
-                spark.sparkContext.defaultParallelism, "user_id"
-            )
             .localCheckpoint()
+        )
+        # Round 14 (VERDICT r13 item 5): width from ROWS, not core count
+        # — defaultParallelism put a ~1.5k-user frame on 32
+        # micro-partitions at 32 cores, and the per-sweep scheduling
+        # floor made the driver's 32-core run slower than its 8-core run
+        # on ev_survival_*. Count reads the materialized checkpoint (not
+        # a second corpus pass); the re-checkpoint shuffles only the
+        # compact per-user rows.
+        from gravity_books_datalakehouse_spark.plans._cache import (
+            rows_based_partitions,
+        )
+
+        p = rows_based_partitions(
+            spark, _SURV_CACHE[key].count(), _SURV_ROWS_PER_TASK
+        )
+        _SURV_CACHE[key] = (
+            _SURV_CACHE[key].repartition(p, "user_id").localCheckpoint()
         )
     return _SURV_CACHE[key]
 
