@@ -698,35 +698,30 @@ def _cached_rep_jaccard(spark, sf_dir):
     rp = _cached_rep_pairs(spark, sf_dir)
     sh = _cached_shingles(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Round 14 (VERDICT r13 item 4 — the §2.3 inverted-index form the
-    # lsh-quality truth leg adopted in r13): the old pair-anchored form
-    # joined every rep pair with BOTH docs' full shingle arrays
-    # (rp × |A| × |B| intermediate before the equality filter collapsed
-    # it). Overlap counts instead come from ONE self-equi-join on the
-    # shingle over the REP docs' shingle relation — cost Σdf² over the
-    # near-unique 3-shingle vocabulary (small, measured r13) — then a
-    # semi-join keeps only LSH candidate pairs. Same integers: the
-    # shingle relation is distinct per (doc, shingle), so the group
-    # count IS |A∩B|; rp pairs absent from the self-join output have
-    # n_int = 0 and keep the existing left-join + coalesce(0) path.
-    rp_docs = (
-        rp.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(rp.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    shr = sh.join(rp_docs, "doc_id", "leftsemi")
-    a = shr.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shr.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Round 14 note (VERDICT r13 item 4 asked for the §2.3
+    # inverted-index form here): MEASURED and rejected — a same-session
+    # A/B of the shingle self-equi-join + rep semi-join against this
+    # pair-anchored form read 2.6-3.7 s vs 1.9-3.5 s (the inverted
+    # index consistently ~0.5 s slower). The pair-anchored form is not
+    # the rp × |A| × |B| explode it looks like: Catalyst folds the
+    # trailing sh_a == sh_b filter INTO the second join's key, so the
+    # intermediate is rp × |A| rows joined on (doc_b, shingle). Kept.
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        rp.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_int"))
-        .join(rp, ["doc_a", "doc_b"], "leftsemi")
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    _REP_JACCARD_CACHE[key] = (
+    from gravity_books_datalakehouse_spark.plans._cache import (
+        rows_based_partitions,
+    )
+
+    pj = (
         rp.join(inter, ["doc_a", "doc_b"], "left")
         .join(ca, "doc_a")
         .join(cb, "doc_b")
@@ -738,8 +733,17 @@ def _cached_rep_jaccard(spark, sf_dir):
                 "u"
             ),
         )
+        # Round 14: AQE coalesced this checkpoint to ONE partition
+        # (measured), so every CPU-bound consumer — the OPTICS 6-level
+        # explode, the density profile, the persistence stamping — ran
+        # its first map stage 1-wide (the r8 lesson). Width from rows,
+        # not core count (VERDICT item 5 discipline).
         .localCheckpoint()
     )
+    p = rows_based_partitions(spark, pj.count(), 10000)
+    if pj.rdd.getNumPartitions() != p:
+        pj = pj.repartition(p, "doc_a").localCheckpoint()
+    _REP_JACCARD_CACHE[key] = pj
     return _REP_JACCARD_CACHE[key]
 
 
