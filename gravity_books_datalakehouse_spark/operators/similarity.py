@@ -283,6 +283,7 @@ def pair_cosine_prefix_arrow(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    per_task_topk: int | None = None,
 ) -> DataFrame:
     """(qid, nid, c{d}..., cfull): cosine over each dim-PREFIX in ``dims``
     plus the full-width cosine, one row per (query, corpus-row) pair —
@@ -292,7 +293,14 @@ def pair_cosine_prefix_arrow(
     left-to-right adds, same +0.0 head), so every c{d} equals the
     ``aggregate(slice(...))`` column it replaces, and cfull folds the
     WHOLE width (never a slice — the ADVICE r12 item-3 contract).
-    Same scale/buffer story as pair_cosine_arrow."""
+    Same scale/buffer story as pair_cosine_arrow.
+
+    ``per_task_topk=K`` (round 14): per batch and per query, keep the
+    UNION over every rung (each c{d} plus cfull) of the rows within
+    ``_PRUNE_MARGIN`` of that rung's K-th largest — lossless for
+    consumers that window-rank per (rung, qid) by (cos DESC, nid ASC)
+    with rank <= K' <= K, by the pair_cosine_arrow prune argument
+    applied rung by rung (kept rows' values untouched)."""
     import numpy as np
     import pyarrow as pa
 
@@ -377,6 +385,27 @@ def pair_cosine_prefix_arrow(
                 )
             # copies, not pooled-buffer views — see pair_cosine_arrow's
             # yield-time note (ADVICE r13 medium)
+            if per_task_topk is not None and nb > per_task_topk:
+                # union-of-rungs per-batch top-k prune (see docstring);
+                # fancy indexing copies, nothing aliases the pool
+                keepm = None
+                for col in [outs[k] for k in dims_l] + [out_full]:
+                    csk = col[: nb * m].reshape(nb, m)
+                    th = np.partition(
+                        csk, nb - per_task_topk, axis=0
+                    )[nb - per_task_topk]
+                    km = csk >= th - _PRUNE_MARGIN
+                    keepm = km if keepm is None else (keepm | km)
+                keep = keepm.ravel()
+                data = {
+                    "qid": pa.array(out_qid[: nb * m][keep]),
+                    "nid": pa.array(out_nid[: nb * m][keep]),
+                }
+                for k in dims_l:
+                    data[f"c{k}"] = pa.array(outs[k][: nb * m][keep])
+                data["cfull"] = pa.array(out_full[: nb * m][keep])
+                yield pa.record_batch(data)
+                continue
             data = {
                 "qid": pa.array(out_qid[: nb * m].copy()),
                 "nid": pa.array(out_nid[: nb * m].copy()),
@@ -2592,7 +2621,9 @@ def sim_matryoshka_truncation(spark, sf_dir):
         e.filter(F.col("vec_id") < _TOPK_QUERIES), "vec_id", "embedding"
     )
     scored = (
-        pair_cosine_prefix_arrow(e, q_ids, q_vecs, tuple(trunc))
+        pair_cosine_prefix_arrow(
+            e, q_ids, q_vecs, tuple(trunc), per_task_topk=_TOPK + 1
+        )
         .filter(F.col("qid") != F.col("nid"))
         .withColumnRenamed("cfull", "cf")
     )

@@ -48,6 +48,36 @@ def test_pruned_topk_bit_identical(spark):
     assert a == b
 
 
+def test_prefix_kernel_rung_prune_bit_identical(spark):
+    """The union-of-rungs prune in pair_cosine_prefix_arrow keeps every
+    rung's windowed top-k bit-identical to the unpruned kernel."""
+    from gravity_books_datalakehouse_spark.operators.similarity import (
+        pair_cosine_prefix_arrow,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    qids, qvecs = collect_query_vectors(
+        e.filter(F.col("vec_id") < 10), "vec_id", "embedding"
+    )
+    outs = []
+    for k in (None, _TOPK + 1):
+        kern = pair_cosine_prefix_arrow(
+            e, qids, qvecs, (8, 16), per_task_topk=k
+        ).filter(F.col("qid") != F.col("nid"))
+        rows = []
+        for col in ("c8", "c16", "cfull"):
+            w = Window.partitionBy("qid").orderBy(F.desc(col), F.asc("nid"))
+            rows.extend(
+                kern.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= _TOPK)
+                .select(F.lit(col).alias("rung"), "qid", "nid", col)
+                .collect()
+            )
+        outs.append(sorted(rows))
+    assert len(outs[0]) > 0
+    assert outs[0] == outs[1]
+
+
 def test_prune_margin_is_rounding_safe():
     """Two doubles more than _PRUNE_MARGIN apart can never round to the
     same 6-dp value (so a row beaten by > margin also loses under any
